@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct}
+import org.apache.spark.sql.{functions => F}
+
+/** Column-level API for the engine's scalar functions, mirroring the
+  * reference's SQL function surface (SURVEY.md section 2.1).
+  *
+  * Usage: `import graft.functions._; df.select(l2sq_dist($"v", vecLit(q)))`.
+  */
+package object functions {
+
+  private[graft] def col(e: Expression): Column = Bridge.toColumn(e)
+  private[graft] def expr(c: Column): Expression = Bridge.toExpression(c)
+
+  /** Squared L2 distance (`<->` in the reference). */
+  def l2sq_dist(a: Column, b: Column): Column = col(L2SqDist(expr(a), expr(b)))
+
+  /** Cosine distance 1 - cos (`<=>`). */
+  def cos_dist(a: Column, b: Column): Column = col(CosDist(expr(a), expr(b)))
+
+  /** Bit hamming distance over int32 elements (`<+>`). */
+  def hamming_dist(a: Column, b: Column): Column =
+    col(HammingDist(expr(a), expr(b)))
+
+  /** Dot product in double precision. */
+  def inner_product(a: Column, b: Column): Column =
+    col(InnerProduct(expr(a), expr(b)))
+
+  /** Literal float vector column (query vectors for KNN). */
+  def vecLit(v: Seq[Float]): Column =
+    F.array(v.map(x => F.lit(x)): _*)
+
+  /** Literal int vector column (hamming queries). */
+  def intVecLit(v: Seq[Int]): Column =
+    F.array(v.map(x => F.lit(x)): _*)
+
+  /** Register `l2sq_dist`, `cos_dist`, `hamming_dist`, `inner_product`
+    * with the session's SQL function registry so `spark.sql("... l2sq_dist(v, q) ...")`
+    * works, mirroring lantern_hnsw/sql/lantern.sql:32-45. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "l2sq_dist", es => L2SqDist(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cos_dist", es => CosDist(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hamming_dist", es => HammingDist(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "inner_product", es => InnerProduct(es.head, es(1)), "built-in")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{l2sq_dist, cos_dist, hamming_dist}
+
+/** Exact K-nearest-neighbor search and composite weighted vector search.
+  *
+  * Semantics of the reference's `ORDER BY col <-> q LIMIT k` scan
+  * (lantern_hnsw/src/hnsw/scan.c) on the exact path: distance to a query
+  * vector, ascending, top k. Spark-first shape: a declarative
+  * `orderBy(dist).limit(k)` that Catalyst plans as TakeOrderedAndProject —
+  * a per-partition top-k followed by a k-row merge on the driver, so no
+  * full shuffle/sort happens at any scale. The approximate path (sharded
+  * ANN index) lives in [[graft.ann]].
+  */
+object Knn {
+
+  sealed trait Metric { def dist(v: Column, q: Column): Column }
+  case object L2Sq extends Metric {
+    def dist(v: Column, q: Column): Column = l2sq_dist(v, q)
+  }
+  case object Cos extends Metric {
+    def dist(v: Column, q: Column): Column = cos_dist(v, q)
+  }
+  case object Hamming extends Metric {
+    def dist(v: Column, q: Column): Column = hamming_dist(v, q).cast("double")
+  }
+
+  /** Exact top-k: rows with the k smallest `metric(vecCol, q)`,
+    * ascending, ties broken by `tieBreaker` for determinism. */
+  def knn(
+      df: DataFrame,
+      vecCol: Column,
+      query: Column,
+      k: Int,
+      metric: Metric = L2Sq,
+      tieBreaker: Option[Column] = None,
+      distName: String = "dist"): DataFrame = {
+    val withDist = df.withColumn(distName, metric.dist(vecCol, query))
+    val order = col(distName).asc +: tieBreaker.map(_.asc).toSeq
+    withDist.orderBy(order: _*).limit(k)
+  }
+
+  /** One weighted term of a multi-column search. */
+  case class WeightedTerm(weight: Double, vecCol: Column, query: Column,
+      metric: Metric = L2Sq)
+
+  /** Multi-vector-column weighted ranking, the exact (`exact=true`) path
+    * of `lantern.weighted_vector_search` (lantern_hnsw/sql/lantern.sql:732-762):
+    * joint metric sum(w_i * dist_i), optional max-distance filter, top k.
+    *
+    * The approximate path of the reference (per-column ANN candidates with
+    * LIMIT ef, UNION, DISTINCT, re-rank — lantern.sql:769-817) is
+    * [[weightedSearchCandidates]]. */
+  def weightedSearch(
+      df: DataFrame,
+      terms: Seq[WeightedTerm],
+      k: Int,
+      maxDist: Option[Double] = None,
+      tieBreaker: Option[Column] = None): DataFrame = {
+    val joint = terms.map(t => lit(t.weight) * t.metric.dist(t.vecCol, t.query))
+      .reduce(_ + _)
+    val withDist = df.withColumn("joint_dist", joint)
+    val filtered = maxDist.fold(withDist)(m => withDist.filter(col("joint_dist") <= m))
+    val order = col("joint_dist").asc +: tieBreaker.map(_.asc).toSeq
+    filtered.orderBy(order: _*).limit(k)
+  }
+
+  /** Candidate-generation variant: per-term top-ef candidate sets unioned
+    * and deduplicated by `idCol`, then re-ranked by the joint metric
+    * (lantern_hnsw/sql/lantern.sql:769-817). With an ANN index per column
+    * each candidate set is an index probe; with none it is an exact top-ef
+    * (TakeOrderedAndProject), still cheaper than scoring all metrics on
+    * every row when the table is wide. */
+  def weightedSearchCandidates(
+      df: DataFrame,
+      idCol: Column,
+      terms: Seq[WeightedTerm],
+      k: Int,
+      ef: Int,
+      maxDist: Option[Double] = None): DataFrame = {
+    val candidates = terms.map { t =>
+      df.withColumn("__cand_dist", t.metric.dist(t.vecCol, t.query))
+        .orderBy(col("__cand_dist").asc)
+        .limit(ef)
+        .drop("__cand_dist")
+    }.reduce(_ unionByName _)
+      .dropDuplicates(Seq(idCol.toString))
+    weightedSearch(candidates, terms, k, maxDist, Some(idCol))
+  }
+}
