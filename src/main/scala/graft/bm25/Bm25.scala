@@ -1,0 +1,121 @@
+package graft.bm25
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{text_to_stem_array, tokenize}
+
+/** BM25 full-text ranking (reference: lantern_extras/src/bm25_agg.rs and
+  * bm25_api.sql).
+  *
+  * Spark-first design: instead of the reference's per-term posting-array
+  * table probed by a custom aggregate, the index is a flat postings
+  * DataFrame `(term, doc_id, fq, doc_len)` — the shape Spark shuffles and
+  * prunes best. Search is: filter postings to the query terms (predicate
+  * pushdown on `term` when the postings table is persisted partitioned/
+  * sorted by term), join document frequencies (broadcast — one row per
+  * query term), score each posting, partial-aggregate per doc (map-side
+  * combine), global top-k (TakeOrderedAndProject). No full shuffle of the
+  * corpus ever happens at search time; the only shuffle is on doc_id for
+  * the hit set. At 100 TB the postings table is bucketed by term.
+  *
+  * The reference's bloom-filter approximation for popular terms
+  * (bm25_agg.rs:162-188) exists to bound a single Postgres backend's
+  * memory; Spark's distributed aggregate replaces it, so scoring here is
+  * exact (the reference's exact path). The reference also never
+  * implemented the aggregate's parallel `combine` (bm25_agg.rs:297-310);
+  * Spark's sum-merge IS that combine.
+  */
+object Bm25 {
+
+  /** Reference GUC defaults: lantern_extras/src/lib.rs:44-46. */
+  case class Params(k1: Double = 1.2, b: Double = 0.75)
+
+  private def toksCol(textCol: Column, stemmed: Boolean): Column =
+    if (stemmed) text_to_stem_array(textCol) else tokenize(textCol)
+
+  /** Tokenized docs with length: (doc_id, toks, doc_len). */
+  def tokenized(docs: DataFrame, idCol: Column, textCol: Column,
+      stemmed: Boolean = false): DataFrame =
+    docs.select(idCol.as("doc_id"), toksCol(textCol, stemmed).as("toks"))
+      .withColumn("doc_len", size(col("toks")))
+
+  /** Flat postings index: (term, doc_id, fq, doc_len). */
+  def postings(docs: DataFrame, idCol: Column, textCol: Column,
+      stemmed: Boolean = false): DataFrame =
+    tokenized(docs, idCol, textCol, stemmed)
+      .select(col("doc_id"), col("doc_len"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("doc_len"))
+      .agg(count(lit(1)).as("fq"))
+
+  /** One-row corpus stats (n_docs, avg_doc_len), for broadcast. */
+  def corpusStats(docs: DataFrame, idCol: Column, textCol: Column,
+      stemmed: Boolean = false): DataFrame =
+    tokenized(docs, idCol, textCol, stemmed)
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        // exact long sum / count, not avg(): double-accumulation order
+        // would make the result nondeterministic in the last ulp
+        (sum(col("doc_len")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_doc_len"))
+
+  /** Reference-shaped inverted-index table
+    * (term, term_freq, doc_ids, fqs, doc_lens), mirroring
+    * lantern_extras/src/bm25_api.sql:33-45 — provided for API parity and
+    * for consumers that want posting arrays; the flat [[postings]] shape
+    * is preferred at scale. */
+  def createBm25Table(docs: DataFrame, idCol: Column, textCol: Column,
+      stemmed: Boolean = false): DataFrame = {
+    val p = postings(docs, idCol, textCol, stemmed)
+      .withColumn("srt", struct(col("doc_id"), col("fq"), col("doc_len")))
+    p.groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("term_freq"),
+        sort_array(collect_list(col("srt"))).as("post"))
+      .select(col("term"), col("term_freq"),
+        col("post.doc_id").as("doc_ids"),
+        col("post.fq").as("fqs"),
+        col("post.doc_len").as("doc_lens"))
+  }
+
+  /** BM25 IDF: ln((N - df + 0.5)/(df + 0.5) + 1)
+    * (lantern_extras/src/bm25_agg.rs:124-159). */
+  def idf(nDocs: Column, docFreq: Column): Column =
+    log((nDocs - docFreq + 0.5) / (docFreq + 0.5) + 1.0)
+
+  /** Per-posting score term (same reference lines). */
+  def postingScore(fq: Column, docLen: Column, nDocs: Column,
+      docFreq: Column, avgDocLen: Column, p: Params): Column =
+    idf(nDocs, docFreq) * (fq * lit(p.k1 + 1.0)) /
+      (fq + lit(p.k1) * (lit(1.0 - p.b) + lit(p.b) * docLen / avgDocLen))
+
+  /** End-to-end search (reference `search_bm25`, bm25_api.sql:61-104):
+    * top-k docs by BM25 for a query string. `precomputed` lets callers
+    * pass a persisted postings table + stats. */
+  def searchBm25(docs: DataFrame, idCol: Column, textCol: Column,
+      query: String, k: Int, params: Params = Params(),
+      stemmed: Boolean = false): DataFrame = {
+    val terms: Seq[String] =
+      (if (stemmed) graft.text.Stemmer.stemTokens(query)
+       else graft.text.Stemmer.tokens(query)).toSeq.distinct
+    val post = postings(docs, idCol, textCol, stemmed)
+      .filter(col("term").isin(terms: _*))
+    scoreAndRank(post, corpusStats(docs, idCol, textCol, stemmed), k, params)
+  }
+
+  /** Score pre-filtered postings and return top-k (doc_id, score). */
+  def scoreAndRank(queryPostings: DataFrame, stats: DataFrame, k: Int,
+      params: Params = Params()): DataFrame = {
+    val dfreq = queryPostings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("doc_freq"))
+    queryPostings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("sc", postingScore(col("fq").cast("double"),
+        col("doc_len").cast("double"), col("n_docs"), col("doc_freq"),
+        col("avg_doc_len"), params))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sc")).as("score"))
+      .orderBy(round(col("score"), 6).desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

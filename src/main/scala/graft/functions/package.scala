@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct}
+import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, Tokenize}
 import org.apache.spark.sql.{functions => F}
 
 /** Column-level API for the engine's scalar functions, mirroring the
@@ -29,6 +29,13 @@ package object functions {
   def inner_product(a: Column, b: Column): Column =
     col(InnerProduct(expr(a), expr(b)))
 
+  /** `text_to_stem_array`: tokenize + Snowball-stem + stopword-drop
+    * (reference lantern_extras/src/stemmers.rs:95-116). */
+  def text_to_stem_array(c: Column): Column = col(TextToStemArray(expr(c)))
+
+  /** Plain tokenizer (lowercase, non-alphanumerics to spaces, split). */
+  def tokenize(c: Column): Column = col(Tokenize(expr(c)))
+
   /** Literal float vector column (query vectors for KNN). */
   def vecLit(v: Seq[Float]): Column =
     F.array(v.map(x => F.lit(x)): _*)
@@ -50,5 +57,9 @@ package object functions {
       "hamming_dist", es => HammingDist(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "inner_product", es => InnerProduct(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "text_to_stem_array", es => TextToStemArray(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "tokenize", es => Tokenize(es.head), "built-in")
   }
 }

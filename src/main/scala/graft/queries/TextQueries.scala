@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.bm25.Bm25
+import graft.dedup.Dedup
+import graft.text.TextOps
+
+/** Driver-contract queries for the BM25 / text-analysis / dedup families
+  * (SURVEY.md sections 2.4, 2.5 + pipeline operators) with DuckDB oracles.
+  *
+  * Oracle-checked queries use the plain tokenizer (DuckDB has no Snowball
+  * stemmer offline); the stemmed variants are registered without oracles
+  * and verified by the ScalaTest recall/fixture suites instead. */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val bm25Query = "spark join fast window"
+  private val bm25Terms = Seq("spark", "join", "fast", "window")
+
+  /** Shared DuckDB tokenization CTE (mirrors graft.text.Stemmer.tokens). */
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      |  FROM documents)""".stripMargin
+
+  // ---- Spark-side queries ----
+
+  private def bm25Table(s: SparkSession, dir: String): DataFrame =
+    Bm25.postings(docs(s, dir), col("doc_id"), col("text"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("fq")).as("total_fq"))
+      .orderBy(col("doc_freq").desc, col("term").asc)
+      .limit(20)
+
+  private def bm25Search(s: SparkSession, dir: String): DataFrame =
+    Bm25.searchBm25(docs(s, dir), col("doc_id"), col("text"), bm25Query, 10)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+
+  private def bm25SearchStemmed(s: SparkSession, dir: String): DataFrame =
+    Bm25.searchBm25(docs(s, dir), col("doc_id"), col("text"), bm25Query, 10,
+        stemmed = true)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.quality(docs(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc).limit(100)
+
+  private def langId(s: SparkSession, dir: String): DataFrame =
+    TextOps.langId(docs(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc).limit(200)
+
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprint(docs(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc).limit(200)
+
+  private def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(docs(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc).limit(200)
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("dup_count").desc, col("content_hash").asc)
+      .limit(50)
+
+  private def minhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignature(docs(s, dir), col("doc_id"), col("text"),
+        numHashes = 4)
+      .select(col("doc_id"),
+        concat_ws(",", col("sig_0"), col("sig_1"), col("sig_2"), col("sig_3"))
+          .as("signature"))
+      .orderBy(col("doc_id").asc).limit(100)
+
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidates(docs(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.jaccardVerify(d, col("doc_id"), col("text"),
+        Dedup.lshCandidates(d, col("doc_id"), col("text"))
+          .select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc).limit(200)
+
+  private def stemArray(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat_ws(" ", graft.functions.text_to_stem_array(col("text")))
+          .as("stems"))
+      .orderBy(col("doc_id").asc).limit(50)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_table" -> ((s, d) => bm25Table(s, d)),
+    "q_bm25_search" -> ((s, d) => bm25Search(s, d)),
+    "q_bm25_search_stemmed" -> ((s, d) => bm25SearchStemmed(s, d)),
+    "q_text_quality" -> ((s, d) => textQuality(s, d)),
+    "q_lang_id" -> ((s, d) => langId(s, d)),
+    "q_fingerprint" -> ((s, d) => fingerprint(s, d)),
+    "q_token_counts" -> ((s, d) => tokenCounts(s, d)),
+    "q_dedup_exact" -> ((s, d) => dedupExact(s, d)),
+    "q_minhash" -> ((s, d) => minhash(s, d)),
+    "q_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
+    "q_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
+    "q_simhash" -> ((s, d) => simhash(s, d)),
+    "q_stem_array" -> ((s, d) => stemArray(s, d)),
+  )
+
+  // ---- DuckDB oracles ----
+
+  private val enStopSql = TextOps.enStop.map(w => s"'$w'").mkString(", ")
+
+  private def langCnt(lang: String): String = {
+    val words = TextOps.langStop(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(t, x -> x IN ($words)))"
+  }
+
+  /** MinHash signature SQL for n hashes over 3-shingles list `s`. */
+  private def sigSql(n: Int): String =
+    s"list_transform(range(0, $n), i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x))))"
+
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 1), j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS s
+      |  FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  private val lshPairsCte =
+    s"""sig AS (SELECT doc_id, ${sigSql(8)} AS sig FROM sh),
+       |banded AS (
+       |  SELECT doc_id, sig,
+       |    unnest(list_transform(range(0, 4), b ->
+       |      md5(b::VARCHAR || '|' || sig[b*2+1] || '|' || sig[b*2+2]))) AS band_key
+       |  FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bm25_table" ->
+      s"""WITH $toksCte,
+         |p0 AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |g AS (SELECT term, doc_id, count(*) AS fq FROM p0 GROUP BY 1, 2)
+         |SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+         |  CAST(sum(fq) AS BIGINT) AS total_fq
+         |FROM g GROUP BY term
+         |ORDER BY doc_freq DESC, term ASC LIMIT 20""".stripMargin,
+    "q_bm25_search" ->
+      s"""WITH $toksCte,
+         |post AS (
+         |  SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS fq
+         |  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+         |  WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2, 3),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM toks),
+         |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id,
+         |    sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (fq * (1.2 + 1.0))
+         |      / (fq + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS score
+         |  FROM post JOIN dfreq USING (term) CROSS JOIN stats
+         |  GROUP BY doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len(t) AS n_tokens,
+         |  round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+         |    / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS avg_token_len,
+         |  round(CAST(len(list_filter(t, x -> x IN ($enStopSql))) AS DOUBLE)
+         |    / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS stopword_ratio,
+         |  round(CAST(len(list_distinct(t)) AS DOUBLE)
+         |    / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS distinct_ratio
+         |FROM toks JOIN documents USING (doc_id)
+         |ORDER BY doc_id ASC LIMIT 100""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN ${langCnt("en")} = greatest(${langCnt("en")}, ${langCnt("de")}, ${langCnt("es")}, ${langCnt("fr")})
+         |      AND greatest(${langCnt("en")}, ${langCnt("de")}, ${langCnt("es")}, ${langCnt("fr")}) > 0 THEN 'en'
+         |    WHEN ${langCnt("de")} = greatest(${langCnt("en")}, ${langCnt("de")}, ${langCnt("es")}, ${langCnt("fr")})
+         |      AND greatest(${langCnt("en")}, ${langCnt("de")}, ${langCnt("es")}, ${langCnt("fr")}) > 0 THEN 'de'
+         |    WHEN ${langCnt("es")} = greatest(${langCnt("en")}, ${langCnt("de")}, ${langCnt("es")}, ${langCnt("fr")})
+         |      AND greatest(${langCnt("en")}, ${langCnt("de")}, ${langCnt("es")}, ${langCnt("fr")}) > 0 THEN 'es'
+         |    WHEN ${langCnt("fr")} = greatest(${langCnt("en")}, ${langCnt("de")}, ${langCnt("es")}, ${langCnt("fr")})
+         |      AND greatest(${langCnt("en")}, ${langCnt("de")}, ${langCnt("es")}, ${langCnt("fr")}) > 0 THEN 'fr'
+         |    ELSE 'und'
+         |  END AS lang_pred
+         |FROM toks
+         |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, md5(text) AS content_hash,
+         |  list_min(list_transform(t, x -> md5(x))) AS min_token_hash
+         |FROM toks JOIN documents USING (doc_id)
+         |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    "q_token_counts" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  len(t) AS n_words,
+         |  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+         |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_bpe_est
+         |FROM toks JOIN documents USING (doc_id)
+         |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash,
+        |  CAST(count(*) AS BIGINT) AS dup_count, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1
+        |ORDER BY dup_count DESC, content_hash ASC LIMIT 50""".stripMargin,
+    "q_minhash" ->
+      s"""WITH $toksCte, $shinglesCte
+         |SELECT doc_id, array_to_string(${sigSql(4)}, ',') AS signature
+         |FROM sh ORDER BY doc_id ASC LIMIT 100""".stripMargin,
+    "q_lsh_pairs" ->
+      s"""WITH $toksCte, $shinglesCte, $lshPairsCte
+         |SELECT doc_a, doc_b,
+         |  round(CAST(len(list_filter(range(1, 9), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 8.0, 6) AS est_jaccard
+         |FROM pairs ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "q_jaccard_pairs" ->
+      s"""WITH $toksCte, $shinglesCte, $lshPairsCte
+         |SELECT doc_a, doc_b,
+         |  round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 6) AS jaccard
+         |FROM pairs
+         |JOIN sh sa ON sa.doc_id = pairs.doc_a
+         |JOIN sh sb ON sb.doc_id = pairs.doc_b
+         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "q_simhash" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  array_to_string(list_transform(range(1, 17), p ->
+         |    CASE WHEN list_sum(list_transform(t, tok ->
+         |      CASE WHEN ('0x' || substr(md5(tok), p, 1))::BIGINT >= 8 THEN 1 ELSE -1 END)) > 0
+         |    THEN '1' ELSE '0' END), '') AS simhash
+         |FROM toks
+         |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+  )
+}

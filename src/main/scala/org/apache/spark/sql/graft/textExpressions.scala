@@ -1,0 +1,59 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels invoked from codegen (must be stable public methods). */
+object TextKernels {
+  def stemTokens(s: UTF8String): ArrayData = {
+    val toks = graft.text.Stemmer.stemTokens(s.toString)
+    new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any))
+  }
+
+  def tokenize(s: UTF8String): ArrayData = {
+    val toks = graft.text.Stemmer.tokens(s.toString)
+    new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any))
+  }
+}
+
+/** `text_to_stem_array(text)`: lowercase, strip non-alphanumerics, split,
+  * Snowball-English stem, drop the 33 stopwords.
+  * Reference: lantern_extras/src/stemmers.rs:95-116,119-146. */
+case class TextToStemArray(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "text_to_stem_array"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.stemTokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.stemTokens($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `tokenize(text)`: the same normalization without stemming/stopwords
+  * (oracle-friendly building block for text stats / dedup). */
+case class Tokenize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.tokenize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.tokenize($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
