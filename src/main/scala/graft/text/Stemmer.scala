@@ -152,7 +152,7 @@ object Stemmer {
       "iviti" -> "ive", "fulli" -> "ful", "enci" -> "ence", "anci" -> "ance",
       "abli" -> "able", "izer" -> "ize", "ator" -> "ate", "alli" -> "al",
       "bli" -> "ble", "ogi" -> "og", "li" -> "")
-    {
+    locally {
       var done = false
       val it = step2.iterator
       while (!done && it.hasNext) {
