@@ -1,0 +1,25 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Per-JVM cache of expensive intermediate DataFrames shared between
+  * driver-contract queries (e.g. MinHash signatures reused by the
+  * minhash / LSH-pairs / Jaccard-verify queries). Keys must embed the
+  * data directory. This is the library-level "persist the signature
+  * table once, reuse it across the pipeline" pattern — at cluster
+  * scale the same intermediate would be a persisted Parquet table.
+  */
+object SharedState {
+  private val cache = TrieMap[String, DataFrame]()
+
+  def cached(key: String)(f: => DataFrame): DataFrame =
+    cache.getOrElseUpdate(key, f.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop and unpersist everything (test isolation). */
+  def clear(): Unit = {
+    cache.values.foreach(_.unpersist())
+    cache.clear()
+  }
+}

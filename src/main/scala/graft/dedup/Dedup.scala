@@ -29,75 +29,118 @@ object Dedup {
     docs.join(keepers, idCol === col("__keep_id"), "left_semi")
   }
 
+  /** Let-binding for column expressions: evaluates `v` ONCE per row and
+    * feeds it to `body` as a lambda variable. Without this, referencing
+    * an expensive expression inside a higher-order-function lambda
+    * re-evaluates it per array element (no CSE across lambda scopes) —
+    * e.g. shingling re-tokenized the whole document for every token. */
+  private def bindOnce(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** Word w-shingles of the tokenized text (distinct). */
-  def shingles(textCol: Column, w: Int = 3): Column = {
-    val t = tokenize(textCol)
-    array_distinct(
-      filter(
-        transform(t, (_, i) =>
-          when(i <= size(t) - w,
-            concat_ws(" ", (0 until w).map(j => element_at(t, i + j + 1)): _*))),
-        x => x.isNotNull))
-  }
-
-  /** MinHash signature: for permutation i, min over shingles of
-    * md5(i || '|' || shingle). Returned as `sig_0..sig_{n-1}` columns. */
-  def minhashSignature(docs: DataFrame, idCol: Column, textCol: Column,
-      numHashes: Int = 8, shingleWidth: Int = 3): DataFrame = {
-    val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(col("__sh"),
-        x => md5(concat(lit(i.toString), lit("|"), x).cast("binary"))))
-        .as(s"sig_$i")
+  def shingles(textCol: Column, w: Int = 3): Column =
+    bindOnce(tokenize(textCol)) { t =>
+      array_distinct(
+        filter(
+          transform(t, (_, i) =>
+            when(i <= size(t) - w,
+              concat_ws(" ", (0 until w).map(j => element_at(t, i + j + 1)): _*))),
+          x => x.isNotNull))
     }
-    docs
-      .withColumn("__sh", shingles(textCol, shingleWidth))
-      .filter(size(col("__sh")) > 0) // docs shorter than the shingle width
-      .select((idCol.as("doc_id") +: sigCols): _*)
+
+  /** Modulus for the affine MinHash permutations: the Mersenne prime
+    * 2^31-1. Base hashes are 28 bits so `a*h + b` stays far below the
+    * signed-64 overflow line in both Spark and the DuckDB oracle. */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic (a_i, b_i) coefficients of the i-th permutation
+    * h_i(x) = (a_i * base(x) + b_i) mod MinhashP. */
+  def minhashCoeffs(n: Int): Seq[(Long, Long)] =
+    (0 until n).map { i =>
+      ((1103515245L * (i + 1) + 12345L) % MinhashP,
+        (1299709L * (i + 1) + 7919L) % MinhashP)
+    }
+
+  /** 28-bit base hash of a shingle: first 7 hex digits of its md5.
+    * One md5 per shingle; every permutation reuses it via cheap integer
+    * arithmetic — the reason minhashing is O(shingles), not
+    * O(shingles x permutations) md5 calls. Cross-engine reproducible
+    * (DuckDB: ('0x' || substr(md5(x),1,7))::BIGINT). */
+  def shingleBaseHash(x: Column): Column =
+    conv(substring(md5(x.cast("binary")), 1, 7), 16, 10).cast("long")
+
+  /** Shingled docs: (doc_id, sh) with empty-shingle docs dropped. */
+  def shingled(docs: DataFrame, idCol: Column, textCol: Column,
+      shingleWidth: Int = 3): DataFrame =
+    docs.select(idCol.as("doc_id"), shingles(textCol, shingleWidth).as("sh"))
+      .filter(size(col("sh")) > 0) // docs shorter than the shingle width
+
+  /** MinHash signatures from shingled docs: (doc_id, sig: array<long>). */
+  def signatures(sh: DataFrame, numHashes: Int = 8): DataFrame = {
+    val sigEls = minhashCoeffs(numHashes).map { case (a, b) =>
+      array_min(transform(col("__hs"), h => (h * a + b) % MinhashP))
+    }
+    sh.withColumn("__hs", transform(col("sh"), x => shingleBaseHash(x)))
+      .select(col("doc_id"), array(sigEls: _*).as("sig"))
   }
 
-  /** LSH candidate pairs: signatures banded `bands x rowsPerBand`;
-    * docs sharing any band key become a candidate pair. Output:
-    * (doc_a, doc_b, est_jaccard) where est_jaccard = fraction of
-    * matching minhashes. */
-  def lshCandidates(docs: DataFrame, idCol: Column, textCol: Column,
-      numHashes: Int = 8, bands: Int = 4, shingleWidth: Int = 3): DataFrame = {
+  /** MinHash signature per doc (compatibility shape): (doc_id, sig). */
+  def minhashSignature(docs: DataFrame, idCol: Column, textCol: Column,
+      numHashes: Int = 8, shingleWidth: Int = 3): DataFrame =
+    signatures(shingled(docs, idCol, textCol, shingleWidth), numHashes)
+
+  /** Distinct LSH candidate pairs (doc_a, doc_b) from signatures:
+    * band the signature `bands` ways and self-join on the integer band
+    * key tuple. The distinct runs on bare id pairs — signature arrays
+    * are joined back only after dedup (estimateJaccard). */
+  def lshCandidatePairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
-    val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleWidth)
-      .withColumn("sig", array((0 until numHashes).map(i => col(s"sig_$i")): _*))
-      .select(col("doc_id"), col("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        md5(concat_ws("|",
-          (lit(b.toString) +:
-            (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))): _*)
-          .cast("binary"))
-      }: _*)).as("band_key"))
-    val a = banded.select(col("band_key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_key"))
+    val r = numHashes / bands
+    val bandStructs = (0 until bands).map { bIdx =>
+      struct((lit(bIdx).as("band_id") +:
+        (0 until r).map(j => element_at(col("sig"), bIdx * r + j + 1).as(s"k$j"))): _*)
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.*"))
+    val keys = "band_id" +: (0 until r).map(j => s"k$j")
+    banded.withColumnRenamed("doc_id", "doc_a")
+      .join(banded.withColumnRenamed("doc_id", "doc_b"), keys)
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+  }
+
+  /** Attach est_jaccard = fraction of matching minhashes to id pairs. */
+  def estimateJaccard(pairs: DataFrame, sig: DataFrame, numHashes: Int): DataFrame =
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), m => m)).cast("double") / numHashes.toDouble, 6))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+
+  /** End-to-end LSH candidate pairs with similarity estimate:
+    * (doc_a, doc_b, est_jaccard). */
+  def lshCandidates(docs: DataFrame, idCol: Column, textCol: Column,
+      numHashes: Int = 8, bands: Int = 4, shingleWidth: Int = 3): DataFrame = {
+    val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleWidth)
+    estimateJaccard(lshCandidatePairs(sig, numHashes, bands), sig, numHashes)
   }
 
-  /** Exact n-gram Jaccard similarity for given candidate pairs
-    * (verification stage after LSH). `pairs` must have doc_a/doc_b. */
-  def jaccardVerify(docs: DataFrame, idCol: Column, textCol: Column,
-      pairs: DataFrame, shingleWidth: Int = 3): DataFrame = {
-    val sh = docs.select(idCol.as("jid"), shingles(textCol, shingleWidth).as("sh"))
+  /** Exact n-gram Jaccard for candidate pairs (verification stage after
+    * LSH). `sh` is a shingled docs frame from [[shingled]] — pass the
+    * same (ideally persisted) frame that produced the signatures so the
+    * shingling work is not recomputed. */
+  def jaccardVerify(sh: DataFrame, pairs: DataFrame): DataFrame =
     pairs
-      .join(sh.select(col("jid").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("jid").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** 16-bit md5-derived SimHash, as a bit-string column. For each of the
     * 16 leading hex digits of each token's md5, vote +1 if the digit's
@@ -106,14 +149,16 @@ object Dedup {
     * token-multiset similarity. (The md5 basis keeps it reproducible in
     * any engine; a 64-bit xxhash variant is a drop-in at scale.) */
   def simhash16(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val t = tokenize(textCol)
-    val hashed = transform(t, x => md5(x.cast("binary")))
-    val bitCols = (1 to 16).map { p =>
-      val votes = aggregate(hashed, lit(0),
-        (acc, h) => acc +
-          when(conv(substring(h, p, 1), 16, 10).cast("int") >= 8, 1).otherwise(-1))
-      when(votes > 0, lit("1")).otherwise(lit("0"))
+    val sim = bindOnce(transform(tokenize(textCol), x => md5(x.cast("binary")))) {
+      hashed =>
+        val bitCols = (1 to 16).map { p =>
+          val votes = aggregate(hashed, lit(0),
+            (acc, h) => acc +
+              when(conv(substring(h, p, 1), 16, 10).cast("int") >= 8, 1).otherwise(-1))
+          when(votes > 0, lit("1")).otherwise(lit("0"))
+        }
+        concat(bitCols: _*)
     }
-    docs.select(idCol.as("doc_id"), concat(bitCols: _*).as("simhash"))
+    docs.select(idCol.as("doc_id"), sim.as("simhash"))
   }
 }

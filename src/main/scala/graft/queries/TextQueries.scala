@@ -67,25 +67,34 @@ object TextQueries {
       .orderBy(col("dup_count").desc, col("content_hash").asc)
       .limit(50)
 
+  /** Shingled docs and 8-hash MinHash signatures, persisted once per
+    * data dir and shared by q_minhash / q_lsh_pairs / q_jaccard_pairs
+    * (at cluster scale: a persisted signature table). */
+  private def shingledCached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cached(s"shingled:$dir")(
+      Dedup.shingled(docs(s, dir), col("doc_id"), col("text")))
+
+  private def sigCached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cached(s"minhash8:$dir")(
+      Dedup.signatures(shingledCached(s, dir), numHashes = 8))
+
   private def minhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSignature(docs(s, dir), col("doc_id"), col("text"),
-        numHashes = 4)
+    sigCached(s, dir)
       .select(col("doc_id"),
-        concat_ws(",", col("sig_0"), col("sig_1"), col("sig_2"), col("sig_3"))
+        concat_ws(",", (0 until 4).map(i => element_at(col("sig"), i + 1)): _*)
           .as("signature"))
       .orderBy(col("doc_id").asc).limit(100)
 
-  private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.lshCandidates(docs(s, dir), col("doc_id"), col("text"))
-      .orderBy(col("doc_a").asc, col("doc_b").asc)
-
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    Dedup.jaccardVerify(d, col("doc_id"), col("text"),
-        Dedup.lshCandidates(d, col("doc_id"), col("text"))
-          .select(col("doc_a"), col("doc_b")))
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = sigCached(s, dir)
+    Dedup.estimateJaccard(Dedup.lshCandidatePairs(sig, 8, 4), sig, 8)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
+
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardVerify(shingledCached(s, dir),
+        Dedup.lshCandidatePairs(sigCached(s, dir), 8, 4))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   private def simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))
@@ -123,28 +132,33 @@ object TextQueries {
     s"len(list_filter(t, x -> x IN ($words)))"
   }
 
-  /** MinHash signature SQL for n hashes over 3-shingles list `s`. */
+  /** MinHash signature SQL: same affine permutations over the 28-bit
+    * md5-prefix base hash as graft.dedup.Dedup (one md5 per shingle). */
   private def sigSql(n: Int): String =
-    s"list_transform(range(0, $n), i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x))))"
+    Dedup.minhashCoeffs(n)
+      .map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> ($a * h + $b) % ${Dedup.MinhashP}))"
+      }
+      .mkString("[", ", ", "]")
 
   private val shinglesCte =
     """sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(t) - 1), j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])) AS s
-      |  FROM toks WHERE len(t) >= 3)""".stripMargin
+      |  FROM toks WHERE len(t) >= 3),
+      |hs AS (
+      |  SELECT doc_id, list_transform(s, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs
+      |  FROM sh)""".stripMargin
 
   private val lshPairsCte =
-    s"""sig AS (SELECT doc_id, ${sigSql(8)} AS sig FROM sh),
+    s"""sig AS (SELECT doc_id, ${sigSql(8)} AS sig FROM hs),
        |banded AS (
-       |  SELECT doc_id, sig,
-       |    unnest(list_transform(range(0, 4), b ->
-       |      md5(b::VARCHAR || '|' || sig[b*2+1] || '|' || sig[b*2+2]))) AS band_key
-       |  FROM sig),
+       |  SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    a.sig AS sig_a, b.sig AS sig_b
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
-       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+       |    ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25_table" ->
@@ -225,14 +239,19 @@ object TextQueries {
         |FROM documents GROUP BY 1
         |ORDER BY dup_count DESC, content_hash ASC LIMIT 50""".stripMargin,
     "q_minhash" ->
-      s"""WITH $toksCte, $shinglesCte
-         |SELECT doc_id, array_to_string(${sigSql(4)}, ',') AS signature
-         |FROM sh ORDER BY doc_id ASC LIMIT 100""".stripMargin,
+      s"""WITH $toksCte, $shinglesCte,
+         |sig AS (SELECT doc_id, ${sigSql(4)} AS sig FROM hs)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(sig, x -> x::VARCHAR), ',') AS signature
+         |FROM sig ORDER BY doc_id ASC LIMIT 100""".stripMargin,
     "q_lsh_pairs" ->
       s"""WITH $toksCte, $shinglesCte, $lshPairsCte
          |SELECT doc_a, doc_b,
-         |  round(CAST(len(list_filter(range(1, 9), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 8.0, 6) AS est_jaccard
-         |FROM pairs ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+         |  round(CAST(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 8.0, 6) AS est_jaccard
+         |FROM pairs
+         |JOIN sig sa ON sa.doc_id = pairs.doc_a
+         |JOIN sig sb ON sb.doc_id = pairs.doc_b
+         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     "q_jaccard_pairs" ->
       s"""WITH $toksCte, $shinglesCte, $lshPairsCte
          |SELECT doc_a, doc_b,
