@@ -1,0 +1,68 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+
+/** ANN index parameter autotuning (reference: `lantern-cli
+  * autotune-index`, lantern_cli/src/index_autotune/mod.rs:161-346).
+  *
+  * Same shape as the reference job: take a bounded sample, compute
+  * exact ground truth for a handful of query vectors by sequential
+  * scan, build one index per (m, ef_construction, ef) preset, measure
+  * recall@k + search latency + build time, and pick the cheapest
+  * variant meeting the target recall (find_best_variant,
+  * mod.rs:161-186). Defaults: k=10, target recall 0.99, sample 10k
+  * (cli.rs:23-33).
+  */
+object Autotune {
+
+  /** Grid presets (mirroring the reference's autotune variants —
+    * index_autotune/mod.rs:329-346 — ordered cheapest-first). */
+  case class Variant(m: Int, efConstruction: Int, ef: Int)
+  val presets: Seq[Variant] = Seq(
+    Variant(6, 64, 32), Variant(8, 96, 48), Variant(12, 128, 64),
+    Variant(16, 128, 64), Variant(24, 160, 96), Variant(32, 200, 128))
+
+  case class Result(variant: Variant, recall: Double,
+      buildMillis: Long, searchMillis: Long)
+
+  case class Report(best: Option[Variant], results: Seq[Result])
+
+  /** Run the grid. `workDir` receives one throwaway index per variant. */
+  def run(df: DataFrame, idCol: String, vecCol: String, workDir: String,
+      metric: Metric = Metric.L2Sq, k: Int = 10, targetRecall: Double = 0.99,
+      sampleSize: Int = 10000, numQueries: Int = 10,
+      variants: Seq[Variant] = presets): Report = {
+    val spark = df.sparkSession
+    val sample = df.select(idCol, vecCol).limit(sampleSize).cache()
+    try {
+      val local: Array[(Long, Array[Float])] = sample.collect()
+        .map(r => (r.get(0).asInstanceOf[Number].longValue(),
+          r.getSeq[Float](1).toArray))
+      val queries = local.sortBy(_._1).take(numQueries).map(_._2)
+      // exact ground truth by full scan (mod.rs:188-218)
+      val truth: Seq[Set[Long]] = queries.map { q =>
+        local.map { case (id, v) => (id, metric.dist(q, v)) }
+          .sortBy(x => (x._2, x._1)).take(k).map(_._1).toSet
+      }.toSeq
+
+      val results = variants.zipWithIndex.map { case (v, i) =>
+        val dir = s"$workDir/variant_$i"
+        val t0 = System.nanoTime()
+        AnnIndex.build(sample, idCol, vecCol, dir,
+          AnnIndex.Params(metric, v.m, v.efConstruction, numShards = 4))
+        val builtMs = (System.nanoTime() - t0) / 1000000
+        val t1 = System.nanoTime()
+        val hits = queries.zip(truth).map { case (q, exact) =>
+          val approx = AnnIndex.topK(spark, dir, q, k, v.ef)
+            .collect().map(_.getLong(0)).toSet
+          exact.intersect(approx).size
+        }.sum
+        val searchMs = (System.nanoTime() - t1) / 1000000
+        Result(v, hits.toDouble / (k * queries.length), builtMs, searchMs)
+      }
+      // cheapest (preset order) variant meeting the target
+      val best = results.find(_.recall >= targetRecall).map(_.variant)
+      Report(best, results)
+    } finally sample.unpersist()
+  }
+}

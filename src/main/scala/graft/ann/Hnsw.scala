@@ -1,0 +1,365 @@
+package graft.ann
+
+import java.io.{DataInputStream, DataOutputStream}
+import scala.collection.mutable
+
+/** Pure-Scala HNSW graph: one shard of the distributed ANN index.
+  *
+  * Implements the Hierarchical Navigable Small World algorithm from the
+  * public Malkov & Yashunin paper (arXiv:1603.09320): exponentially
+  * decaying layer assignment, greedy descent on upper layers, best-first
+  * ef-bounded search on the base layer, and the paper's Algorithm 4
+  * neighbor-selection heuristic. Parameter semantics and defaults mirror
+  * the reference engine (m=16, ef_construction=128, ef=64 —
+  * lantern_hnsw/src/hnsw/options.h:14-25); the graph itself is an
+  * original implementation, not a port of usearch.
+  *
+  * One Hnsw instance = one index SHARD built inside one Spark partition
+  * (the distributed build is [[AnnIndex.build]]'s mapPartitions; the
+  * reference's external-index protocol — build.c:527-587 — is exactly
+  * this job model minus the socket).
+  *
+  * Deterministic: the level RNG is seeded per shard, and insertion order
+  * is the partition's row order.
+  */
+final class Hnsw(
+    val dim: Int,
+    val metric: Metric,
+    val m: Int,
+    val efConstruction: Int,
+    seed: Long) extends Serializable {
+
+  require(m >= 2 && m <= 128, s"m must be in [2,128], got $m")
+  require(dim >= 1 && dim <= 2000, // reference cap: options.h:15
+    s"dim must be in [1,2000], got $dim")
+
+  private val mMax0 = 2 * m
+  private val levelMult = 1.0 / math.log(m.toDouble)
+  private val rng = new java.util.Random(seed)
+
+  // Node storage. Internal ids are dense 0..n-1 in insertion order.
+  private[ann] val ids = mutable.ArrayBuffer.empty[Long]
+  private[ann] val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+  private[ann] val levels = mutable.ArrayBuffer.empty[Int]
+  // neighbors(node)(layer) = growable adjacency list
+  private[ann] val neighbors =
+    mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+  private[ann] var entryPoint: Int = -1
+  private[ann] var topLevel: Int = -1
+
+  def size: Int = ids.length
+
+  @inline private def dist(a: Array[Float], b: Array[Float]): Double =
+    metric.dist(a, b)
+
+  private def randomLevel(): Int =
+    (-math.log(rng.nextDouble() max Double.MinPositiveValue) * levelMult).toInt
+
+  /** Best-first search of one layer (paper Algorithm 2). Returns up to
+    * `ef` (internalId, dist) pairs, unsorted heap order. */
+  private def searchLayer(q: Array[Float], eps: Seq[(Int, Double)], ef: Int,
+      layer: Int): mutable.PriorityQueue[(Int, Double)] = {
+    val visited = new java.util.BitSet(size)
+    // candidates: nearest-first; results: farthest-first (bounded ef)
+    val candidates =
+      mutable.PriorityQueue.empty[(Int, Double)](Ordering.by(-_._2))
+    val results =
+      mutable.PriorityQueue.empty[(Int, Double)](Ordering.by(_._2))
+    eps.foreach { case (n, d) =>
+      if (!visited.get(n)) {
+        visited.set(n)
+        candidates.enqueue((n, d))
+        results.enqueue((n, d))
+      }
+    }
+    while (candidates.nonEmpty) {
+      val (c, cd) = candidates.dequeue()
+      if (cd > results.head._2 && results.size >= ef) {
+        candidates.clear() // nearest candidate is worse than worst result
+      } else {
+        val adj = neighbors(c)
+        if (layer < adj.length) {
+          val ns = adj(layer)
+          var i = 0
+          while (i < ns.length) {
+            val e = ns(i)
+            if (!visited.get(e)) {
+              visited.set(e)
+              val d = dist(q, vecs(e))
+              if (results.size < ef || d < results.head._2) {
+                candidates.enqueue((e, d))
+                results.enqueue((e, d))
+                if (results.size > ef) results.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+    }
+    results
+  }
+
+  /** Neighbor-selection heuristic (paper Algorithm 4): scan candidates
+    * nearest-first, keep one only if it is closer to q than to every
+    * already-kept neighbor (preserves graph diversity/reachability). */
+  private def selectNeighbors(q: Array[Float],
+      cands: Seq[(Int, Double)], max: Int): Seq[(Int, Double)] = {
+    val sorted = cands.sortBy(_._2)
+    val kept = mutable.ArrayBuffer.empty[(Int, Double)]
+    var i = 0
+    while (i < sorted.length && kept.length < max) {
+      val (c, dq) = sorted(i)
+      var diverse = true
+      var j = 0
+      while (diverse && j < kept.length) {
+        if (dist(vecs(c), vecs(kept(j)._1)) < dq) diverse = false
+        j += 1
+      }
+      if (diverse) kept += ((c, dq))
+      i += 1
+    }
+    // backfill with pruned candidates if under-full (paper's keepPruned)
+    if (kept.length < max) {
+      val keptSet = kept.map(_._1).toSet
+      sorted.iterator.filterNot(c => keptSet(c._1))
+        .take(max - kept.length).foreach(kept += _)
+    }
+    kept.toSeq
+  }
+
+  def insert(id: Long, vec: Array[Float]): Unit = {
+    require(vec.length == dim,
+      s"expected equally sized arrays but got dimensions ${vec.length} and $dim")
+    val level = randomLevel()
+    val node = size
+    ids += id
+    vecs += vec
+    levels += level
+    neighbors += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+
+    if (entryPoint < 0) { entryPoint = node; topLevel = level; return }
+
+    var ep = Seq((entryPoint, dist(vec, vecs(entryPoint))))
+    var l = topLevel
+    while (l > level) { // greedy descent above the node's level
+      var changed = true
+      while (changed) {
+        changed = false
+        val (cur, cd) = ep.head
+        val adj = neighbors(cur)
+        if (l < adj.length) {
+          val ns = adj(l)
+          var i = 0
+          var best = cur
+          var bd = cd
+          while (i < ns.length) {
+            val d = dist(vec, vecs(ns(i)))
+            if (d < bd) { bd = d; best = ns(i); changed = true }
+            i += 1
+          }
+          ep = Seq((best, bd))
+        }
+      }
+      l -= 1
+    }
+
+    l = math.min(level, topLevel)
+    while (l >= 0) {
+      val w = searchLayer(vec, ep, efConstruction, l).toSeq
+      val maxConn = if (l == 0) mMax0 else m
+      val selected = selectNeighbors(vec, w, m)
+      selected.foreach { case (nb, d) =>
+        neighbors(node)(l) += nb
+        val nbAdj = neighbors(nb)(l)
+        nbAdj += node
+        if (nbAdj.length > maxConn) { // prune with the same heuristic
+          val pruned = selectNeighbors(vecs(nb),
+            nbAdj.map(x => (x, dist(vecs(nb), vecs(x)))).toSeq, maxConn)
+          nbAdj.clear()
+          nbAdj ++= pruned.map(_._1)
+        }
+      }
+      ep = w
+      l -= 1
+    }
+    if (level > topLevel) { topLevel = level; entryPoint = node }
+  }
+
+  /** Top-k approximate nearest neighbors: (externalId, dist), ascending.
+    * Search quality parameter `ef` >= k (reference default 64, max 400). */
+  def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+    if (size == 0) return Seq.empty
+    require(q.length == dim,
+      s"expected equally sized arrays but got dimensions ${q.length} and $dim")
+    var ep = Seq((entryPoint, dist(q, vecs(entryPoint))))
+    var l = topLevel
+    while (l > 0) {
+      ep = Seq(searchLayer(q, ep, 1, l).minBy(_._2))
+      l -= 1
+    }
+    searchLayer(q, ep, math.max(ef, k), 0).toSeq
+      .sortBy(x => (x._2, ids(x._1)))
+      .take(k)
+      .map { case (n, d) => (ids(n), d) }
+  }
+
+  /** Serialize to a stream (shard file format v1). */
+  def write(out: DataOutputStream): Unit = {
+    out.writeInt(Hnsw.Magic)
+    out.writeInt(1) // version
+    out.writeInt(dim)
+    out.writeInt(metric.id)
+    out.writeInt(m)
+    out.writeInt(efConstruction)
+    out.writeInt(size)
+    out.writeInt(entryPoint)
+    out.writeInt(topLevel)
+    var n = 0
+    while (n < size) {
+      out.writeLong(ids(n))
+      out.writeInt(levels(n))
+      val v = vecs(n)
+      var i = 0
+      while (i < dim) { out.writeFloat(v(i)); i += 1 }
+      val adj = neighbors(n)
+      var l = 0
+      while (l < adj.length) {
+        out.writeInt(adj(l).length)
+        adj(l).foreach(out.writeInt)
+        l += 1
+      }
+      n += 1
+    }
+  }
+
+  /** Graph invariant check (analog of the reference's validate_index
+    * job, lantern_hnsw/src/hnsw/validate_index.c): neighbor ids in
+    * range, no self-loops, degrees within caps, entry point level =
+    * topLevel, every node reachable from the entry point at layer 0.
+    * Returns the list of violations (empty = valid). */
+  def validate(): Seq[String] = {
+    val errs = mutable.ArrayBuffer.empty[String]
+    if (size == 0) return errs.toSeq
+    if (levels(entryPoint) != topLevel)
+      errs += s"entry point level ${levels(entryPoint)} != topLevel $topLevel"
+    var n = 0
+    while (n < size) {
+      val adj = neighbors(n)
+      if (adj.length != levels(n) + 1)
+        errs += s"node $n: ${adj.length} layers but level ${levels(n)}"
+      var l = 0
+      while (l < adj.length) {
+        val cap = if (l == 0) mMax0 else m
+        if (adj(l).length > cap)
+          errs += s"node $n layer $l: degree ${adj(l).length} > cap $cap"
+        adj(l).foreach { e =>
+          if (e < 0 || e >= size) errs += s"node $n layer $l: neighbor $e out of range"
+          else if (e == n) errs += s"node $n layer $l: self-loop"
+          else if (levels(e) < l) errs += s"node $n layer $l: neighbor $e has level ${levels(e)} < layer"
+        }
+        l += 1
+      }
+      n += 1
+    }
+    // base-layer reachability from the entry point
+    val seen = new java.util.BitSet(size)
+    val stack = mutable.ArrayDeque(entryPoint)
+    seen.set(entryPoint)
+    while (stack.nonEmpty) {
+      val c = stack.removeLast()
+      neighbors(c)(0).foreach { e =>
+        if (!seen.get(e)) { seen.set(e); stack.append(e) }
+      }
+    }
+    if (seen.cardinality() < size)
+      errs += s"only ${seen.cardinality()} of $size nodes reachable at layer 0"
+    errs.toSeq
+  }
+}
+
+object Hnsw {
+  val Magic = 0x47484e57 // "GHNW"
+
+  def read(in: DataInputStream): Hnsw = {
+    require(in.readInt() == Magic, "not a graft HNSW shard file")
+    require(in.readInt() == 1, "unsupported shard format version")
+    val dim = in.readInt()
+    val metric = Metric.fromId(in.readInt())
+    val m = in.readInt()
+    val efc = in.readInt()
+    val count = in.readInt()
+    val ep = in.readInt()
+    val top = in.readInt()
+    val h = new Hnsw(dim, metric, m, efc, seed = 0L)
+    var n = 0
+    while (n < count) {
+      val id = in.readLong()
+      val level = in.readInt()
+      val v = new Array[Float](dim)
+      var i = 0
+      while (i < dim) { v(i) = in.readFloat(); i += 1 }
+      h.ids += id
+      h.vecs += v
+      h.levels += level
+      val adj = Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      var l = 0
+      while (l <= level) {
+        val cnt = in.readInt()
+        var j = 0
+        while (j < cnt) { adj(l) += in.readInt(); j += 1 }
+        l += 1
+      }
+      h.neighbors += adj
+      n += 1
+    }
+    h.entryPoint = ep
+    h.topLevel = top
+    h
+  }
+}
+
+/** Distance metric of an index (reference opclasses dist_l2sq_ops /
+  * dist_cos_ops / dist_hamming_ops, lantern_hnsw/sql/lantern.sql:63-104).
+  * Float-vector kernels match graft's Catalyst expressions bit-for-bit
+  * (double accumulation, sequential order). */
+sealed abstract class Metric(val id: Int, val name: String) extends Serializable {
+  def dist(a: Array[Float], b: Array[Float]): Double
+}
+object Metric {
+  case object L2Sq extends Metric(0, "l2sq") {
+    def dist(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+  }
+  case object Cos extends Metric(1, "cos") {
+    def dist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+    }
+  }
+  case object Hamming extends Metric(2, "hamming") {
+    // float view of sign bits; used when int vectors are cast to float
+    def dist(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0; var i = 0
+      while (i < a.length) {
+        if ((a(i) >= 0) != (b(i) >= 0)) acc += 1
+        i += 1
+      }
+      acc.toDouble
+    }
+  }
+  val all: Seq[Metric] = Seq(L2Sq, Cos, Hamming)
+  def fromId(id: Int): Metric = all.find(_.id == id).getOrElse(
+    throw new IllegalArgumentException(s"unknown metric id $id"))
+  def fromName(n: String): Metric = all.find(_.name == n).getOrElse(
+    throw new IllegalArgumentException(s"unknown metric '$n'"))
+}

@@ -12,7 +12,7 @@ import graft.functions.{l2sq_dist, cos_dist, hamming_dist}
   * `orderBy(dist).limit(k)` that Catalyst plans as TakeOrderedAndProject —
   * a per-partition top-k followed by a k-row merge on the driver, so no
   * full shuffle/sort happens at any scale. The approximate path (sharded
-  * ANN index) lives in [[graft.ann]].
+  * ANN index) lives in [[graft.ann.AnnIndex]].
   */
 object Knn {
 
@@ -75,7 +75,7 @@ object Knn {
     * every row when the table is wide. */
   def weightedSearchCandidates(
       df: DataFrame,
-      idCol: Column,
+      idColName: String,
       terms: Seq[WeightedTerm],
       k: Int,
       ef: Int,
@@ -86,7 +86,7 @@ object Knn {
         .limit(ef)
         .drop("__cand_dist")
     }.reduce(_ unionByName _)
-      .dropDuplicates(Seq(idCol.toString))
-    weightedSearch(candidates, terms, k, maxDist, Some(idCol))
+      .dropDuplicates(Seq(idColName))
+    weightedSearch(candidates, terms, k, maxDist, Some(col(idColName)))
   }
 }

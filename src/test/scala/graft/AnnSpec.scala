@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ann.{AnnIndex, Hnsw, Metric, ShardCache}
+
+/** ANN index: build, search recall, invariants, delete/vacuum, append.
+  * Recall budget mirrors the reference's autotune default (target
+  * recall 99 at k=10, lantern_cli/src/index_autotune/cli.rs:23-25) and
+  * calculate_recall.sql semantics. */
+class AnnSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+
+  private lazy val corpus: Array[(Long, Array[Float])] =
+    emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private def exactTopK(q: Array[Float], k: Int): Seq[Long] =
+    corpus.map { case (id, v) => (id, Metric.L2Sq.dist(q, v)) }
+      .sortBy(x => (x._2, x._1)).take(k).map(_._1).toSeq
+
+  private def buildIndex(dir: String, shards: Int = 4): AnnIndex.Manifest =
+    AnnIndex.build(emb, "vec_id", "embedding", dir,
+      AnnIndex.Params(Metric.L2Sq, m = 16, efConstruction = 128,
+        numShards = shards))
+
+  test("recall@10 >= 0.99 over 20 queries with ef=64") {
+    val dir = Files.createTempDirectory("annrecall").toString
+    buildIndex(dir)
+    val queries = corpus.sortBy(_._1).take(20).map(_._2)
+    var hit = 0
+    var total = 0
+    queries.foreach { q =>
+      val exact = exactTopK(q, 10).toSet
+      val approx = AnnIndex.topK(spark, dir, q, 10, ef = 64)
+        .collect().map(_.getLong(0)).toSet
+      hit += exact.intersect(approx).size
+      total += 10
+    }
+    val recall = hit.toDouble / total
+    assert(recall >= 0.99, s"recall@10 = $recall < 0.99")
+  }
+
+  test("high-ef search on a single shard equals exact top-k") {
+    val dir = Files.createTempDirectory("annexact").toString
+    buildIndex(dir, shards = 1)
+    val q = corpus.head._2
+    val approx = AnnIndex.topK(spark, dir, q, 10, ef = 600)
+      .collect().map(_.getLong(0)).toSeq
+    assert(approx == exactTopK(q, 10))
+  }
+
+  test("shard graphs satisfy invariants; manifest count matches") {
+    val dir = Files.createTempDirectory("annvalid").toString
+    val man = buildIndex(dir)
+    assert(man.count == corpus.length)
+    val violations = AnnIndex.validate(spark, dir)
+    assert(violations.isEmpty, violations.mkString("; "))
+  }
+
+  test("serialization round-trip preserves search results") {
+    val h = new Hnsw(4, Metric.L2Sq, m = 8, efConstruction = 64, seed = 7L)
+    val rnd = new java.util.Random(11)
+    (0 until 200).foreach { i =>
+      h.insert(i.toLong, Array.fill(4)(rnd.nextFloat()))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    h.write(new java.io.DataOutputStream(bos))
+    val back = Hnsw.read(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)))
+    val q = Array.fill(4)(0.5f)
+    assert(back.search(q, 5, 64) == h.search(q, 5, 64))
+    assert(back.validate().isEmpty)
+  }
+
+  test("delete tombstones hide rows; vacuum rebuilds without them") {
+    val dir = Files.createTempDirectory("anndel").toString
+    buildIndex(dir)
+    val q = corpus.head._2
+    val before = AnnIndex.topK(spark, dir, q, 5, ef = 600)
+      .collect().map(_.getLong(0)).toSeq
+    AnnIndex.delete(spark, dir, Seq(before.head))
+    val after = AnnIndex.topK(spark, dir, q, 5, ef = 600)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(before.head))
+    assert(after.take(4) == before.tail)
+
+    val vdir = Files.createTempDirectory("annvac").toString
+    val vman = AnnIndex.vacuum(spark, dir, vdir)
+    assert(vman.count == corpus.length - 1)
+    val vres = AnnIndex.topK(spark, vdir, q, 5, ef = 600)
+      .collect().map(_.getLong(0)).toSeq
+    assert(vres == after)
+  }
+
+  test("append adds shards and rows stay searchable") {
+    val dir = Files.createTempDirectory("annapp").toString
+    import spark.implicits._
+    val first = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    AnnIndex.build(first, "vec_id", "embedding", dir,
+      AnnIndex.Params(Metric.L2Sq, numShards = 2))
+    val man = AnnIndex.append(rest, "vec_id", "embedding", dir)
+    assert(man.count == corpus.length)
+    val q = corpus.last._2
+    val res = AnnIndex.topK(spark, dir, q, 10, ef = 600)
+      .collect().map(_.getLong(0)).toSeq
+    assert(res == exactTopK(q, 10))
+  }
+
+  test("dimension mismatch raises the reference error") {
+    val h = new Hnsw(4, Metric.L2Sq, 8, 64, 0L)
+    h.insert(1L, Array(1f, 2f, 3f, 4f))
+    val e = intercept[IllegalArgumentException](h.insert(2L, Array(1f)))
+    assert(e.getMessage.contains("equally sized arrays"))
+  }
+}

@@ -1,0 +1,26 @@
+package graft
+
+import java.nio.file.Files
+import graft.ann.{Autotune, Metric}
+
+/** Autotune grid search: picks a variant meeting the recall target
+  * (reference find_best_variant, lantern_cli/src/index_autotune/mod.rs). */
+class AutotuneSpec extends SparkSpec {
+
+  test("autotune finds a variant meeting recall target on sf0.01") {
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val work = Files.createTempDirectory("autotune").toString
+    val report = Autotune.run(emb, "vec_id", "embedding", work,
+      metric = Metric.L2Sq, k = 10, targetRecall = 0.95,
+      sampleSize = 500, numQueries = 5,
+      variants = Autotune.presets.take(4))
+    assert(report.results.length == 4)
+    assert(report.best.nonEmpty,
+      s"no variant met target; recalls = ${report.results.map(_.recall)}")
+    // results are measured, not copied: every recall is in [0,1]
+    assert(report.results.forall(r => r.recall >= 0.0 && r.recall <= 1.0))
+    // the chosen variant is the first (cheapest) one meeting the target
+    val first = report.results.find(_.recall >= 0.95).get.variant
+    assert(report.best.get == first)
+  }
+}
