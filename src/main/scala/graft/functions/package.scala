@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, Tokenize}
+import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, Tokenize, PqQuantize, PqDequantize, PqAdcDist, PackBits, F16Encode, F16Decode, I8Encode, I8Decode}
 import org.apache.spark.sql.{functions => F}
 
 /** Column-level API for the engine's scalar functions, mirroring the
@@ -35,6 +35,32 @@ package object functions {
 
   /** Plain tokenizer (lowercase, non-alphanumerics to spaces, split). */
   def tokenize(c: Column): Column = col(Tokenize(expr(c)))
+
+  /** `quantize_vector`: nearest-centroid PQ codes (array<byte>).
+    * Reference lantern_hnsw/sql/lantern.sql:256-307. */
+  def pq_quantize(c: Column, cb: graft.pq.Codebook): Column =
+    col(PqQuantize(expr(c), cb))
+
+  /** `dequantize_vector`: reconstruct from PQ codes.
+    * Reference lantern.sql:310-339. */
+  def pq_dequantize(c: Column, cb: graft.pq.Codebook): Column =
+    col(PqDequantize(expr(c), cb))
+
+  /** Asymmetric (ADC) l2sq distance query->pqvec with a precomputed
+    * lookup table (in-index PQ search kernel, scan.c:75-81). */
+  def pq_adc_dist(c: Column, cb: graft.pq.Codebook, query: Seq[Float]): Column =
+    col(PqAdcDist(expr(c), cb, query))
+
+  /** b1 scalar quantization: sign bits packed 16 per int32. */
+  def pack_bits(c: Column): Column = col(PackBits(expr(c)))
+
+  /** f16 scalar quantization encode/decode. */
+  def f16_encode(c: Column): Column = col(F16Encode(expr(c)))
+  def f16_decode(c: Column): Column = col(F16Decode(expr(c)))
+
+  /** i8 scalar quantization encode/decode (scale header + codes). */
+  def i8_encode(c: Column): Column = col(I8Encode(expr(c)))
+  def i8_decode(c: Column): Column = col(I8Decode(expr(c)))
 
   /** Literal float vector column (query vectors for KNN). */
   def vecLit(v: Seq[Float]): Column =

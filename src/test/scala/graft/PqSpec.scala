@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{pq_quantize, pq_dequantize, pq_adc_dist, pack_bits, f16_encode, f16_decode, i8_encode, i8_decode}
+import graft.pq.{Codebook, Pq}
+import graft.queries.PqQueries
+import graft.ann.Metric
+
+/** Product & scalar quantization: roundtrips, recall-drop budget
+  * (reference test/sql/hnsw_pq.sql:79-86: recall drop < 0.2), codebook
+  * persistence. */
+class PqSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+
+  private lazy val corpus: Array[(Long, Array[Float])] =
+    emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  test("quantize produces one byte code per subvector, within range") {
+    val cb = PqQueries.gridCodebook
+    val rows = emb.select(pq_quantize(col("embedding"), cb).as("pq"))
+      .limit(50).collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Byte](0)
+      assert(codes.length == cb.subvectors)
+      assert(codes.forall(c => (c & 0xff) < cb.clusters))
+    }
+  }
+
+  test("dequantize(quantize(v)) components are codebook centroids") {
+    val cb = PqQueries.gridCodebook
+    val r = emb.select(col("embedding"),
+      pq_dequantize(pq_quantize(col("embedding"), cb), cb).as("rec"))
+      .limit(10).collect()
+    r.foreach { row =>
+      val rec = row.getSeq[Float](1).toArray
+      (0 until cb.subvectors).foreach { s =>
+        val subRec = rec.slice(s * cb.subDim, (s + 1) * cb.subDim).toSeq
+        assert(cb.centroids(s).exists(_.toSeq == subRec),
+          s"subvector $s reconstruction is not a centroid")
+      }
+    }
+  }
+
+  test("kmeans codebook: ADC+refine recall drop < 0.2 at k=10 on sf0.01") {
+    // The synthetic embeddings are near-i.i.d. (top-10 distances ~1.3 vs
+    // median ~1.7), the hardest case for PQ; the reference's <0.2 budget
+    // (test/sql/hnsw_pq.sql:79-86) is met through the standard
+    // refine/re-rank step that in-index PQ also performs on heap fetch.
+    val cb = Pq.createCodebook(emb, "embedding", clusterCount = 16,
+      subvectorCount = 8, datasetSizeLimit = 500, seed = 42L)
+    val q = corpus.head._2
+    val exact = corpus.map { case (id, v) => (id, Metric.L2Sq.dist(q, v)) }
+      .sortBy(x => (x._2, x._1)).take(10).map(_._1).toSet
+    val got = Pq.adcSearch(emb, "vec_id", "embedding", cb, q.toSeq,
+        k = 10, refine = 100)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(got).size / 10.0
+    assert(recall >= 0.8, s"PQ recall drop too large: recall@10 = $recall")
+  }
+
+  test("plain ADC recall is high on clustered data") {
+    // On data with cluster structure (what PQ is for) raw ADC order is
+    // already accurate: 20 well-separated centers, 3 points each.
+    import spark.implicits._
+    val rnd = new java.util.Random(3)
+    val centers = Array.fill(20)(Array.fill(16)(rnd.nextFloat() * 10f))
+    val pts = for {
+      c <- centers.indices
+      j <- 0 until 3
+    } yield ((c * 3 + j).toLong,
+      centers(c).map(x => x + rnd.nextFloat() * 0.1f).toSeq)
+    val df = pts.toDF("id", "v")
+    val cb = Pq.createCodebook(df, "v", clusterCount = 32,
+      subvectorCount = 4, datasetSizeLimit = 60, seed = 1L)
+    val q = pts.head._2.toArray
+    val local = pts.map { case (id, v) =>
+      (id, Metric.L2Sq.dist(q, v.toArray))
+    }
+    val exact = local.sortBy(x => (x._2, x._1)).take(10).map(_._1).toSet
+    val adc = df.withColumn("adc",
+        pq_adc_dist(pq_quantize(col("v"), cb), cb, q.toSeq))
+      .orderBy(col("adc").asc, col("id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(adc).size >= 9,
+      s"ADC top-10 on clustered data: ${exact.intersect(adc).size}/10")
+  }
+
+  test("kmeans is deterministic for a fixed seed") {
+    val data = Array.tabulate(100)(i =>
+      Array.tabulate(4)(j => ((i * 13 + j * 7) % 23).toFloat))
+    val a = Pq.kmeans(data, 8, seed = 5L)
+    val b = Pq.kmeans(data, 8, seed = 5L)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("codebook DataFrame round-trip (reference side-table shape)") {
+    val cb = PqQueries.gridCodebook
+    val back = Pq.codebookFromDf(Pq.codebookToDf(spark, cb))
+    assert(back.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("f16 round-trip: error within half-precision ulp") {
+    val vals = Seq(0.0f, 1.0f, -1.0f, 0.5f, 0.333251953125f, 100.0f,
+      -0.0001f, 3.14159f)
+    val df = spark.createDataFrame(Seq(Tuple1(vals))).toDF("v")
+    val rec = df.select(f16_decode(f16_encode(col("v"))).as("r"))
+      .collect()(0).getSeq[Float](0)
+    vals.zip(rec).foreach { case (orig, r) =>
+      val tol = math.max(math.abs(orig) / 1024.0, 1e-7)
+      assert(math.abs(orig - r) <= tol, s"f16($orig) -> $r")
+    }
+  }
+
+  test("i8 round-trip: error within scale/2") {
+    val vals = Seq(0.5f, -1.0f, 0.25f, 0.75f, -0.125f)
+    val df = spark.createDataFrame(Seq(Tuple1(vals))).toDF("v")
+    val rec = df.select(i8_decode(i8_encode(col("v"))).as("r"))
+      .collect()(0).getSeq[Float](0)
+    val scale = 1.0f / 127.0f
+    vals.zip(rec).foreach { case (orig, r) =>
+      assert(math.abs(orig - r) <= scale / 2 + 1e-7, s"i8($orig) -> $r")
+    }
+  }
+
+  test("pack_bits packs sign bits 16 per int") {
+    val vals = Seq(1.0f, -1.0f, 2.0f, -0.5f) ++ Seq.fill(12)(1.0f) ++
+      Seq(-1.0f, 1.0f) // 18 dims -> 2 words
+    val df = spark.createDataFrame(Seq(Tuple1(vals))).toDF("v")
+    val packed = df.select(pack_bits(col("v")).as("p"))
+      .collect()(0).getSeq[Int](0)
+    // word 0: bits 0,2,4..15 set (indices 1,3 negative)
+    assert(packed.length == 2)
+    assert(packed(0) == (0xffff & ~(1 << 1) & ~(1 << 3)))
+    assert(packed(1) == 2) // bit 0 negative, bit 1 positive
+  }
+}
