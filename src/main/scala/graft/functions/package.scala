@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, Tokenize, PqQuantize, PqDequantize, PqAdcDist, PackBits, F16Encode, F16Decode, I8Encode, I8Decode}
+import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, Tokenize, PqQuantize, PqDequantize, PqAdcDist, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText}
 import org.apache.spark.sql.{functions => F}
 
 /** Column-level API for the engine's scalar functions, mirroring the
@@ -61,6 +61,23 @@ package object functions {
   /** i8 scalar quantization encode/decode (scale header + codes). */
   def i8_encode(c: Column): Column = col(I8Encode(expr(c)))
   def i8_decode(c: Column): Column = col(I8Decode(expr(c)))
+
+  /** `array_to_bloom`: bloom filter (fp 0.01, fixed seed) from an
+    * integer array (smallint/int widen to bigint, as in the reference's
+    * casts — lantern_extras/src/bloom.rs:46-91). */
+  def array_to_bloom(c: Column): Column =
+    col(BloomBuild(expr(c.cast("array<bigint>"))))
+
+  /** `array_to_bloom` over a text array. */
+  def array_to_bloom_text(c: Column): Column = col(BloomBuildText(expr(c)))
+
+  /** `elem_in_bloom`: bloom membership probe (bloom.rs:93-103). */
+  def elem_in_bloom(e: Column, b: Column): Column =
+    col(ElemInBloom(expr(e.cast("bigint")), expr(b)))
+
+  /** `elem_in_bloom` for text elements. */
+  def elem_in_bloom_text(e: Column, b: Column): Column =
+    col(ElemInBloomText(expr(e), expr(b)))
 
   /** Literal float vector column (query vectors for KNN). */
   def vecLit(v: Seq[Float]): Column =

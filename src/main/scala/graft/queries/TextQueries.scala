@@ -100,6 +100,26 @@ object TextQueries {
     Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id").asc).limit(200)
 
+  /** Bloom filters where the reference uses them: per-term posting-list
+    * blooms in the BM25 side table (bm25_api.sql:33-45). Every inserted
+    * doc id must probe true (bloom no-false-negative invariant), which
+    * the oracle can assert as literal truth; the false-positive side is
+    * pinned by BloomSpec. */
+  private def bloomMembers(s: SparkSession, dir: String): DataFrame =
+    Bm25.createBm25Table(docs(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("term_freq").desc, col("term").asc)
+      .limit(50)
+      .withColumn("bloom", graft.functions.array_to_bloom(col("doc_ids")))
+      .select(col("term"),
+        graft.functions.elem_in_bloom(element_at(col("doc_ids"), 1), col("bloom"))
+          .as("first_in"),
+        graft.functions.elem_in_bloom(element_at(col("doc_ids"), -1), col("bloom"))
+          .as("last_in"),
+        size(filter(col("doc_ids"),
+          x => graft.functions.elem_in_bloom(x, col("bloom"))))
+          .===(size(col("doc_ids"))).as("all_in"))
+      .orderBy(col("term").asc)
+
   private def stemArray(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
@@ -121,6 +141,7 @@ object TextQueries {
     "q_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
     "q_simhash" -> ((s, d) => simhash(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
+    "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
   )
 
   // ---- DuckDB oracles ----
@@ -261,6 +282,14 @@ object TextQueries {
          |JOIN sh sa ON sa.doc_id = pairs.doc_a
          |JOIN sh sb ON sb.doc_id = pairs.doc_b
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "q_bloom_members" ->
+      s"""WITH $toksCte,
+         |p0 AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |g AS (SELECT term, doc_id FROM p0 GROUP BY 1, 2),
+         |top AS (SELECT term, count(*) AS tf FROM g GROUP BY term
+         |        ORDER BY tf DESC, term ASC LIMIT 50)
+         |SELECT term, true AS first_in, true AS last_in, true AS all_in
+         |FROM top ORDER BY term ASC""".stripMargin,
     "q_simhash" ->
       s"""WITH $toksCte
          |SELECT doc_id,
