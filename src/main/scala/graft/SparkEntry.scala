@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{PqQueries, TextQueries, VectorQueries}
+import graft.queries.{EmbedQueries, PqQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,8 +20,10 @@ object SparkEntry {
     VectorQueries.knnL2Sq(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    VectorQueries.queries ++ TextQueries.queries ++ PqQueries.queries
+    VectorQueries.queries ++ TextQueries.queries ++ PqQueries.queries ++
+      EmbedQueries.queries
 
   def oracleSql: Map[String, String] =
-    VectorQueries.oracleSql ++ TextQueries.oracleSql ++ PqQueries.oracleSql
+    VectorQueries.oracleSql ++ TextQueries.oracleSql ++ PqQueries.oracleSql ++
+      EmbedQueries.oracleSql
 }

@@ -1,0 +1,97 @@
+package graft.embed
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding job registry (reference daemon job API:
+  * `add_embedding_job` / `get_embedding_job_status` / `get_embedding_jobs`
+  * / `cancel_embedding_job` / `resume_embedding_job`,
+  * lantern_extras/src/daemon.rs:121-399, jobs table
+  * `_lantern_extras_internal.embedding_generation_jobs`).
+  *
+  * Spark shape: the registry is a parquet-backed table of job rows; the
+  * daemon loop is [[runPending]], which executes each enabled job as a
+  * batch [[Embeddings.embedColumn]] write. Incremental daemon mode maps
+  * to [[Embeddings.streamEmbed]] keyed off the same job row.
+  */
+class JobRegistry(spark: SparkSession, registryPath: String) {
+  import JobRegistry._
+
+  private def readAll(): Seq[Job] = {
+    val p = new org.apache.hadoop.fs.Path(registryPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else {
+      import spark.implicits._
+      spark.read.parquet(registryPath).as[Job].collect().toSeq
+    }
+  }
+
+  private def writeAll(jobs: Seq[Job]): Unit = {
+    import spark.implicits._
+    spark.createDataset(jobs).toDF()
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(registryPath)
+  }
+
+  def addEmbeddingJob(srcPath: String, textCol: String, outCol: String,
+      dstPath: String, runtime: String, model: String): Long = {
+    val jobs = readAll()
+    val id = if (jobs.isEmpty) 1L else jobs.map(_.job_id).max + 1
+    writeAll(jobs :+ Job(id, srcPath, textCol, outCol, dstPath, runtime,
+      model, Status.Enabled, "", System.currentTimeMillis()))
+    id
+  }
+
+  def getJobs: DataFrame = {
+    import spark.implicits._
+    spark.createDataset(readAll()).toDF()
+  }
+
+  def getJobStatus(jobId: Long): Option[String] =
+    readAll().find(_.job_id == jobId).map(_.status)
+
+  def getJobFailures(jobId: Long): Option[String] =
+    readAll().find(_.job_id == jobId).map(_.error).filter(_.nonEmpty)
+
+  def cancelJob(jobId: Long): Unit = setStatus(jobId, Status.Canceled)
+
+  def resumeJob(jobId: Long): Unit = setStatus(jobId, Status.Enabled)
+
+  private def setStatus(jobId: Long, status: String, error: String = ""): Unit =
+    writeAll(readAll().map(j =>
+      if (j.job_id == jobId) j.copy(status = status, error = error) else j))
+
+  /** One daemon sweep: run every enabled job to completion (batch).
+    * Returns the ids that ran. */
+  def runPending(batchSize: Int = 64): Seq[Long] = {
+    val pending = readAll().filter(_.status == Status.Enabled)
+    pending.map { job =>
+      try {
+        val src = spark.read.parquet(job.src_path)
+        val out = Embeddings.embedColumn(src, job.text_col, job.out_col,
+          Runtimes.forName(job.runtime), job.model, batchSize)
+        out.write.mode(SaveMode.Overwrite).parquet(job.dst_path)
+        setStatus(job.job_id, Status.Completed)
+      } catch {
+        case e: Throwable =>
+          setStatus(job.job_id, Status.Failed,
+            Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+      job.job_id
+    }
+  }
+}
+
+object JobRegistry {
+  case class Job(job_id: Long, src_path: String, text_col: String,
+      out_col: String, dst_path: String, runtime: String, model: String,
+      status: String, error: String, created_at: Long)
+
+  object Status {
+    val Enabled = "enabled"
+    val Completed = "completed"
+    val Failed = "failed"
+    val Canceled = "canceled"
+  }
+}

@@ -1,0 +1,207 @@
+package graft.embed
+
+import java.nio.charset.StandardCharsets
+
+/** Embedding / completion runtimes (reference: lantern_extras
+  * `llm_embedding(..., runtime => 'openai'|'cohere'|'ort')`,
+  * embeddings.rs:154-199; runtime dispatch
+  * lantern_cli/src/embeddings/core/mod.rs:61-137).
+  *
+  * [[MockRuntime]] is the test/CI runtime: deterministic vectors the
+  * DuckDB oracle can reproduce (the reference freezes expected vectors
+  * in its tests the same way, embeddings.rs:258-392). The HTTP runtimes
+  * build real OpenAI/Cohere wire requests; the ORT runtime carries the
+  * public model registry but requires an ONNX runtime not bundled here.
+  */
+trait EmbeddingRuntime extends Serializable {
+  def name: String
+  def models: Seq[String]
+  def dim(model: String): Int
+  def embedBatch(model: String, texts: Seq[String]): Seq[Array[Float]]
+  def complete(model: String, systemPrompt: String, userPrompt: String): String
+}
+
+/** Deterministic mock: component j of the embedding is derived from the
+  * 28-bit md5-prefix hash of the text, quantized to multiples of 1/64
+  * (exact in float, double, and 6-decimal output):
+  * e_j = ((h + (j+1) * 2654435761) mod 128) / 64 - 1. */
+class MockRuntime(dimension: Int = 8) extends EmbeddingRuntime {
+  override def name: String = "mock"
+  override def models: Seq[String] = Seq("mock-embed", "mock-complete")
+  override def dim(model: String): Int = dimension
+
+  override def embedBatch(model: String, texts: Seq[String]): Seq[Array[Float]] =
+    texts.map { t =>
+      val h = MockRuntime.baseHash(t)
+      Array.tabulate(dimension) { j =>
+        (((h + (j + 1) * 2654435761L) % 128L) / 64.0 - 1.0).toFloat
+      }
+    }
+
+  /** Deterministic completion: tag + model + input prefix. */
+  override def complete(model: String, systemPrompt: String,
+      userPrompt: String): String =
+    s"MOCK[$model]: ${userPrompt.take(32)}"
+}
+
+object MockRuntime {
+  /** First 7 hex digits of md5 as a long — the engine's cross-engine
+    * deterministic hash (DuckDB: ('0x'||substr(md5(t),1,7))::BIGINT). */
+  def baseHash(t: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(t.getBytes(StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(7), 16)
+  }
+}
+
+/** OpenAI-compatible embeddings/chat API runtime (reference
+  * openai_runtime; also serves Azure-style deployments via baseUrl).
+  * Builds real wire requests; requires network egress to function. */
+class OpenAiRuntime(baseUrl: String = "https://api.openai.com/v1",
+    apiToken: String = "", dimensions: Int = 1536) extends EmbeddingRuntime {
+  override def name: String = "openai"
+  override def models: Seq[String] =
+    Seq("text-embedding-3-small", "text-embedding-3-large",
+      "text-embedding-ada-002")
+  override def dim(model: String): Int = dimensions
+
+  private[graft] def embedRequestBody(model: String, texts: Seq[String]): String = {
+    val inputs = texts.map(Json.quote).mkString("[", ",", "]")
+    s"""{"model":${Json.quote(model)},"input":$inputs,"dimensions":$dimensions}"""
+  }
+
+  private[graft] def completionRequestBody(model: String, systemPrompt: String,
+      userPrompt: String): String =
+    s"""{"model":${Json.quote(model)},"messages":[{"role":"system","content":${Json.quote(systemPrompt)}},{"role":"user","content":${Json.quote(userPrompt)}}]}"""
+
+  override def embedBatch(model: String, texts: Seq[String]): Seq[Array[Float]] =
+    Http.postJson(s"$baseUrl/embeddings", apiToken,
+      embedRequestBody(model, texts)) match {
+      case body =>
+        Json.extractFloatArrays(body, "embedding")
+    }
+
+  override def complete(model: String, systemPrompt: String,
+      userPrompt: String): String = {
+    val body = Http.postJson(s"$baseUrl/chat/completions", apiToken,
+      completionRequestBody(model, systemPrompt, userPrompt))
+    Json.extractString(body, "content").getOrElse("")
+  }
+}
+
+/** Cohere embed API runtime (reference cohere_runtime). */
+class CohereRuntime(baseUrl: String = "https://api.cohere.ai/v1",
+    apiToken: String = "", inputType: String = "search_document")
+    extends EmbeddingRuntime {
+  override def name: String = "cohere"
+  override def models: Seq[String] =
+    Seq("embed-english-v3.0", "embed-multilingual-v3.0")
+  override def dim(model: String): Int = 1024
+
+  private[graft] def embedRequestBody(model: String, texts: Seq[String]): String = {
+    val inputs = texts.map(Json.quote).mkString("[", ",", "]")
+    s"""{"model":${Json.quote(model)},"texts":$inputs,"input_type":${Json.quote(inputType)}}"""
+  }
+
+  override def embedBatch(model: String, texts: Seq[String]): Seq[Array[Float]] =
+    Json.extractFloatArrays(
+      Http.postJson(s"$baseUrl/embed", apiToken, embedRequestBody(model, texts)),
+      "embeddings")
+
+  override def complete(model: String, systemPrompt: String,
+      userPrompt: String): String =
+    throw new UnsupportedOperationException("cohere runtime: completion not supported")
+}
+
+/** Local ONNX runtime: carries the public model registry (reference
+  * ort_runtime.rs:284-298); inference needs an ONNX runtime that is not
+  * bundled in this build. */
+class OrtRuntime extends EmbeddingRuntime {
+  override def name: String = "ort"
+  override def models: Seq[String] = Seq(
+    "clip/ViT-B-32-textual", "clip/ViT-B-32-visual",
+    "BAAI/bge-small-en", "BAAI/bge-base-en", "BAAI/bge-large-en",
+    "BAAI/bge-m3", "intfloat/e5-base-v2", "intfloat/e5-large-v2",
+    "thenlper/gte-base", "thenlper/gte-large",
+    "microsoft/all-MiniLM-L12-v2", "microsoft/all-mpnet-base-v2",
+    "llmrails/ember-v1")
+  override def dim(model: String): Int = model match {
+    case m if m.contains("large") || m.contains("mpnet") || m.contains("ember") => 1024
+    case m if m.contains("base") || m.contains("m3") => 768
+    case _ => 384
+  }
+  override def embedBatch(model: String, texts: Seq[String]): Seq[Array[Float]] =
+    throw new UnsupportedOperationException(
+      "ort runtime requires onnxruntime, which is not bundled in this build")
+  override def complete(model: String, s: String, u: String): String =
+    throw new UnsupportedOperationException("ort runtime: completion not supported")
+}
+
+/** Runtime registry (reference get_available_runtimes /
+  * get_available_models, embeddings.rs:201-225). */
+object Runtimes {
+  def mock(dim: Int = 8): EmbeddingRuntime = new MockRuntime(dim)
+
+  def forName(name: String, baseUrl: String = "", apiToken: String = ""): EmbeddingRuntime =
+    name match {
+      case "mock" => new MockRuntime()
+      case "openai" =>
+        if (baseUrl.nonEmpty) new OpenAiRuntime(baseUrl, apiToken)
+        else new OpenAiRuntime(apiToken = apiToken)
+      case "cohere" =>
+        if (baseUrl.nonEmpty) new CohereRuntime(baseUrl, apiToken)
+        else new CohereRuntime(apiToken = apiToken)
+      case "ort" => new OrtRuntime()
+      case other => throw new IllegalArgumentException(s"unknown runtime '$other'")
+    }
+
+  def availableRuntimes: Seq[String] = Seq("mock", "openai", "cohere", "ort")
+
+  def availableModels(runtime: String): Seq[String] = forName(runtime).models
+}
+
+/** Minimal JSON helpers (no extra deps; enough for the wire formats). */
+private[embed] object Json {
+  def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Extract all float arrays appearing after `"key":` fields. */
+  def extractFloatArrays(body: String, key: String): Seq[Array[Float]] = {
+    val pat = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+    pat.findAllMatchIn(body).map { m =>
+      m.group(1).split(",").filter(_.trim.nonEmpty).map(_.trim.toFloat)
+    }.toSeq
+  }
+
+  def extractString(body: String, key: String): Option[String] = {
+    val pat = ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+    pat.findFirstMatchIn(body).map(_.group(1)
+      .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\"))
+  }
+}
+
+private[embed] object Http {
+  def postJson(url: String, token: String, body: String): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(url))
+      .header("Content-Type", "application/json")
+      .header("Authorization", s"Bearer $token")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new RuntimeException(s"HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+    resp.body()
+  }
+}

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.embed.{Embeddings, Runtimes}
+
+/** Driver-contract queries for the embedding/LLM family (SURVEY.md
+  * section 2.6). The mock runtime's vectors are reproducible in DuckDB
+  * (md5-prefix hash, components quantized to multiples of 1/64), so the
+  * whole mapPartitions batch pipeline gets an exact oracle — the same
+  * frozen-vector testing approach the reference uses
+  * (lantern_extras/src/embeddings.rs:258-392). */
+object EmbedQueries {
+
+  private val Dim = 8
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def embedMock(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc).limit(200)
+    val emb = Embeddings.embedColumn(base, "text", "embedding",
+      Runtimes.mock(Dim), "mock-embed", batchSize = 32)
+    emb.select(col("doc_id") +:
+      (0 until Dim).map(j =>
+        round(element_at(col("embedding"), j + 1).cast("double"), 6)
+          .as(s"e$j")): _*)
+      .orderBy(col("doc_id").asc)
+  }
+
+  private def completionMock(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc).limit(100)
+    Embeddings.completeColumn(base, "text", "completion",
+      Runtimes.mock(Dim), "mock-complete")
+      .select(col("doc_id"), col("completion"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_mock" -> ((s, d) => embedMock(s, d)),
+    "q_completion_mock" -> ((s, d) => completionMock(s, d)),
+  )
+
+  private def eSql(j: Int): String =
+    s"round(((('0x' || substr(md5(text), 1, 7))::BIGINT + ${(j + 1) * 2654435761L}) % 128) / 64.0 - 1.0, 6) AS e$j"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_embed_mock" ->
+      s"""SELECT doc_id, ${(0 until Dim).map(eSql).mkString(", ")}
+         |FROM documents ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    "q_completion_mock" ->
+      """SELECT doc_id, 'MOCK[mock-complete]: ' || substr(text, 1, 32) AS completion
+        |FROM documents ORDER BY doc_id ASC LIMIT 100""".stripMargin,
+  )
+}

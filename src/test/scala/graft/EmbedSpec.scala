@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.embed._
+
+/** Embedding/LLM pipeline: mock determinism, batch executor, job
+  * registry lifecycle, streaming incremental mode, wire formats. */
+class EmbedSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("mock embeddings are deterministic and 1/64-quantized") {
+    val rt = Runtimes.mock(8)
+    val a = rt.embedBatch("mock-embed", Seq("hello", "world"))
+    val b = rt.embedBatch("mock-embed", Seq("hello", "world"))
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+    a.flatten.foreach { x =>
+      assert(x >= -1.0f && x < 1.0f)
+      assert((x * 64).toInt.toFloat == x * 64, s"$x is not a multiple of 1/64")
+    }
+  }
+
+  test("embedColumn batches through mapPartitions and keeps all columns") {
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "t")
+    val out = Embeddings.embedColumn(df, "t", "vec", Runtimes.mock(4),
+      "mock-embed", batchSize = 2)
+    val rows = out.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.forall(_.getSeq[Float](2).length == 4))
+    // same text -> same vector regardless of batch boundaries
+    val again = Embeddings.embedColumn(df, "t", "vec", Runtimes.mock(4),
+      "mock-embed", batchSize = 1).orderBy("id").collect()
+    assert(rows.map(_.getSeq[Float](2)).toSeq ==
+      again.map(_.getSeq[Float](2)).toSeq)
+  }
+
+  test("completeColumn produces the deterministic mock completion") {
+    val df = Seq((1L, "what is spark?")).toDF("id", "prompt")
+    val out = Embeddings.completeColumn(df, "prompt", "answer",
+      Runtimes.mock(), "mock-complete").collect()(0).getString(2)
+    assert(out == "MOCK[mock-complete]: what is spark?")
+  }
+
+  test("job registry lifecycle: add -> run -> completed; failure recorded") {
+    val work = Files.createTempDirectory("jobs").toString
+    val srcPath = s"$work/src"
+    Seq((1L, "one"), (2L, "two")).toDF("id", "t")
+      .write.parquet(srcPath)
+    val reg = new JobRegistry(spark, s"$work/registry")
+    val ok = reg.addEmbeddingJob(srcPath, "t", "vec", s"$work/dst", "mock",
+      "mock-embed")
+    val bad = reg.addEmbeddingJob(srcPath, "t", "vec", s"$work/dst2", "ort",
+      "BAAI/bge-small-en")
+    assert(reg.getJobStatus(ok).contains(JobRegistry.Status.Enabled))
+    val ran = reg.runPending()
+    assert(ran.toSet == Set(ok, bad))
+    assert(reg.getJobStatus(ok).contains(JobRegistry.Status.Completed))
+    assert(reg.getJobStatus(bad).contains(JobRegistry.Status.Failed))
+    assert(reg.getJobFailures(bad).exists(_.contains("onnxruntime")))
+    assert(spark.read.parquet(s"$work/dst").count() == 2)
+    // cancel / resume flips status
+    reg.cancelJob(ok)
+    assert(reg.getJobStatus(ok).contains(JobRegistry.Status.Canceled))
+    reg.resumeJob(ok)
+    assert(reg.getJobStatus(ok).contains(JobRegistry.Status.Enabled))
+  }
+
+  test("streamEmbed processes a backfill then new rows incrementally") {
+    val work = Files.createTempDirectory("stream").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType)))
+    Seq((1L, "first"), (2L, "second")).toDF("id", "t")
+      .write.parquet(s"$work/src")
+    def runOnce(): Unit = {
+      val q = Embeddings.streamEmbed(spark, s"$work/src", s"$work/dst",
+        s"$work/ckpt", schema, "t", "vec", Runtimes.mock(4), "mock-embed")
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(s"$work/dst").count() == 2)
+    // append new rows; only they are processed on the next run
+    Seq((3L, "third")).toDF("id", "t")
+      .write.mode("append").parquet(s"$work/src")
+    runOnce()
+    val out = spark.read.parquet(s"$work/dst")
+    assert(out.count() == 3)
+    assert(out.filter(col("vec").isNotNull).count() == 3)
+  }
+
+  test("openai/cohere wire request bodies are well-formed") {
+    val oa = new OpenAiRuntime(apiToken = "k", dimensions = 3)
+    assert(oa.embedRequestBody("text-embedding-3-small", Seq("a \"b\"")) ==
+      """{"model":"text-embedding-3-small","input":["a \"b\""],"dimensions":3}""")
+    assert(oa.completionRequestBody("gpt-4o", "sys", "hi") ==
+      """{"model":"gpt-4o","messages":[{"role":"system","content":"sys"},{"role":"user","content":"hi"}]}""")
+    val co = new CohereRuntime(apiToken = "k")
+    assert(co.embedRequestBody("embed-english-v3.0", Seq("x")) ==
+      """{"model":"embed-english-v3.0","texts":["x"],"input_type":"search_document"}""")
+  }
+
+  test("runtime/model registry matches the reference surface") {
+    assert(Runtimes.availableRuntimes == Seq("mock", "openai", "cohere", "ort"))
+    assert(Runtimes.availableModels("ort").size == 13)
+    intercept[IllegalArgumentException](Runtimes.forName("nope"))
+  }
+
+  test("measureSpeed reports positive throughput") {
+    val v = Embeddings.measureSpeed(Runtimes.mock(8), "mock-embed",
+      (1 to 100).map(i => s"text $i"))
+    assert(v > 0)
+  }
+}
