@@ -181,7 +181,49 @@ object TextQueries {
        |  FROM banded a JOIN banded b
        |    ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** The synthetic corpus has a closed 31-word vocabulary, so the
+    * Porter2 stem of every token is known and the stemmed pipeline gets
+    * full-strength oracles: stems = tokens minus stopwords ('a', 'the'),
+    * with the five non-identity stems mapped explicitly. The stemmer
+    * itself is validated against the published fixture in StemmerSpec. */
+  private val stemCaseSql =
+    """CASE x WHEN 'customer' THEN 'custom' WHEN 'merge' THEN 'merg'
+      | WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu'
+      | WHEN 'query' THEN 'queri' ELSE x END""".stripMargin
+
+  private val stemsCte =
+    s"""stoks AS (
+       |  SELECT doc_id,
+       |    list_transform(list_filter(t, x -> x NOT IN ('a', 'the')),
+       |                   x -> $stemCaseSql) AS t
+       |  FROM toks)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_stem_array" ->
+      s"""WITH $toksCte, $stemsCte
+         |SELECT doc_id, array_to_string(t, ' ') AS stems
+         |FROM stoks ORDER BY doc_id ASC LIMIT 50""".stripMargin,
+    "q_bm25_search_stemmed" ->
+      s"""WITH $toksCte, $stemsCte,
+         |post AS (
+         |  SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS fq
+         |  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM stoks)
+         |  WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2, 3),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM stoks),
+         |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id,
+         |    sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (fq * (1.2 + 1.0))
+         |      / (fq + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS score
+         |  FROM post JOIN dfreq USING (term) CROSS JOIN stats
+         |  GROUP BY doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_bm25_table" ->
       s"""WITH $toksCte,
          |p0 AS (SELECT doc_id, unnest(t) AS term FROM toks),
