@@ -102,6 +102,61 @@ object Bm25 {
     scoreAndRank(post, corpusStats(docs, idCol, textCol, stemmed), k, params)
   }
 
+  /** Ad-hoc BM25 score of ONE document against the corpus statistics
+    * (reference `bm25_score(table, document, query)`,
+    * lantern_extras/src/bm25_agg.rs:61-122): the document's term
+    * frequencies come from the given text, document frequencies and
+    * corpus stats from the table. */
+  def bm25Score(docs: DataFrame, idCol: Column, textCol: Column,
+      document: String, query: String, params: Params = Params(),
+      stemmed: Boolean = false): Double = {
+    def toks(s: String): Array[String] =
+      if (stemmed) graft.text.Stemmer.stemTokens(s)
+      else graft.text.Stemmer.tokens(s)
+    val qTerms: Seq[String] = toks(query).toSeq.distinct
+    val dToks = toks(document)
+    val dLen = dToks.length.toDouble
+    val fq: Map[String, Int] =
+      dToks.groupBy(identity).view.mapValues(_.length).toMap
+    val statsRow = corpusStats(docs, idCol, textCol, stemmed).collect()(0)
+    val (n, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
+    val dfs: Map[String, Double] =
+      postings(docs, idCol, textCol, stemmed)
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    qTerms.iterator
+      .filter(fq.contains)
+      .map { t =>
+        val df = dfs.getOrElse(t, 0.0)
+        val f = fq(t).toDouble
+        math.log((n - df + 0.5) / (df + 0.5) + 1.0) *
+          (f * (params.k1 + 1.0)) /
+          (f + params.k1 * (1.0 - params.b + params.b * dLen / avgdl))
+      }
+      .sum
+  }
+
+  /** Compact a bm25 table containing duplicate term rows (after
+    * incremental appends) back to one row per term — reference
+    * `consolidate_bm25_table` (bm25_api.sql:108-159). Idempotent. */
+  def consolidateBm25Table(tbl: DataFrame): DataFrame =
+    tbl
+      .select(col("term"),
+        explode(arrays_zip(col("doc_ids"), col("fqs"), col("doc_lens")))
+          .as("p"))
+      .select(col("term"), col("p.doc_ids").as("doc_id"),
+        col("p.fqs").as("fq"), col("p.doc_lens").as("doc_len"))
+      .withColumn("srt", struct(col("doc_id"), col("fq"), col("doc_len")))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("term_freq"),
+        sort_array(collect_list(col("srt"))).as("post"))
+      .select(col("term"), col("term_freq"),
+        col("post.doc_id").as("doc_ids"),
+        col("post.fq").as("fqs"),
+        col("post.doc_len").as("doc_lens"))
+
   /** Score pre-filtered postings and return top-k (doc_id, score). */
   def scoreAndRank(queryPostings: DataFrame, stats: DataFrame, k: Int,
       params: Params = Params()): DataFrame = {

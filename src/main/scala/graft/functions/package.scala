@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, Tokenize, PqQuantize, PqDequantize, PqAdcDist, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText}
+import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, PqQuantize, PqDequantize, PqAdcDist, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText}
 import org.apache.spark.sql.{functions => F}
 
 /** Column-level API for the engine's scalar functions, mirroring the
@@ -32,6 +32,12 @@ package object functions {
   /** `text_to_stem_array`: tokenize + Snowball-stem + stopword-drop
     * (reference lantern_extras/src/stemmers.rs:95-116). */
   def text_to_stem_array(c: Column): Column = col(TextToStemArray(expr(c)))
+
+  /** `text_to_stem_array` with the session's user stopword list
+    * (reference set_user_stopwords/get_user_stopwords, stemmers.rs:24-63;
+    * manage the list via [[graft.text.UserStopwords]]). */
+  def text_to_stem_array_user(c: Column, stopwords: Seq[String]): Column =
+    col(TextToStemArrayWith(expr(c), stopwords))
 
   /** Plain tokenizer (lowercase, non-alphanumerics to spaces, split). */
   def tokenize(c: Column): Column = col(Tokenize(expr(c)))

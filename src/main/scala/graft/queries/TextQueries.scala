@@ -127,7 +127,53 @@ object TextQueries {
           .as("stems"))
       .orderBy(col("doc_id").asc).limit(50)
 
+  /** Ad-hoc single-document score (reference `bm25_score`): one fixed
+    * document string scored against the corpus statistics. */
+  private val scoreDoc = "spark join fast window merge table the"
+  private val scoreQuery = "spark join fast"
+
+  private def bm25Score(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = Bm25.bm25Score(docs(s, dir), col("doc_id"), col("text"),
+      scoreDoc, scoreQuery)
+    Seq(BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .toDF("score")
+  }
+
+  /** Incremental-append compaction (reference `consolidate_bm25_table`):
+    * two half-corpus tables unioned (duplicate term rows) then
+    * consolidated must equal the full-corpus table. */
+  private def bm25Consolidate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val even = Bm25.createBm25Table(d.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"))
+    val odd = Bm25.createBm25Table(d.filter(col("doc_id") % 2 =!= 0),
+      col("doc_id"), col("text"))
+    Bm25.consolidateBm25Table(even.unionByName(odd))
+      .select(col("term"), col("term_freq"),
+        element_at(col("doc_ids"), 1).as("first_doc"),
+        element_at(col("doc_ids"), -1).as("last_doc"),
+        aggregate(col("fqs"), lit(0L), (a, x) => a + x).as("total_fq"))
+      .orderBy(col("term").asc)
+  }
+
+  /** User stopword list replacing the default (reference
+    * set_user_stopwords): 'spark' and 'join' dropped post-stem, default
+    * stopwords ('a', 'the') kept. */
+  private val userStops = Seq("spark", "join")
+
+  private def stemUserStop(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat_ws(" ",
+          graft.functions.text_to_stem_array_user(col("text"), userStops))
+          .as("stems"))
+      .orderBy(col("doc_id").asc).limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_score" -> ((s, d) => bm25Score(s, d)),
+    "q_bm25_consolidate" -> ((s, d) => bm25Consolidate(s, d)),
+    "q_stem_user_stop" -> ((s, d) => stemUserStop(s, d)),
     "q_bm25_table" -> ((s, d) => bm25Table(s, d)),
     "q_bm25_search" -> ((s, d) => bm25Search(s, d)),
     "q_bm25_search_stemmed" -> ((s, d) => bm25SearchStemmed(s, d)),
@@ -199,6 +245,37 @@ object TextQueries {
        |  FROM toks)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_bm25_score" ->
+      s"""WITH $toksCte,
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM toks),
+         |dfc AS (
+         |  SELECT term,
+         |    CAST((SELECT count(*) FROM toks WHERE list_contains(t, term)) AS DOUBLE) AS df
+         |  FROM (SELECT unnest(${scoreQuery.split(" ").map(t => s"'$t'").mkString("[", ", ", "]")}) AS term))
+         |SELECT round(sum(
+         |  ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (1.0 * (1.2 + 1.0))
+         |    / (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * ${scoreDoc.split(" ").length}.0 / avgdl))), 6) AS score
+         |FROM dfc CROSS JOIN stats""".stripMargin,
+    "q_bm25_consolidate" ->
+      s"""WITH $toksCte,
+         |p0 AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |g AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS fq
+         |      FROM p0 GROUP BY 1, 2)
+         |SELECT term, CAST(count(*) AS BIGINT) AS term_freq,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  CAST(sum(fq) AS BIGINT) AS total_fq
+         |FROM g GROUP BY term ORDER BY term ASC""".stripMargin,
+    "q_stem_user_stop" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  array_to_string(list_transform(
+         |    list_filter(t, x -> x NOT IN (${userStops.map(w => s"'$w'").mkString(", ")})),
+         |    x -> $stemCaseSql), ' ') AS stems
+         |FROM toks ORDER BY doc_id ASC LIMIT 50""".stripMargin,
     "q_stem_array" ->
       s"""WITH $toksCte, $stemsCte
          |SELECT doc_id, array_to_string(t, ' ') AS stems

@@ -243,12 +243,18 @@ object Stemmer {
   /** Full `text_to_stem_array` pipeline: lowercase, non-alphanumeric to
     * space, split, stem each token, drop stopwords (post-stem, as the
     * reference does). */
-  def stemTokens(input: String): Array[String] = {
+  def stemTokens(input: String): Array[String] =
+    stemTokens(input, stopWords)
+
+  /** Same pipeline with a caller-supplied stopword set (the reference's
+    * `set_user_stopwords` replaces the dictionary's stopword file —
+    * lantern_extras/src/stemmers.rs:24-63). */
+  def stemTokens(input: String, stops: Set[String]): Array[String] = {
     val cleaned = input.toLowerCase.map(c => if (c.isLetterOrDigit) c else ' ')
     cleaned.split("\\s+").iterator
       .filter(_.nonEmpty)
       .map(stem)
-      .filterNot(stopWords.contains)
+      .filterNot(stops.contains)
       .toArray
   }
 

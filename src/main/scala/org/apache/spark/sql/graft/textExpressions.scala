@@ -13,6 +13,12 @@ object TextKernels {
     new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any))
   }
 
+  def stemTokensWith(s: UTF8String,
+      stops: scala.collection.immutable.Set[String]): ArrayData = {
+    val toks = graft.text.Stemmer.stemTokens(s.toString, stops)
+    new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any))
+  }
+
   def tokenize(s: UTF8String): ArrayData = {
     val toks = graft.text.Stemmer.tokens(s.toString)
     new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any))
@@ -34,6 +40,30 @@ case class TextToStemArray(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graft.TextKernels.stemTokens($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `text_to_stem_array` with a user stopword set replacing the built-in
+  * list (reference `set_user_stopwords`, stemmers.rs:24-63). */
+case class TextToStemArrayWith(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "text_to_stem_array"
+
+  @transient private lazy val stopSet: Set[String] = stopwords.toSet
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.stemTokensWith(v.asInstanceOf[UTF8String], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stops = ctx.addReferenceObj("stopwords", stopSet,
+      "scala.collection.immutable.Set")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.stemTokensWith($c, $stops)")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
