@@ -140,6 +140,26 @@ object VectorQueries {
       .select(col("vec_a"), col("vec_b"), col("dist"))
   }
 
+  /** fvecs round-trip: dump the embeddings to a `.fvecs` file once per
+    * dir, read it back through the distributed binaryRecords reader, and
+    * project verifiable values; the oracle reads the original parquet
+    * (row order = ascending vec_id, the written order). */
+  private val fvecsFiles = TrieMap[String, String]()
+  private def fvecsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = fvecsFiles.getOrElseUpdate(dir, {
+      val f = java.nio.file.Files.createTempFile("graft_emb", ".fvecs").toString
+      val vecs = emb(s, dir).orderBy("vec_id").collect()
+        .map(_.getAs[Seq[Float]]("embedding").toArray)
+      graft.sources.Dotvecs.writeFvecs(s, f, vecs.iterator)
+      f
+    })
+    graft.sources.Dotvecs.readFvecs(s, path)
+      .select(col("row_id"), size(col("vector")).as("dim"),
+        round(element_at(col("vector"), 1).cast("double"), 6).as("e0"),
+        round(element_at(col("vector"), 64).cast("double"), 6).as("e63"))
+      .orderBy(col("row_id").asc).limit(200)
+  }
+
   // ---- DuckDB oracle fragments ----
 
   private val l2sqSqlExpr =
@@ -162,6 +182,7 @@ object VectorQueries {
     "q_ann_l2sq" -> ((s, dir) => annL2Sq(s, dir)),
     "q_ann_ef64" -> ((s, dir) => annL2SqEf64(s, dir)),
     "q_neardup_lsh" -> ((s, dir) => nearDupLsh(s, dir)),
+    "q_fvecs_roundtrip" -> ((s, dir) => fvecsRoundtrip(s, dir)),
   )
 
   /** Band-key SQL for the hyperplane LSH oracle: sum of sign bits
@@ -179,6 +200,12 @@ object VectorQueries {
       |           * list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_fvecs_roundtrip" ->
+      """SELECT row_number() OVER (ORDER BY vec_id) - 1 AS row_id,
+        |  len(embedding) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
+        |  round(CAST(embedding[64] AS DOUBLE), 6) AS e63
+        |FROM embeddings ORDER BY row_id ASC LIMIT 200""".stripMargin,
     "q_ann_l2sq" ->
       s"""WITH q AS (SELECT $qVecSql AS qv)
          |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
