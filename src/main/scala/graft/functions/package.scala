@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, PqQuantize, PqDequantize, PqAdcDist, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText}
+import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, PqQuantize, PqDequantize, PqAdcDist, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, FrameSampleHashes, Pcm16Stats}
 import org.apache.spark.sql.{functions => F}
 
 /** Column-level API for the engine's scalar functions, mirroring the
@@ -84,6 +84,23 @@ package object functions {
   /** `elem_in_bloom` for text elements. */
   def elem_in_bloom_text(e: Column, b: Column): Column =
     col(ElemInBloomText(expr(e), expr(b)))
+
+  /** `image_meta`: (format, width, height) from PNG/GIF/JPEG/BMP
+    * container headers; null for unrecognized payloads. */
+  def image_meta(c: Column): Column = col(ImageMeta(expr(c)))
+
+  /** `byte_histogram`: normalized byte histogram feature vector —
+    * deterministic surrogate for decoded-pixel statistics. */
+  def byte_histogram(c: Column, bins: Int = 16): Column =
+    col(ByteHistogram(expr(c), bins))
+
+  /** `frame_sample_hashes`: md5 of n equal byte ranges (decode-free
+    * stand-in for video frame sampling). */
+  def frame_sample_hashes(c: Column, frames: Int): Column =
+    col(FrameSampleHashes(expr(c), frames))
+
+  /** `pcm16_stats`: (n_samples, peak, rms) treating bytes as PCM16 LE. */
+  def pcm16_stats(c: Column): Column = col(Pcm16Stats(expr(c)))
 
   /** Literal float vector column (query vectors for KNN). */
   def vecLit(v: Seq[Float]): Column =

@@ -120,6 +120,25 @@ object TextQueries {
           .===(size(col("doc_ids"))).as("all_in"))
       .orderBy(col("term").asc)
 
+  /** Multimodal plumbing over an opaque binary payload (the text bytes
+    * stand in for image/audio/video blobs — the corpus is pure ASCII so
+    * the DuckDB oracle can reproduce every byte-level value): size,
+    * content hash, histogram bins, and frame-sample chunk hashes. */
+  private def mediaStats(s: SparkSession, dir: String): DataFrame = {
+    val bin = col("text").cast("binary")
+    docs(s, dir)
+      .select(col("doc_id"),
+        length(bin).as("n_bytes"),
+        md5(bin).as("media_md5"),
+        round(element_at(graft.functions.byte_histogram(bin, 16), 3), 6)
+          .as("hist_space"), // bin 2: bytes 32-47 (space/punct)
+        round(element_at(graft.functions.byte_histogram(bin, 16), 7), 6)
+          .as("hist_low"), // bin 6: bytes 96-111 (a-o)
+        element_at(graft.functions.frame_sample_hashes(bin, 3), 1).as("frame0"),
+        element_at(graft.functions.frame_sample_hashes(bin, 3), 3).as("frame2"))
+      .orderBy(col("doc_id").asc).limit(200)
+  }
+
   private def stemArray(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
@@ -188,6 +207,7 @@ object TextQueries {
     "q_simhash" -> ((s, d) => simhash(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
+    "q_media_stats" -> ((s, d) => mediaStats(s, d)),
   )
 
   // ---- DuckDB oracles ----
@@ -409,6 +429,22 @@ object TextQueries {
          |        ORDER BY tf DESC, term ASC LIMIT 50)
          |SELECT term, true AS first_in, true AS last_in, true AS all_in
          |FROM top ORDER BY term ASC""".stripMargin,
+    "q_media_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    list_transform(range(1, length(text) + 1),
+        |                   i -> ascii(substr(text, i, 1))) AS codes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n AS INT) AS n_bytes,
+        |  md5(text) AS media_md5,
+        |  round(CAST(len(list_filter(codes, c -> c // 16 = 2)) AS DOUBLE)
+        |    / CAST(greatest(n, 1) AS DOUBLE), 6) AS hist_space,
+        |  round(CAST(len(list_filter(codes, c -> c // 16 = 6)) AS DOUBLE)
+        |    / CAST(greatest(n, 1) AS DOUBLE), 6) AS hist_low,
+        |  md5(substr(text, 1, n // 3)) AS frame0,
+        |  md5(substr(text, (2 * n) // 3 + 1, n - (2 * n) // 3)) AS frame2
+        |FROM m ORDER BY doc_id ASC LIMIT 200""".stripMargin,
     "q_simhash" ->
       s"""WITH $toksCte
          |SELECT doc_id,

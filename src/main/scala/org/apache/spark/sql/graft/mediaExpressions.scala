@@ -1,0 +1,180 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Multimodal (image/audio/video-as-bytes) kernels.
+  *
+  * The engine's convention for media at 100 TB scale: an opaque binary
+  * column plus typed metadata, processed by narrow per-row expressions
+  * (no shuffle) — the decode step that needs a codec library is STUBBED
+  * by deterministic byte-level surrogates (chunk hashes, byte
+  * histograms), while everything Spark-side — schemas, batching,
+  * partitioning, the expression surface — is real. Container-header
+  * metadata parsing (PNG/GIF/JPEG/BMP dimensions) is real and from the
+  * public format specs.
+  */
+object MediaKernels {
+
+  /** (format, width, height) from image container headers; null if not
+    * a recognized container. */
+  def imageMeta(b: Array[Byte]): InternalRow = {
+    def u16be(i: Int) = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u16le(i: Int) = ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+    def u32be(i: Int) =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    def u32le(i: Int) =
+      ((b(i + 3) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) |
+        ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+    def row(fmt: String, w: Int, h: Int) =
+      InternalRow(UTF8String.fromString(fmt), w, h)
+
+    if (b.length >= 24 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G') {
+      row("png", u32be(16), u32be(20))
+    } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
+      row("gif", u16le(6), u16le(8))
+    } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      row("bmp", u32le(18), u32le(22))
+    } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      // JPEG: walk segments to the first SOF marker
+      var i = 2
+      while (i + 9 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return null
+        val marker = b(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          return row("jpeg", u16be(i + 7), u16be(i + 5))
+        }
+        i += 2 + u16be(i + 2)
+      }
+      null
+    } else null
+  }
+
+  /** Normalized byte histogram with `bins` buckets of width 256/bins —
+    * the deterministic feature surrogate for decoded-pixel statistics. */
+  def byteHistogram(b: Array[Byte], bins: Int): GenericArrayData = {
+    val width = 256 / bins
+    val counts = new Array[Int](bins)
+    var i = 0
+    while (i < b.length) {
+      counts((b(i) & 0xff) / width) += 1
+      i += 1
+    }
+    val n = math.max(b.length, 1).toDouble
+    new GenericArrayData(counts.map(c => c / n: Any))
+  }
+
+  /** Deterministic "frame sample": split the payload into n equal byte
+    * ranges and md5 each — the decode-free stand-in for video frame
+    * extraction (same chunking a real codec stage would parallelize
+    * over). */
+  def frameSampleHashes(b: Array[Byte], frames: Int): GenericArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](frames)
+    var i = 0
+    while (i < frames) {
+      val start = (i.toLong * b.length / frames).toInt
+      val end = ((i + 1).toLong * b.length / frames).toInt
+      md.reset()
+      md.update(b, start, end - start)
+      out(i) = UTF8String.fromString(
+        md.digest().map(x => f"$x%02x").mkString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Audio stats treating the payload as PCM16 little-endian: (samples,
+    * peak, rms) — real DSP arithmetic, usable as the deterministic fake
+    * for codec-backed decode. */
+  def pcm16Stats(b: Array[Byte]): InternalRow = {
+    val n = b.length / 2
+    var peak = 0
+    var sumSq = 0.0
+    var i = 0
+    while (i < n) {
+      val s = ((b(2 * i + 1) << 8) | (b(2 * i) & 0xff)).toShort.toInt
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sumSq += s.toDouble * s.toDouble
+      i += 1
+    }
+    InternalRow(n, peak, if (n == 0) 0.0 else math.sqrt(sumSq / n))
+  }
+}
+
+/** `image_meta(binary)` -> struct(format, width, height) or null. */
+case class ImageMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType), StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_meta"
+  override def nullSafeEval(v: Any): Any =
+    MediaKernels.imageMeta(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = org.apache.spark.sql.graft.MediaKernels.imageMeta($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `byte_histogram(binary, bins)` -> array<double>, sums to 1. */
+case class ByteHistogram(child: Expression, bins: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(256 % bins == 0, s"bins must divide 256, got $bins")
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "byte_histogram"
+  override def nullSafeEval(v: Any): Any =
+    MediaKernels.byteHistogram(v.asInstanceOf[Array[Byte]], bins)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.MediaKernels.byteHistogram($c, $bins)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `frame_sample_hashes(binary, n)` -> array<string> of chunk md5s. */
+case class FrameSampleHashes(child: Expression, frames: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(frames > 0, "frames must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "frame_sample_hashes"
+  override def nullSafeEval(v: Any): Any =
+    MediaKernels.frameSampleHashes(v.asInstanceOf[Array[Byte]], frames)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.MediaKernels.frameSampleHashes($c, $frames)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `pcm16_stats(binary)` -> struct(n_samples, peak, rms). */
+case class Pcm16Stats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", IntegerType), StructField("peak", IntegerType),
+    StructField("rms", DoubleType)))
+  override def prettyName: String = "pcm16_stats"
+  override def nullSafeEval(v: Any): Any =
+    MediaKernels.pcm16Stats(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.MediaKernels.pcm16Stats($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

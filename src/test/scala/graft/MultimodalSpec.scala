@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.functions._
+import graft.functions.{image_meta, byte_histogram, frame_sample_hashes, pcm16_stats}
+
+/** Multimodal binary-column operators: container-header parsing, byte
+  * histograms, frame-sample hashing, PCM16 stats. */
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(26)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes) // chunk length + type
+    b.putInt(w).putInt(h).put(8.toByte).put(6.toByte)
+    b.array()
+  }
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes)
+    b.putShort(w.toShort).putShort(h.toShort)
+    b.array()
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(30)
+    b.put(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    b.put(Array(0xff, 0xe0).map(_.toByte)).putShort(6).putInt(0) // APP0 len 6
+    b.put(Array(0xff, 0xc0).map(_.toByte)).putShort(11) // SOF0
+    b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+    b.array()
+  }
+
+  test("image_meta parses PNG, GIF, JPEG headers; null otherwise") {
+    val df = Seq(
+      (1L, pngBytes(640, 480)), (2L, gifBytes(32, 16)),
+      (3L, jpegBytes(800, 600)), (4L, "not an image".getBytes)
+    ).toDF("id", "media")
+    val rows = df.select(col("id"), image_meta(col("media")).as("m"))
+      .orderBy("id").collect()
+    assert(rows(0).getStruct(1).toSeq == Seq("png", 640, 480))
+    assert(rows(1).getStruct(1).toSeq == Seq("gif", 32, 16))
+    assert(rows(2).getStruct(1).toSeq == Seq("jpeg", 800, 600))
+    assert(rows(3).isNullAt(1))
+  }
+
+  test("byte_histogram is normalized and deterministic") {
+    val df = Seq(Tuple1(Array.tabulate[Byte](256)(_.toByte))).toDF("b")
+    val h = df.select(byte_histogram(col("b"), 16).as("h"))
+      .collect()(0).getSeq[Double](0)
+    assert(h.length == 16)
+    assert(h.forall(x => math.abs(x - 1.0 / 16) < 1e-12)) // uniform bytes
+    assert(math.abs(h.sum - 1.0) < 1e-9)
+  }
+
+  test("frame_sample_hashes covers the payload in order") {
+    val payload = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    val df = Seq(Tuple1(payload)).toDF("b")
+    val frames = df.select(frame_sample_hashes(col("b"), 4).as("f"))
+      .collect()(0).getSeq[String](0)
+    assert(frames.length == 4)
+    assert(frames.distinct.length == 4)
+    // first chunk hash equals md5 of the first 250 bytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(payload, 0, 250)
+    assert(frames(0) == md.digest().map(x => f"$x%02x").mkString)
+  }
+
+  test("pcm16_stats computes peak and rms of a square wave") {
+    val n = 100
+    val b = ByteBuffer.allocate(2 * n).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => b.putShort(if (i % 2 == 0) 1000 else -1000))
+    val df = Seq(Tuple1(b.array())).toDF("b")
+    val s = df.select(pcm16_stats(col("b")).as("s")).collect()(0).getStruct(0)
+    assert(s.getInt(0) == n)
+    assert(s.getInt(1) == 1000)
+    assert(math.abs(s.getDouble(2) - 1000.0) < 1e-9)
+  }
+}
