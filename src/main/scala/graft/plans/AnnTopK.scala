@@ -1,0 +1,146 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graft.{CosDist, L2SqDist}
+import graft.ann.{AnnIndex, Metric}
+
+/** Transparent ANN rewrite of `ORDER BY dist(col, const) LIMIT k`
+  * (reference: the planner integration that makes `ORDER BY v <-> q
+  * LIMIT k` use the HNSW index — cost hook `hnsw.c:150-209`, scan
+  * `scan.c:24-338`).
+  *
+  * Spark shape: an optimizer rule (installed via
+  * `spark.experimental.extraOptimizations`) matches
+  * `Limit(k, Sort(dist ASC, relation…))` where
+  *   - the sort key is `l2sq_dist`/`cos_dist` between a column of a
+  *     scanned parquet relation and a foldable vector literal, and
+  *   - that relation's path has an index registered in [[IndexCatalog]];
+  * it then narrows the sort's input with a LEFT SEMI join against the
+  * index's top candidate ids. The original Sort+Limit still runs — over
+  * at most `max(k, ef)` candidate rows — so column output and exact
+  * ordering of the candidate set are preserved; like the reference
+  * (`xs_recheckorderby=false`), the overall result is approximate with
+  * the index's recall. Candidate breadth: `graft.ann.ef` conf
+  * (default 64, reference options.h:22-25).
+  */
+object AnnTopK {
+
+  case class Entry(indexPath: String, idCol: String, vecCol: String,
+      metric: Metric)
+
+  /** Registered indexes, keyed by the source's root path. */
+  object IndexCatalog {
+    private[plans] val entries = TrieMap[String, Entry]()
+    def register(sourcePath: String, entry: Entry): Unit =
+      entries(normalize(sourcePath)) = entry
+    def unregister(sourcePath: String): Unit =
+      entries.remove(normalize(sourcePath))
+    def lookup(paths: Seq[String]): Option[Entry] =
+      paths.map(normalize).flatMap(entries.get).headOption
+    private def normalize(p: String): String =
+      p.stripPrefix("file:").stripSuffix("/")
+  }
+
+  val EfConfKey = "graft.ann.ef"
+
+  /** Install the rule once per session. */
+  def install(spark: SparkSession): Unit = {
+    val already = spark.experimental.extraOptimizations.exists {
+      case _: AnnTopKRule => true
+      case _ => false
+    }
+    if (!already) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AnnTopKRule(spark)
+    }
+  }
+
+  case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+    private def relationPaths(plan: LogicalPlan): Seq[String] =
+      plan.collectLeaves().flatMap {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+
+    private def foldableVector(e: Expression): Option[Array[Float]] =
+      if (e.foldable) {
+        e.eval() match {
+          case a: ArrayData =>
+            try Some(a.toFloatArray())
+            catch { case _: Throwable => None }
+          case _ => None
+        }
+      } else None
+
+    /** (vec attribute, query vector, metric) from a distance sort key. */
+    private def distanceKey(e: Expression)
+        : Option[(AttributeReference, Array[Float], Metric)] = e match {
+      case L2SqDist(a: AttributeReference, q) =>
+        foldableVector(q).map(v => (a, v, Metric.L2Sq))
+      case L2SqDist(q, a: AttributeReference) =>
+        foldableVector(q).map(v => (a, v, Metric.L2Sq))
+      case CosDist(a: AttributeReference, q) =>
+        foldableVector(q).map(v => (a, v, Metric.Cos))
+      case CosDist(q, a: AttributeReference) =>
+        foldableVector(q).map(v => (a, v, Metric.Cos))
+      // the library shape: Sort on a projected alias of the distance
+      case a: AttributeReference => None
+      case _ => None
+    }
+
+    private def alreadyNarrowed(child: LogicalPlan, entry: Entry): Boolean =
+      child.collectFirst {
+        case Join(_, _, LeftSemi, Some(EqualTo(l: AttributeReference, _)), _)
+            if l.name == entry.idCol => true
+      }.getOrElse(false)
+
+    /** Resolve the sort key through one level of Project aliasing. */
+    private def resolveKey(key: Expression, child: LogicalPlan): Option[Expression] =
+      key match {
+        case attr: AttributeReference =>
+          child.collectFirst {
+            case p: Project => p.projectList.collectFirst {
+              case al @ Alias(aliased, _) if al.exprId == attr.exprId => aliased
+            }
+          }.flatten
+        case other => Some(other)
+      }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+      case limit @ GlobalLimit(IntegerLiteral(k),
+          LocalLimit(_, sort @ Sort(SortOrder(key, Ascending, _, _) +: _,
+            true, child, _))) =>
+        val rewritten = for {
+          resolved <- resolveKey(key, child)
+          (vecAttr, qVec, metric) <- distanceKey(resolved)
+          entry <- IndexCatalog.lookup(relationPaths(child))
+          if entry.metric == metric && vecAttr.name == entry.vecCol
+          // the rule runs in a fixed-point batch: don't re-narrow a
+          // sort whose input is already our candidate semi join
+          if !alreadyNarrowed(child, entry)
+          idAttr <- child.output.find(_.name == entry.idCol)
+        } yield {
+          val ef = spark.conf.getOption(EfConfKey).map(_.toInt).getOrElse(64)
+          val cands: DataFrame =
+            AnnIndex.topK(spark, entry.indexPath, qVec, math.max(k, ef), ef)
+              .select("id")
+          val candPlan = cands.queryExecution.analyzed
+          val candId = candPlan.output.head
+          val narrowed = Join(child, candPlan, LeftSemi,
+            Some(EqualTo(idAttr, candId)), JoinHint.NONE)
+          limit.copy(child = LocalLimit(Literal(k),
+            sort.copy(child = narrowed)))
+        }
+        rewritten.getOrElse(limit)
+    }
+  }
+}

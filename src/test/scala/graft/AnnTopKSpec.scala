@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import graft.ann.{AnnIndex, Metric}
+import graft.functions.{l2sq_dist, vecLit}
+import graft.plans.AnnTopK
+
+/** Transparent ANN rewrite of ORDER BY dist LIMIT k (the reference's
+  * planner integration, hnsw.c:150-209). */
+class AnnTopKSpec extends SparkSpec {
+
+  private val srcPath = s"${sf("sf0.01")}/embeddings.parquet"
+  private lazy val emb = spark.read.parquet(srcPath)
+  private val q: Seq[Float] = Seq.tabulate(64)(i => ((i * 37) % 19 - 9) / 16.0f)
+
+  private def topkDf = emb
+    .withColumn("dist", l2sq_dist(col("embedding"), vecLit(q)))
+    .orderBy(col("dist").asc, col("vec_id").asc)
+    .limit(10)
+
+  private def setup(): Unit = {
+    AnnTopK.install(spark)
+    val dir = Files.createTempDirectory("anntopk").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dir,
+      AnnIndex.Params(Metric.L2Sq, numShards = 2))
+    AnnTopK.IndexCatalog.register(srcPath,
+      AnnTopK.Entry(dir, "vec_id", "embedding", Metric.L2Sq))
+  }
+
+  test("rewrites to a candidate semi join and matches exact at high ef") {
+    setup()
+    try {
+      spark.conf.set(AnnTopK.EfConfKey, "600") // exhaustive at this scale
+      val df = topkDf
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: Join => j
+      }
+      assert(joins.nonEmpty, "expected the ANN semi-join rewrite in the plan")
+      val exact = emb
+        .withColumn("d", l2sq_dist(col("embedding"), vecLit(q)))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(df.collect().map(_.getAs[Long]("vec_id")).toSeq == exact)
+    } finally {
+      AnnTopK.IndexCatalog.unregister(srcPath)
+      spark.conf.unset(AnnTopK.EfConfKey)
+    }
+  }
+
+  test("no rewrite without a registered index") {
+    AnnTopK.install(spark)
+    val joins = topkDf.queryExecution.optimizedPlan.collect {
+      case j: Join => j
+    }
+    assert(joins.isEmpty)
+  }
+
+  test("no rewrite for a non-distance sort") {
+    setup()
+    try {
+      val df = emb.orderBy(col("label").asc).limit(5)
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.isEmpty)
+      assert(df.count() == 5)
+    } finally AnnTopK.IndexCatalog.unregister(srcPath)
+  }
+}
