@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's configuration surface — the Spark analog of the
+  * reference's GUCs (lantern_hnsw options.c:324-394, lantern_extras
+  * lib.rs:29-46). Values live in the session's runtime conf; every key
+  * has the reference's default. */
+object GraftConf {
+  /** `lantern_hnsw.init_k`: first KNN cursor batch size (default 10). */
+  val InitK = "graft.knn.initK"
+  /** KNN cursor cap (reference warns and stops at 1000). */
+  val MaxK = "graft.knn.maxK"
+  /** `lantern_hnsw.ef`: ANN search breadth (default 64, max 400). */
+  val AnnEf = graft.plans.AnnTopK.EfConfKey // "graft.ann.ef"
+  /** BM25 k1 (default 1.2) and b (default 0.75). */
+  val Bm25K1 = "graft.bm25.k1"
+  val Bm25B = "graft.bm25.b"
+  /** User stopword list (see [[graft.text.UserStopwords]]). */
+  val UserStopwordsKey = graft.text.UserStopwords.ConfKey
+
+  def initK(spark: SparkSession): Int = intConf(spark, InitK, 10)
+  def maxK(spark: SparkSession): Int = intConf(spark, MaxK, 1000)
+  def annEf(spark: SparkSession): Int = intConf(spark, AnnEf, 64)
+
+  def bm25Params(spark: SparkSession): graft.bm25.Bm25.Params =
+    graft.bm25.Bm25.Params(
+      doubleConf(spark, Bm25K1, 1.2), doubleConf(spark, Bm25B, 0.75))
+
+  private def intConf(spark: SparkSession, key: String, dflt: Int): Int =
+    spark.conf.getOption(key).map(_.toInt).getOrElse(dflt)
+
+  private def doubleConf(spark: SparkSession, key: String, dflt: Double): Double =
+    spark.conf.getOption(key).map(_.toDouble).getOrElse(dflt)
+}

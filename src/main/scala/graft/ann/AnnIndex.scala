@@ -39,7 +39,8 @@ object AnnIndex {
       metric: Metric = Metric.L2Sq,
       m: Int = 16,
       efConstruction: Int = 128,
-      numShards: Int = 0) // 0 = keep input partitioning
+      numShards: Int = 0, // 0 = keep input partitioning
+      pq: Option[graft.pq.Codebook] = None) // PQ-in-index (ADC search)
 
   case class Manifest(metric: Metric, dim: Int, m: Int, efConstruction: Int,
       count: Long, shards: Seq[String])
@@ -53,6 +54,7 @@ object AnnIndex {
       if (params.numShards > 0) data.repartition(params.numShards) else data
     val metricId = params.metric.id
     val (m, efc) = (params.m, params.efConstruction)
+    val pqOpt = params.pq
     val pathStr = indexPath
 
     val shardInfo: Array[(String, Long, Int)] =
@@ -63,7 +65,8 @@ object AnnIndex {
         if (buf.isEmpty) Iterator.empty
         else {
           val dim = buf.head._2.length
-          val h = new Hnsw(dim, Metric.fromId(metricId), m, efc, seed = pid.toLong)
+          val h = new Hnsw(dim, Metric.fromId(metricId), m, efc,
+            seed = pid.toLong, pq = pqOpt)
           buf.foreach { case (id, v) => h.insert(id, v) }
           val name = f"shard_$pid%05d.hnsw"
           val p = new Path(pathStr, name)
@@ -145,6 +148,8 @@ object AnnIndex {
     val man = readManifest(indexPath)
     man.shards.flatMap { s =>
       val h = ShardCache.get(s"$indexPath/$s")
+      require(h.pq.isEmpty,
+        "vacuum/scan needs raw vectors; a PQ index stores only codes - rebuild from the source table instead")
       h.ids.indices.map(i => (h.ids(i), h.vecs(i)))
     }
   }

@@ -27,19 +27,26 @@ final class Hnsw(
     val metric: Metric,
     val m: Int,
     val efConstruction: Int,
-    seed: Long) extends Serializable {
+    seed: Long,
+    val pq: Option[graft.pq.Codebook] = None) extends Serializable {
 
   require(m >= 2 && m <= 128, s"m must be in [2,128], got $m")
   require(dim >= 1 && dim <= 2000, // reference cap: options.h:15
     s"dim must be in [1,2000], got $dim")
+  require(pq.forall(_.dim == dim), "codebook dimension mismatch")
+  require(pq.isEmpty || metric == Metric.L2Sq,
+    "PQ-in-index supports the l2sq metric")
 
   private val mMax0 = 2 * m
   private val levelMult = 1.0 / math.log(m.toDouble)
   private val rng = new java.util.Random(seed)
 
   // Node storage. Internal ids are dense 0..n-1 in insertion order.
+  // With PQ-in-index (reference `WITH (pq=true)`, build.c:498-501) only
+  // the byte codes are kept and distances run over centroid tables.
   private[ann] val ids = mutable.ArrayBuffer.empty[Long]
   private[ann] val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+  private[ann] val codes = mutable.ArrayBuffer.empty[Array[Byte]]
   private[ann] val levels = mutable.ArrayBuffer.empty[Int]
   // neighbors(node)(layer) = growable adjacency list
   private[ann] val neighbors =
@@ -49,16 +56,108 @@ final class Hnsw(
 
   def size: Int = ids.length
 
-  @inline private def dist(a: Array[Float], b: Array[Float]): Double =
-    metric.dist(a, b)
+  /** Symmetric centroid-to-centroid squared-distance tables, one
+    * (clusters x clusters) block per subvector (ADC's symmetric
+    * counterpart, for node-to-node distances during build). */
+  @transient private lazy val symTable: Array[Array[Array[Double]]] =
+    pq.map { cb =>
+      Array.tabulate(cb.subvectors) { s =>
+        Array.tabulate(cb.clusters) { c1 =>
+          Array.tabulate(cb.clusters) { c2 =>
+            var acc = 0.0
+            var t = 0
+            while (t < cb.subDim) {
+              val d = cb.centroids(s)(c1)(t).toDouble -
+                cb.centroids(s)(c2)(t).toDouble
+              acc += d * d
+              t += 1
+            }
+            acc
+          }
+        }
+      }
+    }.orNull
+
+  private def quantizeLocal(v: Array[Float]): Array[Byte] = {
+    val cb = pq.get
+    val out = new Array[Byte](cb.subvectors)
+    var s = 0
+    while (s < cb.subvectors) {
+      val cents = cb.centroids(s)
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var acc = 0.0
+        var t = 0
+        while (t < cb.subDim) {
+          val d = v(s * cb.subDim + t).toDouble - cents(c)(t).toDouble
+          acc += d * d
+          t += 1
+        }
+        if (acc < bd) { bd = acc; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** node-to-node distance (raw kernel, or symmetric PQ tables). */
+  @inline private def distNN(i: Int, j: Int): Double =
+    if (pq.isEmpty) metric.dist(vecs(i), vecs(j))
+    else {
+      val a = codes(i); val b = codes(j)
+      var acc = 0.0
+      var s = 0
+      while (s < a.length) {
+        acc += symTable(s)(a(s) & 0xff)(b(s) & 0xff)
+        s += 1
+      }
+      acc
+    }
+
+  /** ADC table for one query (subvector x centroid partials). */
+  private def adcTable(q: Array[Float]): Array[Array[Double]] = {
+    val cb = pq.get
+    Array.tabulate(cb.subvectors) { s =>
+      Array.tabulate(cb.clusters) { c =>
+        var acc = 0.0
+        var t = 0
+        while (t < cb.subDim) {
+          val d = q(s * cb.subDim + t).toDouble -
+            cb.centroids(s)(c)(t).toDouble
+          acc += d * d
+          t += 1
+        }
+        acc
+      }
+    }
+  }
+
+  @inline private def distQN(q: Array[Float], adc: Array[Array[Double]],
+      n: Int): Double =
+    if (pq.isEmpty) metric.dist(q, vecs(n))
+    else {
+      val cs = codes(n)
+      var acc = 0.0
+      var s = 0
+      while (s < cs.length) {
+        acc += adc(s)(cs(s) & 0xff)
+        s += 1
+      }
+      acc
+    }
 
   private def randomLevel(): Int =
     (-math.log(rng.nextDouble() max Double.MinPositiveValue) * levelMult).toInt
 
-  /** Best-first search of one layer (paper Algorithm 2). Returns up to
-    * `ef` (internalId, dist) pairs, unsorted heap order. */
-  private def searchLayer(q: Array[Float], eps: Seq[(Int, Double)], ef: Int,
-      layer: Int): mutable.PriorityQueue[(Int, Double)] = {
+  /** Best-first search of one layer (paper Algorithm 2) using a
+    * node-distance function. Returns up to `ef` (internalId, dist)
+    * pairs, unsorted heap order. */
+  private def searchLayer(distTo: Int => Double, eps: Seq[(Int, Double)],
+      ef: Int, layer: Int): mutable.PriorityQueue[(Int, Double)] = {
     val visited = new java.util.BitSet(size)
     // candidates: nearest-first; results: farthest-first (bounded ef)
     val candidates =
@@ -85,7 +184,7 @@ final class Hnsw(
             val e = ns(i)
             if (!visited.get(e)) {
               visited.set(e)
-              val d = dist(q, vecs(e))
+              val d = distTo(e)
               if (results.size < ef || d < results.head._2) {
                 candidates.enqueue((e, d))
                 results.enqueue((e, d))
@@ -101,10 +200,10 @@ final class Hnsw(
   }
 
   /** Neighbor-selection heuristic (paper Algorithm 4): scan candidates
-    * nearest-first, keep one only if it is closer to q than to every
-    * already-kept neighbor (preserves graph diversity/reachability). */
-  private def selectNeighbors(q: Array[Float],
-      cands: Seq[(Int, Double)], max: Int): Seq[(Int, Double)] = {
+    * nearest-first, keep one only if it is closer to the anchor node
+    * than to every already-kept neighbor (graph diversity). */
+  private def selectNeighbors(cands: Seq[(Int, Double)],
+      max: Int): Seq[(Int, Double)] = {
     val sorted = cands.sortBy(_._2)
     val kept = mutable.ArrayBuffer.empty[(Int, Double)]
     var i = 0
@@ -113,7 +212,7 @@ final class Hnsw(
       var diverse = true
       var j = 0
       while (diverse && j < kept.length) {
-        if (dist(vecs(c), vecs(kept(j)._1)) < dq) diverse = false
+        if (distNN(c, kept(j)._1) < dq) diverse = false
         j += 1
       }
       if (diverse) kept += ((c, dq))
@@ -134,13 +233,14 @@ final class Hnsw(
     val level = randomLevel()
     val node = size
     ids += id
-    vecs += vec
+    if (pq.isEmpty) vecs += vec else codes += quantizeLocal(vec)
     levels += level
     neighbors += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
 
     if (entryPoint < 0) { entryPoint = node; topLevel = level; return }
 
-    var ep = Seq((entryPoint, dist(vec, vecs(entryPoint))))
+    val d0 = distNN(node, _: Int)
+    var ep = Seq((entryPoint, d0(entryPoint)))
     var l = topLevel
     while (l > level) { // greedy descent above the node's level
       var changed = true
@@ -154,7 +254,7 @@ final class Hnsw(
           var best = cur
           var bd = cd
           while (i < ns.length) {
-            val d = dist(vec, vecs(ns(i)))
+            val d = d0(ns(i))
             if (d < bd) { bd = d; best = ns(i); changed = true }
             i += 1
           }
@@ -166,16 +266,16 @@ final class Hnsw(
 
     l = math.min(level, topLevel)
     while (l >= 0) {
-      val w = searchLayer(vec, ep, efConstruction, l).toSeq
+      val w = searchLayer(d0, ep, efConstruction, l).toSeq
       val maxConn = if (l == 0) mMax0 else m
-      val selected = selectNeighbors(vec, w, m)
+      val selected = selectNeighbors(w, m)
       selected.foreach { case (nb, d) =>
         neighbors(node)(l) += nb
         val nbAdj = neighbors(nb)(l)
         nbAdj += node
         if (nbAdj.length > maxConn) { // prune with the same heuristic
-          val pruned = selectNeighbors(vecs(nb),
-            nbAdj.map(x => (x, dist(vecs(nb), vecs(x)))).toSeq, maxConn)
+          val pruned = selectNeighbors(
+            nbAdj.map(x => (x, distNN(nb, x))).toSeq, maxConn)
           nbAdj.clear()
           nbAdj ++= pruned.map(_._1)
         }
@@ -187,31 +287,42 @@ final class Hnsw(
   }
 
   /** Top-k approximate nearest neighbors: (externalId, dist), ascending.
-    * Search quality parameter `ef` >= k (reference default 64, max 400). */
+    * Search quality parameter `ef` >= k (reference default 64, max 400).
+    * With PQ-in-index distances are ADC approximations (scan.c:75-81);
+    * callers re-rank against raw vectors if exactness matters. */
   def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
     if (size == 0) return Seq.empty
     require(q.length == dim,
       s"expected equally sized arrays but got dimensions ${q.length} and $dim")
-    var ep = Seq((entryPoint, dist(q, vecs(entryPoint))))
+    val adc = if (pq.isEmpty) null else adcTable(q)
+    val dq = distQN(q, adc, _: Int)
+    var ep = Seq((entryPoint, dq(entryPoint)))
     var l = topLevel
     while (l > 0) {
-      ep = Seq(searchLayer(q, ep, 1, l).minBy(_._2))
+      ep = Seq(searchLayer(dq, ep, 1, l).minBy(_._2))
       l -= 1
     }
-    searchLayer(q, ep, math.max(ef, k), 0).toSeq
+    searchLayer(dq, ep, math.max(ef, k), 0).toSeq
       .sortBy(x => (x._2, ids(x._1)))
       .take(k)
       .map { case (n, d) => (ids(n), d) }
   }
 
-  /** Serialize to a stream (shard file format v1). */
+  /** Serialize to a stream (shard file format v2). */
   def write(out: DataOutputStream): Unit = {
     out.writeInt(Hnsw.Magic)
-    out.writeInt(1) // version
+    out.writeInt(2) // version
     out.writeInt(dim)
     out.writeInt(metric.id)
     out.writeInt(m)
     out.writeInt(efConstruction)
+    out.writeBoolean(pq.isDefined)
+    pq.foreach { cb =>
+      out.writeInt(cb.subvectors)
+      out.writeInt(cb.clusters)
+      out.writeInt(cb.subDim)
+      cb.centroids.foreach(_.foreach(_.foreach(out.writeFloat)))
+    }
     out.writeInt(size)
     out.writeInt(entryPoint)
     out.writeInt(topLevel)
@@ -219,9 +330,13 @@ final class Hnsw(
     while (n < size) {
       out.writeLong(ids(n))
       out.writeInt(levels(n))
-      val v = vecs(n)
-      var i = 0
-      while (i < dim) { out.writeFloat(v(i)); i += 1 }
+      if (pq.isEmpty) {
+        val v = vecs(n)
+        var i = 0
+        while (i < dim) { out.writeFloat(v(i)); i += 1 }
+      } else {
+        out.write(codes(n))
+      }
       val adj = neighbors(n)
       var l = 0
       while (l < adj.length) {
@@ -283,24 +398,37 @@ object Hnsw {
 
   def read(in: DataInputStream): Hnsw = {
     require(in.readInt() == Magic, "not a graft HNSW shard file")
-    require(in.readInt() == 1, "unsupported shard format version")
+    require(in.readInt() == 2, "unsupported shard format version")
     val dim = in.readInt()
     val metric = Metric.fromId(in.readInt())
     val m = in.readInt()
     val efc = in.readInt()
+    val pq: Option[graft.pq.Codebook] =
+      if (!in.readBoolean()) None
+      else {
+        val sub = in.readInt(); val clusters = in.readInt()
+        val sd = in.readInt()
+        Some(graft.pq.Codebook(Array.fill(sub, clusters, sd)(in.readFloat())))
+      }
     val count = in.readInt()
     val ep = in.readInt()
     val top = in.readInt()
-    val h = new Hnsw(dim, metric, m, efc, seed = 0L)
+    val h = new Hnsw(dim, metric, m, efc, seed = 0L, pq)
     var n = 0
     while (n < count) {
       val id = in.readLong()
       val level = in.readInt()
-      val v = new Array[Float](dim)
-      var i = 0
-      while (i < dim) { v(i) = in.readFloat(); i += 1 }
+      if (pq.isEmpty) {
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < dim) { v(i) = in.readFloat(); i += 1 }
+        h.vecs += v
+      } else {
+        val cs = new Array[Byte](pq.get.subvectors)
+        in.readFully(cs)
+        h.codes += cs
+      }
       h.ids += id
-      h.vecs += v
       h.levels += level
       val adj = Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
       var l = 0

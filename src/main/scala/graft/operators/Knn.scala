@@ -42,6 +42,46 @@ object Knn {
     withDist.orderBy(order: _*).limit(k)
   }
 
+  /** Streaming KNN cursor (reference scan.c:240-292): the first batch
+    * fetches `initK` rows (default 10, GUC `lantern_hnsw.init_k`,
+    * options.h:44); reading past a batch re-runs the search with k
+    * doubled, stopping with a warning at `maxK` (1000). Iterator of
+    * rows in distance order — each re-run is a fresh
+    * TakeOrderedAndProject, so no state is held on executors. */
+  def knnCursor(
+      df: DataFrame,
+      vecCol: Column,
+      query: Column,
+      metric: Metric = L2Sq,
+      tieBreaker: Option[Column] = None,
+      initK: Int = 10,
+      maxK: Int = 1000): Iterator[org.apache.spark.sql.Row] =
+    new Iterator[org.apache.spark.sql.Row] {
+      private var k = initK
+      private var batch = knn(df, vecCol, query, k, metric, tieBreaker).collect()
+      private var i = 0
+      private var exhausted = false
+
+      override def hasNext: Boolean = {
+        if (i < batch.length) true
+        else if (exhausted || batch.length < k) false // corpus smaller than k
+        else if (k >= maxK) {
+          // reference warns and stops the cursor at the 1000 cap
+          exhausted = true
+          false
+        } else {
+          k = math.min(k * 2, maxK)
+          batch = knn(df, vecCol, query, k, metric, tieBreaker).collect()
+          i < batch.length
+        }
+      }
+
+      override def next(): org.apache.spark.sql.Row = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = batch(i); i += 1; r
+      }
+    }
+
   /** One weighted term of a multi-column search. */
   case class WeightedTerm(weight: Double, vecCol: Column, query: Column,
       metric: Metric = L2Sq)

@@ -109,6 +109,30 @@ class AnnSpec extends SparkSpec {
     assert(res == exactTopK(q, 10))
   }
 
+  test("PQ-in-index: codes-only shards search via ADC with useful recall") {
+    val cb = graft.pq.Pq.createCodebook(emb, "embedding",
+      clusterCount = 16, subvectorCount = 8, datasetSizeLimit = 500,
+      seed = 42L)
+    val dir = Files.createTempDirectory("annpq").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dir,
+      AnnIndex.Params(Metric.L2Sq, numShards = 2, pq = Some(cb)))
+    val q = corpus.head._2
+    // ADC candidates from the PQ graph, re-ranked exactly (the
+    // reference's heap recheck): recall against exact top-10
+    val cand = AnnIndex.topK(spark, dir, q, 100, ef = 600)
+      .collect().map(_.getLong(0))
+    val byId = corpus.toMap
+    val rer = cand.map(id => (id, Metric.L2Sq.dist(q, byId(id))))
+      .sortBy(x => (x._2, x._1)).take(10).map(_._1).toSet
+    val exact = exactTopK(q, 10).toSet
+    assert(exact.intersect(rer).size >= 8,
+      s"PQ-index recall too low: ${exact.intersect(rer).size}/10")
+    // round-trips through serialization with the embedded codebook
+    val shard = ShardCache.get(s"$dir/shard_00000.hnsw")
+    assert(shard.pq.isDefined && shard.pq.get.subvectors == 8)
+    assert(shard.validate().isEmpty)
+  }
+
   test("dimension mismatch raises the reference error") {
     val h = new Hnsw(4, Metric.L2Sq, 8, 64, 0L)
     h.insert(1L, Array(1f, 2f, 3f, 4f))
