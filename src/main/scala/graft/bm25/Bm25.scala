@@ -39,24 +39,33 @@ object Bm25 {
     docs.select(idCol.as("doc_id"), toksCol(textCol, stemmed).as("toks"))
       .withColumn("doc_len", size(col("toks")))
 
-  /** Flat postings index: (term, doc_id, fq, doc_len). */
-  def postings(docs: DataFrame, idCol: Column, textCol: Column,
-      stemmed: Boolean = false): DataFrame =
-    tokenized(docs, idCol, textCol, stemmed)
+  /** Flat postings from a (possibly persisted) [[tokenized]] frame.
+    * Tokenizing once and deriving postings + stats from the same cached
+    * frame avoids re-running the stemmer over the corpus per subtree. */
+  def postingsOf(tok: DataFrame): DataFrame =
+    tok
       .select(col("doc_id"), col("doc_len"),
         explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("doc_len"))
       .agg(count(lit(1)).as("fq"))
 
+  /** Flat postings index: (term, doc_id, fq, doc_len). */
+  def postings(docs: DataFrame, idCol: Column, textCol: Column,
+      stemmed: Boolean = false): DataFrame =
+    postingsOf(tokenized(docs, idCol, textCol, stemmed))
+
+  /** One-row corpus stats from a [[tokenized]] frame. */
+  def corpusStatsOf(tok: DataFrame): DataFrame =
+    tok.agg(count(lit(1)).cast("double").as("n_docs"),
+      // exact long sum / count, not avg(): double-accumulation order
+      // would make the result nondeterministic in the last ulp
+      (sum(col("doc_len")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_doc_len"))
+
   /** One-row corpus stats (n_docs, avg_doc_len), for broadcast. */
   def corpusStats(docs: DataFrame, idCol: Column, textCol: Column,
       stemmed: Boolean = false): DataFrame =
-    tokenized(docs, idCol, textCol, stemmed)
-      .agg(count(lit(1)).cast("double").as("n_docs"),
-        // exact long sum / count, not avg(): double-accumulation order
-        // would make the result nondeterministic in the last ulp
-        (sum(col("doc_len")).cast("double") /
-          count(lit(1)).cast("double")).as("avg_doc_len"))
+    corpusStatsOf(tokenized(docs, idCol, textCol, stemmed))
 
   /** Reference-shaped inverted-index table
     * (term, term_freq, doc_ids, fqs, doc_lens), mirroring
@@ -64,8 +73,12 @@ object Bm25 {
     * for consumers that want posting arrays; the flat [[postings]] shape
     * is preferred at scale. */
   def createBm25Table(docs: DataFrame, idCol: Column, textCol: Column,
-      stemmed: Boolean = false): DataFrame = {
-    val p = postings(docs, idCol, textCol, stemmed)
+      stemmed: Boolean = false): DataFrame =
+    createBm25TableOf(tokenized(docs, idCol, textCol, stemmed))
+
+  /** Reference-shaped table from a [[tokenized]] frame. */
+  def createBm25TableOf(tok: DataFrame): DataFrame = {
+    val p = postingsOf(tok)
       .withColumn("srt", struct(col("doc_id"), col("fq"), col("doc_len")))
     p.groupBy(col("term"))
       .agg(
@@ -93,13 +106,19 @@ object Bm25 {
     * pass a persisted postings table + stats. */
   def searchBm25(docs: DataFrame, idCol: Column, textCol: Column,
       query: String, k: Int, params: Params = Params(),
-      stemmed: Boolean = false): DataFrame = {
+      stemmed: Boolean = false): DataFrame =
+    searchBm25Of(tokenized(docs, idCol, textCol, stemmed), query, k,
+      params, stemmed)
+
+  /** Search against a (persisted) [[tokenized]] frame — the shape to use
+    * when many queries hit one corpus. */
+  def searchBm25Of(tok: DataFrame, query: String, k: Int,
+      params: Params = Params(), stemmed: Boolean = false): DataFrame = {
     val terms: Seq[String] =
       (if (stemmed) graft.text.Stemmer.stemTokens(query)
        else graft.text.Stemmer.tokens(query)).toSeq.distinct
-    val post = postings(docs, idCol, textCol, stemmed)
-      .filter(col("term").isin(terms: _*))
-    scoreAndRank(post, corpusStats(docs, idCol, textCol, stemmed), k, params)
+    val post = postingsOf(tok).filter(col("term").isin(terms: _*))
+    scoreAndRank(post, corpusStatsOf(tok), k, params)
   }
 
   /** Ad-hoc BM25 score of ONE document against the corpus statistics
@@ -109,7 +128,13 @@ object Bm25 {
     * corpus stats from the table. */
   def bm25Score(docs: DataFrame, idCol: Column, textCol: Column,
       document: String, query: String, params: Params = Params(),
-      stemmed: Boolean = false): Double = {
+      stemmed: Boolean = false): Double =
+    bm25ScoreOf(tokenized(docs, idCol, textCol, stemmed), document, query,
+      params, stemmed)
+
+  /** Ad-hoc score against a (persisted) [[tokenized]] frame. */
+  def bm25ScoreOf(tok: DataFrame, document: String, query: String,
+      params: Params = Params(), stemmed: Boolean = false): Double = {
     def toks(s: String): Array[String] =
       if (stemmed) graft.text.Stemmer.stemTokens(s)
       else graft.text.Stemmer.tokens(s)
@@ -118,10 +143,10 @@ object Bm25 {
     val dLen = dToks.length.toDouble
     val fq: Map[String, Int] =
       dToks.groupBy(identity).view.mapValues(_.length).toMap
-    val statsRow = corpusStats(docs, idCol, textCol, stemmed).collect()(0)
+    val statsRow = corpusStatsOf(tok).collect()(0)
     val (n, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
     val dfs: Map[String, Double] =
-      postings(docs, idCol, textCol, stemmed)
+      postingsOf(tok)
         .filter(col("term").isin(qTerms: _*))
         .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

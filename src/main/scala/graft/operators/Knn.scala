@@ -122,7 +122,7 @@ object Knn {
       maxDist: Option[Double] = None): DataFrame = {
     val candidates = terms.map { t =>
       df.withColumn("__cand_dist", t.metric.dist(t.vecCol, t.query))
-        .orderBy(col("__cand_dist").asc)
+        .orderBy(col("__cand_dist").asc, col(idColName).asc)
         .limit(ef)
         .drop("__cand_dist")
     }.reduce(_ unionByName _)

@@ -50,6 +50,17 @@ object VectorQueries {
         vecLit(qVec), 10, Knn.L2Sq, Some(col("vec_id")))
       .select(col("vec_id"), round(col("dist"), 6).as("dist"))
 
+  /** Candidate/ef path of weighted_vector_search (lantern.sql:769-817):
+    * per-term top-ef candidate sets, union-dedup by id, joint re-rank. */
+  private def weightedCandidates(s: SparkSession, dir: String): DataFrame =
+    Knn.weightedSearchCandidates(
+        emb(s, dir), "vec_id",
+        Seq(
+          Knn.WeightedTerm(0.7, col("embedding"), vecLit(qVec), Knn.L2Sq),
+          Knn.WeightedTerm(0.3, col("embedding"), vecLit(qVec), Knn.Cos)),
+        10, ef = 50)
+      .select(col("vec_id"), round(col("joint_dist"), 6).as("joint_dist"))
+
   private def weightedSearch(s: SparkSession, dir: String): DataFrame =
     Knn.weightedSearch(
         emb(s, dir),
@@ -178,6 +189,7 @@ object VectorQueries {
     "q_knn_hamming" -> ((s, dir) => knnHamming(s, dir)),
     "q_knn_filtered" -> ((s, dir) => knnFiltered(s, dir)),
     "q_weighted_search" -> ((s, dir) => weightedSearch(s, dir)),
+    "q_weighted_candidates" -> ((s, dir) => weightedCandidates(s, dir)),
     "q_neardup_embedding" -> ((s, dir) => nearDupPairs(s, dir)),
     "q_ann_l2sq" -> ((s, dir) => annL2Sq(s, dir)),
     "q_ann_ef64" -> ((s, dir) => annL2SqEf64(s, dir)),
@@ -211,6 +223,19 @@ object VectorQueries {
          |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
          |FROM embeddings, q
          |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_weighted_candidates" ->
+      s"""WITH q AS (SELECT $qVecSql AS qv),
+         |cand AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id FROM embeddings, q
+         |    ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 50)
+         |  UNION
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id FROM embeddings, q
+         |    ORDER BY $cosSqlExpr ASC, vec_id ASC LIMIT 50))
+         |SELECT vec_id, round(0.7 * $l2sqSqlExpr + 0.3 * $cosSqlExpr, 6) AS joint_dist
+         |FROM embeddings JOIN cand USING (vec_id), q
+         |ORDER BY 0.7 * $l2sqSqlExpr + 0.3 * $cosSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_neardup_lsh" ->
       s"""WITH bits AS (
          |  SELECT vec_id, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1
