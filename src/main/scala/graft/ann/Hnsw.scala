@@ -155,26 +155,27 @@ final class Hnsw(
 
   /** Best-first search of one layer (paper Algorithm 2) using a
     * node-distance function. Returns up to `ef` (internalId, dist)
-    * pairs, unsorted heap order. */
+    * pairs, unsorted. Primitive array heaps — this is the hot loop of
+    * both build and search, so no boxing. */
   private def searchLayer(distTo: Int => Double, eps: Seq[(Int, Double)],
-      ef: Int, layer: Int): mutable.PriorityQueue[(Int, Double)] = {
+      ef: Int, layer: Int): Seq[(Int, Double)] = {
     val visited = new java.util.BitSet(size)
-    // candidates: nearest-first; results: farthest-first (bounded ef)
-    val candidates =
-      mutable.PriorityQueue.empty[(Int, Double)](Ordering.by(-_._2))
-    val results =
-      mutable.PriorityQueue.empty[(Int, Double)](Ordering.by(_._2))
+    val candidates = new DoubleIntHeap(min = true) // nearest-first
+    val results = new DoubleIntHeap(min = false) // farthest-first, cap ef
     eps.foreach { case (n, d) =>
       if (!visited.get(n)) {
         visited.set(n)
-        candidates.enqueue((n, d))
-        results.enqueue((n, d))
+        candidates.push(d, n)
+        results.push(d, n)
       }
     }
-    while (candidates.nonEmpty) {
-      val (c, cd) = candidates.dequeue()
-      if (cd > results.head._2 && results.size >= ef) {
-        candidates.clear() // nearest candidate is worse than worst result
+    var break = false
+    while (!break && candidates.nonEmpty) {
+      val cd = candidates.topKey
+      val c = candidates.topValue
+      candidates.pop()
+      if (cd > results.topKey && results.size >= ef) {
+        break = true // nearest candidate is worse than worst result
       } else {
         val adj = neighbors(c)
         if (layer < adj.length) {
@@ -185,10 +186,10 @@ final class Hnsw(
             if (!visited.get(e)) {
               visited.set(e)
               val d = distTo(e)
-              if (results.size < ef || d < results.head._2) {
-                candidates.enqueue((e, d))
-                results.enqueue((e, d))
-                if (results.size > ef) results.dequeue()
+              if (results.size < ef || d < results.topKey) {
+                candidates.push(d, e)
+                results.push(d, e)
+                if (results.size > ef) results.pop()
               }
             }
             i += 1
@@ -196,7 +197,7 @@ final class Hnsw(
         }
       }
     }
-    results
+    results.toSeq
   }
 
   /** Neighbor-selection heuristic (paper Algorithm 4): scan candidates
@@ -445,6 +446,64 @@ object Hnsw {
     h.topLevel = top
     h
   }
+}
+
+/** Binary heap over (double key, int value) pairs with no boxing —
+  * the candidate/result queues of the HNSW hot loop. */
+private[ann] final class DoubleIntHeap(min: Boolean) {
+  private var keys = new Array[Double](64)
+  private var vals = new Array[Int](64)
+  private var n = 0
+
+  @inline private def better(a: Double, b: Double): Boolean =
+    if (min) a < b else a > b
+
+  def size: Int = n
+  def nonEmpty: Boolean = n > 0
+  def topKey: Double = keys(0)
+  def topValue: Int = vals(0)
+
+  def push(k: Double, v: Int): Unit = {
+    if (n == keys.length) {
+      keys = java.util.Arrays.copyOf(keys, n * 2)
+      vals = java.util.Arrays.copyOf(vals, n * 2)
+    }
+    var i = n
+    n += 1
+    while (i > 0 && better(k, keys((i - 1) / 2))) {
+      keys(i) = keys((i - 1) / 2)
+      vals(i) = vals((i - 1) / 2)
+      i = (i - 1) / 2
+    }
+    keys(i) = k
+    vals(i) = v
+  }
+
+  def pop(): Unit = {
+    n -= 1
+    val k = keys(n)
+    val v = vals(n)
+    var i = 0
+    var done = false
+    while (!done) {
+      var best = i
+      val l = 2 * i + 1
+      val r = 2 * i + 2
+      if (l < n && better(keys(l), if (best == i) k else keys(best))) best = l
+      if (r < n && better(keys(r), if (best == i) k else keys(best))) best = r
+      if (best == i) done = true
+      else {
+        keys(i) = keys(best)
+        vals(i) = vals(best)
+        i = best
+      }
+    }
+    keys(i) = k
+    vals(i) = v
+  }
+
+  def toSeq: Seq[(Int, Double)] =
+    (0 until n).map(i => (vals(i), keys(i)))
 }
 
 /** Distance metric of an index (reference opclasses dist_l2sq_ops /
