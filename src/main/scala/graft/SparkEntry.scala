@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EmbedQueries, PqQueries, TextQueries, VectorQueries}
+import graft.queries.{EmbedQueries, EventQueries, PqQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,9 +21,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.queries ++ TextQueries.queries ++ PqQueries.queries ++
-      EmbedQueries.queries
+      EmbedQueries.queries ++ EventQueries.queries
 
   def oracleSql: Map[String, String] =
     VectorQueries.oracleSql ++ TextQueries.oracleSql ++ PqQueries.oracleSql ++
-      EmbedQueries.oracleSql
+      EmbedQueries.oracleSql ++ EventQueries.oracleSql
 }

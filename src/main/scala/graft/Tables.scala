@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loads the driver-generated parquet tables (TESTDATA.md) from a
   * scale-factor directory. At cluster scale these would be object-store
@@ -11,7 +12,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") loadEvents(spark, s"$sfDir/events.parquet")
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table stores TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects; read nanos as long and convert to a microsecond
+    * timestamp via integer division (a double division would lose
+    * precision at 1.7e18 ns). */
+  def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
 
   /** Register all tables as temp views for spark.sql use. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
