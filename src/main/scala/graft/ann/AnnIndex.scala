@@ -172,7 +172,15 @@ object AnnIndex {
         }
       }
       .toDF("id", "dist")
-    val live = if (dead.isEmpty) hits else hits.filter(!col("id").isin(dead.toSeq: _*))
+    // small tombstone sets fold into the scan filter; large ones join
+    // (an isin list of millions of ids would bloat the plan)
+    val live =
+      if (dead.isEmpty) hits
+      else if (dead.size <= 1000) hits.filter(!col("id").isin(dead.toSeq: _*))
+      else {
+        val deadDf = spark.createDataset(dead.toSeq).toDF("id")
+        hits.join(deadDf, Seq("id"), "left_anti")
+      }
     live.orderBy(col("dist").asc, col("id").asc).limit(k)
   }
 

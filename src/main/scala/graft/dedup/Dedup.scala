@@ -93,7 +93,8 @@ object Dedup {
     * band the signature `bands` ways and self-join on the integer band
     * key tuple. The distinct runs on bare id pairs — signature arrays
     * are joined back only after dedup (estimateJaccard). */
-  def lshCandidatePairs(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def lshCandidatePairs(sig: DataFrame, numHashes: Int, bands: Int,
+      maxBucket: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val bandStructs = (0 until bands).map { bIdx =>
@@ -104,11 +105,34 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.*"))
     val keys = "band_id" +: (0 until r).map(j => s"k$j")
-    banded.withColumnRenamed("doc_id", "doc_a")
-      .join(banded.withColumnRenamed("doc_id", "doc_b"), keys)
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    if (maxBucket <= 0) {
+      banded.withColumnRenamed("doc_id", "doc_a")
+        .join(banded.withColumnRenamed("doc_id", "doc_b"), keys)
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+    } else {
+      // Skew guard for corpora with mega duplicate clusters: a bucket of
+      // n near-identical docs would emit n^2/2 pairs. Buckets larger
+      // than maxBucket link every member to the bucket minimum instead
+      // (star shape) — same connected components for dedup grouping,
+      // O(n) pairs. Small buckets keep exact all-pairs.
+      val keyCols = keys.map(col)
+      val withSize = banded
+        .withColumn("__bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)))
+      val small = withSize.filter(col("__bn") <= maxBucket)
+      val smallPairs = small.select((col("doc_id").as("doc_a") +: keyCols): _*)
+        .join(small.select((col("doc_id").as("doc_b") +: keyCols): _*), keys)
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      val bigPairs = withSize.filter(col("__bn") > maxBucket)
+        .withColumn("__min", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)))
+        .filter(col("doc_id") =!= col("__min"))
+        .select(col("__min").as("doc_a"), col("doc_id").as("doc_b"))
+      smallPairs.unionByName(bigPairs).distinct()
+    }
   }
 
   /** Attach est_jaccard = fraction of matching minhashes to id pairs. */

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ann.{IvfIndex, Metric}
+import graft.dedup.Dedup
+
+/** IVF index: partition pruning reaches the scan; recall scales with
+  * nprobe; LSH bucket cap keeps mega-cluster pair counts linear. */
+class IvfSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+
+  private lazy val corpus: Array[(Long, Array[Float])] =
+    emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  test("IVF probes all cells -> exact; the scan is partition-pruned") {
+    val dir = Files.createTempDirectory("ivf").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir,
+      IvfIndex.Params(nCells = 16))
+    val q = corpus.head._2
+    val all = IvfIndex.topK(spark, dir, q, 10, nprobe = 16)
+    val exact = corpus.map { case (id, v) => (id, Metric.L2Sq.dist(q, v)) }
+      .sortBy(x => (x._2, x._1)).take(10).map(_._1).toSeq
+    assert(all.collect().map(_.getLong(0)).toSeq == exact)
+    // nprobe=2 reads only 2 of 16 partitions: visible as PartitionFilters
+    val pruned = IvfIndex.topK(spark, dir, q, 10, nprobe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+      "expected the cell filter to prune partitions at the scan")
+    // pruned search still returns k rows in distance order
+    val got = pruned.collect()
+    assert(got.length == 10)
+    assert(got.map(_.getDouble(1)).toSeq.sorted == got.map(_.getDouble(1)).toSeq)
+  }
+
+  test("IVF recall is high on clustered data at small nprobe") {
+    import spark.implicits._
+    val rnd = new java.util.Random(9)
+    val centers = Array.fill(16)(Array.fill(8)(rnd.nextFloat() * 10f))
+    val pts = for {
+      c <- centers.indices; j <- 0 until 20
+    } yield ((c * 20 + j).toLong,
+      centers(c).map(x => x + rnd.nextFloat() * 0.2f).toSeq)
+    val df = pts.toDF("id", "v")
+    val dir = Files.createTempDirectory("ivfc").toString
+    IvfIndex.build(df, "id", "v", dir, IvfIndex.Params(nCells = 16,
+      sampleLimit = pts.length, seed = 1L))
+    val q = pts.head._2.toArray
+    val exact = pts.map { case (id, v) => (id, Metric.L2Sq.dist(q, v.toArray)) }
+      .sortBy(x => (x._2, x._1)).take(10).map(_._1).toSet
+    val got = IvfIndex.topK(spark, dir, q, 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(got).size >= 9,
+      s"IVF recall on clustered data: ${exact.intersect(got).size}/10")
+  }
+
+  test("LSH bucket cap links mega-buckets as stars, same components") {
+    import spark.implicits._
+    // 30 identical docs (one mega bucket) + 2 similar docs
+    val docs = ((1L to 30L).map(i => (i, "the quick brown fox jumps over a lazy dog again and again")) ++
+      Seq((31L, "completely different text about spark joins and shuffles here"),
+        (32L, "completely different text about spark joins and shuffles there")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(docs, col("doc_id"), col("text"))
+    val capped = Dedup.lshCandidatePairs(sig, 8, 4, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star: every clone links to doc 1 -> components preserved, O(n) pairs
+    assert((2L to 30L).forall(i => capped.contains((1L, i))))
+    assert(capped.count { case (a, b) => a <= 30 && b <= 30 } == 29)
+    assert(capped.contains((31L, 32L))) // small bucket keeps exact pairs
+    // uncapped emits all 435 clone pairs
+    val full = Dedup.lshCandidatePairs(sig, 8, 4)
+      .filter(col("doc_a") <= 30 && col("doc_b") <= 30).count()
+    assert(full == 29L * 30L / 2L)
+  }
+}
