@@ -65,4 +65,21 @@ object Autotune {
       Report(best, results)
     } finally sample.unpersist()
   }
+
+  /** Run the grid and, like the reference's `--create-index`, build the
+    * full-table index with the winning variant. Returns the report and
+    * the built manifest (None when no variant met the target). */
+  def runAndCreate(df: DataFrame, idCol: String, vecCol: String,
+      workDir: String, indexPath: String, metric: Metric = Metric.L2Sq,
+      k: Int = 10, targetRecall: Double = 0.99, sampleSize: Int = 10000,
+      numQueries: Int = 10, numShards: Int = 0,
+      variants: Seq[Variant] = presets): (Report, Option[AnnIndex.Manifest]) = {
+    val report = run(df, idCol, vecCol, workDir, metric, k, targetRecall,
+      sampleSize, numQueries, variants)
+    val manifest = report.best.map { v =>
+      AnnIndex.build(df, idCol, vecCol, indexPath,
+        AnnIndex.Params(metric, v.m, v.efConstruction, numShards))
+    }
+    (report, manifest)
+  }
 }

@@ -110,10 +110,18 @@ package object functions {
   def intVecLit(v: Seq[Int]): Column =
     F.array(v.map(x => F.lit(x)): _*)
 
-  /** Register `l2sq_dist`, `cos_dist`, `hamming_dist`, `inner_product`
-    * with the session's SQL function registry so `spark.sql("... l2sq_dist(v, q) ...")`
-    * works, mirroring lantern_hnsw/sql/lantern.sql:32-45. */
+  /** Register the engine's scalar functions with the session's SQL
+    * function registry so `spark.sql("... l2sq_dist(v, q) ...")` works,
+    * mirroring the reference's SQL surface (lantern_hnsw/sql/lantern.sql,
+    * lantern_extras). Functions with non-column parameters (histogram
+    * bins, frame counts) take them as int literals. */
   def registerAll(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "l2sq_dist", es => L2SqDist(es.head, es(1)), "built-in")
@@ -127,5 +135,40 @@ package object functions {
       "text_to_stem_array", es => TextToStemArray(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "tokenize", es => Tokenize(es.head), "built-in")
+    // ExpectsInputTypes validates but does not coerce: widen int inputs
+    // to bigint here, like the reference's smallint[]/integer[] casts
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    reg.createOrReplaceTempFunction(
+      "array_to_bloom",
+      es => BloomBuild(Cast(es.head, ArrayType(LongType))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "array_to_bloom_text", es => BloomBuildText(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "elem_in_bloom",
+      es => ElemInBloom(Cast(es.head, LongType), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "elem_in_bloom_text", es => ElemInBloomText(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pack_bits", es => PackBits(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "f16_encode", es => F16Encode(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "f16_decode", es => F16Decode(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "i8_encode", es => I8Encode(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "i8_decode", es => I8Decode(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "image_meta", es => ImageMeta(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "byte_histogram",
+      es => ByteHistogram(es.head,
+        if (es.length > 1) intLit(es(1), "bins") else 16), "built-in")
+    reg.createOrReplaceTempFunction(
+      "frame_sample_hashes",
+      es => FrameSampleHashes(es.head, intLit(es(1), "frames")), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pcm16_stats", es => Pcm16Stats(es.head), "built-in")
   }
 }

@@ -23,4 +23,17 @@ class AutotuneSpec extends SparkSpec {
     val first = report.results.find(_.recall >= 0.95).get.variant
     assert(report.best.get == first)
   }
+
+  test("runAndCreate builds the winning index (--create-index)") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val work = Files.createTempDirectory("autotune2").toString
+    val (report, manifest) = Autotune.runAndCreate(emb, "vec_id", "embedding",
+      s"$work/grid", s"$work/index", metric = Metric.L2Sq, k = 5,
+      targetRecall = 0.6, sampleSize = 100, numQueries = 3, numShards = 2,
+      variants = Autotune.presets.take(2))
+    assert(report.best.nonEmpty && manifest.nonEmpty)
+    assert(manifest.get.m == report.best.get.m)
+    assert(graft.ann.AnnIndex.readManifest(s"$work/index").count ==
+      emb.count())
+  }
 }

@@ -69,6 +69,21 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0) == md.digest().map(x => f"$x%02x").mkString)
   }
 
+  test("media and bloom functions are callable from spark.sql") {
+    graft.functions.registerAll(spark)
+    Seq((1L, "payload bytes".getBytes)).toDF("id", "b")
+      .createOrReplaceTempView("media_t")
+    val r = spark.sql(
+      """SELECT byte_histogram(b, 8) AS h, frame_sample_hashes(b, 2) AS f,
+        |  pcm16_stats(b).n_samples AS n,
+        |  elem_in_bloom(5, array_to_bloom(array(1L, 5L, 9L))) AS hit
+        |FROM media_t""".stripMargin).collect()(0)
+    assert(r.getSeq[Double](0).length == 8)
+    assert(r.getSeq[String](1).length == 2)
+    assert(r.getInt(2) == 6)
+    assert(r.getBoolean(3))
+  }
+
   test("pcm16_stats computes peak and rms of a square wave") {
     val n = 100
     val b = ByteBuffer.allocate(2 * n).order(ByteOrder.LITTLE_ENDIAN)
