@@ -171,6 +171,35 @@ object VectorQueries {
       .orderBy(col("row_id").asc).limit(200)
   }
 
+  /** Streaming KNN cursor surfaced as a result set: first 25 rows read
+    * through init_k doubling (3 refills from initK=7) must equal the
+    * exact top-25. */
+  private def knnCursor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Knn.knnCursor(emb(s, dir), col("embedding"), vecLit(qVec),
+        Knn.L2Sq, Some(col("vec_id")), initK = 7)
+      .take(25)
+      .map(r => (r.getAs[Long]("vec_id"),
+        BigDecimal(r.getAs[Double]("dist"))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSeq
+    rows.toDF("vec_id", "dist")
+  }
+
+  /** IVF probe over every cell = exact top-k through the partitioned
+    * path (partition pruning exercised by IvfSpec at small nprobe). */
+  private val ivfIndexes = TrieMap[String, String]()
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val path = ivfIndexes.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      graft.ann.IvfIndex.build(emb(s, dir), "vec_id", "embedding", p,
+        graft.ann.IvfIndex.Params(nCells = 16))
+      p
+    })
+    graft.ann.IvfIndex.topK(s, path, qVec.toArray, 10, nprobe = 16)
+      .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+  }
+
   // ---- DuckDB oracle fragments ----
 
   private val l2sqSqlExpr =
@@ -195,6 +224,8 @@ object VectorQueries {
     "q_ann_ef64" -> ((s, dir) => annL2SqEf64(s, dir)),
     "q_neardup_lsh" -> ((s, dir) => nearDupLsh(s, dir)),
     "q_fvecs_roundtrip" -> ((s, dir) => fvecsRoundtrip(s, dir)),
+    "q_knn_cursor" -> ((s, dir) => knnCursor(s, dir)),
+    "q_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
   )
 
   /** Band-key SQL for the hyperplane LSH oracle: sum of sign bits
@@ -212,6 +243,16 @@ object VectorQueries {
       |           * list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_knn_cursor" ->
+      s"""WITH q AS (SELECT $qVecSql AS qv)
+         |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
+         |FROM embeddings, q
+         |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 25""".stripMargin,
+    "q_ivf_topk" ->
+      s"""WITH q AS (SELECT $qVecSql AS qv)
+         |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
+         |FROM embeddings, q
+         |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_fvecs_roundtrip" ->
       """SELECT row_number() OVER (ORDER BY vec_id) - 1 AS row_id,
         |  len(embedding) AS dim,
