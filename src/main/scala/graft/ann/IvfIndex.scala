@@ -32,8 +32,9 @@ object IvfIndex {
     val sample = df.select(vecCol).limit(params.sampleLimit).collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "cannot build an IVF index from an empty table")
+    // a coarse quantizer converges in few iterations (FAISS uses ~25)
     val cents = graft.pq.Pq.kmeans(sample,
-      math.min(params.nCells, sample.length), params.seed)
+      math.min(params.nCells, sample.length), params.seed, maxIters = 25)
     val bc = spark.sparkContext.broadcast(cents)
     val metric = params.metric
     val assign = udf { (v: Seq[Float]) =>

@@ -68,7 +68,7 @@ object Pq {
   /** Lloyd k-means, seeded init, 200 iterations with drift <= 0.1 early
     * stop (reference product_quantization.c:173-240 parameters). */
   private[graft] def kmeans(data: Array[Array[Float]], k: Int,
-      seed: Long): Array[Array[Float]] = {
+      seed: Long, maxIters: Int = 200): Array[Array[Float]] = {
     val n = data.length
     val d = data(0).length
     val kk = math.min(k, n)
@@ -79,7 +79,7 @@ object Pq {
     var iter = 0
     var drift = Double.MaxValue
     val assign = new Array[Int](n)
-    while (iter < 200 && drift > 0.1) {
+    while (iter < maxIters && drift > 0.1) {
       // assignment (first-min tie break)
       var i = 0
       while (i < n) {
