@@ -182,17 +182,33 @@ object Bm25 {
         col("post.fq").as("fqs"),
         col("post.doc_len").as("doc_lens"))
 
-  /** Score pre-filtered postings and return top-k (doc_id, score). */
+  /** Score pre-filtered postings and return top-k (doc_id, score).
+    *
+    * `approxThreshold` > 0 enables the reference's popular-term
+    * approximation (bm25_agg.rs:162-188, GUC default 8000): terms with
+    * more postings than the threshold score every posting with fq=1 and
+    * doc_len=avg_doc_len. The reference needs it to bound one backend's
+    * hashmap; Spark's distributed aggregate doesn't, so it is OFF by
+    * default and exists for score-parity with approximated reference
+    * deployments (it also lets Catalyst fold the popular-term score to
+    * a constant per term). */
   def scoreAndRank(queryPostings: DataFrame, stats: DataFrame, k: Int,
-      params: Params = Params()): DataFrame = {
+      params: Params = Params(), approxThreshold: Int = 0): DataFrame = {
     val dfreq = queryPostings.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("doc_freq"))
+    val exactScore = postingScore(col("fq").cast("double"),
+      col("doc_len").cast("double"), col("n_docs"), col("doc_freq"),
+      col("avg_doc_len"), params)
+    val score =
+      if (approxThreshold <= 0) exactScore
+      else when(col("doc_freq") > approxThreshold,
+        postingScore(lit(1.0), col("avg_doc_len"), col("n_docs"),
+          col("doc_freq"), col("avg_doc_len"), params))
+        .otherwise(exactScore)
     queryPostings
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("sc", postingScore(col("fq").cast("double"),
-        col("doc_len").cast("double"), col("n_docs"), col("doc_freq"),
-        col("avg_doc_len"), params))
+      .withColumn("sc", score)
       .groupBy(col("doc_id"))
       .agg(sum(col("sc")).as("score"))
       .orderBy(round(col("score"), 6).desc, col("doc_id").asc)

@@ -133,6 +133,18 @@ class AnnSpec extends SparkSpec {
     assert(shard.validate().isEmpty)
   }
 
+  test("hamming-metric index searches sign views exactly at high ef") {
+    val dir = Files.createTempDirectory("annham").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dir,
+      AnnIndex.Params(Metric.Hamming, numShards = 1))
+    val q = corpus.head._2
+    val got = AnnIndex.topK(spark, dir, q, 10, ef = 600)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = corpus.map { case (id, v) => (id, Metric.Hamming.dist(q, v)) }
+      .sortBy(x => (x._2, x._1)).take(10).map(_._1).toSeq
+    assert(got == exact)
+  }
+
   test("cosine-metric index searches by cos_dist order") {
     val dir = Files.createTempDirectory("anncos").toString
     AnnIndex.build(emb, "vec_id", "embedding", dir,
