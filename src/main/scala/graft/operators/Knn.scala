@@ -107,12 +107,38 @@ object Knn {
     filtered.orderBy(order: _*).limit(k)
   }
 
+  /** Weighted search with ANN index probes: each term's candidate set
+    * comes from its column's index (`AnnIndex.topK(ef)`), the union is
+    * joined back to the table for the other columns, and the joint
+    * metric re-ranks — the reference's approximate weighted path
+    * (lantern.sql:769-817: per-column ANN CTE LIMIT ef, UNION, DISTINCT
+    * ON id, re-rank). At scale only `ef x terms` rows ever leave the
+    * indexes; the join back is a broadcast of that candidate set. */
+  def weightedSearchAnn(
+      df: DataFrame,
+      idColName: String,
+      terms: Seq[(WeightedTerm, String)], // (term, its index path)
+      k: Int,
+      ef: Int,
+      maxDist: Option[Double] = None): DataFrame = {
+    val spark = df.sparkSession
+    val candidateIds = terms.map { case (t, indexPath) =>
+      val q = graft.ann.QueryVectors.fromColumn(spark, t.query)
+      graft.ann.AnnIndex.topK(spark, indexPath, q, ef, ef).select("id")
+    }.reduce(_ unionByName _).distinct()
+    val candidates = df.join(
+      org.apache.spark.sql.functions.broadcast(candidateIds),
+      df(idColName) === candidateIds("id"), "inner").drop("id")
+    weightedSearch(candidates, terms.map(_._1), k, maxDist,
+      Some(col(idColName)))
+  }
+
   /** Candidate-generation variant: per-term top-ef candidate sets unioned
     * and deduplicated by `idCol`, then re-ranked by the joint metric
     * (lantern_hnsw/sql/lantern.sql:769-817). With an ANN index per column
-    * each candidate set is an index probe; with none it is an exact top-ef
-    * (TakeOrderedAndProject), still cheaper than scoring all metrics on
-    * every row when the table is wide. */
+    * each candidate set is an index probe ([[weightedSearchAnn]]); with
+    * none it is an exact top-ef (TakeOrderedAndProject), still cheaper
+    * than scoring all metrics on every row when the table is wide. */
   def weightedSearchCandidates(
       df: DataFrame,
       idColName: String,

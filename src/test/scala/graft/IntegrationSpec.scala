@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ann.{AnnIndex, Metric}
+import graft.bm25.Bm25
+import graft.dedup.Dedup
+import graft.embed.{Embeddings, Runtimes}
+import graft.operators.Knn
+import graft.functions.vecLit
+import graft.text.TextOps
+
+/** End-to-end training-data pipeline: dedup -> quality filter -> embed
+  * -> index -> search, plus the ANN-probing weighted search. The flow a
+  * reference user would run at 100 TB, exercised over the test corpus. */
+class IntegrationSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+
+  test("dedup -> quality gate -> mock embed -> HNSW index -> search") {
+    // 1. exact dedup (keep the min doc per content hash)
+    val deduped = Dedup.dedupExact(docs, col("doc_id"), col("text"))
+    val total = docs.count()
+    val kept = deduped.count()
+    assert(kept <= total && kept > 0)
+
+    // 2. quality gate: drop ultra-short docs
+    val quality = TextOps.quality(deduped, col("doc_id"), col("text"))
+      .filter(col("n_tokens") >= 3)
+      .select("doc_id")
+    val gated = deduped.join(quality, "doc_id")
+    assert(gated.count() > 0)
+
+    // 3. deterministic mock embeddings
+    val embedded = Embeddings.embedColumn(
+      gated.select(col("doc_id"), col("text")), "text", "vec",
+      Runtimes.mock(8), "mock-embed", batchSize = 32)
+
+    // 4. sharded ANN index over the embedded corpus
+    val dir = Files.createTempDirectory("e2e").toString
+    val man = AnnIndex.build(embedded, "doc_id", "vec", dir,
+      AnnIndex.Params(Metric.L2Sq, numShards = 2))
+    assert(man.count == gated.count())
+
+    // 5. search: the query text's own embedding must return itself first
+    val probe = gated.select("doc_id", "text").limit(1).collect()(0)
+    val qv = Runtimes.mock(8)
+      .embedBatch("mock-embed", Seq(probe.getString(1))).head
+    val hits = AnnIndex.topK(spark, dir, qv, 5, ef = 600)
+      .collect().map(_.getLong(0))
+    assert(hits.head == probe.getLong(0))
+  }
+
+  test("ANN-probing weighted search agrees with the exact path at high ef") {
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val dir = Files.createTempDirectory("wsann").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dir,
+      AnnIndex.Params(Metric.L2Sq, numShards = 2))
+    val q = Seq.tabulate(64)(i => ((i * 37) % 19 - 9) / 16.0f)
+    val terms = Seq(
+      Knn.WeightedTerm(0.7, col("embedding"), vecLit(q), Knn.L2Sq),
+      Knn.WeightedTerm(0.3, col("embedding"), vecLit(q), Knn.Cos))
+    val ann = Knn.weightedSearchAnn(emb, "vec_id",
+        terms.map(t => (t, dir)), k = 10, ef = 600)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val exact = Knn.weightedSearch(emb, terms, 10,
+        tieBreaker = Some(col("vec_id")))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ann == exact)
+  }
+
+  test("BM25 search then KNN re-rank (hybrid retrieval shape)") {
+    // text recall stage (BM25 top-50), then vector re-rank of the hits
+    val hits = Bm25.searchBm25(docs, col("doc_id"), col("text"),
+      "spark join fast window", 50)
+    val embedded = Embeddings.embedColumn(
+      docs.join(hits.select("doc_id"), "doc_id")
+        .select(col("doc_id"), col("text")),
+      "text", "vec", Runtimes.mock(8), "mock-embed")
+    val qv = Runtimes.mock(8).embedBatch("mock-embed", Seq("spark join")).head
+    val reranked = Knn.knn(embedded, col("vec"), vecLit(qv.toSeq), 10,
+      Knn.L2Sq, Some(col("doc_id")))
+    assert(reranked.count() == 10)
+  }
+}
