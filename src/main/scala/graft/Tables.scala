@@ -21,8 +21,11 @@ object Tables {
     * precision at 1.7e18 ns). */
   def loadEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div`, not `/`: Divide casts bigint to double, and epoch-ns
+    // (~1.7e18) exceeds double's 2^53 integer range - rows within ulp
+    // (256ns) of a microsecond boundary would round to the wrong us
     spark.read.parquet(path)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Register all tables as temp views for spark.sql use. */

@@ -43,7 +43,7 @@ object AnnIndex {
       pq: Option[graft.pq.Codebook] = None) // PQ-in-index (ADC search)
 
   case class Manifest(metric: Metric, dim: Int, m: Int, efConstruction: Int,
-      count: Long, shards: Seq[String])
+      count: Long, shards: Seq[String], pq: Boolean = false)
 
   /** Build a sharded index from (id, vector) rows. Returns the manifest. */
   def build(df: DataFrame, idCol: String, vecCol: String, indexPath: String,
@@ -71,8 +71,21 @@ object AnnIndex {
           val name = f"shard_$pid%05d.hnsw"
           val p = new Path(pathStr, name)
           val fs = p.getFileSystem(new Configuration())
-          val out = new DataOutputStream(new BufferedOutputStream(fs.create(p, true)))
+          // task-attempt isolation: write to an attempt-unique temp file
+          // and rename on success, so a speculative/retried task cannot
+          // clobber a committed shard mid-write
+          val attempt = org.apache.spark.TaskContext.get() match {
+            case null => s"local-${System.nanoTime()}"
+            case tc => tc.taskAttemptId().toString
+          }
+          val tmp = new Path(pathStr, s"$name.tmp-$attempt")
+          val out = new DataOutputStream(new BufferedOutputStream(fs.create(tmp, true)))
           try h.write(out) finally out.close()
+          if (fs.exists(p)) fs.delete(p, false)
+          if (!fs.rename(tmp, p)) {
+            fs.delete(tmp, false)
+            require(fs.exists(p), s"failed to commit shard $name")
+          }
           Iterator.single((name, buf.length.toLong, dim))
         }
       }.collect()
@@ -82,7 +95,8 @@ object AnnIndex {
     require(dims.length == 1,
       s"expected equally sized arrays across shards, got dims ${dims.mkString(",")}")
     val man = Manifest(params.metric, dims.head, m, efc,
-      shardInfo.map(_._2).sum, shardInfo.map(_._1).sorted)
+      shardInfo.map(_._2).sum, shardInfo.map(_._1).sorted,
+      pq = params.pq.isDefined)
     writeManifest(indexPath, man)
     man
   }
@@ -93,9 +107,15 @@ object AnnIndex {
   def append(df: DataFrame, idCol: String, vecCol: String,
       indexPath: String): Manifest = {
     val existing = readManifest(indexPath)
+    // appended shards must match the existing storage mode: recover the
+    // codebook from an existing shard for a PQ index (mixing raw and
+    // ADC-approximated distances would bias the merged top-k)
+    val cb =
+      if (!existing.pq) None
+      else ShardCache.get(s"$indexPath/${existing.shards.head}").pq
     val tmpPath = s"$indexPath/append_${existing.shards.length}"
     val appended = build(df, idCol, vecCol, tmpPath,
-      Params(existing.metric, existing.m, existing.efConstruction))
+      Params(existing.metric, existing.m, existing.efConstruction, pq = cb))
     require(appended.dim == existing.dim,
       s"expected equally sized arrays but got dimensions ${appended.dim} and ${existing.dim}")
     val merged = existing.copy(
@@ -161,7 +181,11 @@ object AnnIndex {
       k: Int, ef: Int = 64): DataFrame = {
     val man = readManifest(indexPath)
     val dead = tombstones(indexPath).toSet
-    val overFetch = k + dead.size // deleted ids may occupy top slots
+    // deleted ids may occupy top slots, so over-fetch — but bounded:
+    // searching every shard with breadth k+|dead| would degrade to a
+    // near-exhaustive scan under heavy deletion (vacuum is the answer
+    // there, not wider probes)
+    val overFetch = k + math.min(dead.size, 4 * k + 100)
     import spark.implicits._
     val shardPaths = man.shards.map(s => s"$indexPath/$s")
     val hits = spark.createDataset(shardPaths)
@@ -207,6 +231,7 @@ object AnnIndex {
     props.setProperty("m", man.m.toString)
     props.setProperty("ef_construction", man.efConstruction.toString)
     props.setProperty("count", man.count.toString)
+    props.setProperty("pq", man.pq.toString)
     props.setProperty("shards", man.shards.mkString(","))
     val p = new Path(indexPath, "manifest.properties")
     val fs = p.getFileSystem(new Configuration())
@@ -227,7 +252,8 @@ object AnnIndex {
       props.getProperty("m").toInt,
       props.getProperty("ef_construction").toInt,
       props.getProperty("count").toLong,
-      props.getProperty("shards").split(",").toSeq.filter(_.nonEmpty))
+      props.getProperty("shards").split(",").toSeq.filter(_.nonEmpty),
+      Option(props.getProperty("pq")).exists(_.toBoolean))
   }
 }
 

@@ -56,85 +56,22 @@ final class Hnsw(
 
   def size: Int = ids.length
 
-  /** Symmetric centroid-to-centroid squared-distance tables, one
-    * (clusters x clusters) block per subvector (ADC's symmetric
-    * counterpart, for node-to-node distances during build). */
-  @transient private lazy val symTable: Array[Array[Array[Double]]] =
-    pq.map { cb =>
-      Array.tabulate(cb.subvectors) { s =>
-        Array.tabulate(cb.clusters) { c1 =>
-          Array.tabulate(cb.clusters) { c2 =>
-            var acc = 0.0
-            var t = 0
-            while (t < cb.subDim) {
-              val d = cb.centroids(s)(c1)(t).toDouble -
-                cb.centroids(s)(c2)(t).toDouble
-              acc += d * d
-              t += 1
-            }
-            acc
-          }
-        }
-      }
-    }.orNull
-
-  private def quantizeLocal(v: Array[Float]): Array[Byte] = {
-    val cb = pq.get
-    val out = new Array[Byte](cb.subvectors)
-    var s = 0
-    while (s < cb.subvectors) {
-      val cents = cb.centroids(s)
-      var best = 0
-      var bd = Double.MaxValue
-      var c = 0
-      while (c < cents.length) {
-        var acc = 0.0
-        var t = 0
-        while (t < cb.subDim) {
-          val d = v(s * cb.subDim + t).toDouble - cents(c)(t).toDouble
-          acc += d * d
-          t += 1
-        }
-        if (acc < bd) { bd = acc; best = c }
-        c += 1
-      }
-      out(s) = best.toByte
-      s += 1
-    }
-    out
-  }
-
-  /** node-to-node distance (raw kernel, or symmetric PQ tables). */
+  /** node-to-node distance (raw kernel, or the codebook's symmetric
+    * centroid tables — the canonical arithmetic lives on Codebook so
+    * the in-index path and the Catalyst expressions cannot diverge). */
   @inline private def distNN(i: Int, j: Int): Double =
     if (pq.isEmpty) metric.dist(vecs(i), vecs(j))
     else {
+      val sym = pq.get.symmetricTable
       val a = codes(i); val b = codes(j)
       var acc = 0.0
       var s = 0
       while (s < a.length) {
-        acc += symTable(s)(a(s) & 0xff)(b(s) & 0xff)
+        acc += sym(s)(a(s) & 0xff)(b(s) & 0xff)
         s += 1
       }
       acc
     }
-
-  /** ADC table for one query (subvector x centroid partials). */
-  private def adcTable(q: Array[Float]): Array[Array[Double]] = {
-    val cb = pq.get
-    Array.tabulate(cb.subvectors) { s =>
-      Array.tabulate(cb.clusters) { c =>
-        var acc = 0.0
-        var t = 0
-        while (t < cb.subDim) {
-          val d = q(s * cb.subDim + t).toDouble -
-            cb.centroids(s)(c)(t).toDouble
-          acc += d * d
-          t += 1
-        }
-        acc
-      }
-    }
-  }
 
   @inline private def distQN(q: Array[Float], adc: Array[Array[Double]],
       n: Int): Double =
@@ -234,7 +171,7 @@ final class Hnsw(
     val level = randomLevel()
     val node = size
     ids += id
-    if (pq.isEmpty) vecs += vec else codes += quantizeLocal(vec)
+    if (pq.isEmpty) vecs += vec else codes += pq.get.quantize(vec)
     levels += level
     neighbors += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
 
@@ -295,7 +232,7 @@ final class Hnsw(
     if (size == 0) return Seq.empty
     require(q.length == dim,
       s"expected equally sized arrays but got dimensions ${q.length} and $dim")
-    val adc = if (pq.isEmpty) null else adcTable(q)
+    val adc = if (pq.isEmpty) null else pq.get.adcTable(q)
     val dq = distQN(q, adc, _: Int)
     var ep = Seq((entryPoint, dq(entryPoint)))
     var l = topLevel

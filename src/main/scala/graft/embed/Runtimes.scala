@@ -162,7 +162,7 @@ object Runtimes {
 }
 
 /** Minimal JSON helpers (no extra deps; enough for the wire formats). */
-private[embed] object Json {
+private[graft] object Json {
   def quote(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -174,18 +174,59 @@ private[embed] object Json {
       case c => c.toString
     } + "\""
 
-  /** Extract all float arrays appearing after `"key":` fields. */
+  /** Extract float arrays after `"key":` fields. Handles both shapes on
+    * the wire: OpenAI's one-array-per-object `"embedding": [..]` and
+    * Cohere's nested `"embeddings": [[..], [..]]`. */
   def extractFloatArrays(body: String, key: String): Seq[Array[Float]] = {
-    val pat = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
-    pat.findAllMatchIn(body).map { m =>
-      m.group(1).split(",").filter(_.trim.nonEmpty).map(_.trim.toFloat)
+    val keyPat = ("\"" + key + "\"\\s*:\\s*\\[").r
+    keyPat.findAllMatchIn(body).flatMap { m =>
+      // scan the balanced bracket region starting at the opening '['
+      val start = m.end - 1
+      var depth = 0
+      var i = start
+      while (i < body.length && (depth > 0 || i == start)) {
+        body(i) match {
+          case '[' => depth += 1
+          case ']' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      val region = body.substring(start + 1, i - 1).trim
+      if (region.startsWith("[")) {
+        // nested arrays: split on "],[" boundaries
+        region.stripPrefix("[").stripSuffix("]")
+          .split("\\]\\s*,\\s*\\[")
+          .toSeq
+          .map(_.split(",").filter(_.trim.nonEmpty).map(_.trim.toFloat))
+      } else if (region.isEmpty) Seq.empty
+      else Seq(region.split(",").filter(_.trim.nonEmpty).map(_.trim.toFloat))
     }.toSeq
   }
 
   def extractString(body: String, key: String): Option[String] = {
     val pat = ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-    pat.findFirstMatchIn(body).map(_.group(1)
-      .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\"))
+    pat.findFirstMatchIn(body).map { m =>
+      // single left-to-right pass so "\\n" stays a backslash + n
+      val s = m.group(1)
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case 'n' => sb += '\n'
+            case 't' => sb += '\t'
+            case 'r' => sb += '\r'
+            case c => sb += c // \" \\ \/ and any other escape
+          }
+          i += 2
+        } else {
+          sb += s(i)
+          i += 1
+        }
+      }
+      sb.toString
+    }
   }
 }
 

@@ -57,8 +57,15 @@ object Knn {
       initK: Int = 10,
       maxK: Int = 1000): Iterator[org.apache.spark.sql.Row] =
     new Iterator[org.apache.spark.sql.Row] {
+      // Refills re-run the search with doubled k; without a total order,
+      // equal-distance rows straddling a batch boundary could reorder
+      // between runs (skipping/duplicating rows). Default tiebreak =
+      // value hash of the whole row: deterministic, and reordering
+      // value-identical rows is unobservable.
+      private val tb = tieBreaker.getOrElse(
+        xxhash64(df.columns.map(col).toIndexedSeq: _*))
       private var k = initK
-      private var batch = knn(df, vecCol, query, k, metric, tieBreaker).collect()
+      private var batch = knn(df, vecCol, query, k, metric, Some(tb)).collect()
       private var i = 0
       private var exhausted = false
 
@@ -71,7 +78,7 @@ object Knn {
           false
         } else {
           k = math.min(k * 2, maxK)
-          batch = knn(df, vecCol, query, k, metric, tieBreaker).collect()
+          batch = knn(df, vecCol, query, k, metric, Some(tb)).collect()
           i < batch.length
         }
       }
@@ -128,7 +135,8 @@ object Knn {
     }.reduce(_ unionByName _).distinct()
     val candidates = df.join(
       org.apache.spark.sql.functions.broadcast(candidateIds),
-      df(idColName) === candidateIds("id"), "inner").drop("id")
+      df(idColName) === candidateIds("id"), "inner")
+      .drop(candidateIds("id")) // by reference: the table may have its own "id"
     weightedSearch(candidates, terms.map(_._1), k, maxDist,
       Some(col(idColName)))
   }

@@ -119,6 +119,19 @@ object AnnTopK {
       case limit @ GlobalLimit(IntegerLiteral(k),
           LocalLimit(_, sort @ Sort(SortOrder(key, Ascending, _, _) +: _,
             true, child, _))) =>
+        // An optimizer rule must never fail the query: a malformed conf
+        // value or a vanished index directory falls back to the exact
+        // plan instead of erroring inside optimization.
+        try rewriteOrKeep(limit, sort, child, key, k)
+        catch {
+          case e: Exception =>
+            logWarning(s"ANN rewrite skipped: ${e.getMessage}")
+            limit
+        }
+    }
+
+    private def rewriteOrKeep(limit: GlobalLimit, sort: Sort,
+        child: LogicalPlan, key: Expression, k: Int): LogicalPlan = {
         val rewritten = for {
           resolved <- resolveKey(key, child)
           (vecAttr, qVec, metric) <- distanceKey(resolved)
@@ -129,7 +142,9 @@ object AnnTopK {
           if !alreadyNarrowed(child, entry)
           idAttr <- child.output.find(_.name == entry.idCol)
         } yield {
-          val ef = spark.conf.getOption(EfConfKey).map(_.toInt).getOrElse(64)
+          val ef = spark.conf.getOption(EfConfKey)
+            .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+            .getOrElse(64)
           val cands: DataFrame =
             AnnIndex.topK(spark, entry.indexPath, qVec, math.max(k, ef), ef)
               .select("id")

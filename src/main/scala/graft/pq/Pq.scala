@@ -32,6 +32,75 @@ case class Codebook(centroids: Array[Array[Array[Float]]])
   def subDim: Int = centroids(0)(0).length
   def dim: Int = subvectors * subDim
   require(clusters <= 256, s"cluster_cnt must be <= 256, got $clusters")
+
+  // Canonical quantization arithmetic. Every consumer (the Catalyst
+  // expressions AND the in-index PQ path) calls these, so tie-breaking
+  // and accumulation order can never diverge between paths.
+
+  /** Nearest-centroid code per subvector (first-min tie break, matching
+    * SQL `list_position(d, list_min(d))`). */
+  def quantize(v: Array[Float]): Array[Byte] = {
+    require(v.length == dim,
+      s"expected equally sized arrays but got dimensions ${v.length} and $dim")
+    val out = new Array[Byte](subvectors)
+    var s = 0
+    while (s < subvectors) {
+      val cents = centroids(s)
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var acc = 0.0
+        var t = 0
+        while (t < subDim) {
+          val d = v(s * subDim + t).toDouble - cents(c)(t).toDouble
+          acc += d * d
+          t += 1
+        }
+        if (acc < bd) { bd = acc; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** ADC lookup table for one query: (subvector x centroid) partials. */
+  def adcTable(q: Array[Float]): Array[Array[Double]] = {
+    require(q.length == dim,
+      s"expected equally sized arrays but got dimensions ${q.length} and $dim")
+    Array.tabulate(subvectors) { s =>
+      Array.tabulate(clusters) { c =>
+        var acc = 0.0
+        var t = 0
+        while (t < subDim) {
+          val d = q(s * subDim + t).toDouble - centroids(s)(c)(t).toDouble
+          acc += d * d
+          t += 1
+        }
+        acc
+      }
+    }
+  }
+
+  /** Symmetric centroid-to-centroid distance tables (node-to-node
+    * distances during PQ-in-index graph build). */
+  @transient lazy val symmetricTable: Array[Array[Array[Double]]] =
+    Array.tabulate(subvectors) { s =>
+      Array.tabulate(clusters) { c1 =>
+        Array.tabulate(clusters) { c2 =>
+          var acc = 0.0
+          var t = 0
+          while (t < subDim) {
+            val d = centroids(s)(c1)(t).toDouble - centroids(s)(c2)(t).toDouble
+            acc += d * d
+            t += 1
+          }
+          acc
+        }
+      }
+    }
 }
 
 object Pq {

@@ -11,36 +11,11 @@ import graft.pq.Codebook
   * dequantize), pqtable.c ADC layout, options.c:37-46 scalar kinds. */
 object PqKernels {
 
-  /** Nearest-centroid code per subvector (first-min tie break, matching
-    * SQL `list_position(d, list_min(d))`). */
-  def quantize(v: ArrayData, cb: Codebook): ArrayData = {
-    val sub = cb.subvectors
-    val sd = cb.subDim
-    require(v.numElements() == cb.dim,
-      s"expected equally sized arrays but got dimensions ${v.numElements()} and ${cb.dim}")
-    val codes = new Array[Byte](sub)
-    var s = 0
-    while (s < sub) {
-      val cents = cb.centroids(s)
-      var best = 0
-      var bd = Double.MaxValue
-      var c = 0
-      while (c < cents.length) {
-        var acc = 0.0
-        var t = 0
-        while (t < sd) {
-          val d = v.getFloat(s * sd + t).toDouble - cents(c)(t).toDouble
-          acc += d * d
-          t += 1
-        }
-        if (acc < bd) { bd = acc; best = c }
-        c += 1
-      }
-      codes(s) = best.toByte
-      s += 1
-    }
-    new GenericArrayData(codes.map(b => b: Any))
-  }
+  /** Nearest-centroid code per subvector — delegates to the canonical
+    * Codebook.quantize (first-min tie break) so the expression path and
+    * the in-index PQ path share one implementation. */
+  def quantize(v: ArrayData, cb: Codebook): ArrayData =
+    new GenericArrayData(cb.quantize(v.toFloatArray()).map(b => b: Any))
 
   /** Concatenate the coded centroids back into a full vector. */
   def dequantize(codes: ArrayData, cb: Codebook): ArrayData = {
@@ -230,23 +205,8 @@ case class PqAdcDist(child: Expression, codebook: Codebook,
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_dist"
 
-  @transient lazy val table: Array[Array[Double]] = {
-    require(query.length == codebook.dim,
-      s"expected equally sized arrays but got dimensions ${query.length} and ${codebook.dim}")
-    Array.tabulate(codebook.subvectors) { s =>
-      Array.tabulate(codebook.clusters) { c =>
-        var acc = 0.0
-        var t = 0
-        while (t < codebook.subDim) {
-          val d = query(s * codebook.subDim + t).toDouble -
-            codebook.centroids(s)(c)(t).toDouble
-          acc += d * d
-          t += 1
-        }
-        acc
-      }
-    }
-  }
+  @transient lazy val table: Array[Array[Double]] =
+    codebook.adcTable(query.toArray)
 
   override def nullSafeEval(v: Any): Any =
     PqKernels.adcDist(v.asInstanceOf[ArrayData], table)

@@ -133,6 +133,22 @@ class AnnSpec extends SparkSpec {
     assert(shard.validate().isEmpty)
   }
 
+  test("append to a PQ index keeps the PQ storage mode") {
+    val cb = graft.pq.Pq.createCodebook(emb, "embedding",
+      clusterCount = 16, subvectorCount = 8, datasetSizeLimit = 500,
+      seed = 42L)
+    val dir = Files.createTempDirectory("annpqapp").toString
+    AnnIndex.build(emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+      dir, AnnIndex.Params(Metric.L2Sq, numShards = 1, pq = Some(cb)))
+    val man = AnnIndex.append(emb.filter(col("vec_id") >= 250), "vec_id",
+      "embedding", dir)
+    assert(man.pq)
+    man.shards.foreach { s =>
+      assert(ShardCache.get(s"$dir/$s").pq.isDefined,
+        s"shard $s lost the PQ mode")
+    }
+  }
+
   test("hamming-metric index searches sign views exactly at high ef") {
     val dir = Files.createTempDirectory("annham").toString
     AnnIndex.build(emb, "vec_id", "embedding", dir,

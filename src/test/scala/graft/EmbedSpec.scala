@@ -100,6 +100,20 @@ class EmbedSpec extends SparkSpec {
       """{"model":"embed-english-v3.0","texts":["x"],"input_type":"search_document"}""")
   }
 
+  test("wire response parsing handles both array shapes and escapes") {
+    // OpenAI shape: one "embedding" array per data object
+    val openai = """{"data":[{"embedding":[0.1,0.2]},{"embedding":[0.3,0.4]}]}"""
+    val a = Json.extractFloatArrays(openai, "embedding")
+    assert(a.map(_.toSeq) == Seq(Seq(0.1f, 0.2f), Seq(0.3f, 0.4f)))
+    // Cohere shape: nested "embeddings":[[..],[..]]
+    val cohere = """{"embeddings":[[1.0,2.0,3.0],[4.0,5.0,6.0]],"meta":{}}"""
+    val b = Json.extractFloatArrays(cohere, "embeddings")
+    assert(b.map(_.toSeq) == Seq(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)))
+    // escape handling: literal backslash-n must survive unescaping
+    val s = Json.extractString("""{"content":"C:\\new\nline \"q\""}""", "content")
+    assert(s.contains("C:\\new\nline \"q\""))
+  }
+
   test("runtime/model registry matches the reference surface") {
     assert(Runtimes.availableRuntimes == Seq("mock", "openai", "cohere", "ort"))
     assert(Runtimes.availableModels("ort").size == 13)
