@@ -387,7 +387,7 @@ object Hnsw {
 
 /** Binary heap over (double key, int value) pairs with no boxing —
   * the candidate/result queues of the HNSW hot loop. */
-private[ann] final class DoubleIntHeap(min: Boolean) {
+private[graft] final class DoubleIntHeap(min: Boolean) {
   private var keys = new Array[Double](64)
   private var vals = new Array[Int](64)
   private var n = 0

@@ -58,4 +58,17 @@ object DistanceProps extends Properties("distances") {
     d >= 0 && d <= a.length && d == Metric.Hamming.dist(b, a) &&
       Metric.Hamming.dist(a, a) == 0.0
   }
+
+  property("DoubleIntHeap pops in heap order (min and max)") =
+    forAll(Gen.listOf(Gen.choose(-1e6, 1e6))) { xs =>
+      def drain(min: Boolean): Seq[Double] = {
+        val h = new graft.ann.DoubleIntHeap(min)
+        xs.zipWithIndex.foreach { case (k, v) => h.push(k, v) }
+        val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+        while (h.nonEmpty) { out += h.topKey; h.pop() }
+        out.toSeq
+      }
+      drain(min = true) == xs.sorted &&
+        drain(min = false) == xs.sorted.reverse
+    }
 }
