@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.ann.{Autotune, Metric}
+
+/** Prints the autotune grid (recall@10 / build / search per variant)
+  * over the sf0.1 embeddings — measured evidence for the ef/m
+  * trade-off documented in SURVEY.md. */
+object AutotuneReport {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val work = java.nio.file.Files.createTempDirectory("tune").toString
+    val report = Autotune.run(emb, "vec_id", "embedding", work,
+      metric = Metric.L2Sq, k = 10, targetRecall = 0.99,
+      sampleSize = 5000, numQueries = 10)
+    println("| m | ef_construction | ef | recall@10 | build ms | search ms |")
+    println("|---|---|---|---|---|---|")
+    report.results.foreach { r =>
+      println(f"| ${r.variant.m} | ${r.variant.efConstruction} | ${r.variant.ef} | ${r.recall}%.3f | ${r.buildMillis} | ${r.searchMillis} |")
+    }
+    println(s"best: ${report.best}")
+    spark.stop()
+  }
+}
