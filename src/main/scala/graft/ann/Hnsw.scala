@@ -90,15 +90,30 @@ final class Hnsw(
   private def randomLevel(): Int =
     (-math.log(rng.nextDouble() max Double.MinPositiveValue) * levelMult).toInt
 
+  /** Per-thread reusable search workspace: the heaps and visited set
+    * would otherwise be reallocated for every insert/search.
+    * Thread-local because cached shards serve concurrent searches. */
+  private final class Workspace {
+    val candidates = new DoubleIntHeap(min = true)
+    val results = new DoubleIntHeap(min = false)
+    val visited = new java.util.BitSet()
+  }
+  @transient private lazy val workspace: ThreadLocal[Workspace] =
+    ThreadLocal.withInitial(() => new Workspace)
+
   /** Best-first search of one layer (paper Algorithm 2) using a
     * node-distance function. Returns up to `ef` (internalId, dist)
     * pairs, unsorted. Primitive array heaps — this is the hot loop of
     * both build and search, so no boxing. */
   private def searchLayer(distTo: Int => Double, eps: Seq[(Int, Double)],
       ef: Int, layer: Int): Seq[(Int, Double)] = {
-    val visited = new java.util.BitSet(size)
-    val candidates = new DoubleIntHeap(min = true) // nearest-first
-    val results = new DoubleIntHeap(min = false) // farthest-first, cap ef
+    val ws = workspace.get()
+    val visited = ws.visited
+    visited.clear()
+    val candidates = ws.candidates // nearest-first
+    val results = ws.results // farthest-first, cap ef
+    candidates.clear()
+    results.clear()
     eps.foreach { case (n, d) =>
       if (!visited.get(n)) {
         visited.set(n)
@@ -399,6 +414,7 @@ private[graft] final class DoubleIntHeap(min: Boolean) {
   def nonEmpty: Boolean = n > 0
   def topKey: Double = keys(0)
   def topValue: Int = vals(0)
+  def clear(): Unit = n = 0
 
   def push(k: Double, v: Int): Unit = {
     if (n == keys.length) {

@@ -52,6 +52,9 @@ object IvfIndex {
     }
     df.select(col(idCol), col(vecCol))
       .withColumn("cell_id", assign(col(vecCol)))
+      // cluster rows by the partition key before the partitioned write:
+      // one file per cell instead of (cells x tasks) small files
+      .repartition(col("cell_id"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell_id")
       .parquet(s"$outPath/cells")
