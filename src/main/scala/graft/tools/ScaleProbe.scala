@@ -1,0 +1,33 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ann.{AnnIndex, Metric}
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // deterministic synthetic 50k x 64d corpus
+    val n = 50000
+    val df = spark.range(n).select(col("id"),
+      expr("transform(sequence(0, 63), j -> cast(sin(id * 131 + j * 17) as float))").as("vec"))
+      .cache()
+    df.count()
+    val dir = java.nio.file.Files.createTempDirectory("scale").toString
+    val t0 = System.nanoTime()
+    AnnIndex.build(df, "id", "vec", dir, AnnIndex.Params(Metric.L2Sq, numShards = 8))
+    val buildS = (System.nanoTime() - t0) / 1e9
+    val q = Array.tabulate(64)(j => math.sin(12345 * 131 + j * 17).toFloat)
+    val t1 = System.nanoTime()
+    val r = AnnIndex.topK(spark, dir, q, 10, 64).collect()
+    val searchS = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    AnnIndex.topK(spark, dir, q, 10, 64).collect()
+    val warmS = (System.nanoTime() - t2) / 1e9
+    println(f"build: $buildS%.1fs (${n / buildS}%.0f inserts/s total, 8 shards on 8 threads)")
+    println(f"coldSearch: $searchS%.2fs warmSearch: $warmS%.2fs top1=${r.head.getLong(0)}")
+    spark.stop()
+  }
+}
