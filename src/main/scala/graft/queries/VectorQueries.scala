@@ -70,22 +70,36 @@ object VectorQueries {
         10, maxDist = None, tieBreaker = Some(col("vec_id")))
       .select(col("vec_id"), round(col("joint_dist"), 6).as("joint_dist"))
 
-  /** Embedding near-duplicate pairs: closest 10 same-label pairs by
-    * cosine distance (label = the blocking key; at scale the block is
-    * an LSH/IVF bucket instead). */
+  /** Embedding near-duplicate pairs, blocked by label AND a shared
+    * hyperplane band: a candidate pair must agree on the metadata
+    * blocking key and at least one 8-bit LSH band, so every block is a
+    * (label, band) bucket. Candidate generation is equi-joins only —
+    * the unbounded within-label all-pairs join this query used in
+    * rounds 1-2 is retired (a label block grows with the corpus; a
+    * (label, band) bucket does not). */
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
+    val bits = emb(s, dir)
+      .select(col("vec_id") +: col("label") +: bandCols: _*)
+    val cand = Seq("band0", "band1").map { bk =>
+      bits.select(col("label"), col(bk).as("bk"), col("vec_id").as("vec_a"))
+        .join(bits.select(col("label"), col(bk).as("bk"),
+          col("vec_id").as("vec_b")), Seq("label", "bk"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
+    }.reduce(_ unionByName _).distinct()
+    verifiedPairs(emb(s, dir), cand)
+  }
+
+  /** Exact-cosine verification of candidate pairs: join both sides'
+    * vectors back (pairs-only, never all-pairs) and keep the 10 closest. */
+  private def verifiedPairs(e: DataFrame, cand: DataFrame): DataFrame =
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
       .withColumn("dist", round(cos_dist(col("emb_a"), col("emb_b")), 6))
       .orderBy(col("dist").asc, col("vec_a").asc, col("vec_b").asc)
       .limit(10)
       .select(col("vec_a"), col("vec_b"), col("dist"))
-  }
 
   /** One sharded HNSW index per data dir, built lazily and reused by the
     * ANN queries (bench runs them repeatedly; the artifact is immutable). */
@@ -107,11 +121,23 @@ object VectorQueries {
       .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
 
   /** Same index probed at the reference's default ef=64
-    * (options.h:22-25) — the realistic approximate path; no SQL oracle
-    * (approximate order), checked by the recall suite instead. */
-  private def annL2SqEf64(s: SparkSession, dir: String): DataFrame =
-    AnnIndex.topK(s, annIndexPath(s, dir), qVec.toArray, 10, ef = 64)
-      .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+    * (options.h:22-25) — the realistic approximate path, surfaced as a
+    * self-checking recall row so the driver can oracle-check it: the
+    * ef=64 top-10 is joined against the in-query exact top-10 and the
+    * recall@10 emitted with its threshold verdict. The index build is
+    * seeded per shard, so the row is deterministic; the oracle is the
+    * expected constant (reference precedent: recall-threshold tests,
+    * lantern_hnsw/test/sql/hnsw_pq_index.sql:120-129). */
+  private def annL2SqEf64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val approx = AnnIndex.topK(s, annIndexPath(s, dir), qVec.toArray, 10, ef = 64)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exact = Knn.knn(emb(s, dir), col("embedding"), vecLit(qVec), 10,
+        Knn.L2Sq, Some(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (approx & exact).size / 10.0
+    Seq((recall, recall >= 0.9)).toDF("recall_at_10", "ok")
+  }
 
   /** 16 deterministic random-hyperplane planes (multiples of 1/8: exact
     * in float and double, so sign bits agree across engines). */
@@ -121,19 +147,22 @@ object VectorQueries {
       (0 until 64).map(j => (((i * 97 + j * 31 + 13) % 17) - 8) / 8.0f)
     }
 
-  /** Embedding near-duplicates via random-hyperplane LSH: 2 bands of 8
-    * sign bits each bucket the corpus; only bucket-mates are verified
-    * with exact cosine distance. This is the scale path — candidate
-    * generation is two equi-joins on 8-bit keys, never an all-pairs
-    * product (contrast q_neardup_embedding's label blocking). */
-  private def nearDupLsh(s: SparkSession, dir: String): DataFrame = {
-    val bandCols = Seq(0, 1).map { b =>
+  /** 8-bit sign-pattern band keys from the shared hyperplanes, used by
+    * both near-dup queries' candidate generation. */
+  private def bandCols: Seq[org.apache.spark.sql.Column] =
+    Seq(0, 1).map { b =>
       (0 until 8).map { j =>
         val p = b * 8 + j
         when(inner_product(col("embedding"), vecLit(hyperplanes(p))) >= 0,
           lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _).as(s"band$b")
     }
+
+  /** Embedding near-duplicates via random-hyperplane LSH: 2 bands of 8
+    * sign bits each bucket the corpus; only bucket-mates are verified
+    * with exact cosine distance. Candidate generation is two equi-joins
+    * on 8-bit keys, never an all-pairs product. */
+  private def nearDupLsh(s: SparkSession, dir: String): DataFrame = {
     val bits = emb(s, dir).select(col("vec_id") +: bandCols: _*)
     val cand = Seq("band0", "band1").map { bk =>
       bits.select(col(bk).as("bk"), col("vec_id").as("vec_a"))
@@ -141,14 +170,7 @@ object VectorQueries {
         .filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"))
     }.reduce(_ unionByName _).distinct()
-    val e = emb(s, dir)
-    cand
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
-      .withColumn("dist", round(cos_dist(col("emb_a"), col("emb_b")), 6))
-      .orderBy(col("dist").asc, col("vec_a").asc, col("vec_b").asc)
-      .limit(10)
-      .select(col("vec_a"), col("vec_b"), col("dist"))
+    verifiedPairs(emb(s, dir), cand)
   }
 
   /** fvecs round-trip: dump the embeddings to a `.fvecs` file once per
@@ -320,13 +342,25 @@ object VectorQueries {
          |SELECT vec_id, round(0.7 * $l2sqSqlExpr + 0.3 * $cosSqlExpr, 6) AS joint_dist
          |FROM embeddings, q
          |ORDER BY 0.7 * $l2sqSqlExpr + 0.3 * $cosSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_ef64" ->
+      "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, TRUE AS ok",
     "q_neardup_embedding" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(1.0 - list_sum(list_transform(a.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-        |           * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS dist
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |ORDER BY dist ASC, vec_a ASC, vec_b ASC LIMIT 10""".stripMargin,
+      s"""WITH bits AS (
+         |  SELECT vec_id, label, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT vec_a, vec_b FROM (
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |    FROM bits a JOIN bits b
+         |      ON a.label = b.label AND a.band0 = b.band0 AND a.vec_id < b.vec_id
+         |    UNION
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |    FROM bits a JOIN bits b
+         |      ON a.label = b.label AND a.band1 = b.band1 AND a.vec_id < b.vec_id))
+         |SELECT vec_a, vec_b, round($cosPairExpr, 6) AS dist
+         |FROM cand
+         |JOIN embeddings ea ON ea.vec_id = vec_a
+         |JOIN embeddings eb ON eb.vec_id = vec_b
+         |ORDER BY round($cosPairExpr, 6) ASC, vec_a ASC, vec_b ASC LIMIT 10""".stripMargin,
   )
 }
