@@ -29,6 +29,14 @@ import graft.ann.{AnnIndex, Metric}
   * (`xs_recheckorderby=false`), the overall result is approximate with
   * the index's recall. Candidate breadth: `graft.ann.ef` conf
   * (default 64, reference options.h:22-25).
+  *
+  * A `WHERE` between the sort and the scan composes with the index the
+  * way the reference composes quals with the index scan
+  * (hnsw_select.sql:50-52: scan returns candidates, Postgres applies
+  * quals): the filter stays in place — it applies to the semi-joined
+  * candidate rows — and the rule over-fetches candidates by
+  * `graft.ann.filterOverfetch` (default 4x) to compensate for the
+  * unknown filter selectivity.
   */
 object AnnTopK {
 
@@ -49,6 +57,10 @@ object AnnTopK {
   }
 
   val EfConfKey = "graft.ann.ef"
+
+  /** Candidate over-fetch multiplier when a Filter sits between the
+    * distance sort and the indexed scan (default 4). */
+  val FilterOverfetchKey = "graft.ann.filterOverfetch"
 
   /** Install the rule once per session. */
   def install(spark: SparkSession): Unit = {
@@ -99,39 +111,72 @@ object AnnTopK {
 
     private def alreadyNarrowed(child: LogicalPlan, entry: Entry): Boolean =
       child.collectFirst {
-        case Join(_, _, LeftSemi, Some(EqualTo(l: AttributeReference, _)), _)
-            if l.name == entry.idCol => true
+        case Join(_, _, LeftSemi, Some(EqualTo(l, _)), _)
+            if (l match { // the key may be Cast-wrapped (int ids)
+              case a: AttributeReference => a.name == entry.idCol
+              case c: Cast => c.child match {
+                case a: AttributeReference => a.name == entry.idCol
+                case _ => false
+              }
+              case _ => false
+            }) => true
       }.getOrElse(false)
 
-    /** Resolve the sort key through one level of Project aliasing. */
+    /** Resolve the sort key through any depth of Project aliasing
+      * (`filter(...).withColumn("dist", ...).select(...)` stacks
+      * several Projects between the Sort and the scan). */
     private def resolveKey(key: Expression, child: LogicalPlan): Option[Expression] =
       key match {
         case attr: AttributeReference =>
-          child.collectFirst {
-            case p: Project => p.projectList.collectFirst {
+          child.collect { case p: Project => p.projectList }.flatten
+            .collectFirst {
               case al @ Alias(aliased, _) if al.exprId == attr.exprId => aliased
             }
-          }.flatten
+            .flatMap(resolveKey(_, child)) // alias of an alias
         case other => Some(other)
       }
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-      case limit @ GlobalLimit(IntegerLiteral(k),
-          LocalLimit(_, sort @ Sort(SortOrder(key, Ascending, _, _) +: _,
-            true, child, _))) =>
-        // An optimizer rule must never fail the query: a malformed conf
-        // value or a vanished index directory falls back to the exact
-        // plan instead of erroring inside optimization.
-        try rewriteOrKeep(limit, sort, child, key, k)
-        catch {
-          case e: Exception =>
-            logWarning(s"ANN rewrite skipped: ${e.getMessage}")
-            limit
+      // the optimizer may push a final column-pruning Project between
+      // the limit and the sort, so match both shapes
+      case limit @ GlobalLimit(IntegerLiteral(k), LocalLimit(_, inner)) =>
+        val parts = inner match {
+          case s: Sort => Some((None: Option[Project], s))
+          case p @ Project(_, s: Sort) => Some((Some(p), s))
+          case _ => None
+        }
+        parts match {
+          case Some((projOpt,
+              sort @ Sort(SortOrder(key, Ascending, _, _) +: _, true, child, _))) =>
+            // An optimizer rule must never fail the query: a malformed
+            // conf value or a vanished index directory falls back to the
+            // exact plan instead of erroring inside optimization.
+            try rewriteOrKeep(limit, projOpt, sort, child, key, k)
+            catch {
+              case e: Exception =>
+                logWarning(s"ANN rewrite skipped: ${e.getMessage}")
+                limit
+            }
+          case _ => limit
         }
     }
 
-    private def rewriteOrKeep(limit: GlobalLimit, sort: Sort,
-        child: LogicalPlan, key: Expression, k: Int): LogicalPlan = {
+    /** The candidate id join key must compare as bigint (the index emits
+      * long ids): narrower integral id columns are cast up; non-integral
+      * ids skip the rewrite (a type-mismatched EqualTo would fail at
+      * physical planning, outside this rule's fallback). */
+    private def longJoinKey(idAttr: AttributeReference): Option[Expression] =
+      idAttr.dataType match {
+        case org.apache.spark.sql.types.LongType => Some(idAttr)
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType =>
+          Some(Cast(idAttr, org.apache.spark.sql.types.LongType))
+        case _ => None
+      }
+
+    private def rewriteOrKeep(limit: GlobalLimit, projOpt: Option[Project],
+        sort: Sort, child: LogicalPlan, key: Expression, k: Int): LogicalPlan = {
         val rewritten = for {
           resolved <- resolveKey(key, child)
           (vecAttr, qVec, metric) <- distanceKey(resolved)
@@ -140,20 +185,36 @@ object AnnTopK {
           // the rule runs in a fixed-point batch: don't re-narrow a
           // sort whose input is already our candidate semi join
           if !alreadyNarrowed(child, entry)
-          idAttr <- child.output.find(_.name == entry.idCol)
+          idAttr <- child.output.collectFirst {
+            case a: AttributeReference if a.name == entry.idCol => a
+          }
+          idKey <- longJoinKey(idAttr)
         } yield {
           val ef = spark.conf.getOption(EfConfKey)
             .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
             .getOrElse(64)
+          // a WHERE between the sort and the scan drops an unknown share
+          // of the index's candidates (the index ranks the unfiltered
+          // corpus - reference behavior: scan returns candidates,
+          // Postgres applies quals, hnsw_select.sql:50-52), so over-fetch
+          // by graft.ann.filterOverfetch when a filter is present
+          val hasFilter = child.collectFirst { case f: Filter => f }.isDefined
+          val factor =
+            if (!hasFilter) 1
+            else spark.conf.getOption(FilterOverfetchKey)
+              .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+              .getOrElse(4)
+          val fetch = math.max(k, ef) * factor
           val cands: DataFrame =
-            AnnIndex.topK(spark, entry.indexPath, qVec, math.max(k, ef), ef)
-              .select("id")
+            AnnIndex.topK(spark, entry.indexPath, qVec, fetch,
+              math.max(ef, fetch)).select("id")
           val candPlan = cands.queryExecution.analyzed
           val candId = candPlan.output.head
           val narrowed = Join(child, candPlan, LeftSemi,
-            Some(EqualTo(idAttr, candId)), JoinHint.NONE)
+            Some(EqualTo(idKey, candId)), JoinHint.NONE)
+          val newSort = sort.copy(child = narrowed)
           limit.copy(child = LocalLimit(Literal(k),
-            sort.copy(child = narrowed)))
+            projOpt.fold(newSort: LogicalPlan)(p => p.copy(child = newSort))))
         }
         rewritten.getOrElse(limit)
     }

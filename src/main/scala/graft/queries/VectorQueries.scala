@@ -139,6 +139,43 @@ object VectorQueries {
     Seq((recall, recall >= 0.9)).toDF("recall_at_10", "ok")
   }
 
+  /** Filtered ANN through the transparent plan rewrite: a WHERE between
+    * the distance sort and the indexed scan must still use the index
+    * (reference hnsw_select.sql:50-52 — scan returns candidates, quals
+    * apply on top). The query registers the index, asserts the rewrite
+    * actually fired (it FAILS otherwise — driver-green proves the
+    * filtered rewrite path), and runs with exhaustive ef so the result
+    * is exact and oracle-checkable. */
+  private def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.AnnTopK.install(s)
+    val srcPath = s"$dir/embeddings.parquet"
+    val idxPath = annIndexPath(s, dir)
+    graft.plans.AnnTopK.IndexCatalog.register(srcPath,
+      graft.plans.AnnTopK.Entry(idxPath, "vec_id", "embedding", Metric.L2Sq))
+    val prevEf = s.conf.getOption(graft.plans.AnnTopK.EfConfKey)
+    s.conf.set(graft.plans.AnnTopK.EfConfKey, "4096") // exhaustive per shard
+    try {
+      val df = emb(s, dir).filter(col("label") === 1)
+        .withColumn("dist",
+          graft.functions.l2sq_dist(col("embedding"), vecLit(qVec)))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      require(joins.nonEmpty,
+        s"ANN rewrite did not fire under the filter; plan:\n${df.queryExecution.optimizedPlan}")
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .toDF("vec_id", "dist")
+    } finally {
+      graft.plans.AnnTopK.IndexCatalog.unregister(srcPath)
+      prevEf.fold(s.conf.unset(graft.plans.AnnTopK.EfConfKey))(v =>
+        s.conf.set(graft.plans.AnnTopK.EfConfKey, v))
+    }
+  }
+
   /** 16 deterministic random-hyperplane planes (multiples of 1/8: exact
     * in float and double, so sign bits agree across engines). */
   private val numPlanes = 16
@@ -244,6 +281,7 @@ object VectorQueries {
     "q_neardup_embedding" -> ((s, dir) => nearDupPairs(s, dir)),
     "q_ann_l2sq" -> ((s, dir) => annL2Sq(s, dir)),
     "q_ann_ef64" -> ((s, dir) => annL2SqEf64(s, dir)),
+    "q_ann_filtered" -> ((s, dir) => annFiltered(s, dir)),
     "q_neardup_lsh" -> ((s, dir) => nearDupLsh(s, dir)),
     "q_fvecs_roundtrip" -> ((s, dir) => fvecsRoundtrip(s, dir)),
     "q_knn_cursor" -> ((s, dir) => knnCursor(s, dir)),
@@ -344,6 +382,11 @@ object VectorQueries {
          |ORDER BY 0.7 * $l2sqSqlExpr + 0.3 * $cosSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_ann_ef64" ->
       "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, TRUE AS ok",
+    "q_ann_filtered" ->
+      s"""WITH q AS (SELECT $qVecSql AS qv)
+         |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
+         |FROM embeddings, q WHERE label = 1
+         |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_neardup_embedding" ->
       s"""WITH bits AS (
          |  SELECT vec_id, label, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1

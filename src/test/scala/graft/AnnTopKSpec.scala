@@ -49,6 +49,79 @@ class AnnTopKSpec extends SparkSpec {
     }
   }
 
+  test("rewrite fires under a filter and matches the exact filtered top-k") {
+    setup()
+    try {
+      spark.conf.set(AnnTopK.EfConfKey, "600") // exhaustive at this scale
+      val df = emb.filter(col("label") === 1)
+        .withColumn("dist", l2sq_dist(col("embedding"), vecLit(q)))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.nonEmpty, "expected the semi-join rewrite under the filter")
+      val exact = emb.filter(col("label") === 1)
+        .withColumn("d", l2sq_dist(col("embedding"), vecLit(q)))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(df.collect().map(_.getAs[Long]("vec_id")).toSeq == exact)
+    } finally {
+      AnnTopK.IndexCatalog.unregister(srcPath)
+      spark.conf.unset(AnnTopK.EfConfKey)
+    }
+  }
+
+  test("integer id column is cast to bigint in the candidate semi join") {
+    AnnTopK.install(spark)
+    val dir = Files.createTempDirectory("anntopk_int").toString
+    val intSrc = s"$dir/src"
+    emb.withColumn("vec_id", col("vec_id").cast("int"))
+      .write.mode("overwrite").parquet(intSrc)
+    val intEmb = spark.read.parquet(intSrc)
+    val idxDir = s"$dir/idx"
+    AnnIndex.build(intEmb, "vec_id", "embedding", idxDir,
+      AnnIndex.Params(Metric.L2Sq, numShards = 2))
+    AnnTopK.IndexCatalog.register(intSrc,
+      AnnTopK.Entry(idxDir, "vec_id", "embedding", Metric.L2Sq))
+    try {
+      spark.conf.set(AnnTopK.EfConfKey, "600")
+      val df = intEmb
+        .withColumn("dist", l2sq_dist(col("embedding"), vecLit(q)))
+        .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.nonEmpty, "expected the rewrite despite the int id column")
+      val exact = intEmb
+        .withColumn("d", l2sq_dist(col("embedding"), vecLit(q)))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+        .collect().map(_.getAs[Int]("vec_id")).toSeq
+      assert(df.collect().map(_.getAs[Int]("vec_id")).toSeq == exact)
+    } finally {
+      AnnTopK.IndexCatalog.unregister(intSrc)
+      spark.conf.unset(AnnTopK.EfConfKey)
+    }
+  }
+
+  test("non-integral id column skips the rewrite instead of breaking the query") {
+    AnnTopK.install(spark)
+    val dir = Files.createTempDirectory("anntopk_str").toString
+    val strSrc = s"$dir/src"
+    emb.withColumn("sid", concat(lit("v"), col("vec_id")))
+      .write.mode("overwrite").parquet(strSrc)
+    val strEmb = spark.read.parquet(strSrc)
+    val idxDir = s"$dir/idx"
+    AnnIndex.build(emb, "vec_id", "embedding", idxDir,
+      AnnIndex.Params(Metric.L2Sq, numShards = 2))
+    AnnTopK.IndexCatalog.register(strSrc,
+      AnnTopK.Entry(idxDir, "sid", "embedding", Metric.L2Sq))
+    try {
+      val df = strEmb
+        .withColumn("dist", l2sq_dist(col("embedding"), vecLit(q)))
+        .orderBy(col("dist").asc, col("sid").asc).limit(5)
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.isEmpty, "string id must not be semi-joined against bigint")
+      assert(df.count() == 5) // query still works on the exact path
+    } finally AnnTopK.IndexCatalog.unregister(strSrc)
+  }
+
   test("no rewrite without a registered index") {
     AnnTopK.install(spark)
     val joins = topkDf.queryExecution.optimizedPlan.collect {
