@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * {{{
   *   manifest.properties   metric, dim, m, ef_construction, count, shards
   *   shard_00000.hnsw      one [[Hnsw]] graph per build partition
-  *   tombstones.txt        deleted ids, one per line (optional)
+  *   tombstones.bin        sorted packed-long deleted ids (optional)
   * }}}
   *
   * The manifest mirrors the reference's index header
@@ -126,28 +126,29 @@ object AnnIndex {
     merged
   }
 
-  /** Record deleted ids; searches anti-join them out (scan.c:294-300
-    * semantics — labels invalidated, skipped at scan). */
+  /** Record deleted ids; searches skip them inside the shard graphs
+    * (scan.c:294-300 semantics — labels invalidated, skipped at scan).
+    * Storage is a sorted packed-long file (`tombstones.bin`): 8 bytes
+    * per id, readable on executors straight through the Hadoop FS with
+    * no Spark job, binary-searchable once mapped into memory — a
+    * million deletes is an 8 MB artifact, never a driver-held Set on
+    * the probe path. */
   def delete(spark: SparkSession, indexPath: String, ids: Seq[Long]): Unit = {
-    val p = new Path(indexPath, "tombstones.txt")
+    val merged = (tombstones(indexPath) ++ ids).distinct.sorted
+    val p = new Path(indexPath, "tombstones.bin")
     val fs = p.getFileSystem(new Configuration())
-    val prior = tombstones(indexPath)
-    val out = fs.create(p, true)
-    try out.write((prior ++ ids).distinct.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    ShardCache.invalidate(indexPath)
+    val out = new DataOutputStream(new BufferedOutputStream(fs.create(p, true)))
+    try {
+      out.writeInt(TombstoneMagic)
+      out.writeInt(merged.length)
+      merged.foreach(out.writeLong)
+    } finally out.close()
   }
 
-  def tombstones(indexPath: String): Seq[Long] = {
-    val p = new Path(indexPath, "tombstones.txt")
-    val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val in = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
-      try in.getLines().filter(_.nonEmpty).map(_.toLong).toList
-      finally in.close()
-    }
-  }
+  private[ann] val TombstoneMagic = 0x47544f4d // "GTOM"
+
+  def tombstones(indexPath: String): Seq[Long] =
+    TombstoneCache.get(indexPath).toSeq
 
   /** Rebuild the index without tombstoned rows (graph compaction the
     * reference never does — delete.c leaves holes forever). */
@@ -175,37 +176,30 @@ object AnnIndex {
   }
 
   /** Approximate top-k: per-shard HNSW search (k candidates each, search
-    * breadth `ef`), tombstone filter, global top-k merge. Returns
-    * (id, dist) ascending. */
+    * breadth `ef`), tombstones skipped INSIDE each shard search (the
+    * graph still navigates through dead nodes, they just cannot enter
+    * the result set), global top-k merge. Returns (id, dist) ascending.
+    * No tombstone state ever lives on the driver: each executor reads
+    * the packed tombstone file once per version and binary-searches it. */
   def topK(spark: SparkSession, indexPath: String, query: Array[Float],
       k: Int, ef: Int = 64): DataFrame = {
     val man = readManifest(indexPath)
-    val dead = tombstones(indexPath).toSet
-    // deleted ids may occupy top slots, so over-fetch — but bounded:
-    // searching every shard with breadth k+|dead| would degrade to a
-    // near-exhaustive scan under heavy deletion (vacuum is the answer
-    // there, not wider probes)
-    val overFetch = k + math.min(dead.size, 4 * k + 100)
     import spark.implicits._
     val shardPaths = man.shards.map(s => s"$indexPath/$s")
+    val idxPath = indexPath
     val hits = spark.createDataset(shardPaths)
       .repartition(math.min(shardPaths.size, 64))
       .mapPartitions { paths =>
+        val dead = TombstoneCache.get(idxPath)
+        val skip: Long => Boolean =
+          if (dead.isEmpty) null
+          else id => java.util.Arrays.binarySearch(dead, id) >= 0
         paths.flatMap { p =>
-          ShardCache.get(p).search(query, overFetch, math.max(ef, overFetch))
+          ShardCache.get(p).search(query, k, math.max(ef, k), skip)
         }
       }
       .toDF("id", "dist")
-    // small tombstone sets fold into the scan filter; large ones join
-    // (an isin list of millions of ids would bloat the plan)
-    val live =
-      if (dead.isEmpty) hits
-      else if (dead.size <= 1000) hits.filter(!col("id").isin(dead.toSeq: _*))
-      else {
-        val deadDf = spark.createDataset(dead.toSeq).toDF("id")
-        hits.join(deadDf, Seq("id"), "left_anti")
-      }
-    live.orderBy(col("dist").asc, col("id").asc).limit(k)
+    hits.orderBy(col("dist").asc, col("id").asc).limit(k)
   }
 
   /** Validate every shard's graph invariants (reference
@@ -259,17 +253,104 @@ object AnnIndex {
 
 /** Per-executor-JVM cache of deserialized shard graphs (the analog of
   * the reference's buffer-cache-backed lazy node retriever,
-  * scan.c:90-110 — immutable artifacts, so plain memoization works). */
+  * scan.c:90-110 — immutable artifacts, so memoization works), bounded
+  * by a byte budget with LRU eviction so many indexes/variants (e.g. an
+  * autotune sweep) cannot pin every graph in executor memory forever.
+  * Budget: `graft.ann.shardCacheBytes` system property, default 8 GiB. */
 object ShardCache {
-  private val cache = TrieMap[String, Hnsw]()
+  val BudgetProp = "graft.ann.shardCacheBytes"
+  private val DefaultBudget = 8L * 1024 * 1024 * 1024
 
-  def get(path: String): Hnsw = cache.getOrElseUpdate(path, {
-    val p = new Path(path)
+  // access-ordered LinkedHashMap = LRU; all access under this lock
+  // (deserialization happens outside it, so concurrent loads of
+  // DIFFERENT shards don't serialize)
+  private val lock = new Object
+  private val cache =
+    new java.util.LinkedHashMap[String, Hnsw](64, 0.75f, true)
+  private var totalBytes = 0L
+
+  private def budget: Long =
+    sys.props.get(BudgetProp).flatMap(v =>
+      scala.util.Try(v.trim.toLong).toOption).getOrElse(DefaultBudget)
+
+  def get(path: String): Hnsw = {
+    lock.synchronized(Option(cache.get(path))) match {
+      case Some(h) => h
+      case None =>
+        val p = new Path(path)
+        val fs = p.getFileSystem(new Configuration())
+        val in = new DataInputStream(new BufferedInputStream(fs.open(p)))
+        val h = try Hnsw.read(in) finally in.close()
+        lock.synchronized {
+          Option(cache.get(path)) match {
+            case Some(raced) => raced // a concurrent load won
+            case None =>
+              cache.put(path, h)
+              totalBytes += h.estimatedBytes
+              evictOver(budget)
+              h
+          }
+        }
+    }
+  }
+
+  /** Evict least-recently-used graphs until under `limit` (the newest
+    * entry always stays, so one oversized shard still loads). */
+  private def evictOver(limit: Long): Unit = {
+    val it = cache.entrySet().iterator()
+    while (totalBytes > limit && cache.size() > 1 && it.hasNext) {
+      val e = it.next()
+      totalBytes -= e.getValue.estimatedBytes
+      it.remove()
+    }
+  }
+
+  def invalidate(prefix: String): Unit = lock.synchronized {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) {
+        totalBytes -= e.getValue.estimatedBytes
+        it.remove()
+      }
+    }
+  }
+
+  def cachedBytes: Long = lock.synchronized(totalBytes)
+  def cachedCount: Int = lock.synchronized(cache.size())
+}
+
+/** Per-executor-JVM cache of an index's packed tombstone file, keyed by
+  * the file's (mtime, length) version stamp so a new `delete()` is
+  * picked up without any executor coordination. The array is sorted;
+  * probes binary-search it. */
+object TombstoneCache {
+  private val cache = TrieMap[String, (Long, Array[Long])]()
+
+  def get(indexPath: String): Array[Long] = {
+    val p = new Path(indexPath, "tombstones.bin")
     val fs = p.getFileSystem(new Configuration())
-    val in = new DataInputStream(new BufferedInputStream(fs.open(p)))
-    try Hnsw.read(in) finally in.close()
-  })
-
-  def invalidate(prefix: String): Unit =
-    cache.keys.filter(_.startsWith(prefix)).foreach(cache.remove)
+    if (!fs.exists(p)) Array.emptyLongArray
+    else {
+      val st = fs.getFileStatus(p)
+      val stamp = st.getModificationTime ^ (st.getLen << 20)
+      cache.get(indexPath) match {
+        case Some((s, arr)) if s == stamp => arr
+        case _ =>
+          val in = new DataInputStream(new BufferedInputStream(fs.open(p)))
+          val arr =
+            try {
+              require(in.readInt() == AnnIndex.TombstoneMagic,
+                s"$p is not a graft tombstone file")
+              val n = in.readInt()
+              val a = new Array[Long](n)
+              var i = 0
+              while (i < n) { a(i) = in.readLong(); i += 1 }
+              a
+            } finally in.close()
+          cache.put(indexPath, (stamp, arr))
+          arr
+      }
+    }
+  }
 }

@@ -104,9 +104,19 @@ final class Hnsw(
   /** Best-first search of one layer (paper Algorithm 2) using a
     * node-distance function. Returns up to `ef` (internalId, dist)
     * pairs, unsorted. Primitive array heaps — this is the hot loop of
-    * both build and search, so no boxing. */
+    * both build and search, so no boxing.
+    *
+    * `accept` filters which nodes may enter the RESULT set; rejected
+    * nodes (tombstones) still join the candidate frontier, so the
+    * search navigates through them — the reference's scan behavior
+    * (deleted labels skipped at scan, scan.c:294-300) without
+    * disconnecting the graph. With fewer than `ef` accepted results the
+    * loop keeps expanding, degrading gracefully toward an exhaustive
+    * component walk under heavy deletion (vacuum is the real answer
+    * there). */
   private def searchLayer(distTo: Int => Double, eps: Seq[(Int, Double)],
-      ef: Int, layer: Int): Seq[(Int, Double)] = {
+      ef: Int, layer: Int,
+      accept: Int => Boolean = null): Seq[(Int, Double)] = {
     val ws = workspace.get()
     val visited = ws.visited
     visited.clear()
@@ -118,7 +128,7 @@ final class Hnsw(
       if (!visited.get(n)) {
         visited.set(n)
         candidates.push(d, n)
-        results.push(d, n)
+        if (accept == null || accept(n)) results.push(d, n)
       }
     }
     var break = false
@@ -126,7 +136,7 @@ final class Hnsw(
       val cd = candidates.topKey
       val c = candidates.topValue
       candidates.pop()
-      if (cd > results.topKey && results.size >= ef) {
+      if (results.size >= ef && cd > results.topKey) {
         break = true // nearest candidate is worse than worst result
       } else {
         val adj = neighbors(c)
@@ -140,8 +150,10 @@ final class Hnsw(
               val d = distTo(e)
               if (results.size < ef || d < results.topKey) {
                 candidates.push(d, e)
-                results.push(d, e)
-                if (results.size > ef) results.pop()
+                if (accept == null || accept(e)) {
+                  results.push(d, e)
+                  if (results.size > ef) results.pop()
+                }
               }
             }
             i += 1
@@ -242,8 +254,11 @@ final class Hnsw(
   /** Top-k approximate nearest neighbors: (externalId, dist), ascending.
     * Search quality parameter `ef` >= k (reference default 64, max 400).
     * With PQ-in-index distances are ADC approximations (scan.c:75-81);
-    * callers re-rank against raw vectors if exactness matters. */
-  def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+    * callers re-rank against raw vectors if exactness matters.
+    * `skip` drops tombstoned external ids from the result set while
+    * still navigating through their nodes (scan.c:294-300 semantics). */
+  def search(q: Array[Float], k: Int, ef: Int,
+      skip: Long => Boolean = null): Seq[(Long, Double)] = {
     if (size == 0) return Seq.empty
     require(q.length == dim,
       s"expected equally sized arrays but got dimensions ${q.length} and $dim")
@@ -251,14 +266,28 @@ final class Hnsw(
     val dq = distQN(q, adc, _: Int)
     var ep = Seq((entryPoint, dq(entryPoint)))
     var l = topLevel
-    while (l > 0) {
+    while (l > 0) { // greedy descent navigates tombstones too: no accept
       ep = Seq(searchLayer(dq, ep, 1, l).minBy(_._2))
       l -= 1
     }
-    searchLayer(dq, ep, math.max(ef, k), 0).toSeq
+    val accept: Int => Boolean =
+      if (skip == null) null else n => !skip(ids(n))
+    searchLayer(dq, ep, math.max(ef, k), 0, accept).toSeq
       .sortBy(x => (x._2, ids(x._1)))
       .take(k)
       .map { case (n, d) => (ids(n), d) }
+  }
+
+  /** Rough in-memory footprint of this shard graph (vectors/codes +
+    * adjacency + ids), used by [[ShardCache]]'s byte-budget eviction. */
+  lazy val estimatedBytes: Long = {
+    val vecBytes =
+      if (pq.isEmpty) vecs.length.toLong * dim * 4
+      else codes.length.toLong * (if (codes.isEmpty) 0 else codes.head.length)
+    val adjBytes = neighbors.iterator
+      .map(layers => layers.iterator.map(_.length.toLong * 4 + 32).sum)
+      .sum
+    vecBytes + adjBytes + size.toLong * 16 + 1024
   }
 
   /** Serialize to a stream (shard file format v2). */

@@ -94,6 +94,46 @@ class AnnSpec extends SparkSpec {
     assert(vres == after)
   }
 
+  test("100k tombstones: packed file, executor-side skip, correct results") {
+    val dir = Files.createTempDirectory("anndel100k").toString
+    buildIndex(dir)
+    val q = corpus.head._2
+    val before = AnnIndex.topK(spark, dir, q, 5, ef = 600)
+      .collect().map(_.getLong(0)).toSeq
+    // two real deletions buried in 100k synthetic tombstones: the probe
+    // must stay correct with the full set binary-searched per shard
+    AnnIndex.delete(spark, dir,
+      before.take(2) ++ (10_000_000L until 10_100_000L))
+    assert(AnnIndex.tombstones(dir).length == 100_002)
+    val after = AnnIndex.topK(spark, dir, q, 5, ef = 600)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(before(0)) && !after.contains(before(1)))
+    assert(after.take(3) == before.drop(2))
+  }
+
+  test("ShardCache evicts least-recently-used graphs under a byte budget") {
+    val dir = Files.createTempDirectory("annlru").toString
+    buildIndex(dir, shards = 4)
+    val prev = sys.props.get(ShardCache.BudgetProp)
+    try {
+      ShardCache.invalidate(dir)
+      sys.props(ShardCache.BudgetProp) = "1" // below any shard size
+      (0 until 4).foreach(i => ShardCache.get(f"$dir/shard_$i%05d.hnsw"))
+      // only the newest graph may stay resident
+      assert(ShardCache.cachedCount <= 1)
+      // and searches still work (evicted shards reload on demand)
+      val q = corpus.head._2
+      val got = AnnIndex.topK(spark, dir, q, 10, ef = 600)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == exactTopK(q, 10))
+    } finally {
+      prev match {
+        case Some(v) => sys.props(ShardCache.BudgetProp) = v
+        case None => sys.props.remove(ShardCache.BudgetProp)
+      }
+    }
+  }
+
   test("append adds shards and rows stay searchable") {
     val dir = Files.createTempDirectory("annapp").toString
     import spark.implicits._
