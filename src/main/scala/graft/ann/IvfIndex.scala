@@ -1,5 +1,7 @@
 package graft.ann
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,17 +17,32 @@ import org.apache.spark.sql.functions._
   * nprobe/nCells of the data. At 100 TB that pruning, not CPU, is the
   * win; `.explain` shows it as PartitionFilters on the parquet scan.
   *
+  * With a PQ codebook ([[Params.pq]]) the cells also store byte codes
+  * and search can run IVFADC: the candidate scan reads ONLY
+  * (id, pq_code) — column pruning keeps the raw vectors on disk — ranks
+  * by the asymmetric-distance table, and just the `refine` best rows
+  * are re-ranked exactly against their raw vectors via a broadcast
+  * semi-join back into the probed partitions. That is the standard
+  * FAISS IVFADC shape; the reference's PQ-in-graph search
+  * (pqtable.c:194-333) is its graph cousin.
+  *
+  * A manifest records (idCol, vecCol, metric, nCells, pq) so search
+  * never infers columns positionally from the stored schema.
+  *
   * Probing more cells trades latency for recall exactly like HNSW's
-  * `ef` (IVF semantics from the public FAISS/IVFADC literature; the
-  * reference's quantized search is its PQ cousin, pqtable.c).
+  * `ef` (IVF semantics from the public FAISS/IVFADC literature).
   */
 object IvfIndex {
 
   case class Params(nCells: Int = 64, metric: Metric = Metric.L2Sq,
-      sampleLimit: Int = 10000, seed: Long = 42L)
+      sampleLimit: Int = 10000, seed: Long = 42L,
+      pq: Option[graft.pq.Codebook] = None)
+
+  case class Manifest(idCol: String, vecCol: String, metric: Metric,
+      nCells: Int, pq: Boolean)
 
   /** Train centroids, assign cells, write the partitioned table +
-    * centroid sidecar. Returns the centroids. */
+    * centroid/codebook sidecars + manifest. Returns the centroids. */
   def build(df: DataFrame, idCol: String, vecCol: String, outPath: String,
       params: Params = Params()): Array[Array[Float]] = {
     val spark = df.sparkSession
@@ -50,8 +67,14 @@ object IvfIndex {
       }
       best
     }
-    df.select(col(idCol), col(vecCol))
+    val base = df.select(col(idCol), col(vecCol))
       .withColumn("cell_id", assign(col(vecCol)))
+    val rows = params.pq.fold(base) { cb =>
+      require(params.metric == Metric.L2Sq, "IVFADC supports the l2sq metric")
+      base.withColumn("pq_code",
+        graft.functions.pq_quantize(col(vecCol), cb))
+    }
+    rows
       // cluster rows by the partition key before the partitioned write:
       // one file per cell instead of (cells x tasks) small files
       .repartition(col("cell_id"))
@@ -63,31 +86,107 @@ object IvfIndex {
       .toDF("cell_id", "centroid")
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$outPath/centroids")
+    params.pq.foreach { cb =>
+      graft.pq.Pq.codebookToDf(spark, cb)
+        .repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outPath/codebook")
+    }
+    writeManifest(outPath,
+      Manifest(idCol, vecCol, params.metric, cents.length, params.pq.isDefined))
     cents
   }
 
-  /** Top-k over the `nprobe` nearest cells only. */
+  /** Top-k over the `nprobe` nearest cells only (exact within the
+    * probed cells: reads the raw vector column). */
   def topK(spark: SparkSession, indexPath: String, query: Array[Float],
-      k: Int, nprobe: Int = 4, metric: Metric = Metric.L2Sq): DataFrame = {
-    val cents = spark.read.parquet(s"$indexPath/centroids")
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-    val probes = cents
-      .map { case (id, c) => (id, metric.dist(query, c)) }
-      .sortBy(x => (x._2, x._1)).take(math.max(nprobe, 1)).map(_._1)
-    val cells = spark.read.parquet(s"$indexPath/cells")
-      .filter(col("cell_id").isin(probes.toSeq: _*)) // partition filter
-    val vecCol = cells.columns.filterNot(c => c == "cell_id").apply(1)
-    val idCol = cells.columns.head
-    val distFn = metric match {
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val man = readManifest(indexPath)
+    val cells = probedCells(spark, indexPath, man, query, nprobe)
+    val distFn = man.metric match {
       case Metric.L2Sq => graft.functions.l2sq_dist _
       case Metric.Cos => graft.functions.cos_dist _
       case other =>
         throw new IllegalArgumentException(s"IVF does not support ${other.name}")
     }
     cells
-      .withColumn("dist", distFn(col(vecCol), graft.functions.vecLit(query.toSeq)))
-      .orderBy(col("dist").asc, col(idCol).asc)
+      .withColumn("dist",
+        distFn(col(man.vecCol), graft.functions.vecLit(query.toSeq)))
+      .orderBy(col("dist").asc, col(man.idCol).asc)
       .limit(k)
-      .select(col(idCol).as("id"), col("dist"))
+      .select(col(man.idCol).as("id"), col("dist"))
+  }
+
+  /** IVFADC top-k: ADC candidate scan over (id, pq_code) only, then
+    * exact re-rank of the best `refine` rows via a broadcast semi-join
+    * back into the probed partitions. Requires a PQ build. */
+  def topKAdc(spark: SparkSession, indexPath: String, query: Array[Float],
+      k: Int, nprobe: Int = 4, refine: Int = 100): DataFrame = {
+    val man = readManifest(indexPath)
+    require(man.pq, s"index at $indexPath was not built with a PQ codebook")
+    val cb = graft.pq.Pq.codebookFromDf(
+      spark.read.parquet(s"$indexPath/codebook"))
+    val cells = probedCells(spark, indexPath, man, query, nprobe)
+    val cand = cells
+      .select(col(man.idCol).as("id"),
+        graft.functions.pq_adc_dist(col("pq_code"), cb, query.toSeq)
+          .as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("id").asc)
+      .limit(math.max(refine, k))
+      .select("id")
+    cells
+      .join(broadcast(cand), cells(man.idCol) === cand("id"))
+      .withColumn("dist",
+        graft.functions.l2sq_dist(col(man.vecCol),
+          graft.functions.vecLit(query.toSeq)))
+      .orderBy(col("dist").asc, col(man.idCol).asc)
+      .limit(k)
+      .select(col(man.idCol).as("id"), col("dist"))
+  }
+
+  /** The nprobe nearest partitions as a pruned scan. */
+  private def probedCells(spark: SparkSession, indexPath: String,
+      man: Manifest, query: Array[Float], nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val probes = cents
+      .map { case (id, c) => (id, man.metric.dist(query, c)) }
+      .sortBy(x => (x._2, x._1)).take(math.max(nprobe, 1)).map(_._1)
+    val cells = spark.read.parquet(s"$indexPath/cells")
+      .filter(col("cell_id").isin(probes.toSeq: _*)) // partition filter
+    require(cells.columns.contains(man.idCol) &&
+      cells.columns.contains(man.vecCol),
+      s"cells schema ${cells.columns.mkString(",")} lacks manifest columns " +
+        s"(${man.idCol}, ${man.vecCol})")
+    cells
+  }
+
+  // ---- manifest I/O (java.util.Properties: no extra deps) ----
+
+  def writeManifest(indexPath: String, man: Manifest): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("id_col", man.idCol)
+    props.setProperty("vec_col", man.vecCol)
+    props.setProperty("metric", man.metric.name)
+    props.setProperty("n_cells", man.nCells.toString)
+    props.setProperty("pq", man.pq.toString)
+    val p = new Path(indexPath, "manifest.properties")
+    val fs = p.getFileSystem(new Configuration())
+    val out = fs.create(p, true)
+    try props.store(out, "graft IVF index manifest")
+    finally out.close()
+  }
+
+  def readManifest(indexPath: String): Manifest = {
+    val p = new Path(indexPath, "manifest.properties")
+    val fs = p.getFileSystem(new Configuration())
+    val in = fs.open(p)
+    val props = new java.util.Properties()
+    try props.load(in) finally in.close()
+    Manifest(
+      props.getProperty("id_col"),
+      props.getProperty("vec_col"),
+      Metric.fromName(props.getProperty("metric")),
+      props.getProperty("n_cells").toInt,
+      Option(props.getProperty("pq")).exists(_.toBoolean))
   }
 }

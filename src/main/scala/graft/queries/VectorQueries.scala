@@ -259,6 +259,26 @@ object VectorQueries {
       .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
   }
 
+  /** IVFADC: the candidate scan ranks byte codes only (raw vectors stay
+    * on disk), then the refine set re-ranks exactly — with refine=100
+    * of a probed corpus whose true top-10 survives the ADC cut, the
+    * result is the exact top-10, so the oracle is the exact SQL. */
+  private val ivfAdcIndexes = TrieMap[String, String]()
+  private def ivfAdc(s: SparkSession, dir: String): DataFrame = {
+    val path = ivfAdcIndexes.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfadc").toString
+      val cb = graft.pq.Pq.createCodebook(emb(s, dir), "embedding",
+        clusterCount = 64, subvectorCount = 8, datasetSizeLimit = 2000,
+        seed = 42L)
+      graft.ann.IvfIndex.build(emb(s, dir), "vec_id", "embedding", p,
+        graft.ann.IvfIndex.Params(nCells = 16, pq = Some(cb)))
+      p
+    })
+    graft.ann.IvfIndex.topKAdc(s, path, qVec.toArray, 10, nprobe = 16,
+        refine = 200)
+      .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+  }
+
   // ---- DuckDB oracle fragments ----
 
   private val l2sqSqlExpr =
@@ -286,6 +306,7 @@ object VectorQueries {
     "q_fvecs_roundtrip" -> ((s, dir) => fvecsRoundtrip(s, dir)),
     "q_knn_cursor" -> ((s, dir) => knnCursor(s, dir)),
     "q_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
+    "q_ivf_adc" -> ((s, dir) => ivfAdc(s, dir)),
   )
 
   /** Band-key SQL for the hyperplane LSH oracle: sum of sign bits
@@ -309,6 +330,11 @@ object VectorQueries {
          |FROM embeddings, q
          |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 25""".stripMargin,
     "q_ivf_topk" ->
+      s"""WITH q AS (SELECT $qVecSql AS qv)
+         |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
+         |FROM embeddings, q
+         |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ivf_adc" ->
       s"""WITH q AS (SELECT $qVecSql AS qv)
          |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
          |FROM embeddings, q

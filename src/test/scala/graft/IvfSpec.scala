@@ -56,6 +56,40 @@ class IvfSpec extends SparkSpec {
       s"IVF recall on clustered data: ${exact.intersect(got).size}/10")
   }
 
+  test("IVFADC: codes-only candidate scan + exact re-rank, recall drop < 0.2") {
+    val cb = graft.pq.Pq.createCodebook(emb, "embedding",
+      clusterCount = 16, subvectorCount = 8, datasetSizeLimit = 500,
+      seed = 42L)
+    val dir = Files.createTempDirectory("ivfadc").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir,
+      IvfIndex.Params(nCells = 16, pq = Some(cb)))
+    assert(IvfIndex.readManifest(dir).pq)
+    val q = corpus.head._2
+    val exact = corpus.map { case (id, v) => (id, Metric.L2Sq.dist(q, v)) }
+      .sortBy(x => (x._2, x._1)).take(10).map(_._1).toSet
+    val got = IvfIndex.topKAdc(spark, dir, q, 10, nprobe = 16, refine = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(got).size >= 8,
+      s"IVFADC recall: ${exact.intersect(got).size}/10")
+  }
+
+  test("manifest pins id/vec columns: a reordered schema still reads right") {
+    import spark.implicits._
+    // vector column FIRST, id second - positional inference would break
+    val df = corpus.toSeq.map { case (id, v) => (v.toSeq, id) }
+      .toDF("v", "my_id")
+    val dir = Files.createTempDirectory("ivfman").toString
+    IvfIndex.build(df, "my_id", "v", dir, IvfIndex.Params(nCells = 4))
+    val man = IvfIndex.readManifest(dir)
+    assert(man.idCol == "my_id" && man.vecCol == "v" && man.nCells == 4)
+    val q = corpus.head._2
+    val exact = corpus.map { case (id, v) => (id, Metric.L2Sq.dist(q, v)) }
+      .sortBy(x => (x._2, x._1)).take(5).map(_._1).toSeq
+    val got = IvfIndex.topK(spark, dir, q, 5, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+  }
+
   test("LSH bucket cap links mega-buckets as stars, same components") {
     import spark.implicits._
     // 30 identical docs (one mega bucket) + 2 similar docs
