@@ -26,4 +26,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     VectorQueries.oracleSql ++ TextQueries.oracleSql ++ PqQueries.oracleSql ++
       EmbedQueries.oracleSql ++ EventQueries.oracleSql
+
+  /** Build the one-time index/file artifacts the queries probe,
+    * returning (artifact, build seconds) — lets the bench report build
+    * cost separately from steady-state query cost. */
+  def prepare(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
+    VectorQueries.prepare(spark, sfDir)
 }

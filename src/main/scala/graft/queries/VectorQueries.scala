@@ -215,14 +215,17 @@ object VectorQueries {
     * project verifiable values; the oracle reads the original parquet
     * (row order = ascending vec_id, the written order). */
   private val fvecsFiles = TrieMap[String, String]()
-  private def fvecsRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val path = fvecsFiles.getOrElseUpdate(dir, {
+  private def fvecsFilePath(s: SparkSession, dir: String): String =
+    fvecsFiles.getOrElseUpdate(dir, {
       val f = java.nio.file.Files.createTempFile("graft_emb", ".fvecs").toString
       val vecs = emb(s, dir).orderBy("vec_id").collect()
         .map(_.getAs[Seq[Float]]("embedding").toArray)
       graft.sources.Dotvecs.writeFvecs(s, f, vecs.iterator)
       f
     })
+
+  private def fvecsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = fvecsFilePath(s, dir)
     graft.sources.Dotvecs.readFvecs(s, path)
       .select(col("row_id"), size(col("vector")).as("dim"),
         round(element_at(col("vector"), 1).cast("double"), 6).as("e0"),
@@ -248,24 +251,26 @@ object VectorQueries {
   /** IVF probe over every cell = exact top-k through the partitioned
     * path (partition pruning exercised by IvfSpec at small nprobe). */
   private val ivfIndexes = TrieMap[String, String]()
-  private def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    val path = ivfIndexes.getOrElseUpdate(dir, {
+  private def ivfIndexPath(s: SparkSession, dir: String): String =
+    ivfIndexes.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft_ivf").toString
       graft.ann.IvfIndex.build(emb(s, dir), "vec_id", "embedding", p,
         graft.ann.IvfIndex.Params(nCells = 16))
       p
     })
-    graft.ann.IvfIndex.topK(s, path, qVec.toArray, 10, nprobe = 16)
+
+  private def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    graft.ann.IvfIndex.topK(s, ivfIndexPath(s, dir), qVec.toArray, 10,
+        nprobe = 16)
       .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
-  }
 
   /** IVFADC: the candidate scan ranks byte codes only (raw vectors stay
     * on disk), then the refine set re-ranks exactly — with refine=100
     * of a probed corpus whose true top-10 survives the ADC cut, the
     * result is the exact top-10, so the oracle is the exact SQL. */
   private val ivfAdcIndexes = TrieMap[String, String]()
-  private def ivfAdc(s: SparkSession, dir: String): DataFrame = {
-    val path = ivfAdcIndexes.getOrElseUpdate(dir, {
+  private def ivfAdcIndexPath(s: SparkSession, dir: String): String =
+    ivfAdcIndexes.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft_ivfadc").toString
       val cb = graft.pq.Pq.createCodebook(emb(s, dir), "embedding",
         clusterCount = 64, subvectorCount = 8, datasetSizeLimit = 2000,
@@ -274,9 +279,28 @@ object VectorQueries {
         graft.ann.IvfIndex.Params(nCells = 16, pq = Some(cb)))
       p
     })
-    graft.ann.IvfIndex.topKAdc(s, path, qVec.toArray, 10, nprobe = 16,
-        refine = 200)
+
+  private def ivfAdc(s: SparkSession, dir: String): DataFrame =
+    graft.ann.IvfIndex.topKAdc(s, ivfAdcIndexPath(s, dir), qVec.toArray, 10,
+        nprobe = 16, refine = 200)
       .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+
+  /** Build the one-time artifacts (sharded HNSW, IVF, IVFADC, fvecs
+    * dump) outside any timed region, returning per-artifact build
+    * seconds — so bench per-query numbers mean steady-state probes, not
+    * probe+build (an index build is a one-time cost amortized over the
+    * index's whole query lifetime). */
+  def prepare(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("ann_hnsw") { annIndexPath(s, dir) },
+      timed("ivf") { ivfIndexPath(s, dir) },
+      timed("ivf_adc") { ivfAdcIndexPath(s, dir) },
+      timed("fvecs") { fvecsFilePath(s, dir) })
   }
 
   // ---- DuckDB oracle fragments ----
