@@ -112,6 +112,35 @@ object VectorQueries {
       path
     })
 
+  /** A second index on the same column under the cosine metric, for the
+    * multi-index weighted search (each term probes its own index). */
+  private val annCosIndexes = TrieMap[String, String]()
+  private def annCosIndexPath(s: SparkSession, dir: String): String =
+    annCosIndexes.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_ann_cos").toString
+      AnnIndex.build(emb(s, dir), "vec_id", "embedding", path,
+        AnnIndex.Params(Metric.Cos, m = 16, efConstruction = 128, numShards = 4))
+      path
+    })
+
+  /** Weighted multi-index search end-to-end (reference approximate
+    * weighted path, lantern.sql:769-817): each term's candidate set is
+    * an ANN probe of its OWN index (l2sq and cos graphs over the same
+    * column), unioned, deduplicated, re-ranked by the joint metric.
+    * ef=1000 makes each per-shard search exhaustive at this scale, so
+    * the candidate union covers the corpus and the result is exact —
+    * the oracle is the exact weighted SQL. */
+  private def weightedAnn(s: SparkSession, dir: String): DataFrame =
+    Knn.weightedSearchAnn(
+        emb(s, dir), "vec_id",
+        Seq(
+          (Knn.WeightedTerm(0.7, col("embedding"), vecLit(qVec), Knn.L2Sq),
+            annIndexPath(s, dir)),
+          (Knn.WeightedTerm(0.3, col("embedding"), vecLit(qVec), Knn.Cos),
+            annCosIndexPath(s, dir))),
+        10, ef = 1000)
+      .select(col("vec_id"), round(col("joint_dist"), 6).as("joint_dist"))
+
   /** ANN top-k through the sharded HNSW index. With ef >= shard size the
     * per-shard search is exhaustive, so the result is exact and
     * oracle-checkable (the ANN recall path is exercised with realistic
@@ -298,6 +327,7 @@ object VectorQueries {
     }
     Seq(
       timed("ann_hnsw") { annIndexPath(s, dir) },
+      timed("ann_cos") { annCosIndexPath(s, dir) },
       timed("ivf") { ivfIndexPath(s, dir) },
       timed("ivf_adc") { ivfAdcIndexPath(s, dir) },
       timed("fvecs") { fvecsFilePath(s, dir) })
@@ -322,6 +352,7 @@ object VectorQueries {
     "q_knn_filtered" -> ((s, dir) => knnFiltered(s, dir)),
     "q_weighted_search" -> ((s, dir) => weightedSearch(s, dir)),
     "q_weighted_candidates" -> ((s, dir) => weightedCandidates(s, dir)),
+    "q_weighted_ann" -> ((s, dir) => weightedAnn(s, dir)),
     "q_neardup_embedding" -> ((s, dir) => nearDupPairs(s, dir)),
     "q_ann_l2sq" -> ((s, dir) => annL2Sq(s, dir)),
     "q_ann_ef64" -> ((s, dir) => annL2SqEf64(s, dir)),
@@ -426,6 +457,11 @@ object VectorQueries {
          |FROM embeddings, q WHERE label = 1
          |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_weighted_search" ->
+      s"""WITH q AS (SELECT $qVecSql AS qv)
+         |SELECT vec_id, round(0.7 * $l2sqSqlExpr + 0.3 * $cosSqlExpr, 6) AS joint_dist
+         |FROM embeddings, q
+         |ORDER BY 0.7 * $l2sqSqlExpr + 0.3 * $cosSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_weighted_ann" ->
       s"""WITH q AS (SELECT $qVecSql AS qv)
          |SELECT vec_id, round(0.7 * $l2sqSqlExpr + 0.3 * $cosSqlExpr, 6) AS joint_dist
          |FROM embeddings, q
