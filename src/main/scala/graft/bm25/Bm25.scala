@@ -67,27 +67,68 @@ object Bm25 {
       stemmed: Boolean = false): DataFrame =
     corpusStatsOf(tokenized(docs, idCol, textCol, stemmed))
 
+  /** Reference GUC `bm25_default_approximation_threshhold` default
+    * (lantern_extras/src/lib.rs): posting lists longer than this get a
+    * doc-id bloom in the side table. */
+  val DefaultBloomThreshold = 8000
+
   /** Reference-shaped inverted-index table
-    * (term, term_freq, doc_ids, fqs, doc_lens), mirroring
-    * lantern_extras/src/bm25_api.sql:33-45 — provided for API parity and
+    * (term, term_freq, doc_ids_len, doc_ids_bloom, doc_ids, fqs,
+    * doc_lens) plus the `term IS NULL` corpus-stats row, mirroring
+    * lantern_extras/src/bm25_api.sql:33-56 — provided for API parity and
     * for consumers that want posting arrays; the flat [[postings]] shape
     * is preferred at scale. */
   def createBm25Table(docs: DataFrame, idCol: Column, textCol: Column,
-      stemmed: Boolean = false): DataFrame =
-    createBm25TableOf(tokenized(docs, idCol, textCol, stemmed))
+      stemmed: Boolean = false,
+      bloomThreshold: Int = DefaultBloomThreshold): DataFrame =
+    createBm25TableOf(tokenized(docs, idCol, textCol, stemmed),
+      bloomThreshold)
 
   /** Reference-shaped table from a [[tokenized]] frame. */
-  def createBm25TableOf(tok: DataFrame): DataFrame = {
+  def createBm25TableOf(tok: DataFrame,
+      bloomThreshold: Int = DefaultBloomThreshold): DataFrame = {
     val p = postingsOf(tok)
       .withColumn("srt", struct(col("doc_id"), col("fq"), col("doc_len")))
+    val terms = termRows(p, bloomThreshold)
+    // the reference repurposes (term_freq, doc_ids_len) of one NULL-term
+    // row as corpus stats: doc count and avg doc length x100 (fixed
+    // point; integer division keeps it engine-deterministic)
+    val stats = tok
+      .agg(count(lit(1)).as("n"), sum(col("doc_len")).as("s"))
+      .select(nullStatsCols(terms, col("n"),
+        expr("CAST((s * 100) div n AS INT)")): _*)
+    terms.unionByName(stats)
+  }
+
+  /** Grouped posting rows -> one reference-shaped row per term. Input
+    * needs (term, srt=struct(doc_id, fq, doc_len)). */
+  private def termRows(p: DataFrame, bloomThreshold: Int): DataFrame =
     p.groupBy(col("term"))
       .agg(
         count(lit(1)).as("term_freq"),
         sort_array(collect_list(col("srt"))).as("post"))
       .select(col("term"), col("term_freq"),
+        size(col("post")).as("doc_ids_len"),
+        when(col("term_freq") > bloomThreshold,
+          graft.functions.array_to_bloom(col("post.doc_id")))
+          .otherwise(lit(null)).as("doc_ids_bloom"),
         col("post.doc_id").as("doc_ids"),
         col("post.fq").as("fqs"),
         col("post.doc_len").as("doc_lens"))
+
+  /** The NULL-term stats row projection, typed off the term rows'
+    * schema so unionByName lines up. */
+  private def nullStatsCols(like: DataFrame, termFreq: Column,
+      docIdsLen: Column): Seq[Column] = {
+    val sch = like.schema
+    Seq(
+      lit(null).cast(sch("term").dataType).as("term"),
+      termFreq.cast(sch("term_freq").dataType).as("term_freq"),
+      docIdsLen.cast(sch("doc_ids_len").dataType).as("doc_ids_len"),
+      lit(null).cast(sch("doc_ids_bloom").dataType).as("doc_ids_bloom"),
+      lit(null).cast(sch("doc_ids").dataType).as("doc_ids"),
+      lit(null).cast(sch("fqs").dataType).as("fqs"),
+      lit(null).cast(sch("doc_lens").dataType).as("doc_lens"))
   }
 
   /** BM25 IDF: ln((N - df + 0.5)/(df + 0.5) + 1)
@@ -164,23 +205,29 @@ object Bm25 {
 
   /** Compact a bm25 table containing duplicate term rows (after
     * incremental appends) back to one row per term — reference
-    * `consolidate_bm25_table` (bm25_api.sql:108-159). Idempotent. */
-  def consolidateBm25Table(tbl: DataFrame): DataFrame =
-    tbl
+    * `consolidate_bm25_table` (bm25_api.sql:108-159): posting arrays
+    * concatenate, term_freq/doc_ids_len become the merged cardinality,
+    * and the bloom is recomputed above the threshold. NULL-term stats
+    * rows merge too (counts add; the fixed-point average merges by
+    * count-weighted mean). Idempotent. */
+  def consolidateBm25Table(tbl: DataFrame,
+      bloomThreshold: Int = DefaultBloomThreshold): DataFrame = {
+    val p = tbl.filter(col("term").isNotNull)
       .select(col("term"),
         explode(arrays_zip(col("doc_ids"), col("fqs"), col("doc_lens")))
           .as("p"))
       .select(col("term"), col("p.doc_ids").as("doc_id"),
         col("p.fqs").as("fq"), col("p.doc_lens").as("doc_len"))
       .withColumn("srt", struct(col("doc_id"), col("fq"), col("doc_len")))
-      .groupBy(col("term"))
-      .agg(
-        count(lit(1)).as("term_freq"),
-        sort_array(collect_list(col("srt"))).as("post"))
-      .select(col("term"), col("term_freq"),
-        col("post.doc_id").as("doc_ids"),
-        col("post.fq").as("fqs"),
-        col("post.doc_len").as("doc_lens"))
+    val terms = termRows(p, bloomThreshold)
+    val stats = tbl.filter(col("term").isNull)
+      .agg(sum(col("term_freq")).as("n"),
+        sum(col("term_freq") * col("doc_ids_len")).as("w"))
+      .select(nullStatsCols(terms, col("n"),
+        expr("CAST(w div n AS INT)")): _*)
+      .filter(col("term_freq").isNotNull) // no stats rows in the input
+    terms.unionByName(stats)
+  }
 
   /** Score pre-filtered postings and return top-k (doc_id, score).
     *

@@ -42,11 +42,18 @@ object TextQueries {
       Bm25.tokenized(docs(s, dir), col("doc_id"), col("text"),
         stemmed = true))
 
+  /** The reference-shaped side table end-to-end (bm25_api.sql:33-56):
+    * per-term posting rows with doc_ids_len and the posting-bloom column
+    * (threshold 390 splits this corpus: df 391-402 terms get blooms,
+    * df <= 390 stay null), plus the NULL-term corpus-stats row
+    * (term_freq = doc count, doc_ids_len = avg doc length x100). */
   private def bm25Table(s: SparkSession, dir: String): DataFrame =
-    Bm25.postingsOf(tokCached(s, dir))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("doc_freq"), sum(col("fq")).as("total_fq"))
-      .orderBy(col("doc_freq").desc, col("term").asc)
+    Bm25.createBm25TableOf(tokCached(s, dir), bloomThreshold = 390)
+      .select(col("term"), col("term_freq"), col("doc_ids_len"),
+        col("doc_ids_bloom").isNotNull.as("has_bloom"),
+        element_at(col("doc_ids"), 1).as("first_doc"),
+        element_at(col("doc_ids"), -1).as("last_doc"))
+      .orderBy(col("term_freq").desc, col("term").asc_nulls_first)
       .limit(20)
 
   private def bm25Search(s: SparkSession, dir: String): DataFrame =
@@ -119,6 +126,7 @@ object TextQueries {
     * pinned by BloomSpec. */
   private def bloomMembers(s: SparkSession, dir: String): DataFrame =
     Bm25.createBm25TableOf(tokCached(s, dir))
+      .filter(col("term").isNotNull) // the stats row has no postings
       .orderBy(col("term_freq").desc, col("term").asc)
       .limit(50)
       .withColumn("bloom", graft.functions.array_to_bloom(col("doc_ids")))
@@ -178,11 +186,11 @@ object TextQueries {
     val even = Bm25.createBm25TableOf(tok.filter(col("doc_id") % 2 === 0))
     val odd = Bm25.createBm25TableOf(tok.filter(col("doc_id") % 2 =!= 0))
     Bm25.consolidateBm25Table(even.unionByName(odd))
-      .select(col("term"), col("term_freq"),
+      .select(col("term"), col("term_freq"), col("doc_ids_len"),
         element_at(col("doc_ids"), 1).as("first_doc"),
         element_at(col("doc_ids"), -1).as("last_doc"),
         aggregate(col("fqs"), lit(0L), (a, x) => a + x).as("total_fq"))
-      .orderBy(col("term").asc)
+      .orderBy(col("term").asc_nulls_first)
   }
 
   /** User stopword list replacing the default (reference
@@ -293,11 +301,25 @@ object TextQueries {
       s"""WITH $toksCte,
          |p0 AS (SELECT doc_id, unnest(t) AS term FROM toks),
          |g AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS fq
-         |      FROM p0 GROUP BY 1, 2)
-         |SELECT term, CAST(count(*) AS BIGINT) AS term_freq,
-         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-         |  CAST(sum(fq) AS BIGINT) AS total_fq
-         |FROM g GROUP BY term ORDER BY term ASC""".stripMargin,
+         |      FROM p0 GROUP BY 1, 2),
+         |terms AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS term_freq,
+         |    CAST(count(*) AS INT) AS doc_ids_len,
+         |    min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |    CAST(sum(fq) AS BIGINT) AS total_fq
+         |  FROM g GROUP BY term),
+         |se AS (SELECT count(*) AS n, sum(len(t)) AS s FROM toks WHERE doc_id % 2 = 0),
+         |so AS (SELECT count(*) AS n, sum(len(t)) AS s FROM toks WHERE doc_id % 2 <> 0),
+         |stats AS (
+         |  SELECT CAST(NULL AS VARCHAR) AS term,
+         |    CAST(se.n + so.n AS BIGINT) AS term_freq,
+         |    CAST((((se.s * 100) // se.n) * se.n + ((so.s * 100) // so.n) * so.n)
+         |      // (se.n + so.n) AS INT) AS doc_ids_len,
+         |    CAST(NULL AS BIGINT) AS first_doc, CAST(NULL AS BIGINT) AS last_doc,
+         |    CAST(NULL AS BIGINT) AS total_fq
+         |  FROM se, so)
+         |SELECT * FROM terms UNION ALL SELECT * FROM stats
+         |ORDER BY term ASC NULLS FIRST""".stripMargin,
     "q_stem_user_stop" ->
       s"""WITH $toksCte
          |SELECT doc_id,
@@ -333,11 +355,20 @@ object TextQueries {
     "q_bm25_table" ->
       s"""WITH $toksCte,
          |p0 AS (SELECT doc_id, unnest(t) AS term FROM toks),
-         |g AS (SELECT term, doc_id, count(*) AS fq FROM p0 GROUP BY 1, 2)
-         |SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
-         |  CAST(sum(fq) AS BIGINT) AS total_fq
-         |FROM g GROUP BY term
-         |ORDER BY doc_freq DESC, term ASC LIMIT 20""".stripMargin,
+         |g AS (SELECT term, doc_id FROM p0 GROUP BY 1, 2),
+         |tbl AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS term_freq,
+         |    CAST(count(*) AS INT) AS doc_ids_len,
+         |    count(*) > 390 AS has_bloom,
+         |    min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |  FROM g GROUP BY term
+         |  UNION ALL
+         |  SELECT CAST(NULL AS VARCHAR),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM toks),
+         |    (SELECT CAST((sum(len(t)) * 100) // count(*) AS INT) FROM toks),
+         |    false, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
+         |SELECT * FROM tbl
+         |ORDER BY term_freq DESC, term ASC NULLS FIRST LIMIT 20""".stripMargin,
     "q_bm25_search" ->
       s"""WITH $toksCte,
          |post AS (
