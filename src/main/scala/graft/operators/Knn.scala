@@ -60,10 +60,11 @@ object Knn {
       // Refills re-run the search with doubled k; without a total order,
       // equal-distance rows straddling a batch boundary could reorder
       // between runs (skipping/duplicating rows). Default tiebreak =
-      // value hash of the whole row: deterministic, and reordering
-      // value-identical rows is unobservable.
+      // struct of all columns: a lexicographic TOTAL order over rows
+      // (a hash tiebreak could collide on two distinct equal-distance
+      // rows, leaving the order non-total across re-runs).
       private val tb = tieBreaker.getOrElse(
-        xxhash64(df.columns.map(col).toIndexedSeq: _*))
+        struct(df.columns.map(col).toIndexedSeq: _*))
       private var k = initK
       private var batch = knn(df, vecCol, query, k, metric, Some(tb)).collect()
       private var i = 0

@@ -83,6 +83,9 @@ object PqKernels {
   def floatToHalf(f: Float): Short = {
     val bits = java.lang.Float.floatToIntBits(f)
     val sign = (bits >>> 16) & 0x8000
+    // NaN first: its bits plus the rounding bias would pass the
+    // overflow test and silently encode infinity
+    if (f.isNaN) return (sign | 0x7e00).toShort
     val value = (bits & 0x7fffffff) + 0x1000 // round-to-nearest
     if (value >= 0x47800000) { // overflow -> inf
       (sign | 0x7c00).toShort

@@ -114,6 +114,18 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("f16 special values: NaN stays NaN, infinities and overflow stay Inf") {
+    import org.apache.spark.sql.graft.PqKernels
+    assert(java.lang.Float.isNaN(
+      PqKernels.halfToFloat(PqKernels.floatToHalf(Float.NaN))))
+    assert(PqKernels.halfToFloat(
+      PqKernels.floatToHalf(Float.PositiveInfinity)) == Float.PositiveInfinity)
+    assert(PqKernels.halfToFloat(
+      PqKernels.floatToHalf(Float.NegativeInfinity)) == Float.NegativeInfinity)
+    assert(PqKernels.halfToFloat(PqKernels.floatToHalf(1e30f))
+      == Float.PositiveInfinity) // overflow
+  }
+
   test("i8 round-trip: error within scale/2") {
     val vals = Seq(0.5f, -1.0f, 0.25f, 0.75f, -0.125f)
     val df = spark.createDataFrame(Seq(Tuple1(vals))).toDF("v")
