@@ -52,23 +52,14 @@ object IvfIndex {
     // a coarse quantizer converges in few iterations (FAISS uses ~25)
     val cents = graft.pq.Pq.kmeans(sample,
       math.min(params.nCells, sample.length), params.seed, maxIters = 25)
-    val bc = spark.sparkContext.broadcast(cents)
-    val metric = params.metric
-    val assign = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      var best = 0
-      var bd = Double.MaxValue
-      var c = 0
-      val cs = bc.value
-      while (c < cs.length) {
-        val d = metric.dist(arr, cs(c))
-        if (d < bd) { bd = d; best = c }
-        c += 1
-      }
-      best
-    }
+    require(params.metric == Metric.L2Sq || params.metric == Metric.Cos,
+      s"IVF does not support ${params.metric.name}")
+    // codegen'd argmin over the (small) centroid table: assignment stays
+    // inside whole-stage codegen during the partitioned write, unlike a
+    // Scala UDF which would break the codegen stage per row
     val base = df.select(col(idCol), col(vecCol))
-      .withColumn("cell_id", assign(col(vecCol)))
+      .withColumn("cell_id",
+        graft.functions.nearest_centroid(col(vecCol), cents, params.metric.id))
     val rows = params.pq.fold(base) { cb =>
       require(params.metric == Metric.L2Sq, "IVFADC supports the l2sq metric")
       base.withColumn("pq_code",

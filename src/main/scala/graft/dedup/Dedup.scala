@@ -166,6 +166,49 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** Connected components over verified near-duplicate pairs: each doc
+    * gets `component` = the smallest doc id reachable through the pair
+    * graph — the cluster key for "keep one doc per near-dup group"
+    * (keeper = the doc whose id equals its component).
+    *
+    * Iterative min-label propagation: every round each vertex takes the
+    * min of its own label and its neighbors' labels (one shuffle per
+    * round), stopping at a fixpoint — rounds needed = the graph
+    * diameter, which for near-dup clusters (dense little cliques from
+    * banded LSH) is small. The labels frame is checkpoint-persisted per
+    * round and the previous round unpersisted, so lineage stays flat at
+    * 100 TB. (The alternating large-star/small-star variant from the
+    * public CC-in-MapReduce literature is the drop-in upgrade if
+    * pathological chain-shaped graphs ever matter.) */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old"))
+        .limit(1).count() // any-change probe, not a full count
+      labels.unpersist()
+      labels = next
+      iter += 1
+      converged = changed == 0
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("component"))
+  }
+
   /** 16-bit md5-derived SimHash, as a bit-string column. For each of the
     * 16 leading hex digits of each token's md5, vote +1 if the digit's
     * high bit (>= 8) is set else -1; the sign of each position's total

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, PqQuantize, PqDequantize, PqAdcDist, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, FrameSampleHashes, Pcm16Stats}
+import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, FrameSampleHashes, Pcm16Stats}
 import org.apache.spark.sql.{functions => F}
 
 /** Column-level API for the engine's scalar functions, mirroring the
@@ -57,6 +57,10 @@ package object functions {
   def pq_adc_dist(c: Column, cb: graft.pq.Codebook, query: Seq[Float]): Column =
     col(PqAdcDist(expr(c), cb, query))
 
+  /** Nearest coarse-centroid id (IVF cell assignment kernel). */
+  def nearest_centroid(c: Column, centroids: Array[Array[Float]],
+      metricId: Int): Column = col(NearestCentroid(expr(c), centroids, metricId))
+
   /** b1 scalar quantization: sign bits packed 16 per int32. */
   def pack_bits(c: Column): Column = col(PackBits(expr(c)))
 
@@ -110,65 +114,55 @@ package object functions {
   def intVecLit(v: Seq[Int]): Column =
     F.array(v.map(x => F.lit(x)): _*)
 
-  /** Register the engine's scalar functions with the session's SQL
-    * function registry so `spark.sql("... l2sq_dist(v, q) ...")` works,
-    * mirroring the reference's SQL surface (lantern_hnsw/sql/lantern.sql,
-    * lantern_extras). Functions with non-column parameters (histogram
-    * bins, frame counts) take them as int literals. */
-  def registerAll(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
+  /** SQL-surface function builders (name -> expression builder), shared
+    * by [[registerAll]] (temp functions on an existing session) and
+    * [[graft.GraftExtensions]] (config-time injection). Functions with
+    * non-column parameters (histogram bins, frame counts) take them as
+    * int literals. */
+  private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.{ArrayType, LongType}
     def intLit(e: Expression, what: String): Int = e match {
       case Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(
         s"$what must be an integer literal, got $other")
     }
+    Seq(
+      "l2sq_dist" -> (es => L2SqDist(es.head, es(1))),
+      "cos_dist" -> (es => CosDist(es.head, es(1))),
+      "hamming_dist" -> (es => HammingDist(es.head, es(1))),
+      "inner_product" -> (es => InnerProduct(es.head, es(1))),
+      "text_to_stem_array" -> (es => TextToStemArray(es.head)),
+      "tokenize" -> (es => Tokenize(es.head)),
+      // ExpectsInputTypes validates but does not coerce: widen int
+      // inputs to bigint here, like the reference's smallint[]/integer[]
+      // casts
+      "array_to_bloom" -> (es => BloomBuild(Cast(es.head, ArrayType(LongType)))),
+      "array_to_bloom_text" -> (es => BloomBuildText(es.head)),
+      "elem_in_bloom" -> (es => ElemInBloom(Cast(es.head, LongType), es(1))),
+      "elem_in_bloom_text" -> (es => ElemInBloomText(es.head, es(1))),
+      "pack_bits" -> (es => PackBits(es.head)),
+      "f16_encode" -> (es => F16Encode(es.head)),
+      "f16_decode" -> (es => F16Decode(es.head)),
+      "i8_encode" -> (es => I8Encode(es.head)),
+      "i8_decode" -> (es => I8Decode(es.head)),
+      "image_meta" -> (es => ImageMeta(es.head)),
+      "byte_histogram" -> (es => ByteHistogram(es.head,
+        if (es.length > 1) intLit(es(1), "bins") else 16)),
+      "frame_sample_hashes" -> (es =>
+        FrameSampleHashes(es.head, intLit(es(1), "frames"))),
+      "pcm16_stats" -> (es => Pcm16Stats(es.head)))
+  }
+
+  /** Register the engine's scalar functions with the session's SQL
+    * function registry so `spark.sql("... l2sq_dist(v, q) ...")` works,
+    * mirroring the reference's SQL surface (lantern_hnsw/sql/lantern.sql,
+    * lantern_extras). For config-time wiring of a NEW session, use
+    * `spark.sql.extensions=graft.GraftExtensions` instead. */
+  def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "l2sq_dist", es => L2SqDist(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "cos_dist", es => CosDist(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "hamming_dist", es => HammingDist(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "inner_product", es => InnerProduct(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "text_to_stem_array", es => TextToStemArray(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "tokenize", es => Tokenize(es.head), "built-in")
-    // ExpectsInputTypes validates but does not coerce: widen int inputs
-    // to bigint here, like the reference's smallint[]/integer[] casts
-    import org.apache.spark.sql.catalyst.expressions.Cast
-    import org.apache.spark.sql.types.{ArrayType, LongType}
-    reg.createOrReplaceTempFunction(
-      "array_to_bloom",
-      es => BloomBuild(Cast(es.head, ArrayType(LongType))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "array_to_bloom_text", es => BloomBuildText(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "elem_in_bloom",
-      es => ElemInBloom(Cast(es.head, LongType), es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "elem_in_bloom_text", es => ElemInBloomText(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "pack_bits", es => PackBits(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "f16_encode", es => F16Encode(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "f16_decode", es => F16Decode(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "i8_encode", es => I8Encode(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "i8_decode", es => I8Decode(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "image_meta", es => ImageMeta(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "byte_histogram",
-      es => ByteHistogram(es.head,
-        if (es.length > 1) intLit(es(1), "bins") else 16), "built-in")
-    reg.createOrReplaceTempFunction(
-      "frame_sample_hashes",
-      es => FrameSampleHashes(es.head, intLit(es(1), "frames")), "built-in")
-    reg.createOrReplaceTempFunction(
-      "pcm16_stats", es => Pcm16Stats(es.head), "built-in")
+    sqlBuilders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

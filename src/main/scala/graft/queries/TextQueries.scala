@@ -115,6 +115,17 @@ object TextQueries {
         Dedup.lshCandidatePairs(sigCached(s, dir), 8, 4))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
+  /** Near-duplicate clusters: LSH candidates verified by exact Jaccard
+    * (>= 0.6) become edges; connected components assign every clustered
+    * doc its group key (min reachable doc_id) — the "keep one doc per
+    * near-dup group" shape of a dedup pipeline. */
+  private def nearDupGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.jaccardVerify(shingledCached(s, dir),
+            Dedup.lshCandidatePairs(sigCached(s, dir), 8, 4))
+          .filter(col("jaccard") >= 0.6))
+      .orderBy(col("doc_id").asc)
+
   private def simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id").asc).limit(200)
@@ -221,6 +232,7 @@ object TextQueries {
     "q_minhash" -> ((s, d) => minhash(s, d)),
     "q_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
     "q_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
+    "q_neardup_groups" -> ((s, d) => nearDupGroups(s, d)),
     "q_simhash" -> ((s, d) => simhash(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
@@ -461,6 +473,24 @@ object TextQueries {
          |JOIN sh sa ON sa.doc_id = pairs.doc_a
          |JOIN sh sb ON sb.doc_id = pairs.doc_b
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "q_neardup_groups" ->
+      s"""WITH RECURSIVE $toksCte, $shinglesCte, $lshPairsCte,
+         |jac AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN sh sa ON sa.doc_id = pairs.doc_a
+         |  JOIN sh sb ON sb.doc_id = pairs.doc_b
+         |  WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 6) >= 0.6),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM jac
+         |  UNION SELECT doc_b AS s, doc_a AS d FROM jac),
+         |verts AS (SELECT DISTINCT s AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT e.d AS id, reach.r AS r FROM reach JOIN edges e ON e.s = reach.id)
+         |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+         |ORDER BY doc_id ASC""".stripMargin,
     "q_bloom_members" ->
       s"""WITH $toksCte,
          |p0 AS (SELECT doc_id, unnest(t) AS term FROM toks),

@@ -16,6 +16,21 @@ object Bridge {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Test access to `private[sql]` SparkSessionExtensions internals:
+    * what an extensions class would contribute to a new session. */
+  def builtOptimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+      session: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(session)
+
+  /** Apply an extensions object's injected functions to a session's
+    * registry (what session construction does with spark.sql.extensions). */
+  def registerInjectedFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      session: org.apache.spark.sql.SparkSession): Unit =
+    ext.registerFunctions(session.sessionState.functionRegistry)
 }
 
 /** Distance kernels over vector columns (`ArrayType(FloatType)`).

@@ -63,6 +63,44 @@ object PqKernels {
     new GenericArrayData(out)
   }
 
+  /** Nearest centroid index under l2sq (0) or cos (1) — the IVF coarse
+    * quantizer kernel. Distance arithmetic matches graft.ann.Metric
+    * (double accumulation, sequential order) so assignments agree with
+    * the driver-side probe selection. */
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Float]],
+      metricId: Int): Int = {
+    val n = v.numElements()
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      require(ct.length == n,
+        s"expected equally sized arrays but got dimensions ${ct.length} and $n")
+      var d = 0.0
+      if (metricId == 0) {
+        var i = 0
+        while (i < n) {
+          val x = v.getFloat(i).toDouble - ct(i).toDouble
+          d += x * x
+          i += 1
+        }
+      } else {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = v.getFloat(i).toDouble; val y = ct(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        d = if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+      }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   // IEEE 754 half-precision (f16 scalar kind); JDK17 has no Float.float16
   def f16Encode(v: ArrayData): ArrayData = {
     val n = v.numElements()
@@ -218,6 +256,33 @@ case class PqAdcDist(child: Expression, codebook: Codebook,
     val tbl = ctx.addReferenceObj("adcTable", table, "double[][]")
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graft.PqKernels.adcDist($c, $tbl)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Nearest coarse-centroid id (IVF cell assignment): argmin over a
+  * small centroid table carried as a plan reference object. A codegen
+  * expression instead of a Scala UDF keeps the assignment inside
+  * whole-stage codegen during the partitioned index write.
+  * metricId: 0 = l2sq, 1 = cos (graft.ann.Metric ids). */
+case class NearestCentroid(child: Expression,
+    centroids: Array[Array[Float]], metricId: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(metricId == 0 || metricId == 1,
+    s"nearest_centroid supports l2sq(0)/cos(1), got metric id $metricId")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.nearestCentroid(v.asInstanceOf[ArrayData], centroids, metricId)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.PqKernels.nearestCentroid($c, $cents, $metricId)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -90,6 +90,17 @@ class IvfSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("connected components assign min-reachable-id cluster keys") {
+    import spark.implicits._
+    // a 3-chain, a pair, and a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("LSH bucket cap links mega-buckets as stars, same components") {
     import spark.implicits._
     // 30 identical docs (one mega bucket) + 2 similar docs
