@@ -187,6 +187,13 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).persist()
+    // labels only ever decrease, so sum(component) strictly decreases
+    // until the fixpoint: a one-row aggregate doubles as both the
+    // materialization action and the convergence probe (cheaper than a
+    // per-round self-join diff)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("component"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -196,14 +203,12 @@ object Dedup {
         .unionByName(msgs)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .persist()
-      val changed = next
-        .join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old"))
-        .limit(1).count() // any-change probe, not a full count
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
       iter += 1
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("component"))
