@@ -302,7 +302,7 @@ object VectorQueries {
     ivfAdcIndexes.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft_ivfadc").toString
       val cb = graft.pq.Pq.createCodebook(emb(s, dir), "embedding",
-        clusterCount = 64, subvectorCount = 8, datasetSizeLimit = 2000,
+        clusterCount = 64, subvectorCount = 16, datasetSizeLimit = 2000,
         seed = 42L)
       graft.ann.IvfIndex.build(emb(s, dir), "vec_id", "embedding", p,
         graft.ann.IvfIndex.Params(nCells = 16, pq = Some(cb)))
