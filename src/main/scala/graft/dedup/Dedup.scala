@@ -105,9 +105,17 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.*"))
     val keys = "band_id" +: (0 until r).map(j => s"k$j")
+    pairsFromBuckets(banded, keys, maxBucket)
+  }
+
+  /** Shared bucket-join candidate generation: all-pairs within each
+    * bucket, with the mega-bucket star cap when `maxBucket` > 0.
+    * `bucketed` needs a `doc_id` column plus the `keys` columns. */
+  private def pairsFromBuckets(bucketed: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame = {
     if (maxBucket <= 0) {
-      banded.withColumnRenamed("doc_id", "doc_a")
-        .join(banded.withColumnRenamed("doc_id", "doc_b"), keys)
+      bucketed.withColumnRenamed("doc_id", "doc_a")
+        .join(bucketed.withColumnRenamed("doc_id", "doc_b"), keys)
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
         .distinct()
@@ -118,7 +126,7 @@ object Dedup {
       // (star shape) — same connected components for dedup grouping,
       // O(n) pairs. Small buckets keep exact all-pairs.
       val keyCols = keys.map(col)
-      val withSize = banded
+      val withSize = bucketed
         .withColumn("__bn", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)))
       val small = withSize.filter(col("__bn") <= maxBucket)
@@ -133,6 +141,35 @@ object Dedup {
         .select(col("__min").as("doc_a"), col("doc_id").as("doc_b"))
       smallPairs.unionByName(bigPairs).distinct()
     }
+  }
+
+  /** Random-hyperplane LSH candidate pairs over an embedding column:
+    * `bands` sign-bit keys of `bitsPerBand` planes each; a candidate
+    * pair shares at least one band (and every `blockCols` value, when
+    * metadata blocking composes with the LSH bucketing). `maxBucket`
+    * applies the same mega-bucket star cap as [[lshCandidatePairs]] —
+    * at corpus scale a popular sign pattern would otherwise emit
+    * bucket² pairs. */
+  def hyperplanePairs(df: DataFrame, idCol: Column, vecCol: Column,
+      planes: Seq[Seq[Float]], bands: Int, bitsPerBand: Int,
+      maxBucket: Int = 0, blockCols: Seq[Column] = Nil): DataFrame = {
+    require(planes.length >= bands * bitsPerBand,
+      s"need ${bands * bitsPerBand} planes, got ${planes.length}")
+    val bandStructs = (0 until bands).map { b =>
+      val key = (0 until bitsPerBand).map { j =>
+        val p = planes(b * bitsPerBand + j)
+        when(graft.functions.inner_product(vecCol,
+          graft.functions.vecLit(p)) >= 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band_id"), key.as("k0"))
+    }
+    val blockNames = blockCols.indices.map(i => s"blk$i")
+    val banded = df
+      .select((idCol.as("doc_id") +:
+        blockCols.zip(blockNames).map { case (c, n) => c.as(n) }) :+
+        explode(array(bandStructs: _*)).as("band"): _*)
+      .select((col("doc_id") +: blockNames.map(col)) :+ col("band.*"): _*)
+    pairsFromBuckets(banded, blockNames ++ Seq("band_id", "k0"), maxBucket)
   }
 
   /** Attach est_jaccard = fraction of matching minhashes to id pairs. */

@@ -78,15 +78,10 @@ object VectorQueries {
     * rounds 1-2 is retired (a label block grows with the corpus; a
     * (label, band) bucket does not). */
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val bits = emb(s, dir)
-      .select(col("vec_id") +: col("label") +: bandCols: _*)
-    val cand = Seq("band0", "band1").map { bk =>
-      bits.select(col("label"), col(bk).as("bk"), col("vec_id").as("vec_a"))
-        .join(bits.select(col("label"), col(bk).as("bk"),
-          col("vec_id").as("vec_b")), Seq("label", "bk"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"))
-    }.reduce(_ unionByName _).distinct()
+    val cand = graft.dedup.Dedup.hyperplanePairs(emb(s, dir),
+        col("vec_id"), col("embedding"), hyperplanes,
+        bands = 2, bitsPerBand = 8, blockCols = Seq(col("label")))
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     verifiedPairs(emb(s, dir), cand)
   }
 
@@ -213,29 +208,16 @@ object VectorQueries {
       (0 until 64).map(j => (((i * 97 + j * 31 + 13) % 17) - 8) / 8.0f)
     }
 
-  /** 8-bit sign-pattern band keys from the shared hyperplanes, used by
-    * both near-dup queries' candidate generation. */
-  private def bandCols: Seq[org.apache.spark.sql.Column] =
-    Seq(0, 1).map { b =>
-      (0 until 8).map { j =>
-        val p = b * 8 + j
-        when(inner_product(col("embedding"), vecLit(hyperplanes(p))) >= 0,
-          lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _).as(s"band$b")
-    }
-
   /** Embedding near-duplicates via random-hyperplane LSH: 2 bands of 8
     * sign bits each bucket the corpus; only bucket-mates are verified
-    * with exact cosine distance. Candidate generation is two equi-joins
-    * on 8-bit keys, never an all-pairs product. */
+    * with exact cosine distance. Candidate generation is equi-joins on
+    * 8-bit keys, never an all-pairs product ([[graft.dedup.Dedup.hyperplanePairs]];
+    * at corpus scale pass maxBucket to star-cap popular sign patterns). */
   private def nearDupLsh(s: SparkSession, dir: String): DataFrame = {
-    val bits = emb(s, dir).select(col("vec_id") +: bandCols: _*)
-    val cand = Seq("band0", "band1").map { bk =>
-      bits.select(col(bk).as("bk"), col("vec_id").as("vec_a"))
-        .join(bits.select(col(bk).as("bk"), col("vec_id").as("vec_b")), "bk")
-        .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"))
-    }.reduce(_ unionByName _).distinct()
+    val cand = graft.dedup.Dedup.hyperplanePairs(emb(s, dir),
+        col("vec_id"), col("embedding"), hyperplanes,
+        bands = 2, bitsPerBand = 8)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     verifiedPairs(emb(s, dir), cand)
   }
 

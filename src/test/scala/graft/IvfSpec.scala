@@ -90,6 +90,36 @@ class IvfSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("hyperplane LSH pairs: bucketed candidates, star cap on mega-buckets") {
+    import spark.implicits._
+    // 30 identical vectors (one mega sign-pattern bucket) + 2 outliers
+    val base = Seq.fill(8)(1.0f)
+    val rows = (1L to 30L).map(i => (i, base)) ++
+      Seq((31L, Seq(-1f, -1f, -1f, -1f, 1f, 1f, 1f, 1f)),
+        (32L, Seq(-1f, -1f, -1f, -1f, 1f, 1f, 0.5f, 0.5f)))
+    val df = rows.toDF("id", "v")
+    val planes: Seq[Seq[Float]] = (0 until 8).map(p =>
+      (0 until 8).map(j => if (j == p) 1.0f else 0.0f))
+    val capped = Dedup.hyperplanePairs(df, col("id"), col("v"), planes,
+        bands = 2, bitsPerBand = 4, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star: clones all link to id 1, O(n) pairs, components preserved
+    assert((2L to 30L).forall(i => capped.contains((1L, i))))
+    assert(capped.count { case (a, b) => a <= 30 && b <= 30 } == 29)
+    assert(capped.contains((31L, 32L))) // small bucket keeps exact pairs
+    // uncapped emits all 435 clone pairs
+    val full = Dedup.hyperplanePairs(df, col("id"), col("v"), planes,
+      bands = 2, bitsPerBand = 4)
+    assert(full.filter(col("doc_a") <= 30 && col("doc_b") <= 30).count()
+      == 29L * 30L / 2L)
+    // metadata blocking composes: a blocking key splits the mega bucket
+    val blocked = Dedup.hyperplanePairs(
+      df.withColumn("grp", col("id") % 2), col("id"), col("v"), planes,
+      bands = 2, bitsPerBand = 4, blockCols = Seq(col("grp")))
+    assert(blocked.filter(col("doc_a") <= 30 && col("doc_b") <= 30)
+      .collect().forall(r => (r.getLong(0) - r.getLong(1)) % 2 == 0))
+  }
+
   test("connected components assign min-reachable-id cluster keys") {
     import spark.implicits._
     // a 3-chain, a pair, and a triangle
