@@ -84,10 +84,13 @@ object Bm25 {
     createBm25TableOf(tokenized(docs, idCol, textCol, stemmed),
       bloomThreshold)
 
-  /** Reference-shaped table from a [[tokenized]] frame. */
+  /** Reference-shaped table from a [[tokenized]] frame. Pass a
+    * (persisted) [[postingsOf]] frame via `postings` when several
+    * consumers share one corpus, to skip the explode+groupBy re-run. */
   def createBm25TableOf(tok: DataFrame,
-      bloomThreshold: Int = DefaultBloomThreshold): DataFrame = {
-    val p = postingsOf(tok)
+      bloomThreshold: Int = DefaultBloomThreshold,
+      postings: Option[DataFrame] = None): DataFrame = {
+    val p = postings.getOrElse(postingsOf(tok))
       .withColumn("srt", struct(col("doc_id"), col("fq"), col("doc_len")))
     val terms = termRows(p, bloomThreshold)
     // the reference repurposes (term_freq, doc_ids_len) of one NULL-term
@@ -152,13 +155,16 @@ object Bm25 {
       params, stemmed)
 
   /** Search against a (persisted) [[tokenized]] frame — the shape to use
-    * when many queries hit one corpus. */
+    * when many queries hit one corpus. `postings` short-circuits the
+    * explode+groupBy when a persisted [[postingsOf]] frame exists. */
   def searchBm25Of(tok: DataFrame, query: String, k: Int,
-      params: Params = Params(), stemmed: Boolean = false): DataFrame = {
+      params: Params = Params(), stemmed: Boolean = false,
+      postings: Option[DataFrame] = None): DataFrame = {
     val terms: Seq[String] =
       (if (stemmed) graft.text.Stemmer.stemTokens(query)
        else graft.text.Stemmer.tokens(query)).toSeq.distinct
-    val post = postingsOf(tok).filter(col("term").isin(terms: _*))
+    val post = postings.getOrElse(postingsOf(tok))
+      .filter(col("term").isin(terms: _*))
     scoreAndRank(post, corpusStatsOf(tok), k, params)
   }
 
@@ -175,7 +181,8 @@ object Bm25 {
 
   /** Ad-hoc score against a (persisted) [[tokenized]] frame. */
   def bm25ScoreOf(tok: DataFrame, document: String, query: String,
-      params: Params = Params(), stemmed: Boolean = false): Double = {
+      params: Params = Params(), stemmed: Boolean = false,
+      postings: Option[DataFrame] = None): Double = {
     def toks(s: String): Array[String] =
       if (stemmed) graft.text.Stemmer.stemTokens(s)
       else graft.text.Stemmer.tokens(s)
@@ -187,7 +194,7 @@ object Bm25 {
     val statsRow = corpusStatsOf(tok).collect()(0)
     val (n, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
     val dfs: Map[String, Double] =
-      postingsOf(tok)
+      postings.getOrElse(postingsOf(tok))
         .filter(col("term").isin(qTerms: _*))
         .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -42,13 +42,22 @@ object TextQueries {
       Bm25.tokenized(docs(s, dir), col("doc_id"), col("text"),
         stemmed = true))
 
+  /** Flat postings, persisted once per dir and shared by the BM25/bloom
+    * family (q_bm25_table, q_bm25_search, q_bm25_score, q_bloom_members
+    * each need the same explode+groupBy; at cluster scale this is the
+    * persisted postings table bucketed by term). */
+  private def postCached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cached(s"bm25post:$dir")(
+      Bm25.postingsOf(tokCached(s, dir)))
+
   /** The reference-shaped side table end-to-end (bm25_api.sql:33-56):
     * per-term posting rows with doc_ids_len and the posting-bloom column
     * (threshold 390 splits this corpus: df 391-402 terms get blooms,
     * df <= 390 stay null), plus the NULL-term corpus-stats row
     * (term_freq = doc count, doc_ids_len = avg doc length x100). */
   private def bm25Table(s: SparkSession, dir: String): DataFrame =
-    Bm25.createBm25TableOf(tokCached(s, dir), bloomThreshold = 390)
+    Bm25.createBm25TableOf(tokCached(s, dir), bloomThreshold = 390,
+        postings = Some(postCached(s, dir)))
       .select(col("term"), col("term_freq"), col("doc_ids_len"),
         col("doc_ids_bloom").isNotNull.as("has_bloom"),
         element_at(col("doc_ids"), 1).as("first_doc"),
@@ -57,7 +66,8 @@ object TextQueries {
       .limit(20)
 
   private def bm25Search(s: SparkSession, dir: String): DataFrame =
-    Bm25.searchBm25Of(tokCached(s, dir), bm25Query, 10)
+    Bm25.searchBm25Of(tokCached(s, dir), bm25Query, 10,
+        postings = Some(postCached(s, dir)))
       .select(col("doc_id"), round(col("score"), 6).as("score"))
 
   private def bm25SearchStemmed(s: SparkSession, dir: String): DataFrame =
@@ -136,7 +146,8 @@ object TextQueries {
     * the oracle can assert as literal truth; the false-positive side is
     * pinned by BloomSpec. */
   private def bloomMembers(s: SparkSession, dir: String): DataFrame =
-    Bm25.createBm25TableOf(tokCached(s, dir))
+    Bm25.createBm25TableOf(tokCached(s, dir),
+        postings = Some(postCached(s, dir)))
       .filter(col("term").isNotNull) // the stats row has no postings
       .orderBy(col("term_freq").desc, col("term").asc)
       .limit(50)
@@ -184,7 +195,8 @@ object TextQueries {
 
   private def bm25Score(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val v = Bm25.bm25ScoreOf(tokCached(s, dir), scoreDoc, scoreQuery)
+    val v = Bm25.bm25ScoreOf(tokCached(s, dir), scoreDoc, scoreQuery,
+      postings = Some(postCached(s, dir)))
     Seq(BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       .toDF("score")
   }
