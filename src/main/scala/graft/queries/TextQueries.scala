@@ -70,9 +70,13 @@ object TextQueries {
         postings = Some(postCached(s, dir)))
       .select(col("doc_id"), round(col("score"), 6).as("score"))
 
+  private def postStemmedCached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cached(s"bm25poststem:$dir")(
+      Bm25.postingsOf(tokStemmedCached(s, dir)))
+
   private def bm25SearchStemmed(s: SparkSession, dir: String): DataFrame =
     Bm25.searchBm25Of(tokStemmedCached(s, dir), bm25Query, 10,
-        stemmed = true)
+        stemmed = true, postings = Some(postStemmedCached(s, dir)))
       .select(col("doc_id"), round(col("score"), 6).as("score"))
 
   private def textQuality(s: SparkSession, dir: String): DataFrame =
@@ -120,9 +124,15 @@ object TextQueries {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
+  /** Jaccard-verified LSH candidate pairs, persisted once per dir and
+    * shared by q_jaccard_pairs and q_neardup_groups. */
+  private def jaccardPairsCached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cached(s"jacpairs:$dir")(
+      Dedup.jaccardVerify(shingledCached(s, dir),
+        Dedup.lshCandidatePairs(sigCached(s, dir), 8, 4)))
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardVerify(shingledCached(s, dir),
-        Dedup.lshCandidatePairs(sigCached(s, dir), 8, 4))
+    jaccardPairsCached(s, dir)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   /** Near-duplicate clusters: LSH candidates verified by exact Jaccard
@@ -131,9 +141,7 @@ object TextQueries {
     * near-dup group" shape of a dedup pipeline. */
   private def nearDupGroups(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
-        Dedup.jaccardVerify(shingledCached(s, dir),
-            Dedup.lshCandidatePairs(sigCached(s, dir), 8, 4))
-          .filter(col("jaccard") >= 0.6))
+        jaccardPairsCached(s, dir).filter(col("jaccard") >= 0.6))
       .orderBy(col("doc_id").asc)
 
   private def simhash(s: SparkSession, dir: String): DataFrame =
