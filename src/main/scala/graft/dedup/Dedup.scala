@@ -212,18 +212,19 @@ object Dedup {
     * min of its own label and its neighbors' labels (one shuffle per
     * round), stopping at a fixpoint — rounds needed = the graph
     * diameter, which for near-dup clusters (dense little cliques from
-    * banded LSH) is small. The labels frame is checkpoint-persisted per
-    * round and the previous round unpersisted, so lineage stays flat at
-    * 100 TB. (The alternating large-star/small-star variant from the
-    * public CC-in-MapReduce literature is the drop-in upgrade if
-    * pathological chain-shaped graphs ever matter.) */
+    * banded LSH) is small. Each round's labels are locally checkpointed
+    * (eager, lineage-TRUNCATING — plain persist would let the plan grow
+    * by one join+agg per round) and the previous round unpersisted.
+    * (The alternating large-star/small-star variant from the public
+    * CC-in-MapReduce literature is the drop-in upgrade if pathological
+    * chain-shaped graphs ever matter.) */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).persist()
+      .withColumn("component", col("id")).localCheckpoint()
     // labels only ever decrease, so sum(component) strictly decreases
     // until the fixpoint: a one-row aggregate doubles as both the
     // materialization action and the convergence probe (cheaper than a
@@ -239,7 +240,7 @@ object Dedup {
       val next = labels.select(col("id"), col("component"))
         .unionByName(msgs)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .persist()
+        .localCheckpoint() // eager: truncates the per-round lineage
       val s = labelSum(next)
       labels.unpersist()
       labels = next
