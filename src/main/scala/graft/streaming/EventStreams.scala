@@ -54,6 +54,33 @@ object EventStreams {
       }
   }
 
+  /** Dedup-at-the-door for an ingest stream: drop rows whose key
+    * columns were already seen, with the dedup state bounded by the
+    * event-time watermark (`dropDuplicatesWithinWatermark` — a
+    * duplicate arriving within the horizon is dropped; state for keys
+    * older than the watermark is evicted, so the operator runs forever
+    * on unbounded input). Batch inputs dedup globally through the same
+    * call, preserving the backfill/incremental parity convention. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
+  /** Run [[dedupStream]] over a parquet directory into an append-mode
+    * in-memory sink, Trigger.AvailableNow. */
+  def streamDedupToMemory(spark: SparkSession, srcPath: String,
+      schema: StructType, keyCols: Seq[String],
+      sinkName: String): StreamingQuery =
+    dedupStream(spark.readStream.schema(schema).parquet(srcPath), keyCols)
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run the windowed aggregation as a stream over a parquet directory
     * into a named in-memory sink (complete mode), Trigger.AvailableNow. */
   def streamWindowedToMemory(spark: SparkSession, srcPath: String,

@@ -29,6 +29,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming dedup drops within-watermark duplicates; parity with batch") {
+    val work = Files.createTempDirectory("eventsdd").toString
+    // duplicate the corpus: every (user_id, event_type, value) appears
+    // at least twice across files (same micro-batch horizon)
+    events.write.parquet(s"$work/src")
+    events.write.mode("append").parquet(s"$work/src")
+    val keys = Seq("user_id", "event_type", "value")
+    val q = EventStreams.streamDedupToMemory(spark, s"$work/src",
+      events.schema, keys, "dd_sink")
+    q.awaitTermination()
+    val streamed = spark.table("dd_sink")
+    val batch = EventStreams.dedupStream(events, keys) // batch path
+    assert(streamed.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.select(keys.map(col): _*).distinct().count()
+      == streamed.count())
+  }
+
   test("mapGroupsWithState user summaries match a batch groupBy") {
     val got = EventStreams.userSessions(spark, events)
       .collect().map(s => (s.user_id, s.n_events,
