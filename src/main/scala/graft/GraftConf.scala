@@ -13,6 +13,12 @@ object GraftConf {
   val MaxK = "graft.knn.maxK"
   /** `lantern_hnsw.ef`: ANN search breadth (default 64, max 400). */
   val AnnEf = graft.plans.AnnTopK.EfConfKey // "graft.ann.ef"
+  /** Candidate over-fetch multiplier when the ANN rewrite runs under a
+    * WHERE (default 4). */
+  val AnnFilterOverfetch = graft.plans.AnnTopK.FilterOverfetchKey
+  /** Executor shard-graph cache byte budget (JVM system property, since
+    * executors size it at class-load; default 8 GiB). */
+  val ShardCacheBytes = graft.ann.ShardCache.BudgetProp
   /** BM25 k1 (default 1.2) and b (default 0.75). */
   val Bm25K1 = "graft.bm25.k1"
   val Bm25B = "graft.bm25.b"

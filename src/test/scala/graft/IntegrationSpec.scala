@@ -69,6 +69,45 @@ class IntegrationSpec extends SparkSpec {
     assert(ann == exact)
   }
 
+  test("near-dup group keeper -> mock embed -> IVFADC retrieval") {
+    // 1. near-dup clusters over the corpus (LSH candidates, exact
+    // Jaccard >= 0.6, connected components)
+    val sh = Dedup.shingled(docs, col("doc_id"), col("text"))
+    val sig = Dedup.signatures(sh, numHashes = 8)
+    val pairs = Dedup.jaccardVerify(sh, Dedup.lshCandidatePairs(sig, 8, 4))
+      .filter(col("jaccard") >= 0.6)
+    val comps = Dedup.connectedComponents(pairs)
+    // 2. keepers: unclustered docs + each cluster's minimum
+    val keepers = docs.select("doc_id")
+      .join(comps.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(comps.filter(col("doc_id") === col("component"))
+        .select("doc_id"))
+    val nKeep = keepers.count()
+    assert(nKeep > 0 && nKeep < docs.count(), // clusters collapsed
+      s"expected near-dup groups to shrink the corpus, kept $nKeep")
+    // 3. deterministic mock embeddings over the kept docs
+    val embedded = Embeddings.embedColumn(
+      docs.join(keepers, "doc_id").select(col("doc_id"), col("text")),
+      "text", "vec", Runtimes.mock(8), "mock-embed", batchSize = 64)
+    // 4. IVFADC index + retrieval: the probe's own embedding must come
+    // back in the top hits after the exact re-rank
+    val cb = graft.pq.Pq.createCodebook(embedded, "vec",
+      clusterCount = 16, subvectorCount = 4, datasetSizeLimit = 1000,
+      seed = 7L)
+    val dir = Files.createTempDirectory("e2eivf").toString
+    graft.ann.IvfIndex.build(embedded, "doc_id", "vec", dir,
+      graft.ann.IvfIndex.Params(nCells = 8, pq = Some(cb)))
+    val probe = docs.join(keepers, "doc_id")
+      .orderBy("doc_id").limit(1).collect()(0)
+    val qv = Runtimes.mock(8)
+      .embedBatch("mock-embed", Seq(probe.getAs[String]("text"))).head
+    val hits = graft.ann.IvfIndex.topKAdc(spark, dir, qv, 5,
+        nprobe = 8, refine = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits.contains(probe.getAs[Long]("doc_id")),
+      s"probe doc ${probe.getAs[Long]("doc_id")} not in top-5 $hits")
+  }
+
   test("BM25 search then KNN re-rank (hybrid retrieval shape)") {
     // text recall stage (BM25 top-50), then vector re-rank of the hits
     val hits = Bm25.searchBm25(docs, col("doc_id"), col("text"),
