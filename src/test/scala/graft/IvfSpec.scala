@@ -120,6 +120,28 @@ class IvfSpec extends SparkSpec {
       .collect().forall(r => (r.getLong(0) - r.getLong(1)) % 2 == 0))
   }
 
+  test("star cap preserves connected components (random corpora)") {
+    import spark.implicits._
+    val planes: Seq[Seq[Float]] = (0 until 8).map(p =>
+      (0 until 4).map(j => if (j == p % 4) 1.0f else -0.25f))
+    for (seed <- Seq(3L, 17L, 99L)) {
+      val rnd = new java.util.Random(seed)
+      // clustered corpus with heavy duplicates -> mega buckets
+      val centers = Array.fill(4)(Array.fill(4)(rnd.nextFloat() * 4 - 2))
+      val rows = (1L to 60L).map { i =>
+        val c = centers(rnd.nextInt(4))
+        (i, c.map(x => x + rnd.nextFloat() * 0.01f).toSeq)
+      }
+      val df = rows.toDF("id", "v")
+      def comps(maxBucket: Int): Map[Long, Long] =
+        Dedup.connectedComponents(
+          Dedup.hyperplanePairs(df, col("id"), col("v"), planes,
+            bands = 2, bitsPerBand = 4, maxBucket = maxBucket))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(comps(3) == comps(0), s"components diverged for seed $seed")
+    }
+  }
+
   test("connected components assign min-reachable-id cluster keys") {
     import spark.implicits._
     // a 3-chain, a pair, and a triangle
