@@ -134,15 +134,25 @@ object AnnIndex {
     * million deletes is an 8 MB artifact, never a driver-held Set on
     * the probe path. */
   def delete(spark: SparkSession, indexPath: String, ids: Seq[Long]): Unit = {
+    // read-merge-write: concurrent delete() calls on one index must be
+    // serialized by the caller (the reference serializes via table
+    // locks); readers are safe because the write goes to a temp file
+    // and renames over the old one atomically
     val merged = (tombstones(indexPath) ++ ids).distinct.sorted
     val p = new Path(indexPath, "tombstones.bin")
     val fs = p.getFileSystem(new Configuration())
-    val out = new DataOutputStream(new BufferedOutputStream(fs.create(p, true)))
+    val tmp = new Path(indexPath, s"tombstones.bin.tmp-${System.nanoTime()}")
+    val out = new DataOutputStream(new BufferedOutputStream(fs.create(tmp, true)))
     try {
       out.writeInt(TombstoneMagic)
       out.writeInt(merged.length)
       merged.foreach(out.writeLong)
     } finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      require(fs.exists(p), s"failed to commit tombstones at $p")
+    }
   }
 
   private[ann] val TombstoneMagic = 0x47544f4d // "GTOM"
@@ -326,11 +336,12 @@ object ShardCache {
   * probes binary-search it. */
 object TombstoneCache {
   private val cache = TrieMap[String, (Long, Array[Long])]()
+  private val MaxEntries = 256 // arrays re-read on demand; a full clear is cheap
 
   def get(indexPath: String): Array[Long] = {
     val p = new Path(indexPath, "tombstones.bin")
     val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) Array.emptyLongArray
+    if (!fs.exists(p)) legacyTxt(indexPath, fs)
     else {
       val st = fs.getFileStatus(p)
       val stamp = st.getModificationTime ^ (st.getLen << 20)
@@ -348,9 +359,24 @@ object TombstoneCache {
               while (i < n) { a(i) = in.readLong(); i += 1 }
               a
             } finally in.close()
+          if (cache.size >= MaxEntries) cache.clear() // unbounded paths guard
           cache.put(indexPath, (stamp, arr))
           arr
       }
+    }
+  }
+
+  /** Pre-round-3 indexes stored deletes as `tombstones.txt` (one id per
+    * line); read it when no packed file exists, so old deletions stay
+    * hidden and the next delete() migrates them into the bin format. */
+  private def legacyTxt(indexPath: String,
+      fs: org.apache.hadoop.fs.FileSystem): Array[Long] = {
+    val p = new Path(indexPath, "tombstones.txt")
+    if (!fs.exists(p)) Array.emptyLongArray
+    else {
+      val in = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
+      try in.getLines().filter(_.nonEmpty).map(_.toLong).toArray.sorted
+      finally in.close()
     }
   }
 }

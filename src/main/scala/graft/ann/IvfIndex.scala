@@ -170,6 +170,9 @@ object IvfIndex {
   def readManifest(indexPath: String): Manifest = {
     val p = new Path(indexPath, "manifest.properties")
     val fs = p.getFileSystem(new Configuration())
+    require(fs.exists(p),
+      s"no manifest at $p - this IVF index predates the manifest format; " +
+        "rebuild it with IvfIndex.build")
     val in = fs.open(p)
     val props = new java.util.Properties()
     try props.load(in) finally in.close()

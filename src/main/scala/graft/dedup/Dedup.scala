@@ -228,12 +228,15 @@ object Dedup {
     // labels only ever decrease, so sum(component) strictly decreases
     // until the fixpoint: a one-row aggregate doubles as both the
     // materialization action and the convergence probe (cheaper than a
-    // per-round self-join diff)
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("component"))).collect()(0).getLong(0)
+    // per-round self-join diff). sum() over zero rows is NULL -> 0
+    // (empty pair set = empty result, converged immediately).
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum(col("component"))).collect()(0)
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
     var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = prevSum == 0L // empty graph
     while (!converged && iter < maxIters) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
@@ -247,6 +250,13 @@ object Dedup {
       iter += 1
       converged = s == prevSum
       prevSum = s
+    }
+    if (!converged) {
+      // silent wrongness would split one group into several "keepers"
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents stopped after $maxIters rounds without " +
+          "converging (graph diameter exceeds maxIters); components may " +
+          "be split - raise maxIters for chain-shaped duplicate graphs")
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("component"))

@@ -204,6 +204,7 @@ object AnnTopK {
             else spark.conf.getOption(FilterOverfetchKey)
               .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
               .getOrElse(4)
+              .max(1) // a non-positive conf must not empty the candidates
           val fetch = math.max(k, ef) * factor
           val cands: DataFrame =
             AnnIndex.topK(spark, entry.indexPath, qVec, fetch,

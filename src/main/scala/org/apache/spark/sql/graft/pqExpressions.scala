@@ -66,17 +66,25 @@ object PqKernels {
   /** Nearest centroid index under l2sq (0) or cos (1) — the IVF coarse
     * quantizer kernel. Distance arithmetic matches graft.ann.Metric
     * (double accumulation, sequential order) so assignments agree with
-    * the driver-side probe selection. */
+    * the driver-side probe selection. `centNorms` = precomputed squared
+    * centroid norms (cos only; pass null for l2sq) — recomputing them
+    * per row would dominate the cos build path. */
   def nearestCentroid(v: ArrayData, cents: Array[Array[Float]],
-      metricId: Int): Int = {
+      centNorms: Array[Double], metricId: Int): Int = {
     val n = v.numElements()
+    require(cents.length > 0 && cents(0).length == n,
+      s"expected equally sized arrays but got dimensions ${cents(0).length} and $n")
+    // query norm once per row (cos)
+    var na = 0.0
+    if (metricId == 1) {
+      var i = 0
+      while (i < n) { val x = v.getFloat(i).toDouble; na += x * x; i += 1 }
+    }
     var best = 0
     var bd = Double.MaxValue
     var c = 0
     while (c < cents.length) {
       val ct = cents(c)
-      require(ct.length == n,
-        s"expected equally sized arrays but got dimensions ${ct.length} and $n")
       var d = 0.0
       if (metricId == 0) {
         var i = 0
@@ -86,13 +94,13 @@ object PqKernels {
           i += 1
         }
       } else {
-        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var dot = 0.0
         var i = 0
         while (i < n) {
-          val x = v.getFloat(i).toDouble; val y = ct(i).toDouble
-          dot += x * y; na += x * x; nb += y * y
+          dot += v.getFloat(i).toDouble * ct(i).toDouble
           i += 1
         }
+        val nb = centNorms(c)
         d = if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
       }
       if (d < bd) { bd = d; best = c }
@@ -276,13 +284,19 @@ case class NearestCentroid(child: Expression,
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid"
 
+  @transient lazy val centNorms: Array[Double] =
+    if (metricId != 1) null
+    else centroids.map(ct => ct.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+
   override def nullSafeEval(v: Any): Any =
-    PqKernels.nearestCentroid(v.asInstanceOf[ArrayData], centroids, metricId)
+    PqKernels.nearestCentroid(v.asInstanceOf[ArrayData], centroids,
+      centNorms, metricId)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val norms = ctx.addReferenceObj("centNorms", centNorms, "double[]")
     defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graft.PqKernels.nearestCentroid($c, $cents, $metricId)")
+      s"org.apache.spark.sql.graft.PqKernels.nearestCentroid($c, $cents, $norms, $metricId)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -142,6 +142,12 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("connected components of an empty pair set are empty") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(none).count() == 0)
+  }
+
   test("connected components assign min-reachable-id cluster keys") {
     import spark.implicits._
     // a 3-chain, a pair, and a triangle
