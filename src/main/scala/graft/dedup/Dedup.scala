@@ -262,6 +262,18 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("component"))
   }
 
+  /** Near-duplicate removal: keep one row per [[connectedComponents]]
+    * cluster (the member whose id equals the cluster key, i.e. the
+    * minimum) plus every unclustered row. The verified-pairs frame
+    * drives clustering; `df` rows never join all-pairs. */
+  def keepOnePerGroup(df: DataFrame, idCol: Column,
+      pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"))
+    df.join(losers, idCol === losers("doc_id"), "left_anti")
+  }
+
   /** 16-bit md5-derived SimHash, as a bit-string column. For each of the
     * 16 leading hex digits of each token's md5, vote +1 if the digit's
     * high bit (>= 8) is set else -1; the sign of each position's total

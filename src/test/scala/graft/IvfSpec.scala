@@ -142,6 +142,15 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("keepOnePerGroup drops all but the cluster minimum, keeps unclustered rows") {
+    import spark.implicits._
+    val rows = (1L to 10L).map(i => (i, s"doc$i")).toDF("id", "body")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepOnePerGroup(rows, col("id"), pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 9L, 10L))
+  }
+
   test("connected components of an empty pair set are empty") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
