@@ -126,6 +126,34 @@ object AnnIndex {
     merged
   }
 
+  /** Continuous index maintenance: stream (id, vector) rows from a
+    * parquet directory into the index, appending one shard batch per
+    * micro-batch (foreachBatch -> [[append]]) — the Spark-native
+    * expression of the reference daemon's insert loop
+    * (daemon/embedding_jobs.rs:1147-1260: LISTEN/NOTIFY -> batch ->
+    * insert into index). `Trigger.AvailableNow` drains the backlog and
+    * stops; pass a processing-time trigger for a long-running feed.
+    * Micro-batches with zero rows are skipped (an empty append would
+    * fail the empty-DataFrame build guard). */
+  def streamAppend(spark: SparkSession, srcPath: String,
+      schema: org.apache.spark.sql.types.StructType, idCol: String,
+      vecCol: String, indexPath: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(srcPath)
+    val writer = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          append(batch.toDF(), idCol, vecCol, indexPath): Unit
+        }
+      }
+      .trigger(trigger)
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
   /** Record deleted ids; searches skip them inside the shard graphs
     * (scan.c:294-300 semantics — labels invalidated, skipped at scan).
     * Storage is a sorted packed-long file (`tombstones.bin`): 8 bytes

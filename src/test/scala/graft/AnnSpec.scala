@@ -134,6 +134,27 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("streamAppend drains a parquet feed into the index via foreachBatch") {
+    val work = Files.createTempDirectory("annstream").toString
+    import spark.implicits._
+    // seed the index with the first half, stream in the second half
+    AnnIndex.build(emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+      s"$work/idx", AnnIndex.Params(Metric.L2Sq, numShards = 2))
+    emb.filter(col("vec_id") >= 250).select("vec_id", "embedding")
+      .write.parquet(s"$work/feed")
+    val q = AnnIndex.streamAppend(spark, s"$work/feed",
+      emb.select("vec_id", "embedding").schema, "vec_id", "embedding",
+      s"$work/idx", checkpoint = Some(s"$work/ckpt"))
+    q.awaitTermination()
+    val man = AnnIndex.readManifest(s"$work/idx")
+    assert(man.count == corpus.length)
+    // a streamed-in row must be findable
+    val streamedRow = corpus.maxBy(_._1)
+    val hits = AnnIndex.topK(spark, s"$work/idx", streamedRow._2, 5, ef = 600)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits.head == streamedRow._1)
+  }
+
   test("append adds shards and rows stay searchable") {
     val dir = Files.createTempDirectory("annapp").toString
     import spark.implicits._
