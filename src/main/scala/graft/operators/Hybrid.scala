@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: fuse several bounded hit lists (a BM25 ranking, a
+  * vector KNN ranking, ...) with Reciprocal Rank Fusion from the public
+  * IR literature (Cormack et al., SIGIR 2009):
+  * `score(d) = Σ_r w_r / (k0 + rank_r(d))`, k0 = 60.
+  *
+  * RRF needs only ranks, so it composes rankings whose scores live on
+  * incomparable scales — exactly the BM25-then-vector shape of hybrid
+  * search over a training corpus. Inputs are expected to be bounded
+  * top-N hit lists (the rank window is unpartitioned; ranking a
+  * thousand-row hit list is trivial, ranking a corpus would not be —
+  * run the top-N operators first, which is the semantics of fusion
+  * anyway).
+  */
+object Hybrid {
+
+  /** One ranking: a bounded hit-list frame plus the total order that
+    * ranks it (include an id tiebreak for determinism). */
+  case class Ranked(df: DataFrame, order: Seq[Column], weight: Double = 1.0)
+
+  /** Fuse the rankings into (idCol, rrf_score) descending, top k. Rows
+    * absent from a ranking simply contribute nothing for it (full outer
+    * join over the hit lists). */
+  def rrf(idCol: String, inputs: Seq[Ranked], k: Int,
+      k0: Int = 60): DataFrame = {
+    require(inputs.nonEmpty, "rrf needs at least one ranking")
+    val scored = inputs.zipWithIndex.map { case (r, i) =>
+      r.df
+        .withColumn("__rank", row_number().over(Window.orderBy(r.order: _*)))
+        .select(col(idCol),
+          (lit(r.weight) / (lit(k0) + col("__rank"))).as(s"__rrf$i"))
+    }
+    val joined = scored.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val total = inputs.indices
+      .map(i => coalesce(col(s"__rrf$i"), lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .withColumn("rrf_score", total)
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("rrf_score"))
+  }
+}

@@ -79,6 +79,29 @@ object TextQueries {
         stemmed = true, postings = Some(postStemmedCached(s, dir)))
       .select(col("doc_id"), round(col("score"), 6).as("score"))
 
+  /** Hybrid retrieval: BM25 top-20 and mock-embedding KNN top-20 fused
+    * with Reciprocal Rank Fusion (k0=60). The mock embeddings and the
+    * BM25 scores are both SQL-reproducible, so the whole fusion is
+    * oracle-checked end-to-end. */
+  private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.embed.{Embeddings, Runtimes}
+    import graft.operators.{Hybrid, Knn}
+    val lex = Bm25.searchBm25Of(tokCached(s, dir), bm25Query, 20,
+        postings = Some(postCached(s, dir)))
+      .select(col("doc_id"), round(col("score"), 6).as("s"))
+    val emb = Embeddings.embedColumn(
+      docs(s, dir).select(col("doc_id"), col("text")), "text", "vec",
+      Runtimes.mock(8), "mock-embed", batchSize = 64)
+    val qv = Runtimes.mock(8).embedBatch("mock-embed", Seq(bm25Query)).head
+    val vec = Knn.knn(emb, col("vec"),
+        graft.functions.vecLit(qv.toSeq), 20, Knn.L2Sq, Some(col("doc_id")))
+      .select(col("doc_id"), round(col("dist"), 6).as("d"))
+    Hybrid.rrf("doc_id", Seq(
+        Hybrid.Ranked(lex, Seq(col("s").desc, col("doc_id").asc)),
+        Hybrid.Ranked(vec, Seq(col("d").asc, col("doc_id").asc))), 10)
+      .select(col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"))
+  }
+
   private def textQuality(s: SparkSession, dir: String): DataFrame =
     TextOps.quality(docs(s, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id").asc).limit(100)
@@ -244,6 +267,7 @@ object TextQueries {
     "q_bm25_table" -> ((s, d) => bm25Table(s, d)),
     "q_bm25_search" -> ((s, d) => bm25Search(s, d)),
     "q_bm25_search_stemmed" -> ((s, d) => bm25SearchStemmed(s, d)),
+    "q_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "q_text_quality" -> ((s, d) => textQuality(s, d)),
     "q_lang_id" -> ((s, d) => langId(s, d)),
     "q_fingerprint" -> ((s, d) => fingerprint(s, d)),
@@ -422,6 +446,54 @@ object TextQueries {
          |  GROUP BY doc_id)
          |SELECT doc_id, round(score, 6) AS score FROM sc
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_hybrid_rrf" -> {
+      val qvSql = (0 until 8).map(j =>
+        s"((('0x' || substr(md5('$bm25Query'), 1, 7))::BIGINT + ${(j + 1) * 2654435761L}) % 128) / 64.0 - 1.0")
+        .mkString("[", ", ", "]")
+      val eSql = (0 until 8).map(j =>
+        s"((('0x' || substr(md5(text), 1, 7))::BIGINT + ${(j + 1) * 2654435761L}) % 128) / 64.0 - 1.0")
+        .mkString("[", ", ", "]")
+      s"""WITH $toksCte,
+         |post AS (
+         |  SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS fq
+         |  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+         |  WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2, 3),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM toks),
+         |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id,
+         |    sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (fq * (1.2 + 1.0))
+         |      / (fq + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS score
+         |  FROM post JOIN dfreq USING (term) CROSS JOIN stats
+         |  GROUP BY doc_id),
+         |lex AS (SELECT doc_id, round(score, 6) AS s FROM sc
+         |        ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 20),
+         |lexr AS (SELECT doc_id,
+         |           row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+         |         FROM lex),
+         |q AS (SELECT $qvSql AS qv),
+         |embdist AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform($eSql, (x, i) -> (x - qv[i]) * (x - qv[i]))) AS dist
+         |  FROM documents, q),
+         |vec20 AS (SELECT doc_id, dist FROM embdist
+         |          ORDER BY dist ASC, doc_id ASC LIMIT 20),
+         |vecr AS (SELECT doc_id,
+         |           row_number() OVER (ORDER BY round(dist, 6) ASC, doc_id ASC) AS r
+         |         FROM vec20),
+         |fused AS (
+         |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + a.r), 0.0)
+         |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.r), 0.0) AS f
+         |  FROM lexr a FULL OUTER JOIN vecr b ON a.doc_id = b.doc_id)
+         |SELECT doc_id, round(f, 6) AS rrf_score FROM fused
+         |ORDER BY f DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
     "q_text_quality" ->
       s"""WITH $toksCte
          |SELECT doc_id,
