@@ -133,24 +133,32 @@ object AnnIndex {
     * (daemon/embedding_jobs.rs:1147-1260: LISTEN/NOTIFY -> batch ->
     * insert into index). `Trigger.AvailableNow` drains the backlog and
     * stops; pass a processing-time trigger for a long-running feed.
-    * Micro-batches with zero rows are skipped (an empty append would
-    * fail the empty-DataFrame build guard). */
+    *
+    * Exactly-once: append() is not idempotent, so the checkpoint is
+    * REQUIRED (it pins batch ids across restarts) and each applied
+    * batch leaves a `_applied_batch_<id>` marker in the index — a
+    * re-delivered batch (at-least-once foreachBatch semantics after a
+    * mid-batch failure) is skipped instead of appended twice.
+    * Micro-batches with zero rows are skipped too (an empty append
+    * would fail the empty-DataFrame build guard). */
   def streamAppend(spark: SparkSession, srcPath: String,
       schema: org.apache.spark.sql.types.StructType, idCol: String,
-      vecCol: String, indexPath: String,
+      vecCol: String, indexPath: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      checkpoint: Option[String] = None)
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val src = spark.readStream.schema(schema).parquet(srcPath)
-    val writer = src.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) {
-          append(batch.toDF(), idCol, vecCol, indexPath): Unit
+    src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val marker = new Path(indexPath, s"_applied_batch_$batchId")
+        val fs = marker.getFileSystem(new Configuration())
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          append(batch.toDF(), idCol, vecCol, indexPath)
+          fs.create(marker, true).close()
         }
       }
+      .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
   }
 
@@ -164,23 +172,27 @@ object AnnIndex {
   def delete(spark: SparkSession, indexPath: String, ids: Seq[Long]): Unit = {
     // read-merge-write: concurrent delete() calls on one index must be
     // serialized by the caller (the reference serializes via table
-    // locks); readers are safe because the write goes to a temp file
-    // and renames over the old one atomically
+    // locks). Readers never hit a gap: each write is a NEW immutable
+    // generation file (tombstones-<nanos>.bin, readers pick the latest
+    // by name) and only generations older than the previous one are
+    // pruned, so a reader that listed just before a delete still finds
+    // its file intact.
     val merged = (tombstones(indexPath) ++ ids).distinct.sorted
-    val p = new Path(indexPath, "tombstones.bin")
-    val fs = p.getFileSystem(new Configuration())
-    val tmp = new Path(indexPath, s"tombstones.bin.tmp-${System.nanoTime()}")
-    val out = new DataOutputStream(new BufferedOutputStream(fs.create(tmp, true)))
+    val fs = new Path(indexPath).getFileSystem(new Configuration())
+    val gen = new Path(indexPath, f"tombstones-${System.nanoTime()}%019d.bin")
+    val out = new DataOutputStream(new BufferedOutputStream(fs.create(gen, false)))
     try {
       out.writeInt(TombstoneMagic)
       out.writeInt(merged.length)
       merged.foreach(out.writeLong)
     } finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      require(fs.exists(p), s"failed to commit tombstones at $p")
-    }
+    // prune all but the newest two generations + any legacy files
+    val gens = TombstoneCache.generationFiles(indexPath, fs)
+    gens.sortBy(_.getName).dropRight(2).foreach(fs.delete(_, false))
+    val legacyBin = new Path(indexPath, "tombstones.bin")
+    if (fs.exists(legacyBin)) fs.delete(legacyBin, false)
+    val legacyTxt = new Path(indexPath, "tombstones.txt")
+    if (fs.exists(legacyTxt)) fs.delete(legacyTxt, false)
   }
 
   private[ann] val TombstoneMagic = 0x47544f4d // "GTOM"
@@ -363,48 +375,82 @@ object ShardCache {
   * picked up without any executor coordination. The array is sorted;
   * probes binary-search it. */
 object TombstoneCache {
+  // keyed by the concrete file read; stamp = mtime ^ shifted length
   private val cache = TrieMap[String, (Long, Array[Long])]()
   private val MaxEntries = 256 // arrays re-read on demand; a full clear is cheap
 
-  def get(indexPath: String): Array[Long] = {
-    val p = new Path(indexPath, "tombstones.bin")
-    val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) legacyTxt(indexPath, fs)
-    else {
-      val st = fs.getFileStatus(p)
-      val stamp = st.getModificationTime ^ (st.getLen << 20)
-      cache.get(indexPath) match {
-        case Some((s, arr)) if s == stamp => arr
-        case _ =>
-          val in = new DataInputStream(new BufferedInputStream(fs.open(p)))
-          val arr =
-            try {
-              require(in.readInt() == AnnIndex.TombstoneMagic,
-                s"$p is not a graft tombstone file")
-              val n = in.readInt()
-              val a = new Array[Long](n)
-              var i = 0
-              while (i < n) { a(i) = in.readLong(); i += 1 }
-              a
-            } finally in.close()
-          if (cache.size >= MaxEntries) cache.clear() // unbounded paths guard
-          cache.put(indexPath, (stamp, arr))
-          arr
+  private[ann] def generationFiles(indexPath: String,
+      fs: org.apache.hadoop.fs.FileSystem): Seq[Path] = {
+    val dir = new Path(indexPath)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("tombstones-") && n.endsWith(".bin")
       }
+  }
+
+  def get(indexPath: String): Array[Long] = {
+    val fs = new Path(indexPath).getFileSystem(new Configuration())
+    val gens = generationFiles(indexPath, fs)
+    if (gens.nonEmpty) readBin(gens.maxBy(_.getName), fs)
+    else {
+      val legacyBin = new Path(indexPath, "tombstones.bin")
+      if (fs.exists(legacyBin)) readBin(legacyBin, fs)
+      else legacyTxt(indexPath, fs)
+    }
+  }
+
+  private def readBin(p: Path,
+      fs: org.apache.hadoop.fs.FileSystem): Array[Long] = {
+    val st = fs.getFileStatus(p)
+    val stamp = st.getModificationTime ^ (st.getLen << 20)
+    val key = p.toString
+    cache.get(key) match {
+      case Some((s, arr)) if s == stamp => arr
+      case _ =>
+        val in = new DataInputStream(new BufferedInputStream(fs.open(p)))
+        val arr =
+          try {
+            require(in.readInt() == AnnIndex.TombstoneMagic,
+              s"$p is not a graft tombstone file")
+            val n = in.readInt()
+            val a = new Array[Long](n)
+            var i = 0
+            while (i < n) { a(i) = in.readLong(); i += 1 }
+            a
+          } finally in.close()
+        if (cache.size >= MaxEntries) cache.clear() // unbounded paths guard
+        cache.put(key, (stamp, arr))
+        arr
     }
   }
 
   /** Pre-round-3 indexes stored deletes as `tombstones.txt` (one id per
     * line); read it when no packed file exists, so old deletions stay
-    * hidden and the next delete() migrates them into the bin format. */
+    * hidden and the next delete() migrates them into the bin format.
+    * Cached like the bin path (the probe path would otherwise re-read
+    * the file per task); lines are trimmed (CRLF tolerance). */
   private def legacyTxt(indexPath: String,
       fs: org.apache.hadoop.fs.FileSystem): Array[Long] = {
     val p = new Path(indexPath, "tombstones.txt")
     if (!fs.exists(p)) Array.emptyLongArray
     else {
-      val in = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
-      try in.getLines().filter(_.nonEmpty).map(_.toLong).toArray.sorted
-      finally in.close()
+      val st = fs.getFileStatus(p)
+      val stamp = st.getModificationTime ^ (st.getLen << 20)
+      val key = p.toString
+      cache.get(key) match {
+        case Some((s, arr)) if s == stamp => arr
+        case _ =>
+          val in = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
+          val arr =
+            try in.getLines().map(_.trim).filter(_.nonEmpty)
+              .map(_.toLong).toArray.sorted
+            finally in.close()
+          if (cache.size >= MaxEntries) cache.clear()
+          cache.put(key, (stamp, arr))
+          arr
+      }
     }
   }
 }

@@ -236,7 +236,9 @@ object Dedup {
     }
     var prevSum = labelSum(labels)
     var iter = 0
-    var converged = prevSum == 0L // empty graph
+    // emptiness, not sum==0: ids may be negative (hash-derived), where a
+    // non-empty graph can legitimately sum to zero
+    var converged = labels.isEmpty
     while (!converged && iter < maxIters) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
@@ -269,9 +271,11 @@ object Dedup {
   def keepOnePerGroup(df: DataFrame, idCol: Column,
       pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
+    // unique name: df's own id column is usually also "doc_id", and an
+    // unqualified join condition on a shared name is ambiguous
     val losers = comps.filter(col("doc_id") =!= col("component"))
-      .select(col("doc_id"))
-    df.join(losers, idCol === losers("doc_id"), "left_anti")
+      .select(col("doc_id").as("__dup_loser"))
+    df.join(losers, idCol === losers("__dup_loser"), "left_anti")
   }
 
   /** 16-bit md5-derived SimHash, as a bit-string column. For each of the

@@ -89,9 +89,10 @@ object TextQueries {
     val lex = Bm25.searchBm25Of(tokCached(s, dir), bm25Query, 20,
         postings = Some(postCached(s, dir)))
       .select(col("doc_id"), round(col("score"), 6).as("s"))
-    val emb = Embeddings.embedColumn(
-      docs(s, dir).select(col("doc_id"), col("text")), "text", "vec",
-      Runtimes.mock(8), "mock-embed", batchSize = 64)
+    val emb = graft.SharedState.cached(s"mockemb:$dir")(
+      Embeddings.embedColumn(
+        docs(s, dir).select(col("doc_id"), col("text")), "text", "vec",
+        Runtimes.mock(8), "mock-embed", batchSize = 64))
     val qv = Runtimes.mock(8).embedBatch("mock-embed", Seq(bm25Query)).head
     val vec = Knn.knn(emb, col("vec"),
         graft.functions.vecLit(qv.toSeq), 20, Knn.L2Sq, Some(col("doc_id")))

@@ -280,6 +280,11 @@ case class NearestCentroid(child: Expression,
     extends UnaryExpression with ExpectsInputTypes {
   require(metricId == 0 || metricId == 1,
     s"nearest_centroid supports l2sq(0)/cos(1), got metric id $metricId")
+  // uniform centroid table validated once here, so the kernel checks
+  // only centroid 0 against each row (a ragged table would otherwise
+  // produce silently wrong assignments)
+  require(centroids.nonEmpty && centroids.forall(_.length == centroids(0).length),
+    "expected equally sized centroid arrays")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid"

@@ -144,7 +144,7 @@ class AnnSpec extends SparkSpec {
       .write.parquet(s"$work/feed")
     val q = AnnIndex.streamAppend(spark, s"$work/feed",
       emb.select("vec_id", "embedding").schema, "vec_id", "embedding",
-      s"$work/idx", checkpoint = Some(s"$work/ckpt"))
+      s"$work/idx", checkpoint = s"$work/ckpt")
     q.awaitTermination()
     val man = AnnIndex.readManifest(s"$work/idx")
     assert(man.count == corpus.length)
@@ -153,6 +153,13 @@ class AnnSpec extends SparkSpec {
     val hits = AnnIndex.topK(spark, s"$work/idx", streamedRow._2, 5, ef = 600)
       .collect().map(_.getLong(0)).toSeq
     assert(hits.head == streamedRow._1)
+    // re-running the drain must not duplicate rows (checkpoint + batch
+    // markers make the appends idempotent)
+    val q2 = AnnIndex.streamAppend(spark, s"$work/feed",
+      emb.select("vec_id", "embedding").schema, "vec_id", "embedding",
+      s"$work/idx", checkpoint = s"$work/ckpt")
+    q2.awaitTermination()
+    assert(AnnIndex.readManifest(s"$work/idx").count == corpus.length)
   }
 
   test("append adds shards and rows stay searchable") {

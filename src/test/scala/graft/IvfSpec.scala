@@ -157,6 +157,24 @@ class IvfSpec extends SparkSpec {
     assert(Dedup.connectedComponents(none).count() == 0)
   }
 
+  test("connected components handle negative (hash-derived) ids") {
+    import spark.implicits._
+    // initial label sum is zero here - must not be mistaken for empty
+    val pairs = Seq((-7L, 7L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(-7L -> -7L, 7L -> -7L))
+  }
+
+  test("keepOnePerGroup works when df's id column is also named doc_id") {
+    import spark.implicits._
+    val rows = (1L to 5L).map(i => (i, s"doc$i")).toDF("doc_id", "body")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepOnePerGroup(rows, col("doc_id"), pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
   test("connected components assign min-reachable-id cluster keys") {
     import spark.implicits._
     // a 3-chain, a pair, and a triangle
