@@ -46,6 +46,11 @@ final class Hnsw(
   // the byte codes are kept and distances run over centroid tables.
   private[ann] val ids = mutable.ArrayBuffer.empty[Long]
   private[ann] val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+  // squared norms, cached per node for the cos metric (recomputing both
+  // norms on every pair evaluation dominates cos builds); the cached
+  // value is the same double the metric's own loop produces, so results
+  // are bit-identical to Metric.Cos.dist
+  private[ann] val norms = mutable.ArrayBuffer.empty[Double]
   private[ann] val codes = mutable.ArrayBuffer.empty[Array[Byte]]
   private[ann] val levels = mutable.ArrayBuffer.empty[Int]
   // neighbors(node)(layer) = growable adjacency list
@@ -56,11 +61,29 @@ final class Hnsw(
 
   def size: Int = ids.length
 
+  @inline private def sqNorm(v: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
+    acc
+  }
+
+  @inline private def cosCached(a: Array[Float], b: Array[Float],
+      na: Double, nb: Double): Double = {
+    var dot = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+  }
+
   /** node-to-node distance (raw kernel, or the codebook's symmetric
     * centroid tables — the canonical arithmetic lives on Codebook so
     * the in-index path and the Catalyst expressions cannot diverge). */
   @inline private def distNN(i: Int, j: Int): Double =
-    if (pq.isEmpty) metric.dist(vecs(i), vecs(j))
+    if (pq.isEmpty) {
+      if (metric eq Metric.Cos) cosCached(vecs(i), vecs(j), norms(i), norms(j))
+      else metric.dist(vecs(i), vecs(j))
+    }
     else {
       val sym = pq.get.symmetricTable
       val a = codes(i); val b = codes(j)
@@ -74,8 +97,11 @@ final class Hnsw(
     }
 
   @inline private def distQN(q: Array[Float], adc: Array[Array[Double]],
-      n: Int): Double =
-    if (pq.isEmpty) metric.dist(q, vecs(n))
+      qNorm: Double, n: Int): Double =
+    if (pq.isEmpty) {
+      if (metric eq Metric.Cos) cosCached(q, vecs(n), qNorm, norms(n))
+      else metric.dist(q, vecs(n))
+    }
     else {
       val cs = codes(n)
       var acc = 0.0
@@ -198,7 +224,10 @@ final class Hnsw(
     val level = randomLevel()
     val node = size
     ids += id
-    if (pq.isEmpty) vecs += vec else codes += pq.get.quantize(vec)
+    if (pq.isEmpty) {
+      vecs += vec
+      if (metric eq Metric.Cos) norms += sqNorm(vec)
+    } else codes += pq.get.quantize(vec)
     levels += level
     neighbors += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
 
@@ -263,7 +292,8 @@ final class Hnsw(
     require(q.length == dim,
       s"expected equally sized arrays but got dimensions ${q.length} and $dim")
     val adc = if (pq.isEmpty) null else pq.get.adcTable(q)
-    val dq = distQN(q, adc, _: Int)
+    val qNorm = if (pq.isEmpty && (metric eq Metric.Cos)) sqNorm(q) else 0.0
+    val dq = distQN(q, adc, qNorm, _: Int)
     var ep = Seq((entryPoint, dq(entryPoint)))
     var l = topLevel
     while (l > 0) { // greedy descent navigates tombstones too: no accept
@@ -405,6 +435,7 @@ object Hnsw {
         var i = 0
         while (i < dim) { v(i) = in.readFloat(); i += 1 }
         h.vecs += v
+        if (metric eq Metric.Cos) h.norms += h.sqNorm(v)
       } else {
         val cs = new Array[Byte](pq.get.subvectors)
         in.readFully(cs)
