@@ -53,9 +53,10 @@ final class Hnsw(
   private[ann] val norms = mutable.ArrayBuffer.empty[Double]
   private[ann] val codes = mutable.ArrayBuffer.empty[Array[Byte]]
   private[ann] val levels = mutable.ArrayBuffer.empty[Int]
-  // neighbors(node)(layer) = growable adjacency list
-  private[ann] val neighbors =
-    mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+  // neighbors(node)(layer) = growable primitive adjacency list (an
+  // ArrayBuffer[Int] would box every neighbor id - measurable GC drag
+  // on million-node shard builds)
+  private[ann] val neighbors = mutable.ArrayBuffer.empty[Array[IntVec]]
   private[ann] var entryPoint: Int = -1
   private[ann] var topLevel: Int = -1
 
@@ -229,7 +230,7 @@ final class Hnsw(
       if (metric eq Metric.Cos) norms += sqNorm(vec)
     } else codes += pq.get.quantize(vec)
     levels += level
-    neighbors += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+    neighbors += Array.fill(level + 1)(new IntVec)
 
     if (entryPoint < 0) { entryPoint = node; topLevel = level; return }
 
@@ -269,9 +270,10 @@ final class Hnsw(
         nbAdj += node
         if (nbAdj.length > maxConn) { // prune with the same heuristic
           val pruned = selectNeighbors(
-            nbAdj.map(x => (x, distNN(nb, x))).toSeq, maxConn)
+            (0 until nbAdj.length).map(i => (nbAdj(i), distNN(nb, nbAdj(i)))),
+            maxConn)
           nbAdj.clear()
-          nbAdj ++= pruned.map(_._1)
+          pruned.foreach(p => nbAdj += p._1)
         }
       }
       ep = w
@@ -443,7 +445,7 @@ object Hnsw {
       }
       h.ids += id
       h.levels += level
-      val adj = Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      val adj = Array.fill(level + 1)(new IntVec)
       var l = 0
       while (l <= level) {
         val cnt = in.readInt()
@@ -457,6 +459,26 @@ object Hnsw {
     h.entryPoint = ep
     h.topLevel = top
     h
+  }
+}
+
+/** Growable primitive int array: the adjacency-list cell of the HNSW
+  * graph (append-ordered; iteration order = append order, which the
+  * shard file format and determinism tests rely on). */
+private[graft] final class IntVec extends Serializable {
+  private var arr = new Array[Int](8)
+  private var n = 0
+  def length: Int = n
+  def apply(i: Int): Int = arr(i)
+  def +=(x: Int): Unit = {
+    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+    arr(n) = x
+    n += 1
+  }
+  def clear(): Unit = n = 0
+  def foreach(f: Int => Unit): Unit = {
+    var i = 0
+    while (i < n) { f(arr(i)); i += 1 }
   }
 }
 
