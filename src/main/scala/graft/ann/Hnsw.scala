@@ -117,21 +117,41 @@ final class Hnsw(
   private def randomLevel(): Int =
     (-math.log(rng.nextDouble() max Double.MinPositiveValue) * levelMult).toInt
 
-  /** Per-thread reusable search workspace: the heaps and visited set
-    * would otherwise be reallocated for every insert/search.
-    * Thread-local because cached shards serve concurrent searches. */
+  /** Per-thread reusable search workspace: the heaps, visited set, and
+    * entry/result arrays would otherwise be reallocated for every
+    * insert/search. Thread-local because cached shards serve concurrent
+    * searches. */
   private final class Workspace {
     val candidates = new DoubleIntHeap(min = true)
     val results = new DoubleIntHeap(min = false)
     val visited = new java.util.BitSet()
+    // layer-search entry points and drained (ascending) results
+    var epIds = new Array[Int](256)
+    var epDists = new Array[Double](256)
+    var epN = 0
+    var outIds = new Array[Int](256)
+    var outDists = new Array[Double](256)
+    def ensureEp(n: Int): Unit = if (epIds.length < n) {
+      epIds = java.util.Arrays.copyOf(epIds, n * 2)
+      epDists = java.util.Arrays.copyOf(epDists, n * 2)
+    }
+    def ensureOut(n: Int): Unit = if (outIds.length < n) {
+      outIds = java.util.Arrays.copyOf(outIds, n * 2)
+      outDists = java.util.Arrays.copyOf(outDists, n * 2)
+    }
+    def seed(id: Int, dist: Double): Unit = {
+      epIds(0) = id; epDists(0) = dist; epN = 1
+    }
   }
   @transient private lazy val workspace: ThreadLocal[Workspace] =
     ThreadLocal.withInitial(() => new Workspace)
 
   /** Best-first search of one layer (paper Algorithm 2) using a
-    * node-distance function. Returns up to `ef` (internalId, dist)
-    * pairs, unsorted. Primitive array heaps — this is the hot loop of
-    * both build and search, so no boxing.
+    * node-distance function. Seeds from `ws.ep*[0, ws.epN)`; drains the
+    * result heap into `ws.out*` sorted ASCENDING by distance (the heap
+    * pops farthest-first, filled backward) and returns the count.
+    * Fully primitive — this is the hot loop of both build and search,
+    * so no per-candidate boxing and no separate sort downstream.
     *
     * `accept` filters which nodes may enter the RESULT set; rejected
     * nodes (tombstones) still join the candidate frontier, so the
@@ -141,22 +161,24 @@ final class Hnsw(
     * loop keeps expanding, degrading gracefully toward an exhaustive
     * component walk under heavy deletion (vacuum is the real answer
     * there). */
-  private def searchLayer(distTo: Int => Double, eps: Seq[(Int, Double)],
-      ef: Int, layer: Int,
-      accept: Int => Boolean = null): Seq[(Int, Double)] = {
-    val ws = workspace.get()
+  private def searchLayerInto(ws: Workspace, distTo: Int => Double,
+      ef: Int, layer: Int, accept: Int => Boolean = null): Int = {
     val visited = ws.visited
     visited.clear()
     val candidates = ws.candidates // nearest-first
     val results = ws.results // farthest-first, cap ef
     candidates.clear()
     results.clear()
-    eps.foreach { case (n, d) =>
+    var s = 0
+    while (s < ws.epN) {
+      val n = ws.epIds(s)
       if (!visited.get(n)) {
         visited.set(n)
+        val d = ws.epDists(s)
         candidates.push(d, n)
         if (accept == null || accept(n)) results.push(d, n)
       }
+      s += 1
     }
     var break = false
     while (!break && candidates.nonEmpty) {
@@ -188,7 +210,16 @@ final class Hnsw(
         }
       }
     }
-    results.toSeq
+    val n = results.size
+    ws.ensureOut(n)
+    var i = n - 1
+    while (i >= 0) {
+      ws.outIds(i) = results.topValue
+      ws.outDists(i) = results.topKey
+      results.pop()
+      i -= 1
+    }
+    n
   }
 
   /** Neighbor-selection heuristic (paper Algorithm 4): scan candidates
@@ -219,6 +250,44 @@ final class Hnsw(
     kept.toSeq
   }
 
+  /** Algorithm 4 over the ALREADY-ASCENDING drained candidate arrays
+    * (insert hot path: no sort, no tuples). Writes kept internal ids
+    * into `keptIds` and returns the kept count. */
+  private def selectFromSorted(cIds: Array[Int], cDists: Array[Double],
+      n: Int, max: Int, keptIds: Array[Int]): Int = {
+    var keptN = 0
+    var i = 0
+    while (i < n && keptN < max) {
+      val c = cIds(i)
+      val dq = cDists(i)
+      var diverse = true
+      var j = 0
+      while (diverse && j < keptN) {
+        if (distNN(c, keptIds(j)) < dq) diverse = false
+        j += 1
+      }
+      if (diverse) { keptIds(keptN) = c; keptN += 1 }
+      i += 1
+    }
+    // backfill with pruned candidates if under-full (paper's keepPruned)
+    if (keptN < max) {
+      val diverseN = keptN
+      var i2 = 0
+      while (i2 < n && keptN < max) {
+        val c = cIds(i2)
+        var seen = false
+        var j = 0
+        while (!seen && j < diverseN) { // only diverse picks can repeat
+          if (keptIds(j) == c) seen = true
+          j += 1
+        }
+        if (!seen) { keptIds(keptN) = c; keptN += 1 }
+        i2 += 1
+      }
+    }
+    keptN
+  }
+
   def insert(id: Long, vec: Array[Float]): Unit = {
     require(vec.length == dim,
       s"expected equally sized arrays but got dimensions ${vec.length} and $dim")
@@ -234,37 +303,39 @@ final class Hnsw(
 
     if (entryPoint < 0) { entryPoint = node; topLevel = level; return }
 
+    val ws = workspace.get()
     val d0 = distNN(node, _: Int)
-    var ep = Seq((entryPoint, d0(entryPoint)))
+    var epId = entryPoint
+    var epDist = d0(entryPoint)
     var l = topLevel
     while (l > level) { // greedy descent above the node's level
       var changed = true
       while (changed) {
         changed = false
-        val (cur, cd) = ep.head
-        val adj = neighbors(cur)
+        val adj = neighbors(epId)
         if (l < adj.length) {
           val ns = adj(l)
           var i = 0
-          var best = cur
-          var bd = cd
           while (i < ns.length) {
             val d = d0(ns(i))
-            if (d < bd) { bd = d; best = ns(i); changed = true }
+            if (d < epDist) { epDist = d; epId = ns(i); changed = true }
             i += 1
           }
-          ep = Seq((best, bd))
         }
       }
       l -= 1
     }
 
+    ws.seed(epId, epDist)
+    val keptIds = new Array[Int](m)
     l = math.min(level, topLevel)
     while (l >= 0) {
-      val w = searchLayer(d0, ep, efConstruction, l).toSeq
+      val n = searchLayerInto(ws, d0, efConstruction, l)
       val maxConn = if (l == 0) mMax0 else m
-      val selected = selectNeighbors(w, m)
-      selected.foreach { case (nb, d) =>
+      val keptN = selectFromSorted(ws.outIds, ws.outDists, n, m, keptIds)
+      var ki = 0
+      while (ki < keptN) {
+        val nb = keptIds(ki)
         neighbors(node)(l) += nb
         val nbAdj = neighbors(nb)(l)
         nbAdj += node
@@ -275,8 +346,13 @@ final class Hnsw(
           nbAdj.clear()
           pruned.foreach(p => nbAdj += p._1)
         }
+        ki += 1
       }
-      ep = w
+      // next layer's entry points = this layer's full result set
+      ws.ensureEp(n)
+      System.arraycopy(ws.outIds, 0, ws.epIds, 0, n)
+      System.arraycopy(ws.outDists, 0, ws.epDists, 0, n)
+      ws.epN = n
       l -= 1
     }
     if (level > topLevel) { topLevel = level; entryPoint = node }
@@ -296,18 +372,28 @@ final class Hnsw(
     val adc = if (pq.isEmpty) null else pq.get.adcTable(q)
     val qNorm = if (pq.isEmpty && (metric eq Metric.Cos)) sqNorm(q) else 0.0
     val dq = distQN(q, adc, qNorm, _: Int)
-    var ep = Seq((entryPoint, dq(entryPoint)))
+    val ws = workspace.get()
+    var epId = entryPoint
+    var epDist = dq(entryPoint)
     var l = topLevel
     while (l > 0) { // greedy descent navigates tombstones too: no accept
-      ep = Seq(searchLayer(dq, ep, 1, l).minBy(_._2))
+      ws.seed(epId, epDist)
+      if (searchLayerInto(ws, dq, 1, l) > 0) {
+        epId = ws.outIds(0)
+        epDist = ws.outDists(0)
+      }
       l -= 1
     }
     val accept: Int => Boolean =
       if (skip == null) null else n => !skip(ids(n))
-    searchLayer(dq, ep, math.max(ef, k), 0, accept).toSeq
+    ws.seed(epId, epDist)
+    val n = searchLayerInto(ws, dq, math.max(ef, k), 0, accept)
+    // drained output is distance-ascending; re-sort with the external-id
+    // tiebreak for deterministic results (small: at most max(ef, k) rows)
+    (0 until n).map(i => (ws.outIds(i), ws.outDists(i)))
       .sortBy(x => (x._2, ids(x._1)))
       .take(k)
-      .map { case (n, d) => (ids(n), d) }
+      .map { case (nd, d) => (ids(nd), d) }
   }
 
   /** Rough in-memory footprint of this shard graph (vectors/codes +
