@@ -50,7 +50,7 @@ final class Hnsw(
   // norms on every pair evaluation dominates cos builds); the cached
   // value is the same double the metric's own loop produces, so results
   // are bit-identical to Metric.Cos.dist
-  private[ann] val norms = mutable.ArrayBuffer.empty[Double]
+  private[ann] val norms = new DoubleVec
   private[ann] val codes = mutable.ArrayBuffer.empty[Array[Byte]]
   private[ann] val levels = mutable.ArrayBuffer.empty[Int]
   // neighbors(node)(layer) = growable primitive adjacency list (an
@@ -142,6 +142,15 @@ final class Hnsw(
     def seed(id: Int, dist: Double): Unit = {
       epIds(0) = id; epDists(0) = dist; epN = 1
     }
+    // neighbor-prune scratch (bounded by mMax0 + 1)
+    var pruneIds = new Array[Int](64)
+    var pruneDists = new Array[Double](64)
+    var pruneKept = new Array[Int](64)
+    def ensurePrune(n: Int): Unit = if (pruneIds.length < n) {
+      pruneIds = java.util.Arrays.copyOf(pruneIds, n * 2)
+      pruneDists = java.util.Arrays.copyOf(pruneDists, n * 2)
+      pruneKept = java.util.Arrays.copyOf(pruneKept, n * 2)
+    }
   }
   @transient private lazy val workspace: ThreadLocal[Workspace] =
     ThreadLocal.withInitial(() => new Workspace)
@@ -222,37 +231,34 @@ final class Hnsw(
     n
   }
 
-  /** Neighbor-selection heuristic (paper Algorithm 4): scan candidates
-    * nearest-first, keep one only if it is closer to the anchor node
-    * than to every already-kept neighbor (graph diversity). */
-  private def selectNeighbors(cands: Seq[(Int, Double)],
-      max: Int): Seq[(Int, Double)] = {
-    val sorted = cands.sortBy(_._2)
-    val kept = mutable.ArrayBuffer.empty[(Int, Double)]
-    var i = 0
-    while (i < sorted.length && kept.length < max) {
-      val (c, dq) = sorted(i)
-      var diverse = true
-      var j = 0
-      while (diverse && j < kept.length) {
-        if (distNN(c, kept(j)._1) < dq) diverse = false
-        j += 1
+  /** Stable insertion sort of parallel (id, dist) arrays by ascending
+    * dist (prune lists are at most mMax0+1 long and nearly sorted;
+    * stability keeps tie order = append order, matching the previous
+    * sortBy semantics exactly). */
+  private def sortByDist(ids: Array[Int], dists: Array[Double],
+      n: Int): Unit = {
+    var i = 1
+    while (i < n) {
+      val d = dists(i)
+      val id = ids(i)
+      var j = i - 1
+      while (j >= 0 && dists(j) > d) {
+        dists(j + 1) = dists(j)
+        ids(j + 1) = ids(j)
+        j -= 1
       }
-      if (diverse) kept += ((c, dq))
+      dists(j + 1) = d
+      ids(j + 1) = id
       i += 1
     }
-    // backfill with pruned candidates if under-full (paper's keepPruned)
-    if (kept.length < max) {
-      val keptSet = kept.map(_._1).toSet
-      sorted.iterator.filterNot(c => keptSet(c._1))
-        .take(max - kept.length).foreach(kept += _)
-    }
-    kept.toSeq
   }
 
-  /** Algorithm 4 over the ALREADY-ASCENDING drained candidate arrays
-    * (insert hot path: no sort, no tuples). Writes kept internal ids
-    * into `keptIds` and returns the kept count. */
+  /** Neighbor-selection heuristic (paper Algorithm 4) over
+    * ALREADY-ASCENDING candidate arrays (insert hot path: no sort, no
+    * tuples) — scan candidates nearest-first, keep one only if it is closer to
+    * the anchor node than to every already-kept neighbor (graph
+    * diversity), then backfill. Writes kept internal ids into `keptIds`
+    * and returns the kept count. */
   private def selectFromSorted(cIds: Array[Int], cDists: Array[Double],
       n: Int, max: Int, keptIds: Array[Int]): Int = {
     var keptN = 0
@@ -340,11 +346,20 @@ final class Hnsw(
         val nbAdj = neighbors(nb)(l)
         nbAdj += node
         if (nbAdj.length > maxConn) { // prune with the same heuristic
-          val pruned = selectNeighbors(
-            (0 until nbAdj.length).map(i => (nbAdj(i), distNN(nb, nbAdj(i)))),
-            maxConn)
+          val pn = nbAdj.length
+          ws.ensurePrune(pn)
+          var pi = 0
+          while (pi < pn) {
+            ws.pruneIds(pi) = nbAdj(pi)
+            ws.pruneDists(pi) = distNN(nb, nbAdj(pi))
+            pi += 1
+          }
+          sortByDist(ws.pruneIds, ws.pruneDists, pn)
+          val kn = selectFromSorted(ws.pruneIds, ws.pruneDists, pn,
+            maxConn, ws.pruneKept)
           nbAdj.clear()
-          pruned.foreach(p => nbAdj += p._1)
+          var pj = 0
+          while (pj < kn) { nbAdj += ws.pruneKept(pj); pj += 1 }
         }
         ki += 1
       }
@@ -405,7 +420,8 @@ final class Hnsw(
     val adjBytes = neighbors.iterator
       .map(layers => layers.iterator.map(_.length.toLong * 4 + 32).sum)
       .sum
-    vecBytes + adjBytes + size.toLong * 16 + 1024
+    val normBytes = norms.length.toLong * 8
+    vecBytes + adjBytes + normBytes + size.toLong * 16 + 1024
   }
 
   /** Serialize to a stream (shard file format v2). */
@@ -565,6 +581,19 @@ private[graft] final class IntVec extends Serializable {
   def foreach(f: Int => Unit): Unit = {
     var i = 0
     while (i < n) { f(arr(i)); i += 1 }
+  }
+}
+
+/** Growable primitive double array (the cos norm cache). */
+private[graft] final class DoubleVec extends Serializable {
+  private var arr = new Array[Double](8)
+  private var n = 0
+  def length: Int = n
+  def apply(i: Int): Double = arr(i)
+  def +=(x: Double): Unit = {
+    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+    arr(n) = x
+    n += 1
   }
 }
 
