@@ -252,6 +252,42 @@ object AnnIndex {
     hits.orderBy(col("dist").asc, col("id").asc).limit(k)
   }
 
+  /** Batch KNN join: top-k index neighbors for EVERY row of a query
+    * DataFrame in ONE job — the throughput shape of batch scoring
+    * (embed-then-retrieve pipelines, recall evaluation, k-NN
+    * classification) where per-query driver round-trips would dominate.
+    * Queries partition across executors; each task probes the
+    * LRU-cached shard graphs locally and merges per-query results, so
+    * an executor downloads each shard at most once per eviction
+    * lifetime and the driver never sees more than the final
+    * (queries x k) rows. Returns (query_id, id, dist, rank). */
+  def topKJoin(queries: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, k: Int, ef: Int = 64): DataFrame = {
+    val man = readManifest(indexPath)
+    val spark = queries.sparkSession
+    val shardPaths = man.shards.map(s => s"$indexPath/$s")
+    val idxPath = indexPath
+    import spark.implicits._
+    queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val dead = TombstoneCache.get(idxPath)
+        val skip: Long => Boolean =
+          if (dead.isEmpty) null
+          else id => java.util.Arrays.binarySearch(dead, id) >= 0
+        val graphs = shardPaths.map(ShardCache.get)
+        rows.flatMap { case (qid, qv) =>
+          val q = qv.toArray
+          graphs.flatMap(_.search(q, k, math.max(ef, k), skip))
+            .sortBy(x => (x._2, x._1))
+            .take(k)
+            .zipWithIndex
+            .map { case ((nid, d), r) => (qid, nid, d, r + 1) }
+        }
+      }
+      .toDF("query_id", "id", "dist", "rank")
+  }
+
   /** Validate every shard's graph invariants (reference
     * validate_index.c); returns (shard, violation) rows. */
   def validate(spark: SparkSession, indexPath: String): Seq[(String, String)] = {

@@ -200,6 +200,19 @@ object VectorQueries {
     }
   }
 
+  /** Batch KNN join through the sharded index: top-3 neighbors for each
+    * of the first 20 corpus vectors in ONE job (mapPartitions over the
+    * queries, shard graphs probed from the executor cache). Exhaustive
+    * ef makes each per-query result exact, so the oracle is the
+    * windowed cross-distance SQL. */
+  private def knnJoin(s: SparkSession, dir: String): DataFrame =
+    AnnIndex.topKJoin(
+        emb(s, dir).filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", annIndexPath(s, dir), k = 3, ef = 4096)
+      .select(col("query_id"), col("id"), round(col("dist"), 6).as("dist"),
+        col("rank"))
+
   /** 16 deterministic random-hyperplane planes (multiples of 1/8: exact
     * in float and double, so sign bits agree across engines). */
   private val numPlanes = 16
@@ -339,6 +352,7 @@ object VectorQueries {
     "q_ann_l2sq" -> ((s, dir) => annL2Sq(s, dir)),
     "q_ann_ef64" -> ((s, dir) => annL2SqEf64(s, dir)),
     "q_ann_filtered" -> ((s, dir) => annFiltered(s, dir)),
+    "q_knn_join" -> ((s, dir) => knnJoin(s, dir)),
     "q_neardup_lsh" -> ((s, dir) => nearDupLsh(s, dir)),
     "q_fvecs_roundtrip" -> ((s, dir) => fvecsRoundtrip(s, dir)),
     "q_knn_cursor" -> ((s, dir) => knnCursor(s, dir)),
@@ -455,6 +469,23 @@ object VectorQueries {
          |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
          |FROM embeddings, q WHERE label = 1
          |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_knn_join" ->
+      """WITH qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 20),
+        |d AS (
+        |  SELECT qs.query_id, e.vec_id AS id,
+        |    list_sum(list_transform(e.embedding,
+        |      (x, i) -> (CAST(x AS DOUBLE) - CAST(qv[i] AS DOUBLE))
+        |        * (CAST(x AS DOUBLE) - CAST(qv[i] AS DOUBLE)))) AS dist
+        |  FROM qs, embeddings e),
+        |r AS (
+        |  SELECT query_id, id, dist,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist ASC, id ASC) AS INT) AS rank
+        |  FROM d)
+        |SELECT query_id, id, round(dist, 6) AS dist, rank
+        |FROM r WHERE rank <= 3""".stripMargin,
     "q_neardup_embedding" ->
       s"""WITH bits AS (
          |  SELECT vec_id, label, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1

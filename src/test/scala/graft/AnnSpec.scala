@@ -134,6 +134,25 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("batch KNN join equals per-query probes") {
+    val dir = Files.createTempDirectory("annjoin").toString
+    buildIndex(dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val joined = AnnIndex.topKJoin(queries, "vec_id", "embedding", dir,
+        k = 5, ef = 600)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+      .sortBy(x => (x._1, x._2))
+      .toSeq
+    val loop = corpus.filter(_._1 < 10).sortBy(_._1).flatMap { case (qid, qv) =>
+      AnnIndex.topK(spark, dir, qv, 5, ef = 600)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0)) }
+    }.toSeq
+    assert(joined == loop)
+  }
+
   test("streamAppend drains a parquet feed into the index via foreachBatch") {
     val work = Files.createTempDirectory("annstream").toString
     import spark.implicits._
