@@ -269,6 +269,7 @@ object AnnIndex {
     val idxPath = indexPath
     import spark.implicits._
     queries.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(vecCol).isNotNull) // null vectors have no neighbors
       .as[(Long, Seq[Float])]
       .mapPartitions { rows =>
         val dead = TombstoneCache.get(idxPath)
