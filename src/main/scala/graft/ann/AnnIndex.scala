@@ -197,6 +197,15 @@ object AnnIndex {
 
   private[ann] val TombstoneMagic = 0x47544f4d // "GTOM"
 
+  /** Executor-side tombstone predicate for a probe (null = no deletes;
+    * the search skips the filter branch entirely). Shared by every
+    * probe path so skip semantics cannot diverge. */
+  private def tombstoneSkip(indexPath: String): Long => Boolean = {
+    val dead = TombstoneCache.get(indexPath)
+    if (dead.isEmpty) null
+    else id => java.util.Arrays.binarySearch(dead, id) >= 0
+  }
+
   def tombstones(indexPath: String): Seq[Long] =
     TombstoneCache.get(indexPath).toSeq
 
@@ -240,10 +249,7 @@ object AnnIndex {
     val hits = spark.createDataset(shardPaths)
       .repartition(math.min(shardPaths.size, 64))
       .mapPartitions { paths =>
-        val dead = TombstoneCache.get(idxPath)
-        val skip: Long => Boolean =
-          if (dead.isEmpty) null
-          else id => java.util.Arrays.binarySearch(dead, id) >= 0
+        val skip = tombstoneSkip(idxPath)
         paths.flatMap { p =>
           ShardCache.get(p).search(query, k, math.max(ef, k), skip)
         }
@@ -269,21 +275,23 @@ object AnnIndex {
     val idxPath = indexPath
     import spark.implicits._
     queries.select(col(idCol).cast("long"), col(vecCol))
-      .filter(col(vecCol).isNotNull) // null vectors have no neighbors
+      // null vectors have no neighbors; null (or uncastable) ids would
+      // fail the non-nullable tuple encoder mid-job
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Seq[Float])]
       .mapPartitions { rows =>
-        val dead = TombstoneCache.get(idxPath)
-        val skip: Long => Boolean =
-          if (dead.isEmpty) null
-          else id => java.util.Arrays.binarySearch(dead, id) >= 0
-        val graphs = shardPaths.map(ShardCache.get)
-        rows.flatMap { case (qid, qv) =>
-          val q = qv.toArray
-          graphs.flatMap(_.search(q, k, math.max(ef, k), skip))
-            .sortBy(x => (x._2, x._1))
-            .take(k)
-            .zipWithIndex
-            .map { case ((nid, d), r) => (qid, nid, d, r + 1) }
+        if (!rows.hasNext) Iterator.empty // don't load shards for nothing
+        else {
+          val skip = tombstoneSkip(idxPath)
+          val graphs = shardPaths.map(ShardCache.get)
+          rows.flatMap { case (qid, qv) =>
+            val q = qv.toArray
+            graphs.flatMap(_.search(q, k, math.max(ef, k), skip))
+              .sortBy(x => (x._2, x._1))
+              .take(k)
+              .zipWithIndex
+              .map { case ((nid, d), r) => (qid, nid, d, r + 1) }
+          }
         }
       }
       .toDF("query_id", "id", "dist", "rank")
