@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `indexPath`:
   * {{{
-  *   manifest.properties   metric, dim, m, ef_construction, count, shards
-  *   shard_00000.hnsw      one [[Hnsw]] graph per build partition
-  *   tombstones.bin        sorted packed-long deleted ids (optional)
+  *   manifest.properties     metric, dim, m, ef_construction, count, shards
+  *   shard_00000.hnsw        one [[Hnsw]] graph per build partition
+  *   tombstones-g<n>.bin     sorted packed-long deleted ids (optional;
+  *                           monotonic generations, highest wins)
   * }}}
   *
   * The manifest mirrors the reference's index header
@@ -105,7 +106,7 @@ object AnnIndex {
     * maintains the graph online, insert.c; Spark model: batch append +
     * periodic rebuild). */
   def append(df: DataFrame, idCol: String, vecCol: String,
-      indexPath: String): Manifest = {
+      indexPath: String, subdir: Option[String] = None): Manifest = {
     val existing = readManifest(indexPath)
     // appended shards must match the existing storage mode: recover the
     // codebook from an existing shard for a PQ index (mixing raw and
@@ -113,15 +114,14 @@ object AnnIndex {
     val cb =
       if (!existing.pq) None
       else ShardCache.get(s"$indexPath/${existing.shards.head}").pq
-    val tmpPath = s"$indexPath/append_${existing.shards.length}"
-    val appended = build(df, idCol, vecCol, tmpPath,
+    val stage = subdir.getOrElse(s"append_${existing.shards.length}")
+    val appended = build(df, idCol, vecCol, s"$indexPath/$stage",
       Params(existing.metric, existing.m, existing.efConstruction, pq = cb))
     require(appended.dim == existing.dim,
       s"expected equally sized arrays but got dimensions ${appended.dim} and ${existing.dim}")
     val merged = existing.copy(
       count = existing.count + appended.count,
-      shards = existing.shards ++
-        appended.shards.map(s => s"append_${existing.shards.length}/$s"))
+      shards = existing.shards ++ appended.shards.map(s => s"$stage/$s"))
     writeManifest(indexPath, merged)
     merged
   }
@@ -134,13 +134,17 @@ object AnnIndex {
     * insert into index). `Trigger.AvailableNow` drains the backlog and
     * stops; pass a processing-time trigger for a long-running feed.
     *
-    * Exactly-once: append() is not idempotent, so the checkpoint is
-    * REQUIRED (it pins batch ids across restarts) and each applied
-    * batch leaves a `_applied_batch_<id>` marker in the index — a
+    * Exactly-once: the checkpoint is REQUIRED (it pins batch ids across
+    * restarts) and the apply itself is idempotent per batch id — each
+    * batch's shards stage under a batchId-derived directory, so a
     * re-delivered batch (at-least-once foreachBatch semantics after a
-    * mid-batch failure) is skipped instead of appended twice.
-    * Micro-batches with zero rows are skipped too (an empty append
-    * would fail the empty-DataFrame build guard). */
+    * mid-batch failure) is detected in EVERY crash window: marker
+    * present -> skip; manifest already lists `batch_<id>/` shards
+    * (crash after the manifest commit, before the marker) -> write the
+    * marker only; partial uncommitted stage (crash mid-build) -> drop
+    * the stage and redo. `manifest.count` stays exact across any
+    * replay. Micro-batches with zero rows just write their marker (an
+    * empty append would fail the empty-DataFrame build guard). */
   def streamAppend(spark: SparkSession, srcPath: String,
       schema: org.apache.spark.sql.types.StructType, idCol: String,
       vecCol: String, indexPath: String, checkpoint: String,
@@ -150,16 +154,34 @@ object AnnIndex {
     val src = spark.readStream.schema(schema).parquet(srcPath)
     src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        val marker = new Path(indexPath, s"_applied_batch_$batchId")
-        val fs = marker.getFileSystem(new Configuration())
-        if (!fs.exists(marker) && !batch.isEmpty) {
-          append(batch.toDF(), idCol, vecCol, indexPath)
-          fs.create(marker, true).close()
-        }
+        applyStreamBatch(batch.toDF(), batchId, idCol, vecCol, indexPath)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
+
+  /** Idempotent body of one [[streamAppend]] micro-batch (package
+    * visibility so specs can replay it around simulated crashes). */
+  private[graft] def applyStreamBatch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, indexPath: String): Unit = {
+    val marker = new Path(indexPath, s"_applied_batch_$batchId")
+    val fs = marker.getFileSystem(new Configuration())
+    if (fs.exists(marker)) return
+    val stage = s"batch_$batchId"
+    val man = readManifest(indexPath)
+    if (man.shards.exists(_.startsWith(stage + "/"))) {
+      // crash window B: the previous attempt committed the manifest but
+      // died before the marker — the batch is in the index; record it
+      fs.create(marker, true).close()
+    } else {
+      // crash window A: a previous attempt may have staged shards
+      // without committing the manifest — drop them and redo cleanly
+      val stageDir = new Path(indexPath, stage)
+      if (fs.exists(stageDir)) fs.delete(stageDir, true)
+      if (!batch.isEmpty) append(batch, idCol, vecCol, indexPath, Some(stage))
+      fs.create(marker, true).close()
+    }
   }
 
   /** Record deleted ids; searches skip them inside the shard graphs
@@ -173,13 +195,19 @@ object AnnIndex {
     // read-merge-write: concurrent delete() calls on one index must be
     // serialized by the caller (the reference serializes via table
     // locks). Readers never hit a gap: each write is a NEW immutable
-    // generation file (tombstones-<nanos>.bin, readers pick the latest
-    // by name) and only generations older than the previous one are
+    // generation file (tombstones-g<n>.bin, readers pick the highest
+    // generation) and only generations older than the previous one are
     // pruned, so a reader that listed just before a delete still finds
-    // its file intact.
-    val merged = (tombstones(indexPath) ++ ids).distinct.sorted
+    // its file intact. The generation number is parsed from the newest
+    // existing file and incremented — NOT derived from a clock — so
+    // write order always matches generation order even when deletes
+    // come from different JVMs/hosts against shared storage (a clock
+    // like nanoTime has a per-boot origin: a "newer" delete could sort
+    // before an older one and be served stale, or pruned outright).
     val fs = new Path(indexPath).getFileSystem(new Configuration())
-    val gen = new Path(indexPath, f"tombstones-${System.nanoTime()}%019d.bin")
+    val merged = (tombstones(indexPath) ++ ids).distinct.sorted
+    val next = TombstoneCache.nextGeneration(indexPath, fs)
+    val gen = new Path(indexPath, f"tombstones-g$next%012d.bin")
     val out = new DataOutputStream(new BufferedOutputStream(fs.create(gen, false)))
     try {
       out.writeInt(TombstoneMagic)
@@ -188,11 +216,15 @@ object AnnIndex {
     } finally out.close()
     // prune all but the newest two generations + any legacy files
     val gens = TombstoneCache.generationFiles(indexPath, fs)
-    gens.sortBy(_.getName).dropRight(2).foreach(fs.delete(_, false))
+    gens.sortBy(TombstoneCache.genOrder).dropRight(2)
+      .foreach(fs.delete(_, false))
     val legacyBin = new Path(indexPath, "tombstones.bin")
     if (fs.exists(legacyBin)) fs.delete(legacyBin, false)
     val legacyTxt = new Path(indexPath, "tombstones.txt")
     if (fs.exists(legacyTxt)) fs.delete(legacyTxt, false)
+    // same-JVM probes see the new generation immediately; remote
+    // executors converge within the listing TTL
+    TombstoneCache.invalidateListing(indexPath)
   }
 
   private[ann] val TombstoneMagic = 0x47544f4d // "GTOM"
@@ -358,10 +390,13 @@ object ShardCache {
 
   // access-ordered LinkedHashMap = LRU; all access under this lock
   // (deserialization happens outside it, so concurrent loads of
-  // DIFFERENT shards don't serialize)
+  // DIFFERENT shards don't serialize). The value carries the graph's
+  // byte estimate, computed OUTSIDE the lock at load time: the
+  // O(nodes x layers) size scan of a fresh multi-GB graph must never
+  // run while holding the lock other tasks' cache hits need.
   private val lock = new Object
   private val cache =
-    new java.util.LinkedHashMap[String, Hnsw](64, 0.75f, true)
+    new java.util.LinkedHashMap[String, (Hnsw, Long)](64, 0.75f, true)
   private var totalBytes = 0L
 
   private def budget: Long =
@@ -370,18 +405,19 @@ object ShardCache {
 
   def get(path: String): Hnsw = {
     lock.synchronized(Option(cache.get(path))) match {
-      case Some(h) => h
+      case Some((h, _)) => h
       case None =>
         val p = new Path(path)
         val fs = p.getFileSystem(new Configuration())
         val in = new DataInputStream(new BufferedInputStream(fs.open(p)))
         val h = try Hnsw.read(in) finally in.close()
+        val bytes = h.estimatedBytes // outside the lock: O(nodes) scan
         lock.synchronized {
           Option(cache.get(path)) match {
-            case Some(raced) => raced // a concurrent load won
+            case Some((raced, _)) => raced // a concurrent load won
             case None =>
-              cache.put(path, h)
-              totalBytes += h.estimatedBytes
+              cache.put(path, (h, bytes))
+              totalBytes += bytes
               evictOver(budget)
               h
           }
@@ -395,7 +431,7 @@ object ShardCache {
     val it = cache.entrySet().iterator()
     while (totalBytes > limit && cache.size() > 1 && it.hasNext) {
       val e = it.next()
-      totalBytes -= e.getValue.estimatedBytes
+      totalBytes -= e.getValue._2
       it.remove()
     }
   }
@@ -405,7 +441,7 @@ object ShardCache {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey.startsWith(prefix)) {
-        totalBytes -= e.getValue.estimatedBytes
+        totalBytes -= e.getValue._2
         it.remove()
       }
     }
@@ -418,11 +454,61 @@ object ShardCache {
 /** Per-executor-JVM cache of an index's packed tombstone file, keyed by
   * the file's (mtime, length) version stamp so a new `delete()` is
   * picked up without any executor coordination. The array is sorted;
-  * probes binary-search it. */
+  * probes binary-search it.
+  *
+  * The directory LISTING is itself cached per index with a short TTL
+  * (`graft.ann.tombstoneListTtlMs`, default 10 s): without it every
+  * task of every probe pays one `listStatus` round-trip even for an
+  * index with zero tombstones — on an object store those LISTs dwarf a
+  * sub-millisecond graph walk. A same-JVM `delete()` invalidates the
+  * listing immediately; remote executors converge within the TTL
+  * (deletes are rare, probes are the hot path). */
 object TombstoneCache {
   // keyed by the concrete file read; stamp = mtime ^ shifted length
   private val cache = TrieMap[String, (Long, Array[Long])]()
   private val MaxEntries = 256 // arrays re-read on demand; a full clear is cheap
+
+  val TtlProp = "graft.ann.tombstoneListTtlMs"
+  private val DefaultTtlMs = 10000L
+  // indexPath -> (cache deadline millis, resolved sorted tombstones)
+  private val listingCache = TrieMap[String, (Long, Array[Long])]()
+  /** Real FS listings performed per index (diagnostics: specs assert
+    * the steady-state probe path performs none). */
+  private val listingCounts = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  private[graft] def listingCount(indexPath: String): Long =
+    Option(listingCounts.get(indexPath)).map(_.get()).getOrElse(0L)
+
+  private def ttlMs: Long =
+    sys.props.get(TtlProp).flatMap(v =>
+      scala.util.Try(v.trim.toLong).toOption).getOrElse(DefaultTtlMs)
+
+  private val GenName = """tombstones-g(\d+)\.bin""".r
+
+  /** Generation number of a `tombstones-g<n>.bin` name (None for the
+    * pre-round-4 clock-named `tombstones-<nanos>.bin` files). */
+  private[ann] def generationNumber(name: String): Option[Long] =
+    name match {
+      case GenName(d) => scala.util.Try(d.toLong).toOption
+      case _ => None
+    }
+
+  /** Total order over generation files: numbered generations always
+    * beat legacy clock-named files, and compare numerically among
+    * themselves (lexicographic order breaks once a number outgrows its
+    * zero-pad). Legacy files keep their lexicographic order. */
+  private[ann] def genOrder(p: Path): (Int, Long, String) =
+    generationNumber(p.getName) match {
+      case Some(n) => (1, n, "")
+      case None => (0, 0L, p.getName)
+    }
+
+  /** Next generation number to write: newest existing + 1. */
+  private[ann] def nextGeneration(indexPath: String,
+      fs: org.apache.hadoop.fs.FileSystem): Long =
+    generationFiles(indexPath, fs)
+      .flatMap(p => generationNumber(p.getName))
+      .foldLeft(0L)(math.max) + 1
 
   private[ann] def generationFiles(indexPath: String,
       fs: org.apache.hadoop.fs.FileSystem): Seq[Path] = {
@@ -436,9 +522,27 @@ object TombstoneCache {
   }
 
   def get(indexPath: String): Array[Long] = {
+    val now = System.currentTimeMillis()
+    listingCache.get(indexPath) match {
+      case Some((deadline, arr)) if now < deadline => arr
+      case _ =>
+        val arr = resolve(indexPath)
+        if (listingCache.size >= MaxEntries) listingCache.clear()
+        listingCache.put(indexPath, (now + ttlMs, arr))
+        arr
+    }
+  }
+
+  /** Drop the cached listing for one index (same-JVM delete()). */
+  private[ann] def invalidateListing(indexPath: String): Unit =
+    listingCache.remove(indexPath)
+
+  private def resolve(indexPath: String): Array[Long] = {
+    listingCounts.computeIfAbsent(indexPath,
+      _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
     val fs = new Path(indexPath).getFileSystem(new Configuration())
     val gens = generationFiles(indexPath, fs)
-    if (gens.nonEmpty) readBin(gens.maxBy(_.getName), fs)
+    if (gens.nonEmpty) readBin(gens.maxBy(genOrder), fs)
     else {
       val legacyBin = new Path(indexPath, "tombstones.bin")
       if (fs.exists(legacyBin)) readBin(legacyBin, fs)

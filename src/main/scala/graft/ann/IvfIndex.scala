@@ -117,15 +117,18 @@ object IvfIndex {
     val cb = graft.pq.Pq.codebookFromDf(
       spark.read.parquet(s"$indexPath/codebook"))
     val cells = probedCells(spark, indexPath, man, query, nprobe)
+    // reserved candidate-key name: aliasing to "id" would collide with
+    // an index whose idCol is itself "id" (ambiguous post-join refs)
     val cand = cells
-      .select(col(man.idCol).as("id"),
+      .select(col(man.idCol).as("__adc_cand_id"),
         graft.functions.pq_adc_dist(col("pq_code"), cb, query.toSeq)
           .as("adc_dist"))
-      .orderBy(col("adc_dist").asc, col("id").asc)
+      .orderBy(col("adc_dist").asc, col("__adc_cand_id").asc)
       .limit(math.max(refine, k))
-      .select("id")
+      .select("__adc_cand_id")
     cells
-      .join(broadcast(cand), cells(man.idCol) === cand("id"))
+      .join(broadcast(cand), cells(man.idCol) === cand("__adc_cand_id"))
+      .drop("__adc_cand_id")
       .withColumn("dist",
         graft.functions.l2sq_dist(col(man.vecCol),
           graft.functions.vecLit(query.toSeq)))

@@ -225,33 +225,30 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
-    // labels only ever decrease, so sum(component) strictly decreases
-    // until the fixpoint: a one-row aggregate doubles as both the
-    // materialization action and the convergence probe (cheaper than a
-    // per-round self-join diff). sum() over zero rows is NULL -> 0
-    // (empty pair set = empty result, converged immediately).
-    def labelSum(df: DataFrame): Long = {
-      val row = df.agg(sum(col("component"))).collect()(0)
-      if (row.isNullAt(0)) 0L else row.getLong(0)
-    }
-    var prevSum = labelSum(labels)
     var iter = 0
-    // emptiness, not sum==0: ids may be negative (hash-derived), where a
-    // non-empty graph can legitimately sum to zero
     var converged = labels.isEmpty
     while (!converged && iter < maxIters) {
+      // each vertex's own row carries its pre-round label as `prev`
+      // (exactly one own row per id survives the groupBy via max over
+      // the null-prev message rows), so convergence is probed by
+      // COUNTING changed labels — bounded by |V|, overflow-free for
+      // full-range hash-derived ids where a sum over the labels
+      // themselves can exceed Long range (aborting under ANSI mode, or
+      // wrapping into a false fixpoint with ANSI off)
       val msgs = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
+        .select(col("dst").as("id"), col("component"),
+          lit(null).cast("long").as("prev"))
+      val next = labels
+        .select(col("id"), col("component"), col("component").as("prev"))
         .unionByName(msgs)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"), max(col("prev")).as("prev"))
         .localCheckpoint() // eager: truncates the per-round lineage
-      val s = labelSum(next)
+      val changed = next.filter(col("component") =!= col("prev")).count()
       labels.unpersist()
       labels = next
       iter += 1
-      converged = s == prevSum
-      prevSum = s
+      converged = changed == 0L
     }
     if (!converged) {
       // silent wrongness would split one group into several "keepers"

@@ -111,6 +111,83 @@ class AnnSpec extends SparkSpec {
     assert(after.take(3) == before.drop(2))
   }
 
+  test("tombstone generations are monotonic: clock order can never shadow write order") {
+    val dir = Files.createTempDirectory("anngen").toString
+    buildIndex(dir)
+    AnnIndex.delete(spark, dir, Seq(1L))
+    // simulate a stale pre-round-4 clock-named generation whose name
+    // sorts after every realistic nanoTime (the old scheme's failure
+    // mode: a JVM with a larger clock origin wrote first, a freshly
+    // booted JVM deletes later with a smaller stamp and its deletes
+    // are served stale / pruned). Numbered generations must win.
+    val stale = new java.io.DataOutputStream(new java.io.FileOutputStream(
+      s"$dir/tombstones-9999999999999999998.bin"))
+    try {
+      stale.writeInt(0x47544f4d) // TombstoneMagic
+      stale.writeInt(1)
+      stale.writeLong(999L) // a deletion that never happened
+    } finally stale.close()
+    AnnIndex.delete(spark, dir, Seq(2L))
+    // the newer numbered generation wins: both real deletes visible,
+    // the stale clock-named file ignored (and pruned)
+    assert(AnnIndex.tombstones(dir).toSet == Set(1L, 2L))
+    assert(!new java.io.File(s"$dir/tombstones-9999999999999999998.bin").exists())
+    // generation files are numbered g1, g2, ...
+    val names = new java.io.File(dir).list().filter(_.startsWith("tombstones-")).sorted
+    assert(names.forall(_.matches("tombstones-g\\d{12}\\.bin")), names.mkString(","))
+  }
+
+  test("steady-state probes never re-list the tombstone directory (TTL cache)") {
+    val dir = Files.createTempDirectory("annlist").toString
+    buildIndex(dir)
+    val q = corpus.head._2
+    AnnIndex.topK(spark, dir, q, 5, ef = 64).collect() // warms the listing cache
+    val before = graft.ann.TombstoneCache.listingCount(dir)
+    (0 until 3).foreach(_ => AnnIndex.topK(spark, dir, q, 5, ef = 64).collect())
+    assert(graft.ann.TombstoneCache.listingCount(dir) == before,
+      "tombstone-free probes must not pay a listStatus per task")
+    // a same-JVM delete invalidates immediately: the next probe re-lists
+    // and the deleted row disappears
+    val top = AnnIndex.topK(spark, dir, q, 5, ef = 600)
+      .collect().map(_.getLong(0)).toSeq
+    AnnIndex.delete(spark, dir, Seq(top.head))
+    val after = AnnIndex.topK(spark, dir, q, 5, ef = 600)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(top.head))
+  }
+
+  test("streamAppend batch replay is idempotent across both crash windows") {
+    val work = Files.createTempDirectory("anncrash").toString
+    val idx = s"$work/idx"
+    AnnIndex.build(emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+      idx, AnnIndex.Params(Metric.L2Sq, numShards = 2))
+    val batch = emb.filter(col("vec_id") >= 250).select("vec_id", "embedding")
+    // window B: the batch's append committed the manifest, then the
+    // driver died BEFORE the marker write — replay must not re-append
+    AnnIndex.append(batch, "vec_id", "embedding", idx, Some("batch_7"))
+    assert(AnnIndex.readManifest(idx).count == corpus.length)
+    AnnIndex.applyStreamBatch(batch, 7L, "vec_id", "embedding", idx)
+    assert(AnnIndex.readManifest(idx).count == corpus.length,
+      "a committed-but-unmarked batch was applied twice")
+    assert(new java.io.File(s"$idx/_applied_batch_7").exists())
+    // a marked batch replays as a no-op
+    AnnIndex.applyStreamBatch(batch, 7L, "vec_id", "embedding", idx)
+    assert(AnnIndex.readManifest(idx).count == corpus.length)
+    // window A: a previous attempt staged partial shards without
+    // committing the manifest — the stage is dropped and redone
+    val junkDir = new java.io.File(s"$idx/batch_9")
+    junkDir.mkdirs()
+    val junk = new java.io.FileOutputStream(s"$idx/batch_9/shard_00000.hnsw")
+    try junk.write(Array[Byte](1, 2, 3)) finally junk.close()
+    val batch9 = emb.filter(col("vec_id") >= 490).select("vec_id", "embedding")
+    val batch9Count = batch9.count()
+    AnnIndex.applyStreamBatch(batch9, 9L, "vec_id", "embedding", idx)
+    val man = AnnIndex.readManifest(idx)
+    assert(man.count == corpus.length + batch9Count)
+    // every manifest shard (including the redone stage) is readable
+    assert(AnnIndex.validate(spark, idx).isEmpty)
+  }
+
   test("ShardCache evicts least-recently-used graphs under a byte budget") {
     val dir = Files.createTempDirectory("annlru").toString
     buildIndex(dir, shards = 4)

@@ -166,6 +166,49 @@ class IvfSpec extends SparkSpec {
     assert(cc == Map(-7L -> -7L, 7L -> -7L))
   }
 
+  test("connected components survive full-range ids whose label sum overflows") {
+    import spark.implicits._
+    // xxhash64-derived ids live anywhere in Long range: a sum-based
+    // convergence probe overflows here (throwing under Spark 4's
+    // default ANSI mode, or wrapping into a false fixpoint with ANSI
+    // off); the changed-label count is bounded by |V|
+    val a = Long.MaxValue - 1
+    val b = Long.MaxValue - 3
+    val c = Long.MaxValue - 5
+    val n1 = Long.MinValue + 1
+    val n5 = Long.MinValue + 5
+    val pairs = Seq((a, b), (b, c), (n1, n5)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(a -> c, b -> c, c -> c, n1 -> n1, n5 -> n1))
+    val rows = Seq(a, b, c, n1, n5, 42L).toDF("doc_id")
+    val kept = Dedup.keepOnePerGroup(rows, col("doc_id"), pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(c, n1, 42L))
+  }
+
+  test("IVFADC works when the index id column is literally named id") {
+    import spark.implicits._
+    // regression: the candidate frame used to alias its key to "id",
+    // which made every post-join reference ambiguous for an index whose
+    // own id column is "id"
+    val df = corpus.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+    val cb = graft.pq.Pq.createCodebook(df, "v",
+      clusterCount = 16, subvectorCount = 8, datasetSizeLimit = 500,
+      seed = 42L)
+    val dir = Files.createTempDirectory("ivfadcid").toString
+    IvfIndex.build(df, "id", "v", dir,
+      IvfIndex.Params(nCells = 8, pq = Some(cb)))
+    val q = corpus.head._2
+    val exact = corpus.map { case (id, v) => (id, Metric.L2Sq.dist(q, v)) }
+      .sortBy(x => (x._2, x._1)).take(10).map(_._1).toSet
+    val got = IvfIndex.topKAdc(spark, dir, q, 10, nprobe = 8, refine = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == 10)
+    assert(exact.intersect(got).size >= 8,
+      s"IVFADC recall with id-named column: ${exact.intersect(got).size}/10")
+  }
+
   test("keepOnePerGroup works when df's id column is also named doc_id") {
     import spark.implicits._
     val rows = (1L to 5L).map(i => (i, s"doc$i")).toDF("doc_id", "body")
