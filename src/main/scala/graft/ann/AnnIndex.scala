@@ -51,8 +51,14 @@ object AnnIndex {
       params: Params = Params()): Manifest = {
     val spark = df.sparkSession
     val data = df.select(col(idCol).cast("long"), col(vecCol))
+    // hash-partition by id, not round-robin: shard composition is then a
+    // pure function of the data, so recall (and any recall-derived
+    // contract row) is invariant to input file splits / host / core
+    // count instead of depending on how the scan happened to chunk
     val parts =
-      if (params.numShards > 0) data.repartition(params.numShards) else data
+      if (params.numShards > 0)
+        data.repartition(params.numShards, col(data.columns.head))
+      else data
     val metricId = params.metric.id
     val (m, efc) = (params.m, params.efConstruction)
     val pqOpt = params.pq

@@ -31,8 +31,12 @@ final class Hnsw(
     val pq: Option[graft.pq.Codebook] = None) extends Serializable {
 
   require(m >= 2 && m <= 128, s"m must be in [2,128], got $m")
-  require(dim >= 1 && dim <= 2000, // reference cap: options.h:15
-    s"dim must be in [1,2000], got $dim")
+  // reference cap: options.h:15 (2000 dims). A hamming index stores the
+  // [[HammingView]] sign view — one component per BIT of the int
+  // vector — so its cap is the same 2000 logical words x 32 bits.
+  private val maxDim = if (metric == Metric.Hamming) 2000 * 32 else 2000
+  require(dim >= 1 && dim <= maxDim,
+    s"dim must be in [1,$maxDim], got $dim")
   require(pq.forall(_.dim == dim), "codebook dimension mismatch")
   require(pq.isEmpty || metric == Metric.L2Sq,
     "PQ-in-index supports the l2sq metric")

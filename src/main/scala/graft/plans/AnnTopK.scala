@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.graft.{CosDist, L2SqDist}
-import graft.ann.{AnnIndex, Metric}
+import org.apache.spark.sql.graft.{CosDist, HammingDist, L2SqDist}
+import graft.ann.{AnnIndex, HammingView, Metric}
 
 /** Transparent ANN rewrite of `ORDER BY dist(col, const) LIMIT k`
   * (reference: the planner integration that makes `ORDER BY v <-> q
@@ -40,6 +40,10 @@ import graft.ann.{AnnIndex, Metric}
   */
 object AnnTopK {
 
+  /** A registered index. For `Metric.Hamming` the index must have been
+    * built over [[graft.ann.HammingView.signView]] of the int-vector
+    * column named `vecCol` (the rule expands query literals with the
+    * matching bit order before probing). */
   case class Entry(indexPath: String, idCol: String, vecCol: String,
       metric: Metric)
 
@@ -93,7 +97,20 @@ object AnnTopK {
         }
       } else None
 
-    /** (vec attribute, query vector, metric) from a distance sort key. */
+    private def foldableIntVector(e: Expression): Option[Array[Int]] =
+      if (e.foldable) {
+        e.eval() match {
+          case a: ArrayData =>
+            try Some(a.toIntArray())
+            catch { case _: Throwable => None }
+          case _ => None
+        }
+      } else None
+
+    /** (vec attribute, query vector, metric) from a distance sort key.
+      * A hamming key's int-array literal expands to the sign view the
+      * index was built over ([[HammingView]]); the sort may also wrap
+      * the int distance in a Cast (e.g. `.cast("double")`). */
     private def distanceKey(e: Expression)
         : Option[(AttributeReference, Array[Float], Metric)] = e match {
       case L2SqDist(a: AttributeReference, q) =>
@@ -104,6 +121,11 @@ object AnnTopK {
         foldableVector(q).map(v => (a, v, Metric.Cos))
       case CosDist(q, a: AttributeReference) =>
         foldableVector(q).map(v => (a, v, Metric.Cos))
+      case HammingDist(a: AttributeReference, q) =>
+        foldableIntVector(q).map(v => (a, HammingView.expand(v), Metric.Hamming))
+      case HammingDist(q, a: AttributeReference) =>
+        foldableIntVector(q).map(v => (a, HammingView.expand(v), Metric.Hamming))
+      case c: Cast => distanceKey(c.child)
       // the library shape: Sort on a projected alias of the distance
       case a: AttributeReference => None
       case _ => None

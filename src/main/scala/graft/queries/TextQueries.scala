@@ -79,6 +79,22 @@ object TextQueries {
         stemmed = true, postings = Some(postStemmedCached(s, dir)))
       .select(col("doc_id"), round(col("score"), 6).as("score"))
 
+  /** Warm the persisted corpus artifacts (tokenized corpora + postings,
+    * plain and stemmed) outside any timed region, so bench numbers for
+    * the BM25 family mean steady-state retrieval rather than
+    * first-touch cache builds (the stemmed postings build used to land
+    * inside q_bm25_search_stemmed's wall time). */
+  def prepare(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("bm25_postings") { postCached(s, dir).count() },
+      timed("bm25_postings_stemmed") { postStemmedCached(s, dir).count() })
+  }
+
   /** Hybrid retrieval: BM25 top-20 and mock-embedding KNN top-20 fused
     * with Reciprocal Rank Fusion (k0=60). The mock embeddings and the
     * BM25 scores are both SQL-reproducible, so the whole fusion is

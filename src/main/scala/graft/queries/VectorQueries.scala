@@ -118,39 +118,57 @@ object VectorQueries {
       path
     })
 
+  /** ef that makes every per-shard search exhaustive BY CONSTRUCTION:
+    * the index's total row count bounds any shard's size, so a fixed
+    * constant can never silently stop covering the corpus when the
+    * scale factor grows (pass-small/fail-big is exactly the oracle
+    * brittleness class to eliminate). */
+  private def exhaustiveEf(path: String): Int =
+    math.min(AnnIndex.readManifest(path).count, Int.MaxValue.toLong).toInt
+
   /** Weighted multi-index search end-to-end (reference approximate
     * weighted path, lantern.sql:769-817): each term's candidate set is
     * an ANN probe of its OWN index (l2sq and cos graphs over the same
     * column), unioned, deduplicated, re-ranked by the joint metric.
-    * ef=1000 makes each per-shard search exhaustive at this scale, so
-    * the candidate union covers the corpus and the result is exact —
-    * the oracle is the exact weighted SQL. */
-  private def weightedAnn(s: SparkSession, dir: String): DataFrame =
+    * ef = manifest.count makes each per-shard search exhaustive at any
+    * scale, so the candidate union covers the corpus and the result is
+    * exact — the oracle is the exact weighted SQL. */
+  private def weightedAnn(s: SparkSession, dir: String): DataFrame = {
+    val l2Path = annIndexPath(s, dir)
+    val cosPath = annCosIndexPath(s, dir)
+    val ef = math.max(exhaustiveEf(l2Path), exhaustiveEf(cosPath))
     Knn.weightedSearchAnn(
         emb(s, dir), "vec_id",
         Seq(
           (Knn.WeightedTerm(0.7, col("embedding"), vecLit(qVec), Knn.L2Sq),
-            annIndexPath(s, dir)),
+            l2Path),
           (Knn.WeightedTerm(0.3, col("embedding"), vecLit(qVec), Knn.Cos),
-            annCosIndexPath(s, dir))),
-        10, ef = 1000)
+            cosPath)),
+        10, ef = ef)
       .select(col("vec_id"), round(col("joint_dist"), 6).as("joint_dist"))
+  }
 
   /** ANN top-k through the sharded HNSW index. With ef >= shard size the
     * per-shard search is exhaustive, so the result is exact and
     * oracle-checkable (the ANN recall path is exercised with realistic
     * ef by AnnSpec + q_ann_ef64). */
-  private def annL2Sq(s: SparkSession, dir: String): DataFrame =
-    AnnIndex.topK(s, annIndexPath(s, dir), qVec.toArray, 10, ef = 4096)
+  private def annL2Sq(s: SparkSession, dir: String): DataFrame = {
+    val path = annIndexPath(s, dir)
+    AnnIndex.topK(s, path, qVec.toArray, 10, ef = exhaustiveEf(path))
       .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+  }
 
   /** Same index probed at the reference's default ef=64
     * (options.h:22-25) — the realistic approximate path, surfaced as a
     * self-checking recall row so the driver can oracle-check it: the
     * ef=64 top-10 is joined against the in-query exact top-10 and the
-    * recall@10 emitted with its threshold verdict. The index build is
-    * seeded per shard, so the row is deterministic; the oracle is the
-    * expected constant (reference precedent: recall-threshold tests,
+    * 0.9-threshold verdict emitted. Only the VERDICT is emitted (oracle
+    * pins TRUE): pinning the raw recall to a constant made the
+    * threshold dead code and the contract margin-dependent — any host/
+    * sf where seeded graphs return 9/10 would fail the harness while
+    * the query itself judged the run acceptable. Shard assignment is
+    * hash-by-id (data-deterministic), so the verdict is host-invariant
+    * (reference precedent: recall-threshold tests,
     * lantern_hnsw/test/sql/hnsw_pq_index.sql:120-129). */
   private def annL2SqEf64(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -160,7 +178,7 @@ object VectorQueries {
         Knn.L2Sq, Some(col("vec_id")))
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = (approx & exact).size / 10.0
-    Seq((recall, recall >= 0.9)).toDF("recall_at_10", "ok")
+    Seq(Tuple1(recall >= 0.9)).toDF("ok")
   }
 
   /** Filtered ANN through the transparent plan rewrite: a WHERE between
@@ -178,7 +196,8 @@ object VectorQueries {
     graft.plans.AnnTopK.IndexCatalog.register(srcPath,
       graft.plans.AnnTopK.Entry(idxPath, "vec_id", "embedding", Metric.L2Sq))
     val prevEf = s.conf.getOption(graft.plans.AnnTopK.EfConfKey)
-    s.conf.set(graft.plans.AnnTopK.EfConfKey, "4096") // exhaustive per shard
+    // exhaustive per shard at any sf: ef >= the index's total count
+    s.conf.set(graft.plans.AnnTopK.EfConfKey, exhaustiveEf(idxPath).toString)
     try {
       val df = emb(s, dir).filter(col("label") === 1)
         .withColumn("dist",
@@ -200,18 +219,84 @@ object VectorQueries {
     }
   }
 
+  /** Derived parquet with the corpus' sign bits as an int column — the
+    * scannable source a hamming-indexed table looks like (the rewrite
+    * matches a sort over a SCANNED relation, so the bits must live in a
+    * real file source, like the reference's bit-typed column). */
+  private val bitsTables = TrieMap[String, String]()
+  private def bitsTablePath(s: SparkSession, dir: String): String =
+    bitsTables.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_bits").toString
+      emb(s, dir)
+        .select(col("vec_id"), col("label"), signBitsSpark.as("bits"))
+        .write.mode("overwrite").parquet(s"$p/bits")
+      s"$p/bits"
+    })
+
+  /** Hamming HNSW index over the sign view of the bits column
+    * (reference opclass dist_hamming_ops, lantern.sql:63-104). */
+  private val annHammingIndexes = TrieMap[String, String]()
+  private def annHammingIndexPath(s: SparkSession, dir: String): String =
+    annHammingIndexes.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_ann_ham").toString
+      val bits = s.read.parquet(bitsTablePath(s, dir))
+        .withColumn("__hview", graft.ann.HammingView.signView(col("bits")))
+      AnnIndex.build(bits, "vec_id", "__hview", path,
+        AnnIndex.Params(Metric.Hamming, m = 16, efConstruction = 128,
+          numShards = 4))
+      path
+    })
+
+  /** Hamming top-k through the transparent plan rewrite: `ORDER BY
+    * hamming_dist(bits, q) LIMIT k` over a scanned bits table must use
+    * the hamming index the way the reference's dist_hamming_ops opclass
+    * makes `ORDER BY v <+> q` indexable (lantern.sql:63-104). The query
+    * FAILS unless the rewrite fired, and runs with exhaustive ef so the
+    * result is exact and oracle-checkable (the oracle recomputes the
+    * sign bits from the embeddings). */
+  private def annHammingRewrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.AnnTopK.install(s)
+    val srcPath = bitsTablePath(s, dir)
+    val idxPath = annHammingIndexPath(s, dir)
+    graft.plans.AnnTopK.IndexCatalog.register(srcPath,
+      graft.plans.AnnTopK.Entry(idxPath, "vec_id", "bits", Metric.Hamming))
+    val prevEf = s.conf.getOption(graft.plans.AnnTopK.EfConfKey)
+    s.conf.set(graft.plans.AnnTopK.EfConfKey, exhaustiveEf(idxPath).toString)
+    try {
+      val df = s.read.parquet(srcPath)
+        .withColumn("dist", hamming_dist(col("bits"), intVecLit(qBits)))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("dist"))
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      require(joins.nonEmpty,
+        s"hamming ANN rewrite did not fire; plan:\n${df.queryExecution.optimizedPlan}")
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+        .toDF("vec_id", "dist")
+    } finally {
+      graft.plans.AnnTopK.IndexCatalog.unregister(srcPath)
+      prevEf.fold(s.conf.unset(graft.plans.AnnTopK.EfConfKey))(v =>
+        s.conf.set(graft.plans.AnnTopK.EfConfKey, v))
+    }
+  }
+
   /** Batch KNN join through the sharded index: top-3 neighbors for each
     * of the first 20 corpus vectors in ONE job (mapPartitions over the
     * queries, shard graphs probed from the executor cache). Exhaustive
     * ef makes each per-query result exact, so the oracle is the
     * windowed cross-distance SQL. */
-  private def knnJoin(s: SparkSession, dir: String): DataFrame =
+  private def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val path = annIndexPath(s, dir)
     AnnIndex.topKJoin(
         emb(s, dir).filter(col("vec_id") < 20)
           .select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", annIndexPath(s, dir), k = 3, ef = 4096)
+        "vec_id", "embedding", path, k = 3, ef = exhaustiveEf(path))
       .select(col("query_id"), col("id"), round(col("dist"), 6).as("dist"),
         col("rank"))
+  }
 
   /** 16 deterministic random-hyperplane planes (multiples of 1/8: exact
     * in float and double, so sign bits agree across engines). */
@@ -323,6 +408,7 @@ object VectorQueries {
     Seq(
       timed("ann_hnsw") { annIndexPath(s, dir) },
       timed("ann_cos") { annCosIndexPath(s, dir) },
+      timed("ann_hamming") { annHammingIndexPath(s, dir) },
       timed("ivf") { ivfIndexPath(s, dir) },
       timed("ivf_adc") { ivfAdcIndexPath(s, dir) },
       timed("fvecs") { fvecsFilePath(s, dir) })
@@ -352,6 +438,7 @@ object VectorQueries {
     "q_ann_l2sq" -> ((s, dir) => annL2Sq(s, dir)),
     "q_ann_ef64" -> ((s, dir) => annL2SqEf64(s, dir)),
     "q_ann_filtered" -> ((s, dir) => annFiltered(s, dir)),
+    "q_ann_hamming_rewrite" -> ((s, dir) => annHammingRewrite(s, dir)),
     "q_knn_join" -> ((s, dir) => knnJoin(s, dir)),
     "q_neardup_lsh" -> ((s, dir) => nearDupLsh(s, dir)),
     "q_fvecs_roundtrip" -> ((s, dir) => fvecsRoundtrip(s, dir)),
@@ -447,6 +534,13 @@ object VectorQueries {
          |    bit_count(xor(CASE WHEN x >= 0 THEN 1 ELSE 0 END, qb[i])))) AS INT) AS dist
          |FROM embeddings, q
          |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_hamming_rewrite" ->
+      s"""WITH q AS (SELECT list_transform($qVecSql, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS qb)
+         |SELECT vec_id,
+         |  CAST(list_sum(list_transform(embedding, (x, i) ->
+         |    bit_count(xor(CASE WHEN x >= 0 THEN 1 ELSE 0 END, qb[i])))) AS INT) AS dist
+         |FROM embeddings, q
+         |ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_knn_filtered" ->
       s"""WITH q AS (SELECT $qVecSql AS qv)
          |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
@@ -463,7 +557,7 @@ object VectorQueries {
          |FROM embeddings, q
          |ORDER BY 0.7 * $l2sqSqlExpr + 0.3 * $cosSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_ann_ef64" ->
-      "SELECT CAST(1.0 AS DOUBLE) AS recall_at_10, TRUE AS ok",
+      "SELECT TRUE AS ok",
     "q_ann_filtered" ->
       s"""WITH q AS (SELECT $qVecSql AS qv)
          |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist

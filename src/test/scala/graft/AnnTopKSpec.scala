@@ -122,6 +122,42 @@ class AnnTopKSpec extends SparkSpec {
     } finally AnnTopK.IndexCatalog.unregister(strSrc)
   }
 
+  test("hamming sort key rewrites through a sign-view index and stays exact") {
+    AnnTopK.install(spark)
+    val dir = Files.createTempDirectory("anntopk_ham").toString
+    val bitsSrc = s"$dir/bits"
+    emb.select(col("vec_id"),
+        transform(col("embedding"), x => when(x >= 0, 1).otherwise(0)).as("bits"))
+      .write.mode("overwrite").parquet(bitsSrc)
+    val bits = spark.read.parquet(bitsSrc)
+    val idxDir = s"$dir/idx"
+    AnnIndex.build(
+      bits.withColumn("__hview", graft.ann.HammingView.signView(col("bits"))),
+      "vec_id", "__hview", idxDir,
+      AnnIndex.Params(Metric.Hamming, numShards = 2))
+    AnnTopK.IndexCatalog.register(bitsSrc,
+      AnnTopK.Entry(idxDir, "vec_id", "bits", Metric.Hamming))
+    val qBits: Seq[Int] = q.map(f => if (f >= 0) 1 else 0)
+    try {
+      spark.conf.set(AnnTopK.EfConfKey, "600") // exhaustive at this scale
+      val df = bits
+        .withColumn("dist",
+          graft.functions.hamming_dist(col("bits"), graft.functions.intVecLit(qBits)))
+        .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.nonEmpty, "expected the hamming semi-join rewrite")
+      val exact = bits
+        .withColumn("d",
+          graft.functions.hamming_dist(col("bits"), graft.functions.intVecLit(qBits)))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(df.collect().map(_.getAs[Long]("vec_id")).toSeq == exact)
+    } finally {
+      AnnTopK.IndexCatalog.unregister(bitsSrc)
+      spark.conf.unset(AnnTopK.EfConfKey)
+    }
+  }
+
   test("no rewrite without a registered index") {
     AnnTopK.install(spark)
     val joins = topkDf.queryExecution.optimizedPlan.collect {
