@@ -28,6 +28,20 @@ object ScaleProbe {
     val warmS = (System.nanoTime() - t2) / 1e9
     println(f"build: $buildS%.1fs (${n / buildS}%.0f inserts/s total, 8 shards on 8 threads)")
     println(f"coldSearch: $searchS%.2fs warmSearch: $warmS%.2fs top1=${r.head.getLong(0)}")
+    // batch KNN join sweep: 10k queries x 8 shards in ONE job — pins the
+    // topKJoin throughput claim (every query partition probes every
+    // shard; shard graphs served from the executor LRU cache)
+    val nq = 10000
+    val queries = spark.range(nq).select(col("id"),
+      expr("transform(sequence(0, 63), j -> cast(sin(id * 977 + j * 17) as float))").as("vec"))
+      .cache()
+    queries.count()
+    AnnIndex.topKJoin(queries.limit(32), "id", "vec", dir, 10, 64).count() // warm caches
+    val t3 = System.nanoTime()
+    val joined = AnnIndex.topKJoin(queries, "id", "vec", dir, 10, 64).count()
+    val joinS = (System.nanoTime() - t3) / 1e9
+    println(f"topKJoin: $nq queries x 8 shards -> $joined rows in $joinS%.1fs " +
+      f"(${nq / joinS}%.0f queries/s, cacheBytes=${graft.ann.ShardCache.cachedBytes})")
     spark.stop()
   }
 }
