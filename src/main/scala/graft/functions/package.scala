@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, FrameSampleHashes, Pcm16Stats}
+import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, DecodeImageStats, FrameSampleHashes, Pcm16Stats}
 import org.apache.spark.sql.{functions => F}
 
 /** Column-level API for the engine's scalar functions, mirroring the
@@ -93,6 +93,11 @@ package object functions {
     * container headers; null for unrecognized payloads. */
   def image_meta(c: Column): Column = col(ImageMeta(expr(c)))
 
+  /** `decode_image_stats`: (width, height, mean_r, mean_g, mean_b)
+    * from a REAL ImageIO pixel decode (PNG/GIF/BMP/JPEG); null for
+    * payloads no reader accepts. */
+  def decode_image_stats(c: Column): Column = col(DecodeImageStats(expr(c)))
+
   /** `byte_histogram`: normalized byte histogram feature vector —
     * deterministic surrogate for decoded-pixel statistics. */
   def byte_histogram(c: Column, bins: Int = 16): Column =
@@ -147,6 +152,7 @@ package object functions {
       "i8_encode" -> (es => I8Encode(es.head)),
       "i8_decode" -> (es => I8Decode(es.head)),
       "image_meta" -> (es => ImageMeta(es.head)),
+      "decode_image_stats" -> (es => DecodeImageStats(es.head)),
       "byte_histogram" -> (es => ByteHistogram(es.head,
         if (es.length > 1) intLit(es(1), "bins") else 16)),
       "frame_sample_hashes" -> (es =>

@@ -229,6 +229,50 @@ object TextQueries {
       .orderBy(col("doc_id").asc).limit(200)
   }
 
+  /** Synthesized PNG corpus, one deterministic gradient image per doc
+    * (written once per data dir): pixel (x, y) of doc d has
+    * r = (d + x) % 256, g = (3d + 5y) % 256, b = 7d % 256 — every
+    * channel mean is a closed-form function of doc_id the oracle can
+    * compute in SQL, and PNG is lossless so decode recovers the exact
+    * values. */
+  private val mediaTables = scala.collection.concurrent.TrieMap[String, String]()
+  private val (imgW, imgH) = (16, 8)
+  private def mediaTablePath(s: SparkSession, dir: String): String =
+    mediaTables.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_media").toString
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).orderBy(col("doc_id")).limit(200)
+        .as[Long]
+        .mapPartitions(_.map { d =>
+          val png = org.apache.spark.sql.graft.MediaKernels.encodePng(
+            imgW, imgH, (x, y) =>
+              ((((d + x) % 256).toInt) << 16) |
+                ((((3 * d + 5 * y) % 256).toInt) << 8) |
+                ((7 * d) % 256).toInt)
+          (d, png)
+        })
+        .toDF("doc_id", "img")
+        .write.mode("overwrite").parquet(s"$p/media")
+      s"$p/media"
+    })
+
+  /** Real pixel decode end-to-end: scan the PNG corpus, decode every
+    * payload with the JDK ImageIO reader (decode_image_stats), emit
+    * per-channel means the oracle recomputes from doc_id in closed
+    * form. A surrogate (hash/histogram) could not produce these values
+    * — only an actual decode can. */
+  private def mediaDecode(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.decode_image_stats(col("img"))
+    s.read.parquet(mediaTablePath(s, dir))
+      .select(col("doc_id"),
+        st.getField("width").as("w"),
+        st.getField("height").as("h"),
+        round(st.getField("mean_r"), 6).as("mean_r"),
+        round(st.getField("mean_g"), 6).as("mean_g"),
+        round(st.getField("mean_b"), 6).as("mean_b"))
+      .orderBy(col("doc_id").asc)
+  }
+
   private def stemArray(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
@@ -298,6 +342,7 @@ object TextQueries {
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
     "q_media_stats" -> ((s, d) => mediaStats(s, d)),
+    "q_media_decode" -> ((s, d) => mediaDecode(s, d)),
   )
 
   // ---- DuckDB oracles ----
@@ -632,6 +677,18 @@ object TextQueries {
          |      CASE WHEN ('0x' || substr(md5(tok), p, 1))::BIGINT >= 8 THEN 1 ELSE -1 END)) > 0
          |    THEN '1' ELSE '0' END), '') AS simhash
          |FROM toks
+         |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // decoded-pixel channel means of the synthesized gradient PNGs in
+    // closed form: r depends only on x, g only on y, b is constant
+    "q_media_decode" ->
+      s"""SELECT doc_id,
+         |  CAST($imgW AS INT) AS w, CAST($imgH AS INT) AS h,
+         |  round((SELECT avg(CAST((doc_id + i.range) % 256 AS DOUBLE))
+         |         FROM range($imgW) i), 6) AS mean_r,
+         |  round((SELECT avg(CAST((3 * doc_id + 5 * i.range) % 256 AS DOUBLE))
+         |         FROM range($imgH) i), 6) AS mean_g,
+         |  round(CAST((7 * doc_id) % 256 AS DOUBLE), 6) AS mean_b
+         |FROM documents
          |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
   )
 }

@@ -84,6 +84,28 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getBoolean(3))
   }
 
+  test("decode_image_stats really decodes pixels: PNG round-trips exactly") {
+    import org.apache.spark.sql.graft.MediaKernels
+    // gradient image with known channel means
+    val png = MediaKernels.encodePng(16, 8, (x, y) =>
+      ((10 + x) << 16) | ((20 + 5 * y) << 8) | 99)
+    val df = Seq((1L, png), (2L, "definitely not an image".getBytes))
+      .toDF("id", "img")
+    val rows = df.select(col("id"),
+        graft.functions.decode_image_stats(col("img")).as("st"))
+      .orderBy("id").collect()
+    val st = rows(0).getStruct(1)
+    assert(st.getInt(0) == 16 && st.getInt(1) == 8)
+    assert(math.abs(st.getDouble(2) - (10 + 7.5)) < 1e-9) // mean of 10..25
+    assert(math.abs(st.getDouble(3) - (20 + 5 * 3.5)) < 1e-9) // mean of 20,25..55
+    assert(math.abs(st.getDouble(4) - 99.0) < 1e-9)
+    assert(rows(1).isNullAt(1), "undecodable payload must be null")
+    // the real decode agrees with the header-only parser on dimensions
+    val meta = df.filter(col("id") === 1)
+      .select(image_meta(col("img")).as("m")).collect()(0).getStruct(0)
+    assert(meta.getString(0) == "png" && meta.getInt(1) == 16 && meta.getInt(2) == 8)
+  }
+
   test("pcm16_stats computes peak and rms of a square wave") {
     val n = 100
     val b = ByteBuffer.allocate(2 * n).order(ByteOrder.LITTLE_ENDIAN)
