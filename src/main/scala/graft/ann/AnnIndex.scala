@@ -51,13 +51,17 @@ object AnnIndex {
       params: Params = Params()): Manifest = {
     val spark = df.sparkSession
     val data = df.select(col(idCol).cast("long"), col(vecCol))
-    // hash-partition by id, not round-robin: shard composition is then a
-    // pure function of the data, so recall (and any recall-derived
-    // contract row) is invariant to input file splits / host / core
-    // count instead of depending on how the scan happened to chunk
+    // hash-partition by id, not round-robin, AND sort each shard by id:
+    // composition alone isn't enough — shuffle-read rows arrive in
+    // block-fetch order, which varies across runs on a multi-executor
+    // cluster, and HNSW graph structure depends on insertion order. With
+    // both, every shard graph is a pure function of the data, so recall
+    // (and any recall-derived contract row) is invariant to input
+    // splits, host, and core count.
     val parts =
       if (params.numShards > 0)
         data.repartition(params.numShards, col(data.columns.head))
+          .sortWithinPartitions(col(data.columns.head))
       else data
     val metricId = params.metric.id
     val (m, efc) = (params.m, params.efConstruction)
@@ -211,7 +215,10 @@ object AnnIndex {
     // like nanoTime has a per-boot origin: a "newer" delete could sort
     // before an older one and be served stale, or pruned outright).
     val fs = new Path(indexPath).getFileSystem(new Configuration())
-    val merged = (tombstones(indexPath) ++ ids).distinct.sorted
+    // merge from a FRESH listing, never the TTL probe cache: merging a
+    // <TTL-stale set here would resurrect another JVM's recent deletes
+    // into the new (winning) generation
+    val merged = (TombstoneCache.getFresh(indexPath) ++ ids).distinct.sorted
     val next = TombstoneCache.nextGeneration(indexPath, fs)
     val gen = new Path(indexPath, f"tombstones-g$next%012d.bin")
     val out = new DataOutputStream(new BufferedOutputStream(fs.create(gen, false)))
@@ -251,7 +258,9 @@ object AnnIndex {
     * reference never does — delete.c leaves holes forever). */
   def vacuum(spark: SparkSession, indexPath: String, outPath: String): Manifest = {
     val man = readManifest(indexPath)
-    val dead = tombstones(indexPath).toSet
+    // fresh read: compacting against a stale cached set would bake a
+    // recently deleted row into the rebuilt index with no tombstone
+    val dead = TombstoneCache.getFresh(indexPath).toSet
     val rows = scan(spark, indexPath)
       .filter(r => !dead.contains(r._1))
     import spark.implicits._
@@ -542,6 +551,16 @@ object TombstoneCache {
   /** Drop the cached listing for one index (same-JVM delete()). */
   private[ann] def invalidateListing(indexPath: String): Unit =
     listingCache.remove(indexPath)
+
+  /** Fresh read that bypasses (and refreshes) the TTL cache — for WRITE
+    * paths (delete merge, vacuum) where serving a <TTL-stale set would
+    * lose or resurrect another writer's deletes. Probes use [[get]]. */
+  private[ann] def getFresh(indexPath: String): Array[Long] = {
+    val arr = resolve(indexPath)
+    if (listingCache.size >= MaxEntries) listingCache.clear()
+    listingCache.put(indexPath, (System.currentTimeMillis() + ttlMs, arr))
+    arr
+  }
 
   private def resolve(indexPath: String): Array[Long] = {
     listingCounts.computeIfAbsent(indexPath,

@@ -97,6 +97,18 @@ object AnnTopK {
         }
       } else None
 
+    /** Casts that preserve the ordering of every distance a graft
+      * expression can emit (int/long exactly representable targets). */
+    private def wideningCast(c: Cast): Boolean = {
+      import org.apache.spark.sql.types._
+      (c.child.dataType, c.dataType) match {
+        case (IntegerType, LongType | FloatType | DoubleType) => true
+        case (LongType, DoubleType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+    }
+
     private def foldableIntVector(e: Expression): Option[Array[Int]] =
       if (e.foldable) {
         e.eval() match {
@@ -125,7 +137,11 @@ object AnnTopK {
         foldableIntVector(q).map(v => (a, HammingView.expand(v), Metric.Hamming))
       case HammingDist(q, a: AttributeReference) =>
         foldableIntVector(q).map(v => (a, HammingView.expand(v), Metric.Hamming))
-      case c: Cast => distanceKey(c.child)
+      // unwrap ONLY order-preserving numeric widenings (the library's
+      // `.cast("double")` on the int hamming distance): an arbitrary
+      // Cast (string, narrowing) changes the sort order, and narrowing
+      // by the numeric candidate top-k would silently return wrong rows
+      case c: Cast if wideningCast(c) => distanceKey(c.child)
       // the library shape: Sort on a projected alias of the distance
       case a: AttributeReference => None
       case _ => None

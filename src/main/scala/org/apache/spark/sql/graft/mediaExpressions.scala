@@ -22,6 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MediaKernels {
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write
+  // would spill each in-memory payload to a temp file — per row, inside
+  // a hot expression, and failing outright on executors with a full or
+  // unwritable java.io.tmpdir. The payloads are already byte arrays;
+  // cache in memory. (JVM-global, set once at class load.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Real pixel decode via the JDK's ImageIO (pure Java for
     * PNG/GIF/BMP/JPEG): (width, height, mean_r, mean_g, mean_b) over
     * the decoded RGB raster, or null when no installed reader accepts

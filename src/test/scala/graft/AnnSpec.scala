@@ -140,20 +140,53 @@ class AnnSpec extends SparkSpec {
   test("steady-state probes never re-list the tombstone directory (TTL cache)") {
     val dir = Files.createTempDirectory("annlist").toString
     buildIndex(dir)
+    // pin a long TTL so the assertion can't race the deadline on a
+    // slow/loaded host (the default is 10s)
+    val prevTtl = sys.props.get(graft.ann.TombstoneCache.TtlProp)
+    sys.props(graft.ann.TombstoneCache.TtlProp) = "3600000"
+    try {
+      val q = corpus.head._2
+      AnnIndex.topK(spark, dir, q, 5, ef = 64).collect() // warms the listing cache
+      val before = graft.ann.TombstoneCache.listingCount(dir)
+      (0 until 3).foreach(_ => AnnIndex.topK(spark, dir, q, 5, ef = 64).collect())
+      assert(graft.ann.TombstoneCache.listingCount(dir) == before,
+        "tombstone-free probes must not pay a listStatus per task")
+      // a same-JVM delete invalidates immediately: the next probe
+      // re-lists and the deleted row disappears even within the TTL
+      val top = AnnIndex.topK(spark, dir, q, 5, ef = 600)
+        .collect().map(_.getLong(0)).toSeq
+      AnnIndex.delete(spark, dir, Seq(top.head))
+      val after = AnnIndex.topK(spark, dir, q, 5, ef = 600)
+        .collect().map(_.getLong(0)).toSeq
+      assert(!after.contains(top.head))
+    } finally {
+      prevTtl match {
+        case Some(v) => sys.props(graft.ann.TombstoneCache.TtlProp) = v
+        case None => sys.props.remove(graft.ann.TombstoneCache.TtlProp)
+      }
+    }
+  }
+
+  test("delete merges from a fresh listing, not the TTL probe cache") {
+    val dir = Files.createTempDirectory("annfresh").toString
+    buildIndex(dir)
     val q = corpus.head._2
-    AnnIndex.topK(spark, dir, q, 5, ef = 64).collect() // warms the listing cache
-    val before = graft.ann.TombstoneCache.listingCount(dir)
-    (0 until 3).foreach(_ => AnnIndex.topK(spark, dir, q, 5, ef = 64).collect())
-    assert(graft.ann.TombstoneCache.listingCount(dir) == before,
-      "tombstone-free probes must not pay a listStatus per task")
-    // a same-JVM delete invalidates immediately: the next probe re-lists
-    // and the deleted row disappears
-    val top = AnnIndex.topK(spark, dir, q, 5, ef = 600)
-      .collect().map(_.getLong(0)).toSeq
-    AnnIndex.delete(spark, dir, Seq(top.head))
-    val after = AnnIndex.topK(spark, dir, q, 5, ef = 600)
-      .collect().map(_.getLong(0)).toSeq
-    assert(!after.contains(top.head))
+    // warm THIS JVM's listing cache with the empty tombstone set
+    AnnIndex.topK(spark, dir, q, 5, ef = 64).collect()
+    // another JVM deletes id 7: a new generation appears on shared
+    // storage without any local invalidation
+    val remote = new java.io.DataOutputStream(new java.io.FileOutputStream(
+      s"$dir/tombstones-g000000000001.bin"))
+    try {
+      remote.writeInt(0x47544f4d)
+      remote.writeInt(1)
+      remote.writeLong(7L)
+    } finally remote.close()
+    // a local delete within the TTL must still see and carry forward
+    // the remote delete (merging the stale cached set would resurrect
+    // id 7 in the winning generation)
+    AnnIndex.delete(spark, dir, Seq(11L))
+    assert(AnnIndex.tombstones(dir).toSet == Set(7L, 11L))
   }
 
   test("streamAppend batch replay is idempotent across both crash windows") {

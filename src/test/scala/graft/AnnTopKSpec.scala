@@ -158,6 +158,47 @@ class AnnTopKSpec extends SparkSpec {
     }
   }
 
+  test("order-changing cast around the distance skips the rewrite") {
+    AnnTopK.install(spark)
+    val dir = Files.createTempDirectory("anntopk_cast").toString
+    val bitsSrc = s"$dir/bits"
+    emb.select(col("vec_id"),
+        transform(col("embedding"), x => when(x >= 0, 1).otherwise(0)).as("bits"))
+      .write.mode("overwrite").parquet(bitsSrc)
+    val bits = spark.read.parquet(bitsSrc)
+    val idxDir = s"$dir/idx"
+    AnnIndex.build(
+      bits.withColumn("__hview", graft.ann.HammingView.signView(col("bits"))),
+      "vec_id", "__hview", idxDir,
+      AnnIndex.Params(Metric.Hamming, numShards = 2))
+    AnnTopK.IndexCatalog.register(bitsSrc,
+      AnnTopK.Entry(idxDir, "vec_id", "bits", Metric.Hamming))
+    val qBits: Seq[Int] = q.map(f => if (f >= 0) 1 else 0)
+    try {
+      // string ordering ('100' < '11') differs from numeric: narrowing
+      // to the numeric candidate top-k would silently change the result
+      val df = bits
+        .withColumn("dist",
+          graft.functions.hamming_dist(col("bits"), graft.functions.intVecLit(qBits))
+            .cast("string"))
+        .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.isEmpty, "a string-cast sort key must not be index-narrowed")
+      assert(df.count() == 10) // exact path still answers
+      // the monotone widening the library emits DOES rewrite
+      val dfd = bits
+        .withColumn("dist",
+          graft.functions.hamming_dist(col("bits"), graft.functions.intVecLit(qBits))
+            .cast("double"))
+        .orderBy(col("dist").asc, col("vec_id").asc).limit(10)
+      val joinsD = dfd.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joinsD.nonEmpty, "a double-cast hamming key must rewrite")
+    } finally {
+      AnnTopK.IndexCatalog.unregister(bitsSrc)
+      spark.conf.unset(AnnTopK.EfConfKey)
+    }
+  }
+
   test("no rewrite without a registered index") {
     AnnTopK.install(spark)
     val joins = topkDf.queryExecution.optimizedPlan.collect {
