@@ -219,6 +219,77 @@ object VectorQueries {
     }
   }
 
+  /** Dedicated mutable index for the delete/vacuum family (the shared
+    * probe index must stay immutable): built once per dir, then the
+    * exact top-3 ids for the fixed query vector are tombstoned — so the
+    * post-delete top-10 is exactly rows 4..13 of the exact ranking,
+    * which the oracle expresses as LIMIT 10 OFFSET 3 (deterministic at
+    * ANY scale factor, no pinned ids). */
+  private val annDeleteIndexes = TrieMap[String, String]()
+  private def annDeleteIndexPath(s: SparkSession, dir: String): String =
+    annDeleteIndexes.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_ann_del").toString
+      AnnIndex.build(emb(s, dir), "vec_id", "embedding", path,
+        AnnIndex.Params(Metric.L2Sq, m = 16, efConstruction = 128,
+          numShards = 2))
+      val top3 = Knn.knn(emb(s, dir), col("embedding"), vecLit(qVec), 3,
+          Knn.L2Sq, Some(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      AnnIndex.delete(s, path, top3)
+      path
+    })
+
+  /** Post-delete search: tombstoned rows are skipped INSIDE the shard
+    * graphs (reference scan.c:294-300 semantics). */
+  private def annDelete(s: SparkSession, dir: String): DataFrame = {
+    val path = annDeleteIndexPath(s, dir)
+    AnnIndex.topK(s, path, qVec.toArray, 10, ef = exhaustiveEf(path))
+      .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+  }
+
+  /** Vacuum compaction (the graph rebuild the reference never does —
+    * delete.c leaves holes forever): the compacted index must return
+    * the same post-delete ranking with the tombstones gone. */
+  private val annVacuumedIndexes = TrieMap[String, String]()
+  private def annVacuum(s: SparkSession, dir: String): DataFrame = {
+    val out = annVacuumedIndexes.getOrElseUpdate(dir, {
+      val o = java.nio.file.Files.createTempDirectory("graft_ann_vac").toString
+      AnnIndex.vacuum(s, annDeleteIndexPath(s, dir), o)
+      o
+    })
+    AnnIndex.topK(s, out, qVec.toArray, 10, ef = exhaustiveEf(out))
+      .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+  }
+
+  /** Batch append maintenance (reference INSERT path, insert.c; Spark
+    * model: new shards + manifest merge): an index seeded with the even
+    * ids and appended with the odd ids must answer exactly like one
+    * built whole. */
+  private val annAppendIndexes = TrieMap[String, String]()
+  private def annAppend(s: SparkSession, dir: String): DataFrame = {
+    val path = annAppendIndexes.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_ann_app").toString
+      AnnIndex.build(emb(s, dir).filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", p,
+        AnnIndex.Params(Metric.L2Sq, m = 16, efConstruction = 128,
+          numShards = 2))
+      AnnIndex.append(emb(s, dir).filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", p)
+      p
+    })
+    AnnIndex.topK(s, path, qVec.toArray, 10, ef = exhaustiveEf(path))
+      .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+  }
+
+  /** Index validation surfaced as a contract row (reference
+    * validate_index.c): zero violations across every shard graph plus
+    * the manifest count check. */
+  private def annValidate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val violations = AnnIndex.validate(s, annIndexPath(s, dir))
+    Seq(Tuple1(violations.length.toLong)).toDF("violations")
+  }
+
   /** Derived parquet with the corpus' sign bits as an int column — the
     * scannable source a hamming-indexed table looks like (the rewrite
     * matches a sort over a SCANNED relation, so the bits must live in a
@@ -439,6 +510,10 @@ object VectorQueries {
     "q_ann_ef64" -> ((s, dir) => annL2SqEf64(s, dir)),
     "q_ann_filtered" -> ((s, dir) => annFiltered(s, dir)),
     "q_ann_hamming_rewrite" -> ((s, dir) => annHammingRewrite(s, dir)),
+    "q_ann_delete" -> ((s, dir) => annDelete(s, dir)),
+    "q_ann_vacuum" -> ((s, dir) => annVacuum(s, dir)),
+    "q_ann_append" -> ((s, dir) => annAppend(s, dir)),
+    "q_ann_validate" -> ((s, dir) => annValidate(s, dir)),
     "q_knn_join" -> ((s, dir) => knnJoin(s, dir)),
     "q_neardup_lsh" -> ((s, dir) => nearDupLsh(s, dir)),
     "q_fvecs_roundtrip" -> ((s, dir) => fvecsRoundtrip(s, dir)),
@@ -558,6 +633,24 @@ object VectorQueries {
          |ORDER BY 0.7 * $l2sqSqlExpr + 0.3 * $cosSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_ann_ef64" ->
       "SELECT TRUE AS ok",
+    // post-delete ranking = exact rows 4..13 (the top-3 are tombstoned)
+    "q_ann_delete" ->
+      s"""WITH q AS (SELECT $qVecSql AS qv)
+         |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
+         |FROM embeddings, q
+         |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10 OFFSET 3""".stripMargin,
+    "q_ann_vacuum" ->
+      s"""WITH q AS (SELECT $qVecSql AS qv)
+         |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
+         |FROM embeddings, q
+         |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10 OFFSET 3""".stripMargin,
+    "q_ann_append" ->
+      s"""WITH q AS (SELECT $qVecSql AS qv)
+         |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
+         |FROM embeddings, q
+         |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_validate" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
     "q_ann_filtered" ->
       s"""WITH q AS (SELECT $qVecSql AS qv)
          |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
