@@ -251,12 +251,14 @@ object VectorQueries {
     * delete.c leaves holes forever): the compacted index must return
     * the same post-delete ranking with the tombstones gone. */
   private val annVacuumedIndexes = TrieMap[String, String]()
-  private def annVacuum(s: SparkSession, dir: String): DataFrame = {
-    val out = annVacuumedIndexes.getOrElseUpdate(dir, {
+  private def annVacuumPath(s: SparkSession, dir: String): String =
+    annVacuumedIndexes.getOrElseUpdate(dir, {
       val o = java.nio.file.Files.createTempDirectory("graft_ann_vac").toString
       AnnIndex.vacuum(s, annDeleteIndexPath(s, dir), o)
       o
     })
+  private def annVacuum(s: SparkSession, dir: String): DataFrame = {
+    val out = annVacuumPath(s, dir)
     AnnIndex.topK(s, out, qVec.toArray, 10, ef = exhaustiveEf(out))
       .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
   }
@@ -266,8 +268,8 @@ object VectorQueries {
     * ids and appended with the odd ids must answer exactly like one
     * built whole. */
   private val annAppendIndexes = TrieMap[String, String]()
-  private def annAppend(s: SparkSession, dir: String): DataFrame = {
-    val path = annAppendIndexes.getOrElseUpdate(dir, {
+  private def annAppendPath(s: SparkSession, dir: String): String =
+    annAppendIndexes.getOrElseUpdate(dir, {
       val p = java.nio.file.Files.createTempDirectory("graft_ann_app").toString
       AnnIndex.build(emb(s, dir).filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", p,
@@ -277,6 +279,8 @@ object VectorQueries {
         "vec_id", "embedding", p)
       p
     })
+  private def annAppend(s: SparkSession, dir: String): DataFrame = {
+    val path = annAppendPath(s, dir)
     AnnIndex.topK(s, path, qVec.toArray, 10, ef = exhaustiveEf(path))
       .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
   }
@@ -480,6 +484,9 @@ object VectorQueries {
       timed("ann_hnsw") { annIndexPath(s, dir) },
       timed("ann_cos") { annCosIndexPath(s, dir) },
       timed("ann_hamming") { annHammingIndexPath(s, dir) },
+      timed("ann_delete") { annDeleteIndexPath(s, dir) },
+      timed("ann_vacuum") { annVacuumPath(s, dir) },
+      timed("ann_append") { annAppendPath(s, dir) },
       timed("ivf") { ivfIndexPath(s, dir) },
       timed("ivf_adc") { ivfAdcIndexPath(s, dir) },
       timed("fvecs") { fvecsFilePath(s, dir) })
