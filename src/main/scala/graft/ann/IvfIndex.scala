@@ -137,6 +137,56 @@ object IvfIndex {
       .select(col(man.idCol).as("id"), col("dist"))
   }
 
+  /** Batch KNN join through the IVF route — the ROUTED counterpart of
+    * [[AnnIndex.topKJoin]] (where every query partition probes every
+    * shard): each query is assigned its `nprobe` nearest cells against
+    * the broadcast centroid table, and an equi-join on `cell_id`
+    * co-locates the query with ONLY those cells' rows. At scale the
+    * work is corpus x (nprobe/nCells) distance evaluations per query
+    * batch, the join is a broadcast of (queries x nprobe) routing rows
+    * into the partitioned cells scan (dynamic partition pruning
+    * applies — cell_id is the partition column), and the only shuffle
+    * is the per-query top-k window. Returns (query_id, id, dist, rank).
+    *
+    * nprobe = nCells makes the join exact (every cell probed), which is
+    * the oracle contract; recall at smaller nprobe behaves like
+    * [[topK]]'s (FAISS IVF semantics). */
+  def topKJoin(queries: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val man = readManifest(indexPath)
+    val distFn = man.metric match {
+      case Metric.L2Sq => graft.functions.l2sq_dist _
+      case Metric.Cos => graft.functions.cos_dist _
+      case other =>
+        throw new IllegalArgumentException(s"IVF does not support ${other.name}")
+    }
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val q2 = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qvec"))
+      .filter(col("query_id").isNotNull && col("__qvec").isNotNull)
+    // route: rank all (query, centroid) pairs — the centroid table is
+    // tiny, so this is a broadcast nested loop over nCells rows — and
+    // keep each query's nprobe nearest cells
+    val routed = q2.crossJoin(broadcast(cents))
+      .withColumn("__cdist", distFn(col("__qvec"), col("centroid")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__cdist").asc, col("cell_id").asc)))
+      .filter(col("__rn") <= math.max(nprobe, 1))
+      .select(col("query_id"), col("__qvec"), col("cell_id"))
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    cells.join(broadcast(routed), "cell_id")
+      .withColumn("dist", distFn(col(man.vecCol), col("__qvec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col(man.idCol).asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(man.idCol).as("id"), col("dist"),
+        col("rank"))
+  }
+
   /** The nprobe nearest partitions as a pruned scan. */
   private def probedCells(spark: SparkSession, indexPath: String,
       man: Manifest, query: Array[Float], nprobe: Int): DataFrame = {

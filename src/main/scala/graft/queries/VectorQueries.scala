@@ -464,6 +464,18 @@ object VectorQueries {
       p
     })
 
+  /** Routed batch KNN join: each query equi-joins only its probed
+    * cells (vs q_knn_join's every-shard graph probes). nprobe = all 16
+    * cells makes it exact, so the oracle is the same windowed
+    * cross-distance SQL as q_knn_join. */
+  private def ivfJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ann.IvfIndex.topKJoin(
+        emb(s, dir).filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", ivfIndexPath(s, dir), k = 3, nprobe = 16)
+      .select(col("query_id"), col("id"), round(col("dist"), 6).as("dist"),
+        col("rank"))
+
   private def ivfAdc(s: SparkSession, dir: String): DataFrame =
     graft.ann.IvfIndex.topKAdc(s, ivfAdcIndexPath(s, dir), qVec.toArray, 10,
         nprobe = 16, refine = 200)
@@ -526,6 +538,7 @@ object VectorQueries {
     "q_fvecs_roundtrip" -> ((s, dir) => fvecsRoundtrip(s, dir)),
     "q_knn_cursor" -> ((s, dir) => knnCursor(s, dir)),
     "q_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
+    "q_ivf_join" -> ((s, dir) => ivfJoin(s, dir)),
     "q_ivf_adc" -> ((s, dir) => ivfAdc(s, dir)),
   )
 
@@ -663,6 +676,23 @@ object VectorQueries {
          |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
          |FROM embeddings, q WHERE label = 1
          |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ivf_join" ->
+      """WITH qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 20),
+        |d AS (
+        |  SELECT qs.query_id, e.vec_id AS id,
+        |    list_sum(list_transform(e.embedding,
+        |      (x, i) -> (CAST(x AS DOUBLE) - CAST(qv[i] AS DOUBLE))
+        |        * (CAST(x AS DOUBLE) - CAST(qv[i] AS DOUBLE)))) AS dist
+        |  FROM qs, embeddings e),
+        |r AS (
+        |  SELECT query_id, id, dist,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist ASC, id ASC) AS INT) AS rank
+        |  FROM d)
+        |SELECT query_id, id, round(dist, 6) AS dist, rank
+        |FROM r WHERE rank <= 3""".stripMargin,
     "q_knn_join" ->
       """WITH qs AS (
         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings

@@ -56,6 +56,30 @@ class IvfSpec extends SparkSpec {
       s"IVF recall on clustered data: ${exact.intersect(got).size}/10")
   }
 
+  test("routed batch KNN join: all-cells probe equals exact; routing prunes") {
+    val dir = Files.createTempDirectory("ivfjoin").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir,
+      IvfIndex.Params(nCells = 16))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    // exact when every cell is probed
+    val joined = IvfIndex.topKJoin(queries, "vec_id", "embedding", dir,
+        k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val exact = corpus.filter(_._1 < 10).sortBy(_._1).flatMap { case (qid, qv) =>
+      corpus.map { case (id, v) => (id, Metric.L2Sq.dist(qv, v)) }
+        .sortBy(x => (x._2, x._1)).take(5).zipWithIndex
+        .map { case ((id, _), i) => (qid, i + 1, id) }
+    }.toSeq
+    assert(joined == exact)
+    // a routed probe returns k rows per query and respects the routing
+    val routed = IvfIndex.topKJoin(queries, "vec_id", "embedding", dir,
+      k = 5, nprobe = 2)
+    assert(routed.groupBy("query_id").count()
+      .collect().forall(_.getLong(1) == 5))
+  }
+
   test("IVFADC: codes-only candidate scan + exact re-rank, recall drop < 0.2") {
     val cb = graft.pq.Pq.createCodebook(emb, "embedding",
       clusterCount = 16, subvectorCount = 8, datasetSizeLimit = 500,
