@@ -81,12 +81,41 @@ final class Hnsw(
     if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
   }
 
+  // Packed sign bits per node for the hamming metric: the sign view
+  // ([[HammingView]]) carries one logical BIT per float component, so
+  // popcount(xor) over 64-bit words computes the identical distance
+  // ~64x narrower than the float walk. Bit k set iff v(k) >= 0 — the
+  // exact predicate Metric.Hamming.dist evaluates (NaN packs as 0 on
+  // both sides, so results never diverge from the reference kernel).
+  private[ann] val hbits = mutable.ArrayBuffer.empty[Array[Long]]
+
+  @inline private def packSigns(v: Array[Float]): Array[Long] = {
+    val out = new Array[Long]((v.length + 63) >>> 6)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) >= 0) out(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    out
+  }
+
+  @inline private def hammingPacked(a: Array[Long], b: Array[Long]): Double = {
+    var acc = 0
+    var i = 0
+    while (i < a.length) {
+      acc += java.lang.Long.bitCount(a(i) ^ b(i))
+      i += 1
+    }
+    acc.toDouble
+  }
+
   /** node-to-node distance (raw kernel, or the codebook's symmetric
     * centroid tables — the canonical arithmetic lives on Codebook so
     * the in-index path and the Catalyst expressions cannot diverge). */
   @inline private def distNN(i: Int, j: Int): Double =
     if (pq.isEmpty) {
       if (metric eq Metric.Cos) cosCached(vecs(i), vecs(j), norms(i), norms(j))
+      else if (metric eq Metric.Hamming) hammingPacked(hbits(i), hbits(j))
       else metric.dist(vecs(i), vecs(j))
     }
     else {
@@ -102,9 +131,10 @@ final class Hnsw(
     }
 
   @inline private def distQN(q: Array[Float], adc: Array[Array[Double]],
-      qNorm: Double, n: Int): Double =
+      qNorm: Double, qBits: Array[Long], n: Int): Double =
     if (pq.isEmpty) {
       if (metric eq Metric.Cos) cosCached(q, vecs(n), qNorm, norms(n))
+      else if (metric eq Metric.Hamming) hammingPacked(qBits, hbits(n))
       else metric.dist(q, vecs(n))
     }
     else {
@@ -307,6 +337,7 @@ final class Hnsw(
     if (pq.isEmpty) {
       vecs += vec
       if (metric eq Metric.Cos) norms += sqNorm(vec)
+      else if (metric eq Metric.Hamming) hbits += packSigns(vec)
     } else codes += pq.get.quantize(vec)
     levels += level
     neighbors += Array.fill(level + 1)(new IntVec)
@@ -390,7 +421,9 @@ final class Hnsw(
       s"expected equally sized arrays but got dimensions ${q.length} and $dim")
     val adc = if (pq.isEmpty) null else pq.get.adcTable(q)
     val qNorm = if (pq.isEmpty && (metric eq Metric.Cos)) sqNorm(q) else 0.0
-    val dq = distQN(q, adc, qNorm, _: Int)
+    val qBits =
+      if (pq.isEmpty && (metric eq Metric.Hamming)) packSigns(q) else null
+    val dq = distQN(q, adc, qNorm, qBits, _: Int)
     val ws = workspace.get()
     var epId = entryPoint
     var epDist = dq(entryPoint)
@@ -425,7 +458,8 @@ final class Hnsw(
       .map(layers => layers.iterator.map(_.length.toLong * 4 + 32).sum)
       .sum
     val normBytes = norms.length.toLong * 8
-    vecBytes + adjBytes + normBytes + size.toLong * 16 + 1024
+    val hbitBytes = hbits.length.toLong * (((dim + 63) >>> 6) * 8 + 16)
+    vecBytes + adjBytes + normBytes + hbitBytes + size.toLong * 16 + 1024
   }
 
   /** Serialize to a stream (shard file format v2). */
@@ -544,6 +578,7 @@ object Hnsw {
         while (i < dim) { v(i) = in.readFloat(); i += 1 }
         h.vecs += v
         if (metric eq Metric.Cos) h.norms += h.sqNorm(v)
+        else if (metric eq Metric.Hamming) h.hbits += h.packSigns(v)
       } else {
         val cs = new Array[Byte](pq.get.subvectors)
         in.readFully(cs)
