@@ -87,6 +87,37 @@ object IvfIndex {
     cents
   }
 
+  /** Append new rows to an existing IVF index: assign against the
+    * FROZEN centroids (the coarse quantizer is immutable after build,
+    * as in FAISS's add_with_ids) and append into the partitioned cells
+    * table — each new file lands inside its cell's partition directory,
+    * so probes and pruning see appended rows with no rebuild. A PQ
+    * index re-quantizes appends with its stored codebook. */
+  def append(df: DataFrame, indexPath: String): Unit = {
+    val man = readManifest(indexPath)
+    val spark = df.sparkSession
+    val cents = spark.read.parquet(s"$indexPath/centroids").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
+    require(df.columns.contains(man.idCol) && df.columns.contains(man.vecCol),
+      s"append frame lacks manifest columns (${man.idCol}, ${man.vecCol})")
+    val base = df.select(col(man.idCol), col(man.vecCol))
+      .withColumn("cell_id",
+        graft.functions.nearest_centroid(col(man.vecCol), cents, man.metric.id))
+    val rows =
+      if (!man.pq) base
+      else {
+        val cb = graft.pq.Pq.codebookFromDf(
+          spark.read.parquet(s"$indexPath/codebook"))
+        base.withColumn("pq_code",
+          graft.functions.pq_quantize(col(man.vecCol), cb))
+      }
+    rows
+      .repartition(col("cell_id"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell_id")
+      .parquet(s"$indexPath/cells")
+  }
+
   /** Top-k over the `nprobe` nearest cells only (exact within the
     * probed cells: reads the raw vector column). */
   def topK(spark: SparkSession, indexPath: String, query: Array[Float],

@@ -464,6 +464,25 @@ object VectorQueries {
       p
     })
 
+  /** IVF append maintenance: an index built on the even ids and
+    * appended with the odd ids (frozen-centroid assignment, partitioned
+    * append) must answer an all-cells probe exactly like one built
+    * whole. */
+  private val ivfAppendIndexes = TrieMap[String, String]()
+  private def ivfAppendPath(s: SparkSession, dir: String): String =
+    ivfAppendIndexes.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+      graft.ann.IvfIndex.build(emb(s, dir).filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", p, graft.ann.IvfIndex.Params(nCells = 16))
+      graft.ann.IvfIndex.append(emb(s, dir).filter(col("vec_id") % 2 =!= 0), p)
+      p
+    })
+
+  private def ivfAppend(s: SparkSession, dir: String): DataFrame =
+    graft.ann.IvfIndex.topK(s, ivfAppendPath(s, dir), qVec.toArray, 10,
+        nprobe = 16)
+      .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+
   /** Routed batch KNN join: each query equi-joins only its probed
     * cells (vs q_knn_join's every-shard graph probes). nprobe = all 16
     * cells makes it exact, so the oracle is the same windowed
@@ -500,6 +519,7 @@ object VectorQueries {
       timed("ann_vacuum") { annVacuumPath(s, dir) },
       timed("ann_append") { annAppendPath(s, dir) },
       timed("ivf") { ivfIndexPath(s, dir) },
+      timed("ivf_append") { ivfAppendPath(s, dir) },
       timed("ivf_adc") { ivfAdcIndexPath(s, dir) },
       timed("fvecs") { fvecsFilePath(s, dir) })
   }
@@ -539,6 +559,7 @@ object VectorQueries {
     "q_knn_cursor" -> ((s, dir) => knnCursor(s, dir)),
     "q_ivf_topk" -> ((s, dir) => ivfTopK(s, dir)),
     "q_ivf_join" -> ((s, dir) => ivfJoin(s, dir)),
+    "q_ivf_append" -> ((s, dir) => ivfAppend(s, dir)),
     "q_ivf_adc" -> ((s, dir) => ivfAdc(s, dir)),
   )
 
@@ -568,6 +589,11 @@ object VectorQueries {
          |FROM embeddings, q
          |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_ivf_adc" ->
+      s"""WITH q AS (SELECT $qVecSql AS qv)
+         |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
+         |FROM embeddings, q
+         |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ivf_append" ->
       s"""WITH q AS (SELECT $qVecSql AS qv)
          |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
          |FROM embeddings, q

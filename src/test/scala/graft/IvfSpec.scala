@@ -80,6 +80,22 @@ class IvfSpec extends SparkSpec {
       .collect().forall(_.getLong(1) == 5))
   }
 
+  test("append assigns against frozen centroids; appended rows are probed") {
+    val dir = Files.createTempDirectory("ivfapp").toString
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      dir, IvfIndex.Params(nCells = 8))
+    IvfIndex.append(emb.filter(col("vec_id") % 2 =!= 0), dir)
+    val q = corpus.head._2
+    val exact = corpus.map { case (id, v) => (id, Metric.L2Sq.dist(q, v)) }
+      .sortBy(x => (x._2, x._1)).take(10).map(_._1).toSeq
+    val got = IvfIndex.topK(spark, dir, q, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+    // pruning still works after the append
+    val pruned = IvfIndex.topK(spark, dir, q, 10, nprobe = 2)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("IVFADC: codes-only candidate scan + exact re-rank, recall drop < 0.2") {
     val cb = graft.pq.Pq.createCodebook(emb, "embedding",
       clusterCount = 16, subvectorCount = 8, datasetSizeLimit = 500,
