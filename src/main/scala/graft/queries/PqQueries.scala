@@ -51,6 +51,21 @@ object PqQueries {
       .limit(10)
       .select(col("vec_id"), round(col("adc"), 6).as("adc"))
 
+  /** quantize_table end-to-end (reference lantern.sql:342-429: adds a
+    * generated `<col>_pq` column): the table path must produce the same
+    * codes as the scalar path, and drop_quantization must remove the
+    * column again — both observable in one row shape. */
+  private def quantizeTable(s: SparkSession, dir: String): DataFrame = {
+    val quantized = graft.pq.Pq.quantizeTable(emb(s, dir), "embedding",
+      gridCodebook)
+    val dropped = graft.pq.Pq.dropQuantization(quantized, "embedding")
+    quantized
+      .select(col("vec_id"),
+        concat_ws(",", col("embedding_pq").cast("array<int>")).as("codes"),
+        lit(dropped.columns.contains("embedding_pq")).as("pq_after_drop"))
+      .orderBy(col("vec_id").asc).limit(200)
+  }
+
   /** b1 scalar quantization end-to-end: packed sign bits probed with
     * hamming_dist — numerically identical to the unpacked sign-bit
     * hamming, which is what the oracle computes. */
@@ -65,6 +80,7 @@ object PqQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq_quantize" -> ((s, d) => quantize(s, d)),
+    "q_pq_table" -> ((s, d) => quantizeTable(s, d)),
     "q_pq_roundtrip" -> ((s, d) => roundtrip(s, d)),
     "q_pq_adc" -> ((s, d) => adcTopK(s, d)),
     "q_knn_hamming_b1" -> ((s, d) => hammingB1(s, d)),
@@ -104,6 +120,12 @@ object PqQueries {
       s"""WITH $distsCte
          |SELECT vec_id, array_to_string([${(0 until 8).map(s =>
               s"list_position(d$s, list_min(d$s)) - 1").mkString(", ")}], ',') AS codes
+         |FROM dists ORDER BY vec_id ASC LIMIT 200""".stripMargin,
+    "q_pq_table" ->
+      s"""WITH $distsCte
+         |SELECT vec_id, array_to_string([${(0 until 8).map(s =>
+              s"list_position(d$s, list_min(d$s)) - 1").mkString(", ")}], ',') AS codes,
+         |  FALSE AS pq_after_drop
          |FROM dists ORDER BY vec_id ASC LIMIT 200""".stripMargin,
     "q_pq_roundtrip" ->
       s"""WITH $distsCte
