@@ -58,11 +58,13 @@ object AnnIndex {
     // both, every shard graph is a pure function of the data, so recall
     // (and any recall-derived contract row) is invariant to input
     // splits, host, and core count.
+    // (numShards = 0 keeps the caller's partitioning — composition then
+    // follows the input split — but insertion order is still pinned)
     val parts =
       if (params.numShards > 0)
         data.repartition(params.numShards, col(data.columns.head))
           .sortWithinPartitions(col(data.columns.head))
-      else data
+      else data.sortWithinPartitions(col(data.columns.head))
     val metricId = params.metric.id
     val (m, efc) = (params.m, params.efConstruction)
     val pqOpt = params.pq

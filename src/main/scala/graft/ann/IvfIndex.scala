@@ -181,7 +181,15 @@ object IvfIndex {
     *
     * nprobe = nCells makes the join exact (every cell probed), which is
     * the oracle contract; recall at smaller nprobe behaves like
-    * [[topK]]'s (FAISS IVF semantics). */
+    * [[topK]]'s (FAISS IVF semantics).
+    *
+    * One result set per DISTINCT query id: duplicate query rows are
+    * dropped up front (they would otherwise halve the probed cells
+    * through the routing window while double-counting every candidate).
+    * Working columns use a reserved `__ivf_` prefix so an index whose
+    * columns are named `dist`/`rank`/`query_id` cannot collide, and the
+    * routing broadcast carries (query_id, cell_id) pairs only — one
+    * vector copy per query, not per probed cell. */
   def topKJoin(queries: DataFrame, idCol: String, vecCol: String,
       indexPath: String, k: Int, nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -195,27 +203,30 @@ object IvfIndex {
     }
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val q2 = queries
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qvec"))
-      .filter(col("query_id").isNotNull && col("__qvec").isNotNull)
+      .select(col(idCol).cast("long").as("__ivf_qid"),
+        col(vecCol).as("__ivf_qvec"))
+      .filter(col("__ivf_qid").isNotNull && col("__ivf_qvec").isNotNull)
+      .dropDuplicates(Seq("__ivf_qid"))
     // route: rank all (query, centroid) pairs — the centroid table is
     // tiny, so this is a broadcast nested loop over nCells rows — and
     // keep each query's nprobe nearest cells
     val routed = q2.crossJoin(broadcast(cents))
-      .withColumn("__cdist", distFn(col("__qvec"), col("centroid")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("__cdist").asc, col("cell_id").asc)))
-      .filter(col("__rn") <= math.max(nprobe, 1))
-      .select(col("query_id"), col("__qvec"), col("cell_id"))
+      .withColumn("__ivf_cdist", distFn(col("__ivf_qvec"), col("centroid")))
+      .withColumn("__ivf_rn", row_number().over(
+        Window.partitionBy(col("__ivf_qid"))
+          .orderBy(col("__ivf_cdist").asc, col("cell_id").asc)))
+      .filter(col("__ivf_rn") <= math.max(nprobe, 1))
+      .select(col("__ivf_qid"), col("cell_id"))
     val cells = spark.read.parquet(s"$indexPath/cells")
     cells.join(broadcast(routed), "cell_id")
-      .withColumn("dist", distFn(col(man.vecCol), col("__qvec")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("dist").asc, col(man.idCol).asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(man.idCol).as("id"), col("dist"),
-        col("rank"))
+      .join(broadcast(q2), "__ivf_qid")
+      .withColumn("__ivf_dist", distFn(col(man.vecCol), col("__ivf_qvec")))
+      .withColumn("__ivf_rank", row_number().over(
+        Window.partitionBy(col("__ivf_qid"))
+          .orderBy(col("__ivf_dist").asc, col(man.idCol).asc)))
+      .filter(col("__ivf_rank") <= k)
+      .select(col("__ivf_qid").as("query_id"), col(man.idCol).as("id"),
+        col("__ivf_dist").as("dist"), col("__ivf_rank").as("rank"))
   }
 
   /** The nprobe nearest partitions as a pruned scan. */

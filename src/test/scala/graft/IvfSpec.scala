@@ -73,11 +73,24 @@ class IvfSpec extends SparkSpec {
         .map { case ((id, _), i) => (qid, i + 1, id) }
     }.toSeq
     assert(joined == exact)
-    // a routed probe returns k rows per query and respects the routing
+    // a routed probe returns k rows for EVERY query (a zero-row result
+    // would make a bare forall vacuously pass)
     val routed = IvfIndex.topKJoin(queries, "vec_id", "embedding", dir,
-      k = 5, nprobe = 2)
-    assert(routed.groupBy("query_id").count()
-      .collect().forall(_.getLong(1) == 5))
+        k = 5, nprobe = 2)
+      .groupBy("query_id").count().collect()
+    assert(routed.length == 10)
+    assert(routed.forall(_.getLong(1) == 5))
+    // duplicate query rows must not corrupt routing or ranks: the
+    // contract is one result set per distinct query id
+    val dup = IvfIndex.topKJoin(queries.unionAll(queries), "vec_id",
+        "embedding", dir, k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val single = IvfIndex.topKJoin(queries, "vec_id", "embedding", dir,
+        k = 5, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(dup == single)
   }
 
   test("append assigns against frozen centroids; appended rows are probed") {
@@ -91,9 +104,12 @@ class IvfSpec extends SparkSpec {
     val got = IvfIndex.topK(spark, dir, q, 10, nprobe = 8)
       .collect().map(_.getLong(0)).toSeq
     assert(got == exact)
-    // pruning still works after the append
+    // pruning still works after the append (the scan always prints a
+    // PartitionFilters key, so assert the cell filter is actually in it)
     val pruned = IvfIndex.topK(spark, dir, q, 10, nprobe = 2)
-    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [cell_id"),
+      s"expected a non-empty cell_id partition filter")
   }
 
   test("IVFADC: codes-only candidate scan + exact re-rank, recall drop < 0.2") {
