@@ -42,6 +42,24 @@ object ScaleProbe {
     val joinS = (System.nanoTime() - t3) / 1e9
     println(f"topKJoin: $nq queries x 8 shards -> $joined rows in $joinS%.1fs " +
       f"(${nq / joinS}%.0f queries/s, cacheBytes=${graft.ann.ShardCache.cachedBytes})")
+    // routed IVF batch join over the same corpus: nprobe/nCells of the
+    // (brute-force) distance work per query vs the graph join's
+    // every-shard graph walks — the scan-based trade: no graph
+    // artifacts, pruned I/O, CPU linear in probed rows. Cells sized by
+    // the FAISS sqrt(n) rule of thumb (~224 for 50k).
+    val ivfDir = java.nio.file.Files.createTempDirectory("scale_ivf").toString
+    val t4 = System.nanoTime()
+    graft.ann.IvfIndex.build(df, "id", "vec", ivfDir,
+      graft.ann.IvfIndex.Params(nCells = 256, sampleLimit = 20000))
+    val ivfBuildS = (System.nanoTime() - t4) / 1e9
+    graft.ann.IvfIndex.topKJoin(queries.limit(32), "id", "vec", ivfDir,
+      10, nprobe = 8).count() // warm
+    val t5 = System.nanoTime()
+    val ivfJoined = graft.ann.IvfIndex.topKJoin(queries, "id", "vec", ivfDir,
+      10, nprobe = 8).count()
+    val ivfJoinS = (System.nanoTime() - t5) / 1e9
+    println(f"ivfJoin: $nq queries x 8/256 cells -> $ivfJoined rows in " +
+      f"$ivfJoinS%.1fs (${nq / ivfJoinS}%.0f queries/s; build $ivfBuildS%.1fs)")
     spark.stop()
   }
 }

@@ -59,6 +59,25 @@ object DistanceProps extends Properties("distances") {
       Metric.Hamming.dist(a, a) == 0.0
   }
 
+  property("HammingView expansion preserves bit-hamming exactly") =
+    forAll(Gen.choose(1, 8).flatMap { n =>
+      for {
+        a <- Gen.listOfN(n, Gen.choose(Int.MinValue, Int.MaxValue))
+        b <- Gen.listOfN(n, Gen.choose(Int.MinValue, Int.MaxValue))
+      } yield (a.toArray, b.toArray)
+    }) { case (a, b) =>
+      // the sign-view float walk over expanded words must equal the
+      // reference bit kernel bitCount(xor) for ANY int content — this
+      // is the exactness claim the transparent hamming rewrite rests on
+      val expanded =
+        Metric.Hamming.dist(graft.ann.HammingView.expand(a),
+          graft.ann.HammingView.expand(b))
+      val reference = a.zip(b).map { case (x, y) =>
+        java.lang.Integer.bitCount(x ^ y)
+      }.sum.toDouble
+      expanded == reference
+    }
+
   property("DoubleIntHeap pops in heap order (min and max)") =
     forAll(Gen.listOf(Gen.choose(-1e6, 1e6))) { xs =>
       def drain(min: Boolean): Seq[Double] = {
