@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, DecodeImageStats, FrameSampleHashes, Pcm16Stats}
+import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, DecodeImageStats, ResampleImageStats, FrameSampleHashes, Pcm16Stats}
 import org.apache.spark.sql.{functions => F}
 
 /** Column-level API for the engine's scalar functions, mirroring the
@@ -98,6 +98,11 @@ package object functions {
     * payloads no reader accepts. */
   def decode_image_stats(c: Column): Column = col(DecodeImageStats(expr(c)))
 
+  /** `resample_image_stats`: channel means of the nearest-neighbor
+    * resample of a real decode (the pipeline "resize" step). */
+  def resample_image_stats(c: Column, outW: Int, outH: Int): Column =
+    col(ResampleImageStats(expr(c), outW, outH))
+
   /** `byte_histogram`: normalized byte histogram feature vector —
     * deterministic surrogate for decoded-pixel statistics. */
   def byte_histogram(c: Column, bins: Int = 16): Column =
@@ -153,6 +158,8 @@ package object functions {
       "i8_decode" -> (es => I8Decode(es.head)),
       "image_meta" -> (es => ImageMeta(es.head)),
       "decode_image_stats" -> (es => DecodeImageStats(es.head)),
+      "resample_image_stats" -> (es => ResampleImageStats(es.head,
+        intLit(es(1), "outW"), intLit(es(2), "outH"))),
       "byte_histogram" -> (es => ByteHistogram(es.head,
         if (es.length > 1) intLit(es(1), "bins") else 16)),
       "frame_sample_hashes" -> (es =>

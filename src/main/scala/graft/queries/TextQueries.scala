@@ -273,6 +273,21 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Resize end-to-end: decode + nearest-neighbor 4x2 thumbnail of the
+    * gradient PNGs. The NN grid samples source pixels (4x, 4y), so the
+    * thumbnail channel means are closed-form in doc_id. */
+  private def mediaResize(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.resample_image_stats(col("img"), 4, 2)
+    s.read.parquet(mediaTablePath(s, dir))
+      .select(col("doc_id"),
+        st.getField("width").as("w"),
+        st.getField("height").as("h"),
+        round(st.getField("mean_r"), 6).as("mean_r"),
+        round(st.getField("mean_g"), 6).as("mean_g"),
+        round(st.getField("mean_b"), 6).as("mean_b"))
+      .orderBy(col("doc_id").asc)
+  }
+
   private def stemArray(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
@@ -343,6 +358,7 @@ object TextQueries {
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
     "q_media_stats" -> ((s, d) => mediaStats(s, d)),
     "q_media_decode" -> ((s, d) => mediaDecode(s, d)),
+    "q_media_resize" -> ((s, d) => mediaResize(s, d)),
   )
 
   // ---- DuckDB oracles ----
@@ -687,6 +703,18 @@ object TextQueries {
          |         FROM range($imgW) i), 6) AS mean_r,
          |  round((SELECT avg(CAST((3 * doc_id + 5 * i.range) % 256 AS DOUBLE))
          |         FROM range($imgH) i), 6) AS mean_g,
+         |  round(CAST((7 * doc_id) % 256 AS DOUBLE), 6) AS mean_b
+         |FROM documents
+         |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // 4x2 NN thumbnail samples source pixels x in {0,4,8,12}, y in
+    // {0,4}: means in closed form from the gradient construction
+    "q_media_resize" ->
+      s"""SELECT doc_id,
+         |  CAST(4 AS INT) AS w, CAST(2 AS INT) AS h,
+         |  round((SELECT avg(CAST((doc_id + 4 * i.range) % 256 AS DOUBLE))
+         |         FROM range(4) i), 6) AS mean_r,
+         |  round((SELECT avg(CAST((3 * doc_id + 20 * i.range) % 256 AS DOUBLE))
+         |         FROM range(2) i), 6) AS mean_g,
          |  round(CAST((7 * doc_id) % 256 AS DOUBLE), 6) AS mean_b
          |FROM documents
          |ORDER BY doc_id ASC LIMIT 200""".stripMargin,

@@ -60,6 +60,39 @@ object MediaKernels {
     }
   }
 
+  /** Real decode + nearest-neighbor resample (the pipeline brief's
+    * "resize" step): source pixel (x*w/outW, y*h/outH) — integer
+    * division, so the sampling grid is exact deterministic math on the
+    * decoded raster, never an interpolation whose rounding could vary.
+    * Returns (width, height, mean_r, mean_g, mean_b) of the resampled
+    * image, or null when no reader accepts the payload. */
+  def resampleImageStats(b: Array[Byte], outW: Int, outH: Int): InternalRow = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: Exception => null }
+    if (img == null) null
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < outH) {
+        val sy = y * h / outH
+        var x = 0
+        while (x < outW) {
+          val p = img.getRGB(x * w / outW, sy)
+          sr += (p >> 16) & 0xff
+          sg += (p >> 8) & 0xff
+          sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(outW.toLong * outH, 1L).toDouble
+      InternalRow(outW, outH, sr / n, sg / n, sb / n)
+    }
+  }
+
   /** Deterministic PNG encoder (test/data-generation helper): pixel
     * (x, y) takes the packed 0xRRGGBB value of `rgb(x, y)`. */
   def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
@@ -203,6 +236,29 @@ case class DecodeImageStats(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
       |${ev.value} = org.apache.spark.sql.graft.MediaKernels.decodeImageStats($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `resample_image_stats(binary, outW, outH)` -> struct(width, height,
+  * mean_r, mean_g, mean_b) of the nearest-neighbor-resampled decode. */
+case class ResampleImageStats(child: Expression, outW: Int, outH: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(outW > 0 && outH > 0, "output dimensions must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "resample_image_stats"
+  override def nullSafeEval(v: Any): Any =
+    MediaKernels.resampleImageStats(v.asInstanceOf[Array[Byte]], outW, outH)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = org.apache.spark.sql.graft.MediaKernels.resampleImageStats($c, $outW, $outH);
       |${ev.isNull} = ${ev.value} == null;
       |""".stripMargin)
   override protected def withNewChildInternal(c: Expression): Expression =

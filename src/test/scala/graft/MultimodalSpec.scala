@@ -106,6 +106,21 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getString(0) == "png" && meta.getInt(1) == 16 && meta.getInt(2) == 8)
   }
 
+  test("resample_image_stats takes an exact nearest-neighbor grid") {
+    import org.apache.spark.sql.graft.MediaKernels
+    // 8x4 image; 2x2 thumbnail samples (0,0),(4,0),(0,2),(4,2)
+    val png = MediaKernels.encodePng(8, 4, (x, y) =>
+      ((x * 10) << 16) | ((y * 20) << 8) | 7)
+    val df = Seq(Tuple1(png)).toDF("img")
+    val st = df.select(
+        graft.functions.resample_image_stats(col("img"), 2, 2).as("st"))
+      .collect()(0).getStruct(0)
+    assert(st.getInt(0) == 2 && st.getInt(1) == 2)
+    assert(math.abs(st.getDouble(2) - (0 + 40 + 0 + 40) / 4.0) < 1e-9)
+    assert(math.abs(st.getDouble(3) - (0 + 0 + 40 + 40) / 4.0) < 1e-9)
+    assert(math.abs(st.getDouble(4) - 7.0) < 1e-9)
+  }
+
   test("pcm16_stats computes peak and rms of a square wave") {
     val n = 100
     val b = ByteBuffer.allocate(2 * n).order(ByteOrder.LITTLE_ENDIAN)
