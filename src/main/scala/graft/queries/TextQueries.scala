@@ -92,23 +92,30 @@ object TextQueries {
     }
     Seq(
       timed("bm25_postings") { postCached(s, dir).count() },
-      timed("bm25_postings_stemmed") { postStemmedCached(s, dir).count() })
+      timed("bm25_postings_stemmed") { postStemmedCached(s, dir).count() },
+      timed("dedup_shingles") { shingledCached(s, dir).count() },
+      timed("dedup_signatures") { sigCached(s, dir).count() },
+      timed("dedup_jaccard_pairs") { jaccardPairsCached(s, dir).count() },
+      timed("mock_embeddings") { mockEmbCached(s, dir).count() })
   }
 
   /** Hybrid retrieval: BM25 top-20 and mock-embedding KNN top-20 fused
     * with Reciprocal Rank Fusion (k0=60). The mock embeddings and the
     * BM25 scores are both SQL-reproducible, so the whole fusion is
     * oracle-checked end-to-end. */
+  private def mockEmbCached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cached(s"mockemb:$dir")(
+      graft.embed.Embeddings.embedColumn(
+        docs(s, dir).select(col("doc_id"), col("text")), "text", "vec",
+        graft.embed.Runtimes.mock(8), "mock-embed", batchSize = 64))
+
   private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
-    import graft.embed.{Embeddings, Runtimes}
+    import graft.embed.Runtimes
     import graft.operators.{Hybrid, Knn}
     val lex = Bm25.searchBm25Of(tokCached(s, dir), bm25Query, 20,
         postings = Some(postCached(s, dir)))
       .select(col("doc_id"), round(col("score"), 6).as("s"))
-    val emb = graft.SharedState.cached(s"mockemb:$dir")(
-      Embeddings.embedColumn(
-        docs(s, dir).select(col("doc_id"), col("text")), "text", "vec",
-        Runtimes.mock(8), "mock-embed", batchSize = 64))
+    val emb = mockEmbCached(s, dir)
     val qv = Runtimes.mock(8).embedBatch("mock-embed", Seq(bm25Query)).head
     val vec = Knn.knn(emb, col("vec"),
         graft.functions.vecLit(qv.toSeq), 20, Knn.L2Sq, Some(col("doc_id")))
