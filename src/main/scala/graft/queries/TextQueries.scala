@@ -79,11 +79,11 @@ object TextQueries {
         stemmed = true, postings = Some(postStemmedCached(s, dir)))
       .select(col("doc_id"), round(col("score"), 6).as("score"))
 
-  /** Warm the persisted corpus artifacts (tokenized corpora + postings,
-    * plain and stemmed) outside any timed region, so bench numbers for
-    * the BM25 family mean steady-state retrieval rather than
-    * first-touch cache builds (the stemmed postings build used to land
-    * inside q_bm25_search_stemmed's wall time). */
+  /** Warm every persisted corpus artifact this module's queries share —
+    * BM25 tokenized corpora + postings (plain and stemmed), the dedup
+    * family's shingles/signatures/verified pairs, and the mock
+    * embedding column — outside any timed region, so bench numbers mean
+    * steady-state retrieval rather than first-touch cache builds. */
   def prepare(s: SparkSession, dir: String): Seq[(String, Double)] = {
     def timed(name: String)(f: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
@@ -280,11 +280,13 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
-  /** Resize end-to-end: decode + nearest-neighbor 4x2 thumbnail of the
-    * gradient PNGs. The NN grid samples source pixels (4x, 4y), so the
-    * thumbnail channel means are closed-form in doc_id. */
+  /** Resize end-to-end: decode + nearest-neighbor thumbW x thumbH
+    * thumbnail of the gradient PNGs. The NN grid samples source pixels
+    * at strides imgW/thumbW and imgH/thumbH, so the thumbnail channel
+    * means stay closed-form in doc_id. */
+  private val (thumbW, thumbH) = (4, 2)
   private def mediaResize(s: SparkSession, dir: String): DataFrame = {
-    val st = graft.functions.resample_image_stats(col("img"), 4, 2)
+    val st = graft.functions.resample_image_stats(col("img"), thumbW, thumbH)
     s.read.parquet(mediaTablePath(s, dir))
       .select(col("doc_id"),
         st.getField("width").as("w"),
@@ -713,15 +715,16 @@ object TextQueries {
          |  round(CAST((7 * doc_id) % 256 AS DOUBLE), 6) AS mean_b
          |FROM documents
          |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
-    // 4x2 NN thumbnail samples source pixels x in {0,4,8,12}, y in
-    // {0,4}: means in closed form from the gradient construction
+    // NN thumbnail samples source pixels at x-stride imgW/thumbW and
+    // y-stride imgH/thumbH: means in closed form from the gradient
+    // construction r=(d+x)%256, g=(3d+5y)%256, b=7d%256
     "q_media_resize" ->
       s"""SELECT doc_id,
-         |  CAST(4 AS INT) AS w, CAST(2 AS INT) AS h,
-         |  round((SELECT avg(CAST((doc_id + 4 * i.range) % 256 AS DOUBLE))
-         |         FROM range(4) i), 6) AS mean_r,
-         |  round((SELECT avg(CAST((3 * doc_id + 20 * i.range) % 256 AS DOUBLE))
-         |         FROM range(2) i), 6) AS mean_g,
+         |  CAST($thumbW AS INT) AS w, CAST($thumbH AS INT) AS h,
+         |  round((SELECT avg(CAST((doc_id + ${imgW / thumbW} * i.range) % 256 AS DOUBLE))
+         |         FROM range($thumbW) i), 6) AS mean_r,
+         |  round((SELECT avg(CAST((3 * doc_id + ${5 * (imgH / thumbH)} * i.range) % 256 AS DOUBLE))
+         |         FROM range($thumbH) i), 6) AS mean_g,
          |  round(CAST((7 * doc_id) % 256 AS DOUBLE), 6) AS mean_b
          |FROM documents
          |ORDER BY doc_id ASC LIMIT 200""".stripMargin,

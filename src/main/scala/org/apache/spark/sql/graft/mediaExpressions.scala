@@ -22,6 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MediaKernels {
 
+  /** Result shape shared by the decode and resample expressions. */
+  val ImageStatsType: StructType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
   // ImageIO defaults to a DISK-backed stream cache: every read/write
   // would spill each in-memory payload to a temp file — per row, inside
   // a hot expression, and failing outright on executors with a full or
@@ -35,29 +41,9 @@ object MediaKernels {
     * the payload. Lossless containers round-trip exactly, so the means
     * are deterministic, oracle-checkable statistics. */
   def decodeImageStats(b: Array[Byte]): InternalRow = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-      catch { case _: Exception => null }
+    val img = decode(b)
     if (img == null) null
-    else {
-      val w = img.getWidth
-      val h = img.getHeight
-      var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          sr += (p >> 16) & 0xff
-          sg += (p >> 8) & 0xff
-          sb += p & 0xff
-          x += 1
-        }
-        y += 1
-      }
-      val n = math.max(w.toLong * h, 1L).toDouble
-      InternalRow(w, h, sr / n, sg / n, sb / n)
-    }
+    else sampledStats(img, img.getWidth, img.getHeight)
   }
 
   /** Real decode + nearest-neighbor resample (the pipeline brief's
@@ -67,30 +53,38 @@ object MediaKernels {
     * Returns (width, height, mean_r, mean_g, mean_b) of the resampled
     * image, or null when no reader accepts the payload. */
   def resampleImageStats(b: Array[Byte], outW: Int, outH: Int): InternalRow = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-      catch { case _: Exception => null }
-    if (img == null) null
-    else {
-      val w = img.getWidth
-      val h = img.getHeight
-      var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
-      while (y < outH) {
-        val sy = y * h / outH
-        var x = 0
-        while (x < outW) {
-          val p = img.getRGB(x * w / outW, sy)
-          sr += (p >> 16) & 0xff
-          sg += (p >> 8) & 0xff
-          sb += p & 0xff
-          x += 1
-        }
-        y += 1
+    val img = decode(b)
+    if (img == null) null else sampledStats(img, outW, outH)
+  }
+
+  private def decode(b: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    catch { case _: Exception => null }
+
+  /** Channel means over the outW x outH nearest-neighbor grid (the
+    * identity grid when out dims equal the image dims). Index math in
+    * Long: x*w can exceed Int range for a wide source x large thumbnail
+    * (the same discipline frameSampleHashes uses). */
+  private def sampledStats(img: java.awt.image.BufferedImage,
+      outW: Int, outH: Int): InternalRow = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val p = img.getRGB((x.toLong * w / outW).toInt, sy)
+        sr += (p >> 16) & 0xff
+        sg += (p >> 8) & 0xff
+        sb += p & 0xff
+        x += 1
       }
-      val n = math.max(outW.toLong * outH, 1L).toDouble
-      InternalRow(outW, outH, sr / n, sg / n, sb / n)
+      y += 1
     }
+    val n = math.max(outW.toLong * outH, 1L).toDouble
+    InternalRow(outW, outH, sr / n, sg / n, sb / n)
   }
 
   /** Deterministic PNG encoder (test/data-generation helper): pixel
@@ -225,10 +219,7 @@ case class ImageMeta(child: Expression)
 case class DecodeImageStats(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
-  override def dataType: DataType = StructType(Seq(
-    StructField("width", IntegerType), StructField("height", IntegerType),
-    StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
-    StructField("mean_b", DoubleType)))
+  override def dataType: DataType = MediaKernels.ImageStatsType
   override def nullable: Boolean = true
   override def prettyName: String = "decode_image_stats"
   override def nullSafeEval(v: Any): Any =
@@ -248,10 +239,7 @@ case class ResampleImageStats(child: Expression, outW: Int, outH: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(outW > 0 && outH > 0, "output dimensions must be positive")
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
-  override def dataType: DataType = StructType(Seq(
-    StructField("width", IntegerType), StructField("height", IntegerType),
-    StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
-    StructField("mean_b", DoubleType)))
+  override def dataType: DataType = MediaKernels.ImageStatsType
   override def nullable: Boolean = true
   override def prettyName: String = "resample_image_stats"
   override def nullSafeEval(v: Any): Any =
