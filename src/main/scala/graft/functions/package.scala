@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, DecodeImageStats, ResampleImageStats, FrameSampleHashes, Pcm16Stats}
+import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, DecodeImageStats, ResampleImageStats, FrameSampleHashes, Pcm16Stats, WavMeta}
 import org.apache.spark.sql.{functions => F}
 
 /** Column-level API for the engine's scalar functions, mirroring the
@@ -116,6 +116,11 @@ package object functions {
   /** `pcm16_stats`: (n_samples, peak, rms) treating bytes as PCM16 LE. */
   def pcm16_stats(c: Column): Column = col(Pcm16Stats(expr(c)))
 
+  /** `wav_meta`: (channels, sample_rate, bits, n_samples, peak, rms)
+    * from a REAL RIFF/WAVE chunk walk + PCM16 decode of the data
+    * chunk; null for non-PCM16 payloads. */
+  def wav_meta(c: Column): Column = col(WavMeta(expr(c)))
+
   /** Literal float vector column (query vectors for KNN). */
   def vecLit(v: Seq[Float]): Column =
     F.array(v.map(x => F.lit(x)): _*)
@@ -164,7 +169,8 @@ package object functions {
         if (es.length > 1) intLit(es(1), "bins") else 16)),
       "frame_sample_hashes" -> (es =>
         FrameSampleHashes(es.head, intLit(es(1), "frames"))),
-      "pcm16_stats" -> (es => Pcm16Stats(es.head)))
+      "pcm16_stats" -> (es => Pcm16Stats(es.head)),
+      "wav_meta" -> (es => WavMeta(es.head)))
   }
 
   /** Register the engine's scalar functions with the session's SQL

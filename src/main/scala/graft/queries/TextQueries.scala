@@ -142,6 +142,24 @@ object TextQueries {
     TextOps.tokenCounts(docs(s, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id").asc).limit(200)
 
+  /** Benchmark decontamination end-to-end: docs with doc_id % 10 == 7
+    * play the held-out benchmark, the rest are the training corpus; a
+    * training doc is contaminated when it shares a token 13-gram with
+    * any benchmark doc (which the corpus' built-in near-dup pairs do
+    * whenever a pair straddles the split). */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextOps.ngramDecontaminate(
+        d.filter(col("doc_id") % 10 =!= 7),
+        d.filter(col("doc_id") % 10 === 7),
+        col("doc_id"), col("text"), n = 13)
+      .orderBy(col("doc_id").asc).limit(200)
+  }
+
+  private def qualityRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetition(docs(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc).limit(200)
+
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(docs(s, dir), col("doc_id"), col("text"))
       .orderBy(col("dup_count").desc, col("content_hash").asc)
@@ -297,6 +315,46 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Synthesized PCM16 WAV corpus, one deterministic mono square-ish
+    * wave per doc: 64 frames at 8000 Hz alternating +a1, -a2 with
+    * a1 = 1000 + d % 500 and a2 = d % 499 — so peak = a1 (a1 >= 1000 >
+    * 498 >= a2) and rms = sqrt((a1^2 + a2^2) / 2), both closed-form in
+    * doc_id. The encoder writes a LIST chunk between `fmt ` and `data`,
+    * so only a real chunk-walking parser decodes these. */
+  private val wavTables = scala.collection.concurrent.TrieMap[String, String]()
+  private def wavTablePath(s: SparkSession, dir: String): String =
+    wavTables.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_wav").toString
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).orderBy(col("doc_id")).limit(200)
+        .as[Long]
+        .mapPartitions(_.map { d =>
+          val a1 = (1000 + d % 500).toShort
+          val a2 = (-(d % 499)).toShort
+          val samples = Array.tabulate[Short](64)(i =>
+            if (i % 2 == 0) a1 else a2)
+          (d, org.apache.spark.sql.graft.MediaKernels.encodeWav(8000, 1, samples))
+        })
+        .toDF("doc_id", "wav")
+        .write.mode("overwrite").parquet(s"$p/wav")
+      s"$p/wav"
+    })
+
+  /** Real audio container decode end-to-end: RIFF chunk walk + PCM16
+    * data-chunk stats, oracle-recomputed from doc_id in closed form. */
+  private def mediaWav(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.functions.wav_meta(col("wav"))
+    s.read.parquet(wavTablePath(s, dir))
+      .select(col("doc_id"),
+        m.getField("channels").as("channels"),
+        m.getField("sample_rate").as("sample_rate"),
+        m.getField("bits").as("bits"),
+        m.getField("n_samples").as("n_samples"),
+        m.getField("peak").as("peak"),
+        round(m.getField("rms"), 6).as("rms"))
+      .orderBy(col("doc_id").asc)
+  }
+
   private def stemArray(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
@@ -368,6 +426,9 @@ object TextQueries {
     "q_media_stats" -> ((s, d) => mediaStats(s, d)),
     "q_media_decode" -> ((s, d) => mediaDecode(s, d)),
     "q_media_resize" -> ((s, d) => mediaResize(s, d)),
+    "q_media_wav" -> ((s, d) => mediaWav(s, d)),
+    "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "q_quality_repetition" -> ((s, d) => qualityRepetition(s, d)),
   )
 
   // ---- DuckDB oracles ----
@@ -728,5 +789,55 @@ object TextQueries {
          |  round(CAST((7 * doc_id) % 256 AS DOUBLE), 6) AS mean_b
          |FROM documents
          |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // WAV corpus construction: 64 mono frames alternating +a1, -a2
+    // with a1 = 1000 + d % 500, a2 = d % 499 -> peak = a1,
+    // rms = sqrt((a1^2 + a2^2) / 2), all closed-form in doc_id
+    "q_media_wav" ->
+      """SELECT doc_id,
+        |  CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(16 AS INT) AS bits, CAST(64 AS BIGINT) AS n_samples,
+        |  CAST(1000 + doc_id % 500 AS INT) AS peak,
+        |  round(sqrt((pow(1000 + doc_id % 500, 2) + pow(doc_id % 499, 2)) / 2.0), 6) AS rms
+        |FROM documents
+        |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // 13-gram benchmark decontamination: bench = doc_id % 10 == 7;
+    // unnest(range(...)) because DuckDB's range TABLE function rejects
+    // lateral column args (scalar range + unnest does not)
+    "q_decontaminate" ->
+      s"""WITH $toksCte,
+         |grams AS (
+         |  SELECT doc_id, array_to_string(t[i + 1 : i + 13], ' ') AS gram
+         |  FROM (SELECT doc_id, t, unnest(range(len(t) - 12)) AS i FROM toks)),
+         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 7),
+         |hits AS (
+         |  SELECT g.doc_id, count(DISTINCT g.gram) AS n_contaminated
+         |  FROM grams g JOIN bench b USING (gram)
+         |  WHERE g.doc_id % 10 <> 7 GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(h.n_contaminated, 0) AS n_contaminated,
+         |  coalesce(h.n_contaminated, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 10 <> 7
+         |ORDER BY d.doc_id ASC LIMIT 200""".stripMargin,
+    // Gopher-family repetition metrics, token-occurrence-weighted
+    "q_quality_repetition" ->
+      s"""WITH $toksCte,
+         |g2 AS (SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS g
+         |       FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM toks)),
+         |c2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2
+         |       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+         |       GROUP BY 1),
+         |g3 AS (SELECT doc_id, array_to_string(t[i+1:i+3], ' ') AS g
+         |       FROM (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks)),
+         |c3 AS (SELECT doc_id,
+         |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup3
+         |       FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+         |       GROUP BY 1)
+         |SELECT d.doc_id,
+         |  round(coalesce(c2.top2, 0), 6) AS top_2gram_frac,
+         |  round(coalesce(c3.dup3, 0), 6) AS dup_3gram_frac
+         |FROM documents d
+         |LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+         |ORDER BY d.doc_id ASC LIMIT 200""".stripMargin,
   )
 }

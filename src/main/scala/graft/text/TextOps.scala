@@ -88,4 +88,76 @@ object TextOps {
       size(tokenize(textCol)).as("n_words"),
       size(split(textCol, "\\s+")).as("n_ws_tokens"),
       ceil(length(textCol).cast("double") / 4.0).cast("long").as("n_bpe_est"))
+
+  /** Token n-grams of `t` as space-joined strings (empty array when the
+    * doc is shorter than n). The guard matters: Spark's `sequence(0,
+    * size - n)` with size < n would DESCEND (0, -1, ...) and emit
+    * nonsense grams instead of none. */
+  private def ngrams(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - lit(n)),
+        i => array_join(slice(t, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Benchmark decontamination (the published-practice n-gram overlap
+    * filter: GPT-2/GPT-3 appendix-C style 13-gram collision checks, as
+    * also implemented by public pipeline tooling like Dolma and
+    * carper/lm-eval decontamination): a training document is flagged
+    * when any of its token 13-grams also occurs in the held-out
+    * benchmark set.
+    *
+    * Scale shape: the benchmark side is DISTINCT-reduced and broadcast
+    * — eval benchmarks are millions of n-grams at most, while `docs`
+    * is the 100 TB side, which is only scanned (narrow gram expansion,
+    * then a broadcast hash semi-join; no shuffle of the corpus). The
+    * per-doc hit counts (matched grams only — a tiny frame) shuffle
+    * once for the groupBy, then left-join back so clean docs keep
+    * n_contaminated = 0.
+    *
+    * Returns (doc_id, n_contaminated, contaminated). */
+  def ngramDecontaminate(docs: DataFrame, bench: DataFrame,
+      idCol: Column, textCol: Column, n: Int = 13): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(idCol.as("doc_id"), tokenize(textCol).as("__t"))
+        .select(col("doc_id"), explode(ngrams(col("__t"), n)).as("gram"))
+    val benchGrams = grams(bench).select("gram").distinct()
+    val hits = grams(docs)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_contaminated"))
+    docs.select(idCol.as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
+  /** Repetition metrics (the Gopher repetition-filter family, token-
+    * occurrence-weighted): `top_2gram_frac` = occurrences of the most
+    * frequent 2-gram over all 2-gram occurrences, `dup_3gram_frac` =
+    * fraction of 3-gram occurrences whose gram appears more than once.
+    * Narrow per-row transforms — no shuffle; O(grams x distinct) per
+    * doc, fine for document-sized inputs. Grams are bound to real
+    * columns first (__g2/__g3): referencing the gram EXPRESSION inside
+    * the count lambdas would re-evaluate it per distinct element (no
+    * CSE across lambda scopes). */
+  def repetition(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    def frac(num: Column, den: Column): Column =
+      round(when(den > 0, num.cast("double") / den.cast("double"))
+        .otherwise(lit(0.0)), 6)
+    val g2 = col("__g2")
+    val g3 = col("__g3")
+    val counts3 = transform(array_distinct(g3), d => size(filter(g3, _ === d)))
+    docs
+      .withColumn("__t", tokenize(textCol))
+      .withColumn("__g2", ngrams(col("__t"), 2))
+      .withColumn("__g3", ngrams(col("__t"), 3))
+      .select(
+        idCol.as("doc_id"),
+        frac(array_max(concat(
+            transform(array_distinct(g2), d => size(filter(g2, _ === d))),
+            array(lit(0)))), size(g2)).as("top_2gram_frac"),
+        frac(aggregate(counts3, lit(0),
+          (acc, c) => acc + when(c > 1, c).otherwise(lit(0))), size(g3))
+          .as("dup_3gram_frac"))
+  }
 }

@@ -191,6 +191,111 @@ object MediaKernels {
     }
     InternalRow(n, peak, if (n == 0) 0.0 else math.sqrt(sumSq / n))
   }
+
+  /** Result shape of [[wavMeta]]. */
+  val WavMetaType: StructType = StructType(Seq(
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("peak", IntegerType),
+    StructField("rms", DoubleType)))
+
+  @inline private def leInt(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  @inline private def leShort(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** REAL WAV container decode (public RIFF/WAVE format: the canonical
+    * Microsoft multimedia file spec): walks the chunk list — `RIFF`
+    * size `WAVE`, then (id, size, payload[, pad-to-even]) chunks — so
+    * payloads with extra chunks (LIST/INFO, fact, cue) between `fmt `
+    * and `data` parse correctly where a fixed-44-byte-header reader
+    * would produce garbage. Returns (channels, sample_rate, bits,
+    * n_samples, peak, rms) with the signal stats computed over the
+    * REAL interleaved PCM16 samples of the `data` chunk (all channels
+    * pooled; n_samples counts frames); null for payloads that are not
+    * 16-bit integer PCM WAV. This retires the byte-surrogate for the
+    * one audio container that needs no codec — compressed audio
+    * (mp3/aac/ogg) stays a documented surrogate. */
+  def wavMeta(b: Array[Byte]): InternalRow = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+      b(11) != 'E') return null
+    var channels = 0; var rate = 0; var bits = 0; var blockAlign = 0
+    var fmtSeen = false
+    var off = 12
+    while (off + 8 <= b.length) {
+      val size = leInt(b, off + 4)
+      if (size < 0 || off + 8 + size > b.length) return null
+      val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (id == "fmt ") {
+        if (size < 16) return null
+        val audioFormat = leShort(b, off + 8)
+        channels = leShort(b, off + 10)
+        rate = leInt(b, off + 12)
+        blockAlign = leShort(b, off + 20)
+        bits = leShort(b, off + 22)
+        // PCM integer only (format 1); anything else needs a codec
+        if (audioFormat != 1) return null
+        fmtSeen = true
+      } else if (id == "data") {
+        if (!fmtSeen || bits != 16 || channels <= 0 || blockAlign <= 0)
+          return null
+        val start = off + 8
+        val n = size / 2 // individual 16-bit samples across channels
+        var peak = 0
+        var sumSq = 0.0
+        var i = 0
+        while (i < n) {
+          val s = ((b(start + 2 * i + 1) << 8) |
+            (b(start + 2 * i) & 0xff)).toShort.toInt
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sumSq += s.toDouble * s.toDouble
+          i += 1
+        }
+        return InternalRow(channels, rate, bits, (size / blockAlign).toLong,
+          peak, if (n == 0) 0.0 else math.sqrt(sumSq / n))
+      }
+      // chunks are word-aligned: odd sizes carry one pad byte
+      off += 8 + size + (size & 1)
+    }
+    null
+  }
+
+  /** Deterministic PCM16 WAV encoder (test/data-generation helper).
+    * Deliberately writes an ODD-sized LIST chunk (9 bytes + 1 pad)
+    * between `fmt ` and `data` so a reader that assumes the fixed
+    * 44-byte layout — or forgets RIFF's pad-to-even rule — misreads
+    * the data chunk; round-trip success proves [[wavMeta]] really
+    * walks the chunk list. */
+  def encodeWav(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val info = "INFOISFTg".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val dataBytes = samples.length * 2
+    val listBytes = info.length // odd: exercises the pad byte
+    val listPad = listBytes & 1
+    val riffSize = 4 + (8 + 16) + (8 + listBytes + listPad) + (8 + dataBytes)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(riffSize).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * channels * 2) // byte rate
+    buf.putShort((channels * 2).toShort) // block align
+    buf.putShort(16) // bits
+    buf.put("LIST".getBytes).putInt(listBytes).put(info)
+    if (listPad == 1) buf.put(0.toByte)
+    buf.put("data".getBytes).putInt(dataBytes)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
 }
 
 /** `image_meta(binary)` -> struct(format, width, height) or null. */
@@ -247,6 +352,26 @@ case class ResampleImageStats(child: Expression, outW: Int, outH: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
       |${ev.value} = org.apache.spark.sql.graft.MediaKernels.resampleImageStats($c, $outW, $outH);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `wav_meta(binary)` -> struct(channels, sample_rate, bits,
+  * n_samples, peak, rms) from a REAL RIFF/WAVE chunk-list parse +
+  * PCM16 decode, or null for payloads that are not integer-PCM16 WAV. */
+case class WavMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = MediaKernels.WavMetaType
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_meta"
+  override def nullSafeEval(v: Any): Any =
+    MediaKernels.wavMeta(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = org.apache.spark.sql.graft.MediaKernels.wavMeta($c);
       |${ev.isNull} = ${ev.value} == null;
       |""".stripMargin)
   override protected def withNewChildInternal(c: Expression): Expression =

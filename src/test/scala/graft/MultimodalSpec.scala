@@ -131,4 +131,46 @@ class MultimodalSpec extends SparkSpec {
     assert(s.getInt(1) == 1000)
     assert(math.abs(s.getDouble(2) - 1000.0) < 1e-9)
   }
+
+  test("wav_meta walks the RIFF chunk list and decodes PCM16 data") {
+    import org.apache.spark.sql.graft.MediaKernels
+    val samples = Array.tabulate[Short](64)(i => if (i % 2 == 0) 1200 else -300)
+    val wav = MediaKernels.encodeWav(8000, 1, samples)
+    // the encoder inserts a LIST chunk between fmt and data, so byte 44
+    // is NOT the start of samples — a fixed-offset reader would see the
+    // LIST header bytes as audio; require the chunk actually sits there
+    assert(new String(wav, 36, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      == "LIST")
+    val df = Seq((1L, wav), (2L, "RIFFxxxxWAVE".getBytes),
+        (3L, "not audio at all".getBytes))
+      .toDF("id", "wav")
+    val rows = df.select(col("id"),
+        graft.functions.wav_meta(col("wav")).as("m"))
+      .orderBy("id").collect()
+    val m = rows(0).getStruct(1)
+    assert(m.getInt(0) == 1) // channels
+    assert(m.getInt(1) == 8000) // sample rate
+    assert(m.getInt(2) == 16) // bits
+    assert(m.getLong(3) == 64L) // frames
+    assert(m.getInt(4) == 1200) // peak
+    val expRms = math.sqrt((1200.0 * 1200 + 300.0 * 300) / 2)
+    assert(math.abs(m.getDouble(5) - expRms) < 1e-9)
+    assert(rows(1).isNullAt(1)) // truncated container
+    assert(rows(2).isNullAt(1)) // not RIFF
+
+    // stereo; the encoder's LIST chunk is odd-sized (9 bytes), so the
+    // walk must skip its pad byte or the data chunk header is misread
+    val stereo = MediaKernels.encodeWav(44100, 2,
+      Array[Short](100, -200, 300, -400))
+    val st = df.sparkSession.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(stereo)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("wav",
+            org.apache.spark.sql.types.BinaryType))))
+      .select(graft.functions.wav_meta(col("wav")).as("m"))
+      .collect()(0).getStruct(0)
+    assert(st.getInt(0) == 2 && st.getInt(1) == 44100)
+    assert(st.getLong(3) == 2L) // 4 samples / 2 channels = 2 frames
+    assert(st.getInt(4) == 400)
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Decontamination + repetition metrics (the training-pipeline text
+  * gates beyond the reference's own surface). */
+class TextOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("ngramDecontaminate flags exactly the docs sharing an n-gram") {
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x a b c y"), // shares "a b c"
+      (2L, "a b x c d"), // pairwise overlap but no shared 3-gram
+      (3L, "q w e r"), // disjoint vocabulary
+      (4L, "a b") // shorter than n: no grams at all
+    ).toDF("doc_id", "text")
+    val out = TextOps.ngramDecontaminate(train, bench,
+        col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 0L, false), (3L, 0L, false), (4L, 0L, false)))
+  }
+
+  test("ngramDecontaminate counts distinct overlapping grams") {
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    // "a b c" and "b c d" both shared; "a b c" appearing twice in the
+    // training doc must count once (distinct grams, not occurrences)
+    val train = Seq((1L, "a b c d a b c")).toDF("doc_id", "text")
+    val row = TextOps.ngramDecontaminate(train, bench,
+        col("doc_id"), col("text"), n = 3)
+      .collect()(0)
+    assert(row.getLong(1) == 2L && row.getBoolean(2))
+  }
+
+  test("repetition matches hand-computed gram fractions") {
+    val docs = Seq(
+      (1L, "a b a b a"), // 2-grams ab,ba,ab,ba -> top 2/4; 3-grams aba,bab,aba -> dup 2/3
+      (2L, "u v w x"), // all grams unique -> top 1/3, dup 0
+      (3L, "z"), // no grams at all -> both 0
+      (4L, "") // no tokens -> both 0
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetition(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out(0) == ((1L, 0.5, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(out(1) == ((2L, math.rint(1.0 / 3 * 1e6) / 1e6, 0.0)))
+    assert(out(2) == ((3L, 0.0, 0.0)))
+    assert(out(3) == ((4L, 0.0, 0.0)))
+  }
+}
