@@ -160,6 +160,21 @@ object TextQueries {
     TextOps.repetition(docs(s, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id").asc).limit(200)
 
+  /** Corpus-wide top-20 2-grams (tokenizer-training statistics). */
+  private def corpusNgrams(s: SparkSession, dir: String): DataFrame =
+    TextOps.corpusNgrams(docs(s, dir), col("text"), n = 2, k = 20)
+
+  /** Deterministic stratified sampling by language. Rates are exact
+    * binary fractions so rate x 10000 is integral in BOTH engines and
+    * the hash-bucket comparison can never straddle a rounding edge. */
+  private val sampleRates = Map(
+    "en" -> 0.5, "de" -> 0.25, "es" -> 0.125, "fr" -> 0.125, "zh" -> 0.0625)
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    TextOps.sampleStratified(docs(s, dir), col("doc_id"), col("lang"),
+        sampleRates)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id").asc).limit(200)
+
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(docs(s, dir), col("doc_id"), col("text"))
       .orderBy(col("dup_count").desc, col("content_hash").asc)
@@ -429,6 +444,8 @@ object TextQueries {
     "q_media_wav" -> ((s, d) => mediaWav(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q_quality_repetition" -> ((s, d) => qualityRepetition(s, d)),
+    "q_corpus_ngrams" -> ((s, d) => corpusNgrams(s, d)),
+    "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
   )
 
   // ---- DuckDB oracles ----
@@ -839,5 +856,21 @@ object TextQueries {
          |FROM documents d
          |LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
          |ORDER BY d.doc_id ASC LIMIT 200""".stripMargin,
+    // corpus-wide top-20 2-grams; ties broken by gram text
+    "q_corpus_ngrams" ->
+      s"""WITH $toksCte,
+         |g2 AS (SELECT array_to_string(t[i+1:i+2], ' ') AS gram
+         |       FROM (SELECT t, unnest(range(len(t) - 1)) AS i FROM toks))
+         |SELECT gram, count(*) AS cnt FROM g2
+         |GROUP BY 1 ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin,
+    // deterministic md5-bucket stratified sampling: thresholds are the
+    // exact integers rate x 10000 (rates are binary fractions)
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT % 10000
+        |  < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+        |              WHEN 'es' THEN 1250 WHEN 'fr' THEN 1250
+        |              WHEN 'zh' THEN 625 ELSE 0 END
+        |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
   )
 }

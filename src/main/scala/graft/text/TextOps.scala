@@ -131,6 +131,44 @@ object TextOps {
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
+  /** Corpus-wide n-gram frequency table (the input statistic for
+    * tokenizer/BPE training and the corpus-level repetition reports):
+    * top-k token n-grams by occurrence count, ties broken by gram text
+    * so the cut is deterministic. One shuffle with map-side partial
+    * aggregation (explode -> groupBy count is Spark's classic
+    * combiner-friendly shape); the top-k is a tiny sorted limit. */
+  def corpusNgrams(docs: DataFrame, textCol: Column, n: Int,
+      k: Int): DataFrame =
+    docs
+      .select(tokenize(textCol).as("__t"))
+      .select(explode(ngrams(col("__t"), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+
+  /** Deterministic stratified sampling (the data-mixing step of a
+    * training pipeline: per-source/per-language keep rates): a row is
+    * kept iff md5(id:salt) mod 10000 < rate(stratum) * 10000. The
+    * decision is a pure function of (id, salt, rates) — reruns,
+    * engines, and cluster layouts all sample the identical set, which
+    * is what makes mixture experiments reproducible. A narrow filter:
+    * no shuffle, streams through a 100 TB scan. Strata absent from
+    * `rates` are dropped (rate 0). */
+  def sampleStratified(docs: DataFrame, idCol: Column, strataCol: Column,
+      rates: Map[String, Double], salt: String = "graft"): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    // md5-prefix bucket: 15 hex chars fit a non-negative long exactly,
+    // and both Spark (conv) and SQL engines (hex cast) can compute it
+    val bucket = conv(
+      substring(md5(concat(idCol.cast("string"), lit(":" + salt)).cast("binary")),
+        1, 15), 16, 10).cast("long") % 10000
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(strataCol === s, lit(r)).otherwise(acc)
+    }
+    docs.filter(bucket < (rateCol * 10000).cast("long"))
+  }
+
   /** Repetition metrics (the Gopher repetition-filter family, token-
     * occurrence-weighted): `top_2gram_frac` = occurrences of the most
     * frequent 2-gram over all 2-gram occurrences, `dup_3gram_frac` =

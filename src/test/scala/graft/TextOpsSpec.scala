@@ -37,6 +37,41 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getLong(1) == 2L && row.getBoolean(2))
   }
 
+  test("corpusNgrams counts occurrences corpus-wide with stable ties") {
+    val docs = Seq(
+      (1L, "a b c"), // "a b", "b c"
+      (2L, "a b d"), // "a b", "b d"
+      (3L, "b c") // "b c"
+    ).toDF("doc_id", "text")
+    val out = TextOps.corpusNgrams(docs, col("text"), n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a b", 2L), ("b c", 2L), ("b d", 1L)))
+  }
+
+  test("sampleStratified is a pure function of (id, salt, rates)") {
+    val docs = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "en" else "zz")).toDF("doc_id", "lang")
+    val rates = Map("en" -> 0.5)
+    val once = TextOps.sampleStratified(docs, col("doc_id"), col("lang"), rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = TextOps.sampleStratified(docs, col("doc_id"), col("lang"), rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == again) // deterministic across runs
+    assert(once.forall(_ % 2 == 0)) // unlisted stratum drops entirely
+    // ~50% of the 200 en docs; md5 buckets are uniform enough that a
+    // [60, 140] band would only fail on a broken hash or rate wiring
+    assert(once.size > 60 && once.size < 140)
+    // a different salt samples a different (still deterministic) set
+    val salted = TextOps.sampleStratified(docs, col("doc_id"), col("lang"),
+      rates, salt = "other").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(salted != once)
+    // rate 1 keeps every row of the stratum, rate 0 none
+    assert(TextOps.sampleStratified(docs, col("doc_id"), col("lang"),
+      Map("en" -> 1.0)).count() == 200)
+    assert(TextOps.sampleStratified(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.0)).count() == 0)
+  }
+
   test("repetition matches hand-computed gram fractions") {
     val docs = Seq(
       (1L, "a b a b a"), // 2-grams ab,ba,ab,ba -> top 2/4; 3-grams aba,bab,aba -> dup 2/3
