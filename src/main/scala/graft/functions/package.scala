@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, DecodeImageStats, ResampleImageStats, FrameSampleHashes, Pcm16Stats, WavMeta}
+import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, DecodeImageStats, ResampleImageStats, FrameSampleHashes, Pcm16Stats, WavMeta, GifFrames}
 import org.apache.spark.sql.{functions => F}
 
 /** Column-level API for the engine's scalar functions, mirroring the
@@ -121,6 +121,10 @@ package object functions {
     * chunk; null for non-PCM16 payloads. */
   def wav_meta(c: Column): Column = col(WavMeta(expr(c)))
 
+  /** `gif_frames`: n_frames + k sampled frames' decoded channel means
+    * from a REAL animated-GIF multi-frame decode. */
+  def gif_frames(c: Column, k: Int): Column = col(GifFrames(expr(c), k))
+
   /** Literal float vector column (query vectors for KNN). */
   def vecLit(v: Seq[Float]): Column =
     F.array(v.map(x => F.lit(x)): _*)
@@ -170,7 +174,8 @@ package object functions {
       "frame_sample_hashes" -> (es =>
         FrameSampleHashes(es.head, intLit(es(1), "frames"))),
       "pcm16_stats" -> (es => Pcm16Stats(es.head)),
-      "wav_meta" -> (es => WavMeta(es.head)))
+      "wav_meta" -> (es => WavMeta(es.head)),
+      "gif_frames" -> (es => GifFrames(es.head, intLit(es(1), "k"))))
   }
 
   /** Register the engine's scalar functions with the session's SQL

@@ -370,6 +370,49 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Synthesized animated-GIF corpus: 4 solid-color frames per doc,
+    * frame k of doc d colored (r, g, b) = ((d + 31k) % 256,
+    * (2d + 17k) % 256, (5d + 3k) % 256). Single-color frames palettize
+    * exactly, so every decoded channel mean IS the frame color —
+    * closed-form in (doc_id, frame index). */
+  private val gifTables = scala.collection.concurrent.TrieMap[String, String]()
+  private def gifTablePath(s: SparkSession, dir: String): String =
+    gifTables.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_gif").toString
+      import s.implicits._
+      docs(s, dir).select(col("doc_id")).orderBy(col("doc_id")).limit(200)
+        .as[Long]
+        .mapPartitions(_.map { d =>
+          val colors = (0 until 4).map { k =>
+            ((((d + 31 * k) % 256).toInt) << 16) |
+              ((((2 * d + 17 * k) % 256).toInt) << 8) |
+              (((5 * d + 3 * k) % 256).toInt)
+          }
+          (d, org.apache.spark.sql.graft.MediaKernels.encodeGifSolid(8, 4, colors))
+        })
+        .toDF("doc_id", "gif")
+        .write.mode("overwrite").parquet(s"$p/gif")
+      s"$p/gif"
+    })
+
+  /** Real multi-frame decode end-to-end (the video-analog ingest
+    * shape): sample 2 of the 4 frames (indices 0 and 2 on the i*n/k
+    * grid) and emit their decoded channel means. */
+  private def mediaGif(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.functions.gif_frames(col("gif"), 2)
+    val f = g.getField("frames")
+    s.read.parquet(gifTablePath(s, dir))
+      .select(col("doc_id"),
+        g.getField("n_frames").as("n_frames"),
+        round(f.getItem(0).getField("mean_r"), 6).as("f0_r"),
+        round(f.getItem(0).getField("mean_g"), 6).as("f0_g"),
+        round(f.getItem(0).getField("mean_b"), 6).as("f0_b"),
+        round(f.getItem(1).getField("mean_r"), 6).as("f1_r"),
+        round(f.getItem(1).getField("mean_g"), 6).as("f1_g"),
+        round(f.getItem(1).getField("mean_b"), 6).as("f1_b"))
+      .orderBy(col("doc_id").asc)
+  }
+
   private def stemArray(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
@@ -442,6 +485,7 @@ object TextQueries {
     "q_media_decode" -> ((s, d) => mediaDecode(s, d)),
     "q_media_resize" -> ((s, d) => mediaResize(s, d)),
     "q_media_wav" -> ((s, d) => mediaWav(s, d)),
+    "q_media_gif" -> ((s, d) => mediaGif(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q_quality_repetition" -> ((s, d) => qualityRepetition(s, d)),
     "q_corpus_ngrams" -> ((s, d) => corpusNgrams(s, d)),
@@ -815,6 +859,19 @@ object TextQueries {
         |  CAST(16 AS INT) AS bits, CAST(64 AS BIGINT) AS n_samples,
         |  CAST(1000 + doc_id % 500 AS INT) AS peak,
         |  round(sqrt((pow(1000 + doc_id % 500, 2) + pow(doc_id % 499, 2)) / 2.0), 6) AS rms
+        |FROM documents
+        |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // animated-GIF corpus construction: frame k of doc d is the solid
+    // color ((d+31k)%256, (2d+17k)%256, (5d+3k)%256); sampled frame
+    // indices on the i*n/k grid with n=4, k=2 are 0 and 2
+    "q_media_gif" ->
+      """SELECT doc_id, CAST(4 AS INT) AS n_frames,
+        |  round(CAST(doc_id % 256 AS DOUBLE), 6) AS f0_r,
+        |  round(CAST((2 * doc_id) % 256 AS DOUBLE), 6) AS f0_g,
+        |  round(CAST((5 * doc_id) % 256 AS DOUBLE), 6) AS f0_b,
+        |  round(CAST((doc_id + 62) % 256 AS DOUBLE), 6) AS f1_r,
+        |  round(CAST((2 * doc_id + 34) % 256 AS DOUBLE), 6) AS f1_g,
+        |  round(CAST((5 * doc_id + 6) % 256 AS DOUBLE), 6) AS f1_b
         |FROM documents
         |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
     // 13-gram benchmark decontamination: bench = doc_id % 10 == 7;

@@ -192,6 +192,79 @@ object MediaKernels {
     InternalRow(n, peak, if (n == 0) 0.0 else math.sqrt(sumSq / n))
   }
 
+  /** Result shape of [[gifFrameStats]]: frame count + the sampled
+    * frames' decoded channel means. */
+  val GifFramesType: StructType = StructType(Seq(
+    StructField("n_frames", IntegerType),
+    StructField("frames", ArrayType(ImageStatsType, containsNull = false))))
+
+  /** REAL multi-frame decode (the video-analog path, pure JDK): reads
+    * the animated-GIF frame sequence via ImageIO's gif reader and
+    * returns stats of k sampled frames — frame index `i * n / k` for
+    * sample i, the same deterministic grid [[frameSampleHashes]] uses
+    * over bytes, but over ACTUAL decoded rasters. GIF is
+    * palette-lossless, so the channel means are exact decode outputs.
+    * Null when the payload is not a GIF ImageIO can read. Frame
+    * sampling is the standard ingest shape for video-ish media at
+    * scale: decode once, keep k representative frames, never ship the
+    * full sequence downstream. */
+  def gifFrameStats(b: Array[Byte], k: Int): InternalRow = {
+    if (b.length < 6 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F') return null
+    var stream: javax.imageio.stream.ImageInputStream = null
+    try {
+      stream = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(stream)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return null
+        val out = new Array[Any](k)
+        var i = 0
+        while (i < k) {
+          val idx = ((i.toLong * n) / k).toInt
+          val img = reader.read(idx)
+          out(i) = sampledStats(img, img.getWidth, img.getHeight)
+          i += 1
+        }
+        InternalRow(n, new GenericArrayData(out))
+      } finally reader.dispose()
+    } catch {
+      case _: Exception => null
+    } finally if (stream != null) stream.close()
+  }
+
+  /** Deterministic animated-GIF encoder (test/data-generation helper):
+    * one solid-color frame per entry of `colors` — single-color frames
+    * palettize exactly, so decode recovers the colors bit-for-bit. */
+  def encodeGifSolid(w: Int, h: Int, colors: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, c); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** Result shape of [[wavMeta]]. */
   val WavMetaType: StructType = StructType(Seq(
     StructField("channels", IntegerType),
@@ -352,6 +425,28 @@ case class ResampleImageStats(child: Expression, outW: Int, outH: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
       |${ev.value} = org.apache.spark.sql.graft.MediaKernels.resampleImageStats($c, $outW, $outH);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `gif_frames(binary, k)` -> struct(n_frames, frames: array of
+  * (width, height, mean_r, mean_g, mean_b)) — REAL multi-frame GIF
+  * decode with k deterministically sampled frames; null for payloads
+  * the gif reader rejects. */
+case class GifFrames(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0, "sample count must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = MediaKernels.GifFramesType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gif_frames"
+  override def nullSafeEval(v: Any): Any =
+    MediaKernels.gifFrameStats(v.asInstanceOf[Array[Byte]], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = org.apache.spark.sql.graft.MediaKernels.gifFrameStats($c, $k);
       |${ev.isNull} = ${ev.value} == null;
       |""".stripMargin)
   override protected def withNewChildInternal(c: Expression): Expression =

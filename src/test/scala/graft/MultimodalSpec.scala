@@ -173,4 +173,38 @@ class MultimodalSpec extends SparkSpec {
     assert(st.getLong(3) == 2L) // 4 samples / 2 channels = 2 frames
     assert(st.getInt(4) == 400)
   }
+
+  test("gif_frames decodes the animated frame sequence exactly") {
+    import org.apache.spark.sql.graft.MediaKernels
+    val colors = Seq(0x112233, 0x445566, 0x778899, 0xaabbcc)
+    val gif = MediaKernels.encodeGifSolid(8, 4, colors)
+    val df = Seq((1L, gif), (2L, "GIF89a-but-not-really".getBytes),
+        (3L, pngBytes(4, 4))) // a non-GIF image payload
+      .toDF("id", "gif")
+    val rows = df.select(col("id"),
+        graft.functions.gif_frames(col("gif"), 4).as("g"))
+      .orderBy("id").collect()
+    val g = rows(0).getStruct(1)
+    assert(g.getInt(0) == 4) // n_frames
+    val frames = g.getSeq[org.apache.spark.sql.Row](1)
+    assert(frames.length == 4)
+    frames.zip(colors).foreach { case (f, c) =>
+      assert(f.getInt(0) == 8 && f.getInt(1) == 4)
+      // solid single-color frames palettize exactly: mean == channel
+      assert(f.getDouble(2) == ((c >> 16) & 0xff).toDouble)
+      assert(f.getDouble(3) == ((c >> 8) & 0xff).toDouble)
+      assert(f.getDouble(4) == (c & 0xff).toDouble)
+    }
+    assert(rows(1).isNullAt(1)) // mangled GIF payload
+    assert(rows(2).isNullAt(1)) // PNG is not a GIF
+
+    // sampling grid: k=2 over 4 frames picks indices 0 and 2
+    val sampled = Seq(Tuple1(gif)).toDF("gif")
+      .select(graft.functions.gif_frames(col("gif"), 2).as("g"))
+      .collect()(0).getStruct(0)
+    val sf = sampled.getSeq[org.apache.spark.sql.Row](1)
+    assert(sf.length == 2)
+    assert(sf(0).getDouble(2) == 0x11.toDouble)
+    assert(sf(1).getDouble(2) == 0x77.toDouble)
+  }
 }
