@@ -275,6 +275,54 @@ object Dedup {
     df.join(losers, idCol === losers("__dup_loser"), "left_anti")
   }
 
+  /** Line-level corpus dedup (the CCNet/RefinedWeb "remove duplicated
+    * lines" pass, applied before document-level dedup in public
+    * training-data pipelines): split every document into lines, count
+    * how many DISTINCT documents each exact line occurs in corpus-wide,
+    * drop lines occurring in more than `maxDocs` documents, and
+    * reassemble the surviving text in original order.
+    *
+    * The corpus has no newlines, so a "line" is a non-overlapping
+    * `chunk`-token window — the same contract, parameterized by the
+    * segmentation (pass a real line split upstream when the data has
+    * one).
+    *
+    * Scale shape: lines join their corpus-wide counts through a 16-byte
+    * md5 key, never the line text — the count aggregation and the
+    * count join both shuffle narrow (doc_id, line_hash) rows, and the
+    * reassembly groupBy shuffles each doc's surviving lines once. No
+    * all-pairs anything; three hash shuffles total, each on a key with
+    * corpus-wide cardinality (not skewed toward one reducer). The
+    * boilerplate line that appears in half the corpus becomes ONE count
+    * row (the groupBy pre-aggregates map-side), not a hot join key,
+    * because the join direction is lines->counts on the line hash.
+    *
+    * Returns (doc_id, n_lines, n_dup_lines, text_clean). */
+  def lineDedup(docs: DataFrame, idCol: Column, textCol: Column,
+      chunk: Int = 8, maxDocs: Int = 1): DataFrame = {
+    val t = col("__t")
+    val nLines = ceil(size(t).cast("double") / chunk).cast("int")
+    val lineArr = when(size(t) > 0,
+      transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(t, i * chunk + 1, lit(chunk)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val lines = docs
+      .select(idCol.as("doc_id"), tokenize(textCol).as("__t"))
+      .select(col("doc_id"), posexplode(lineArr).as(Seq("line_idx", "line")))
+      .withColumn("__lh", md5(col("line").cast("binary")))
+    val counts = lines.groupBy(col("__lh"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+    lines.join(counts, "__lh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__nd") > maxDocs, 1L).otherwise(0L)).as("n_dup_lines"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__nd") <= maxDocs,
+            struct(col("line_idx"), col("line"))))),
+          s => s.getField("line")), " ").as("text_clean"))
+  }
+
   /** 16-bit md5-derived SimHash, as a bit-string column. For each of the
     * 16 leading hex digits of each token's md5, vote +1 if the digit's
     * high bit (>= 8) is set else -1; the sign of each position's total

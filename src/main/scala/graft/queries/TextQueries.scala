@@ -224,6 +224,16 @@ object TextQueries {
         jaccardPairsCached(s, dir).filter(col("jaccard") >= 0.6))
       .orderBy(col("doc_id").asc)
 
+  /** Line-level dedup over 8-token pseudo-lines: lines occurring in
+    * more than one document are removed, docs reassembled; the clean
+    * text is hash-compared so the oracle checks the reassembly
+    * byte-for-byte, not just the counts. */
+  private def lineDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(docs(s, dir), col("doc_id"), col("text"), chunk = 8)
+      .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+        md5(col("text_clean").cast("binary")).as("clean_hash"))
+      .orderBy(col("doc_id").asc).limit(200)
+
   private def simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id").asc).limit(200)
@@ -479,6 +489,7 @@ object TextQueries {
     "q_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
     "q_neardup_groups" -> ((s, d) => nearDupGroups(s, d)),
     "q_simhash" -> ((s, d) => simhash(s, d)),
+    "q_line_dedup" -> ((s, d) => lineDedup(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
     "q_media_stats" -> ((s, d) => mediaStats(s, d)),
@@ -792,6 +803,22 @@ object TextQueries {
          |  SELECT e.d AS id, reach.r AS r FROM reach JOIN edges e ON e.s = reach.id)
          |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
          |ORDER BY doc_id ASC""".stripMargin,
+    // line-level dedup over 8-token pseudo-lines; the clean_hash column
+    // pins the exact reassembled text, order included
+    "q_line_dedup" ->
+      s"""WITH $toksCte,
+         |lines AS (
+         |  SELECT doc_id, i AS li, array_to_string(t[8*i+1 : 8*i+8], ' ') AS line
+         |  FROM (SELECT doc_id, t, unnest(range((len(t) + 7) // 8)) AS i FROM toks)),
+         |cnt AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS nd
+         |        FROM lines GROUP BY 1),
+         |j AS (SELECT doc_id, li, line, nd
+         |      FROM lines JOIN cnt ON md5(lines.line) = cnt.lh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+         |  md5(coalesce(string_agg(line, ' ' ORDER BY li) FILTER (WHERE nd <= 1), ''))
+         |    AS clean_hash
+         |FROM j GROUP BY doc_id ORDER BY doc_id ASC LIMIT 200""".stripMargin,
     "q_bloom_members" ->
       s"""WITH $toksCte,
          |p0 AS (SELECT doc_id, unnest(t) AS term FROM toks),

@@ -304,4 +304,32 @@ class IvfSpec extends SparkSpec {
       .filter(col("doc_a") <= 30 && col("doc_b") <= 30).count()
     assert(full == 29L * 30L / 2L)
   }
+
+  test("lineDedup drops cross-document duplicate lines, keeps order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // lines (chunk=2): "a b", "c d"
+      (2L, "a b x y"),   // "a b" shared with doc 1 -> both dropped
+      (3L, "p q")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, col("doc_id"), col("text"), chunk = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, "c d")))
+    assert(out(2L) == ((2L, 1L, "x y")))
+    assert(out(3L) == ((1L, 0L, "p q")))
+  }
+
+  test("lineDedup: a ragged tail line and a fully duplicated doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), // lines: "a b", "c d", "e" (ragged tail)
+      (2L, "a b c d"),   // both its lines duplicated -> empty text_clean
+      (3L, "c d")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, col("doc_id"), col("text"), chunk = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 2L, "e")))
+    assert(out(2L) == ((2L, 2L, "")))
+    assert(out(3L) == ((1L, 1L, "")))
+  }
 }
