@@ -175,6 +175,33 @@ object TextQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id").asc).limit(200)
 
+  /** Text cleaning / PII scrub over input with synthesized addresses:
+    * the corpus is pure [a-z ] text, so emails and URLs are appended
+    * deterministically from doc_id (identically in the oracle) — one
+    * third of docs gets two emails, one third two URLs (the second
+    * containing an @ that must be consumed by the URL pass, pinning
+    * redaction order), one third stays raw. */
+  private def textClean(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val augmented = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact u"), id, lit("@example.com and u"),
+          id, lit("b@ex.org now")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" see https://ex.com/p/"), id,
+          lit(" or http://u@ex.com/q ok")))
+      .otherwise(col("text"))
+    TextOps.cleanText(docs(s, dir), col("doc_id"), augmented)
+      .orderBy(col("doc_id").asc).limit(200)
+  }
+
+  /** Concat-and-chunk sequence packing into 128-token training
+    * sequences; blockSize 64 exercises the multi-block prefix-sum path
+    * (500 docs -> 8 blocks at sf0.01, 79 at sf0.1). */
+  private def packSequences(s: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(docs(s, dir), col("doc_id"), col("text"),
+        seqLen = 128, blockSize = 64)
+      .orderBy(col("doc_id").asc).limit(200)
+
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(docs(s, dir), col("doc_id"), col("text"))
       .orderBy(col("dup_count").desc, col("content_hash").asc)
@@ -490,6 +517,8 @@ object TextQueries {
     "q_neardup_groups" -> ((s, d) => nearDupGroups(s, d)),
     "q_simhash" -> ((s, d) => simhash(s, d)),
     "q_line_dedup" -> ((s, d) => lineDedup(s, d)),
+    "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
+    "q_text_clean" -> ((s, d) => textClean(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
     "q_media_stats" -> ((s, d) => mediaStats(s, d)),
@@ -803,6 +832,42 @@ object TextQueries {
          |  SELECT e.d AS id, reach.r AS r FROM reach JOIN edges e ON e.s = reach.id)
          |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
          |ORDER BY doc_id ASC""".stripMargin,
+    // text cleaning: same augmented input, same regexes (RE2-safe), same
+    // URL-before-email order; counts measured on the same intermediate
+    "q_text_clean" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+         |           || '@example.com and u' || CAST(doc_id AS VARCHAR) || 'b@ex.org now'
+         |         WHEN doc_id % 3 = 1 THEN text || ' see https://ex.com/p/' || CAST(doc_id AS VARCHAR)
+         |           || ' or http://u@ex.com/q ok'
+         |         ELSE text END AS t
+         |  FROM documents),
+         |c1 AS (SELECT doc_id, regexp_replace(t, '[\\x00-\\x1F\\x7F]', ' ', 'g') AS t FROM aug),
+         |c2 AS (SELECT doc_id,
+         |         len(regexp_extract_all(t, 'https?://[^ \\t\\n]+')) AS n_urls,
+         |         regexp_replace(t, 'https?://[^ \\t\\n]+', '<URL>', 'g') AS t FROM c1),
+         |c3 AS (SELECT doc_id, n_urls,
+         |         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS n_emails,
+         |         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t FROM c2)
+         |SELECT doc_id, trim(regexp_replace(t, '[ \\t\\n]+', ' ', 'g')) AS text_clean,
+         |  CAST(n_urls AS INT) AS n_urls, CAST(n_emails AS INT) AS n_emails
+         |FROM c3 ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // concat-and-chunk packing: global token offsets in doc-id order,
+    // then 128-token sequence spans; the oracle's single ordered window
+    // is the semantic spec the blocked prefix-sum must reproduce
+    "q_pack_sequences" ->
+      s"""WITH $toksCte,
+         |c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks),
+         |s AS (SELECT doc_id, n,
+         |  CAST(sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS st
+         |  FROM c)
+         |SELECT doc_id, n AS n_tokens, st AS start_offset,
+         |  st // 128 AS first_seq,
+         |  greatest(st, st + n - 1) // 128 AS last_seq,
+         |  greatest(st, st + n - 1) // 128 - st // 128 + 1 AS n_seqs
+         |FROM s ORDER BY doc_id ASC LIMIT 200""".stripMargin,
     // line-level dedup over 8-token pseudo-lines; the clean_hash column
     // pins the exact reassembled text, order included
     "q_line_dedup" ->

@@ -169,6 +169,92 @@ object TextOps {
     docs.filter(bucket < (rateCol * 10000).cast("long"))
   }
 
+  /** Email-address pattern shared by [[cleanText]] and its oracle; the
+    * character classes are RE2-safe so DuckDB applies the identical
+    * regex. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+
+  /** URL pattern: scheme + non-space run. */
+  val urlRe = "https?://[^ \\t\\n]+"
+
+  /** Text cleaning / PII scrubbing (the normalize-and-redact pass every
+    * public pipeline runs before dedup and filtering — C4 and Dolma
+    * both ship exactly this shape): URLs and email addresses are
+    * replaced with typed placeholder tokens, control characters
+    * dropped, whitespace runs collapsed to single spaces, and the
+    * result trimmed. Counts of each redaction come along so downstream
+    * filters can gate on them (e.g. drop docs that were mostly URLs).
+    *
+    * URL redaction runs FIRST: an email-shaped substring inside a URL
+    * (http://a@b.com/x) belongs to the URL. A narrow per-row transform
+    * — no shuffle, streams through a 100 TB scan at I/O speed.
+    *
+    * Returns (doc_id, text_clean, n_urls, n_emails). */
+  def cleanText(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val noCtl = regexp_replace(textCol, "[\\x00-\\x1F\\x7F]", " ")
+    val noUrl = regexp_replace(noCtl, urlRe, "<URL>")
+    val noEmail = regexp_replace(noUrl, emailRe, "<EMAIL>")
+    val collapsed = trim(regexp_replace(noEmail, "[ \\t\\n]+", " "))
+    docs.select(
+      idCol.as("doc_id"),
+      collapsed.as("text_clean"),
+      regexp_count(noCtl, lit(urlRe)).as("n_urls"),
+      regexp_count(noUrl, lit(emailRe)).as("n_emails"))
+  }
+
+  /** Sequence packing (the concat-and-chunk step that turns a tokenized
+    * corpus into fixed-length training sequences): every document gets
+    * its global token offset in doc-id order plus the range of
+    * `seqLen`-token training sequences it lands in — documents straddle
+    * sequence boundaries, exactly like LM pretraining's "concatenate
+    * everything, split every seqLen tokens" packing.
+    *
+    * Scale shape: a global-order running sum over one window would move
+    * the ENTIRE corpus to a single partition (Spark warns exactly
+    * that). Instead the prefix sum is computed in two bounded phases
+    * keyed by `block` = doc_id div `blockSize` (monotonic in doc_id, a
+    * pure function — no sampling pass, no partition-id capture, fully
+    * deterministic): (1) a running sum WITHIN each block (window
+    * partitioned by block — partition-sized state), (2) an exclusive
+    * prefix over the per-block totals, a #blocks-row frame (corpus
+    * rows / blockSize — the one intentionally tiny global window),
+    * broadcast-joined back. One shuffle for the block window, one
+    * map-side-combined agg for the totals.
+    *
+    * Returns (doc_id, n_tokens, start_offset, first_seq, last_seq,
+    * n_seqs). */
+  def packSequences(docs: DataFrame, idCol: Column, textCol: Column,
+      seqLen: Int, blockSize: Long = 1 << 20): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(idCol.as("doc_id"),
+        size(tokenize(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__blk", expr(s"doc_id div ${blockSize}L"))
+    val inBlock = Window.partitionBy(col("__blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blockPrefix = Window.orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = base.groupBy(col("__blk"))
+      .agg(sum(col("n_tokens")).as("__tot"))
+      .withColumn("__prefix",
+        coalesce(sum(col("__tot")).over(blockPrefix), lit(0L)))
+      .select(col("__blk"), col("__prefix"))
+    base
+      .withColumn("__cum", sum(col("n_tokens")).over(inBlock))
+      .join(broadcast(prefixes), "__blk")
+      .withColumn("start_offset",
+        col("__prefix") + col("__cum") - col("n_tokens"))
+      // an empty doc occupies no tokens; give it the one sequence its
+      // offset points at so first/last stay well-defined
+      .withColumn("first_seq", expr(s"start_offset div ${seqLen}L"))
+      .withColumn("last_seq",
+        expr(s"greatest(start_offset, start_offset + n_tokens - 1) div ${seqLen}L"))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("first_seq"), col("last_seq"),
+        (col("last_seq") - col("first_seq") + 1L).as("n_seqs"))
+  }
+
   /** Repetition metrics (the Gopher repetition-filter family, token-
     * occurrence-weighted): `top_2gram_frac` = occurrences of the most
     * frequent 2-gram over all 2-gram occurrences, `dup_3gram_frac` =

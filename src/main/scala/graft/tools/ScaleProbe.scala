@@ -60,6 +60,25 @@ object ScaleProbe {
     val ivfJoinS = (System.nanoTime() - t5) / 1e9
     println(f"ivfJoin: $nq queries x 8/256 cells -> $ivfJoined rows in " +
       f"$ivfJoinS%.1fs (${nq / ivfJoinS}%.0f queries/s; build $ivfBuildS%.1fs)")
+    // 13-gram decontamination sweep: 45k train docs x 50 tokens vs a 5k
+    // benchmark split — pins the broadcast-semi-join shape's throughput
+    // (bench grams distinct+broadcast; the train side only scans). The
+    // token stream w((id*131 + j*17) % 997) makes some doc pairs share
+    // aligned 13-gram runs, so the flagged count is nonzero and exact.
+    val docsTxt = spark.range(n).select(col("id"),
+      expr("array_join(transform(sequence(0, 49), " +
+        "j -> concat('w', (id * 131 + j * 17) % 997)), ' ')").as("text"))
+      .cache()
+    docsTxt.count()
+    val t6 = System.nanoTime()
+    val flagged = graft.text.TextOps.ngramDecontaminate(
+        docsTxt.filter(col("id") % 10 =!= 7),
+        docsTxt.filter(col("id") % 10 === 7),
+        col("id"), col("text"), n = 13)
+      .filter(col("contaminated")).count()
+    val deconS = (System.nanoTime() - t6) / 1e9
+    println(f"decontaminate: 45k train vs 5k bench -> $flagged flagged in " +
+      f"$deconS%.1fs (${n * 9 / 10 / deconS}%.0f docs/s)")
     spark.stop()
   }
 }

@@ -87,4 +87,62 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2) == ((3L, 0.0, 0.0)))
     assert(out(3) == ((4L, 0.0, 0.0)))
   }
+
+  test("cleanText redacts URLs before emails, collapses whitespace") {
+    val docs = Seq(
+      (1L, "mail me at bob.smith+x@corp-mail.co.uk  please"),
+      (2L, "read http://u@ex.com/q\tand https://a.io/p?x=1 now"),
+      (3L, "plain\u0001text\u001Fwith\u007Fcontrols"),
+      (4L, "  nothing special  ")).toDF("doc_id", "text")
+    val out = TextOps.cleanText(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(out(0) == (("mail me at <EMAIL> please", 0, 1)))
+    // the in-URL '@' is consumed by the URL pass, never counted as email
+    assert(out(1) == (("read <URL> and <URL> now", 2, 0)))
+    assert(out(2) == (("plain text with controls", 0, 0)))
+    assert(out(3) == (("nothing special", 0, 0)))
+  }
+
+  test("packSequences: blocked prefix sum equals the sequential spec") {
+    // 40 docs with varying token counts and sparse, unsorted ids —
+    // blockSize 8 forces several blocks, some empty
+    val rng = new scala.util.Random(7)
+    val rows = scala.util.Random.shuffle((0 until 40).toList).map { i =>
+      val id = i.toLong * 3 + 1 // sparse ids
+      (id, Seq.fill(1 + rng.nextInt(9))("w").mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val out = TextOps.packSequences(docs, col("doc_id"), col("text"),
+        seqLen = 10, blockSize = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // sequential single-threaded spec
+    var off = 0L
+    rows.sortBy(_._1).foreach { case (id, text) =>
+      val n = text.split(" ").length.toLong
+      val first = off / 10
+      val last = math.max(off, off + n - 1) / 10
+      assert(out(id) == ((n, off, first, last, last - first + 1)),
+        s"doc $id")
+      off += n
+    }
+  }
+
+  test("packSequences boundary cases: exact fits and straddles") {
+    val docs = Seq(
+      (1L, Seq.fill(10)("a").mkString(" ")), // exactly one sequence [0,10)
+      (2L, Seq.fill(5)("b").mkString(" ")),  // [10,15) -> seq 1
+      (3L, Seq.fill(10)("c").mkString(" ")) // [15,25) -> straddles seqs 1-2
+    ).toDF("doc_id", "text")
+    val out = TextOps.packSequences(docs, col("doc_id"), col("text"),
+        seqLen = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(out(0) == ((1L, 0L, 0L, 0L, 1L)))
+    assert(out(1) == ((2L, 10L, 1L, 1L, 1L)))
+    assert(out(2) == ((3L, 15L, 1L, 2L, 2L)))
+  }
 }
