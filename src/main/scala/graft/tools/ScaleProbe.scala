@@ -62,12 +62,18 @@ object ScaleProbe {
       f"$ivfJoinS%.1fs (${nq / ivfJoinS}%.0f queries/s; build $ivfBuildS%.1fs)")
     // 13-gram decontamination sweep: 45k train docs x 50 tokens vs a 5k
     // benchmark split — pins the broadcast-semi-join shape's throughput
-    // (bench grams distinct+broadcast; the train side only scans). The
-    // token stream w((id*131 + j*17) % 997) makes some doc pairs share
-    // aligned 13-gram runs, so the flagged count is nonzero and exact.
+    // (bench grams distinct+broadcast; the train side only scans). Body
+    // tokens are md5-unique per (doc, position) so cross-doc grams never
+    // collide by accident; docs with id % 25 == 7 open with a shared
+    // 13-token boilerplate run — those ids alternate between the bench
+    // (id%50==7 -> id%10==7) and train (id%50==32) splits, so flagged =
+    // exactly the 2% of train docs carrying the boilerplate.
     val docsTxt = spark.range(n).select(col("id"),
-      expr("array_join(transform(sequence(0, 49), " +
-        "j -> concat('w', (id * 131 + j * 17) % 997)), ' ')").as("text"))
+      expr("concat(case when id % 25 = 7 then " +
+        "'b0 b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 ' else '' end, " +
+        "array_join(transform(sequence(0, 49), " +
+        "j -> concat('w', substr(md5(cast(id * 53 + j as string)), 1, 5))), ' '))")
+        .as("text"))
       .cache()
     docsTxt.count()
     val t6 = System.nanoTime()
