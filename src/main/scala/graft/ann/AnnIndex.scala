@@ -538,29 +538,47 @@ object TombstoneCache {
       }
   }
 
+  // Bumped by invalidateListing; a resolve-then-put only caches if no
+  // invalidation happened in between. Without it a probe thread could
+  // read the pre-delete listing, lose the race with delete()'s
+  // invalidate, and then put the stale set back with a fresh TTL —
+  // breaking the same-JVM immediate-visibility guarantee for up to
+  // ttlMs.
+  private val invalidations = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  private def invalidationVersion(indexPath: String): Long =
+    Option(invalidations.get(indexPath)).map(_.get()).getOrElse(0L)
+
   def get(indexPath: String): Array[Long] = {
     val now = System.currentTimeMillis()
     listingCache.get(indexPath) match {
       case Some((deadline, arr)) if now < deadline => arr
       case _ =>
+        val v0 = invalidationVersion(indexPath)
         val arr = resolve(indexPath)
         if (listingCache.size >= MaxEntries) listingCache.clear()
-        listingCache.put(indexPath, (now + ttlMs, arr))
+        if (invalidationVersion(indexPath) == v0)
+          listingCache.put(indexPath, (now + ttlMs, arr))
         arr
     }
   }
 
   /** Drop the cached listing for one index (same-JVM delete()). */
-  private[ann] def invalidateListing(indexPath: String): Unit =
+  private[ann] def invalidateListing(indexPath: String): Unit = {
+    invalidations.computeIfAbsent(indexPath,
+      _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
     listingCache.remove(indexPath)
+  }
 
   /** Fresh read that bypasses (and refreshes) the TTL cache — for WRITE
     * paths (delete merge, vacuum) where serving a <TTL-stale set would
     * lose or resurrect another writer's deletes. Probes use [[get]]. */
   private[ann] def getFresh(indexPath: String): Array[Long] = {
+    val v0 = invalidationVersion(indexPath)
     val arr = resolve(indexPath)
     if (listingCache.size >= MaxEntries) listingCache.clear()
-    listingCache.put(indexPath, (System.currentTimeMillis() + ttlMs, arr))
+    if (invalidationVersion(indexPath) == v0)
+      listingCache.put(indexPath, (System.currentTimeMillis() + ttlMs, arr))
     arr
   }
 

@@ -202,11 +202,18 @@ object IvfIndex {
         throw new IllegalArgumentException(s"IVF does not support ${other.name}")
     }
     val cents = spark.read.parquet(s"$indexPath/centroids")
+    // one vector per query id, chosen DETERMINISTICALLY (min by vector
+    // hash) — dropDuplicates keeps whichever row a partition sees
+    // first, so duplicate ids carrying different vectors would make
+    // results vary across runs
     val q2 = queries
       .select(col(idCol).cast("long").as("__ivf_qid"),
         col(vecCol).as("__ivf_qvec"))
       .filter(col("__ivf_qid").isNotNull && col("__ivf_qvec").isNotNull)
-      .dropDuplicates(Seq("__ivf_qid"))
+      .groupBy(col("__ivf_qid"))
+      .agg(min_by(col("__ivf_qvec"),
+        struct(xxhash64(col("__ivf_qvec")), col("__ivf_qvec").cast("string")))
+        .as("__ivf_qvec"))
     // route: rank all (query, centroid) pairs — the centroid table is
     // tiny, so this is a broadcast nested loop over nCells rows — and
     // keep each query's nprobe nearest cells

@@ -312,7 +312,7 @@ object Dedup {
       .withColumn("__lh", md5(col("line").cast("binary")))
     val counts = lines.groupBy(col("__lh"))
       .agg(countDistinct(col("doc_id")).as("__nd"))
-    lines.join(counts, "__lh")
+    val perDoc = lines.join(counts, "__lh")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),
@@ -321,6 +321,15 @@ object Dedup {
           array_sort(collect_list(when(col("__nd") <= maxDocs,
             struct(col("line_idx"), col("line"))))),
           s => s.getField("line")), " ").as("text_clean"))
+    // docs that tokenize to zero lines produce no line rows; join back
+    // so they survive as (0, 0, "") instead of vanishing from a frame
+    // that callers treat as the full deduped corpus
+    docs.select(idCol.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_dup_lines"), lit(0L)).as("n_dup_lines"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
   /** 16-bit md5-derived SimHash, as a bit-string column. For each of the

@@ -312,26 +312,32 @@ object TextQueries {
     * channel mean is a closed-form function of doc_id the oracle can
     * compute in SQL, and PNG is lossless so decode recovers the exact
     * values. */
-  private val mediaTables = scala.collection.concurrent.TrieMap[String, String]()
-  private val (imgW, imgH) = (16, 8)
-  private def mediaTablePath(s: SparkSession, dir: String): String =
-    mediaTables.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_media").toString
+  /** Shared memoized builder for the synthesized binary corpora: one
+    * deterministic payload per doc_id, written once per (kind, data
+    * dir) as (doc_id, colName) parquet in a temp dir. */
+  private val synthTables = scala.collection.concurrent.TrieMap[String, String]()
+  private def synthTablePath(s: SparkSession, dir: String, kind: String,
+      colName: String)(encode: Long => Array[Byte]): String =
+    synthTables.getOrElseUpdate(s"$kind:$dir", {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_$kind").toString
       import s.implicits._
       docs(s, dir).select(col("doc_id")).orderBy(col("doc_id")).limit(200)
         .as[Long]
-        .mapPartitions(_.map { d =>
-          val png = org.apache.spark.sql.graft.MediaKernels.encodePng(
-            imgW, imgH, (x, y) =>
-              ((((d + x) % 256).toInt) << 16) |
-                ((((3 * d + 5 * y) % 256).toInt) << 8) |
-                ((7 * d) % 256).toInt)
-          (d, png)
-        })
-        .toDF("doc_id", "img")
-        .write.mode("overwrite").parquet(s"$p/media")
-      s"$p/media"
+        .mapPartitions(_.map(d => (d, encode(d))))
+        .toDF("doc_id", colName)
+        .write.mode("overwrite").parquet(s"$p/$kind")
+      s"$p/$kind"
     })
+
+  private val (imgW, imgH) = (16, 8)
+  private def mediaTablePath(s: SparkSession, dir: String): String =
+    synthTablePath(s, dir, "media", "img") { d =>
+      org.apache.spark.sql.graft.MediaKernels.encodePng(
+        imgW, imgH, (x, y) =>
+          ((((d + x) % 256).toInt) << 16) |
+            ((((3 * d + 5 * y) % 256).toInt) << 8) |
+            ((7 * d) % 256).toInt)
+    }
 
   /** Real pixel decode end-to-end: scan the PNG corpus, decode every
     * payload with the JDK ImageIO reader (decode_image_stats), emit
@@ -373,24 +379,14 @@ object TextQueries {
     * 498 >= a2) and rms = sqrt((a1^2 + a2^2) / 2), both closed-form in
     * doc_id. The encoder writes a LIST chunk between `fmt ` and `data`,
     * so only a real chunk-walking parser decodes these. */
-  private val wavTables = scala.collection.concurrent.TrieMap[String, String]()
   private def wavTablePath(s: SparkSession, dir: String): String =
-    wavTables.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_wav").toString
-      import s.implicits._
-      docs(s, dir).select(col("doc_id")).orderBy(col("doc_id")).limit(200)
-        .as[Long]
-        .mapPartitions(_.map { d =>
-          val a1 = (1000 + d % 500).toShort
-          val a2 = (-(d % 499)).toShort
-          val samples = Array.tabulate[Short](64)(i =>
-            if (i % 2 == 0) a1 else a2)
-          (d, org.apache.spark.sql.graft.MediaKernels.encodeWav(8000, 1, samples))
-        })
-        .toDF("doc_id", "wav")
-        .write.mode("overwrite").parquet(s"$p/wav")
-      s"$p/wav"
-    })
+    synthTablePath(s, dir, "wav", "wav") { d =>
+      val a1 = (1000 + d % 500).toShort
+      val a2 = (-(d % 499)).toShort
+      val samples = Array.tabulate[Short](64)(i =>
+        if (i % 2 == 0) a1 else a2)
+      org.apache.spark.sql.graft.MediaKernels.encodeWav(8000, 1, samples)
+    }
 
   /** Real audio container decode end-to-end: RIFF chunk walk + PCM16
     * data-chunk stats, oracle-recomputed from doc_id in closed form. */
@@ -412,25 +408,15 @@ object TextQueries {
     * (2d + 17k) % 256, (5d + 3k) % 256). Single-color frames palettize
     * exactly, so every decoded channel mean IS the frame color —
     * closed-form in (doc_id, frame index). */
-  private val gifTables = scala.collection.concurrent.TrieMap[String, String]()
   private def gifTablePath(s: SparkSession, dir: String): String =
-    gifTables.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_gif").toString
-      import s.implicits._
-      docs(s, dir).select(col("doc_id")).orderBy(col("doc_id")).limit(200)
-        .as[Long]
-        .mapPartitions(_.map { d =>
-          val colors = (0 until 4).map { k =>
-            ((((d + 31 * k) % 256).toInt) << 16) |
-              ((((2 * d + 17 * k) % 256).toInt) << 8) |
-              (((5 * d + 3 * k) % 256).toInt)
-          }
-          (d, org.apache.spark.sql.graft.MediaKernels.encodeGifSolid(8, 4, colors))
-        })
-        .toDF("doc_id", "gif")
-        .write.mode("overwrite").parquet(s"$p/gif")
-      s"$p/gif"
-    })
+    synthTablePath(s, dir, "gif", "gif") { d =>
+      val colors = (0 until 4).map { k =>
+        ((((d + 31 * k) % 256).toInt) << 16) |
+          ((((2 * d + 17 * k) % 256).toInt) << 8) |
+          (((5 * d + 3 * k) % 256).toInt)
+      }
+      org.apache.spark.sql.graft.MediaKernels.encodeGifSolid(8, 4, colors)
+    }
 
   /** Real multi-frame decode end-to-end (the video-analog ingest
     * shape): sample 2 of the 4 frames (indices 0 and 2 on the i*n/k
@@ -878,12 +864,18 @@ object TextQueries {
          |cnt AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS nd
          |        FROM lines GROUP BY 1),
          |j AS (SELECT doc_id, li, line, nd
-         |      FROM lines JOIN cnt ON md5(lines.line) = cnt.lh)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
-         |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
-         |  md5(coalesce(string_agg(line, ' ' ORDER BY li) FILTER (WHERE nd <= 1), ''))
-         |    AS clean_hash
-         |FROM j GROUP BY doc_id ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+         |      FROM lines JOIN cnt ON md5(lines.line) = cnt.lh),
+         |g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+         |    md5(coalesce(string_agg(line, ' ' ORDER BY li) FILTER (WHERE nd <= 1), ''))
+         |      AS clean_hash
+         |  FROM j GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(g.n_lines, 0) AS n_lines,
+         |  coalesce(g.n_dup_lines, 0) AS n_dup_lines,
+         |  coalesce(g.clean_hash, md5('')) AS clean_hash
+         |FROM documents d LEFT JOIN g USING (doc_id)
+         |ORDER BY d.doc_id ASC LIMIT 200""".stripMargin,
     "q_bloom_members" ->
       s"""WITH $toksCte,
          |p0 AS (SELECT doc_id, unnest(t) AS term FROM toks),

@@ -24,14 +24,32 @@ object Bucketing {
 
   /** Write `df` as a bucketed (optionally bucket-sorted) managed table
     * in `database`.`table`. The database anchors the storage location,
-    * so callers control where bucket files land. */
+    * so callers control where bucket files land. The location only
+    * takes effect when this call CREATES the database — SQL's
+    * IF NOT EXISTS ignores it for an existing one, so a second call
+    * with a different location lands under the first (asserted below
+    * rather than silently accepted). */
   def writeBucketed(df: DataFrame, database: String, table: String,
       bucketCol: String, buckets: Int, sortCols: Seq[String] = Nil,
       location: Option[String] = None): Unit = {
     require(buckets > 0, "bucket count must be positive")
     val spark = df.sparkSession
-    val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
+    val existed = spark.catalog.databaseExists(database)
+    // single-quote SQL string literal: escape embedded quotes
+    val loc = location.map(l => s" LOCATION '${l.replace("'", "''")}'")
+      .getOrElse("")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`$loc")
+    if (existed) location.foreach { l =>
+      val conf = spark.sessionState.newHadoopConf()
+      def qualified(p: String) = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).makeQualified(hp)
+      }
+      val actual = qualified(spark.sessionState.catalog
+        .getDatabaseMetadata(database).locationUri.toString)
+      require(actual == qualified(l),
+        s"database $database already exists at $actual, not $l")
+    }
     val w0 = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
     val w = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)

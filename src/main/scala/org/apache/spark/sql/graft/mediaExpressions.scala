@@ -204,6 +204,12 @@ object MediaKernels {
     * sample i, the same deterministic grid [[frameSampleHashes]] uses
     * over bytes, but over ACTUAL decoded rasters. GIF is
     * palette-lossless, so the channel means are exact decode outputs.
+    * Stats are of each frame's STORED raster (`reader.read(idx)`), not
+    * the frame composited per GIF disposal rules: a delta-optimized
+    * animation whose later frames encode only the changed sub-rectangle
+    * reports that patch's dims/means — correct for full-frame GIFs
+    * (this corpus), a documented approximation for optimized ones
+    * (full compositing would need a disposal-method state machine).
     * Null when the payload is not a GIF ImageIO can read. Frame
     * sampling is the standard ingest shape for video-ish media at
     * scale: decode once, keep k representative frames, never ship the
@@ -302,7 +308,10 @@ object MediaKernels {
     var off = 12
     while (off + 8 <= b.length) {
       val size = leInt(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return null
+      // Long arithmetic: a malformed size near Int.MaxValue would wrap
+      // `off + 8 + size` negative and sneak past an Int comparison,
+      // then index out of bounds instead of returning null
+      if (size < 0 || off.toLong + 8 + size > b.length) return null
       val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (id == "fmt ") {
         if (size < 16) return null

@@ -324,12 +324,14 @@ class IvfSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a b c d e"), // lines: "a b", "c d", "e" (ragged tail)
       (2L, "a b c d"),   // both its lines duplicated -> empty text_clean
-      (3L, "c d")).toDF("doc_id", "text")
+      (3L, "c d"),
+      (4L, "")).toDF("doc_id", "text") // zero tokens -> kept as (0,0,"")
     val out = Dedup.lineDedup(docs, col("doc_id"), col("text"), chunk = 2)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(out(1L) == ((3L, 2L, "e")))
     assert(out(2L) == ((2L, 2L, "")))
     assert(out(3L) == ((1L, 1L, "")))
+    assert(out(4L) == ((0L, 0L, "")))
   }
 }
