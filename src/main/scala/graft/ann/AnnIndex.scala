@@ -108,7 +108,7 @@ object AnnIndex {
     require(dims.length == 1,
       s"expected equally sized arrays across shards, got dims ${dims.mkString(",")}")
     val man = Manifest(params.metric, dims.head, m, efc,
-      shardInfo.map(_._2).sum, shardInfo.map(_._1).sorted,
+      shardInfo.map(_._2).sum, shardInfo.map(_._1).sorted.toIndexedSeq,
       pq = params.pq.isDefined)
     writeManifest(indexPath, man)
     man

@@ -61,6 +61,31 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("a second write with a conflicting location fails instead of silently landing elsewhere") {
+    val loc1 = Files.createTempDirectory("graft_bucket_loc1").toString
+    val loc2 = Files.createTempDirectory("graft_bucket_loc2").toString
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    try {
+      Bucketing.writeBucketed(docs, "graft_buck3", "t1", "doc_id", 2,
+        location = Some(loc1))
+      // same location again: fine (idempotent anchor)
+      Bucketing.writeBucketed(docs, "graft_buck3", "t2", "doc_id", 2,
+        location = Some(loc1))
+      // different location: SQL's IF NOT EXISTS would silently ignore
+      // it, so the helper must refuse
+      val e = intercept[IllegalArgumentException] {
+        Bucketing.writeBucketed(docs, "graft_buck3", "t3", "doc_id", 2,
+          location = Some(loc2))
+      }
+      assert(e.getMessage.contains("already exists"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS `graft_buck3`.`t1`")
+      spark.sql("DROP TABLE IF EXISTS `graft_buck3`.`t2`")
+      spark.sql("DROP DATABASE IF EXISTS `graft_buck3`")
+    }
+  }
+
   test("groupBy on the bucket column also skips its exchange") {
     val dbLoc = Files.createTempDirectory("graft_bucket_db2").toString
     val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
