@@ -175,6 +175,12 @@ object TextQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id").asc).limit(200)
 
+  /** Per-source domain report (the domain-filtering statistic). */
+  private def domainStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.domainStats(docs(s, dir), col("doc_id"), col("source"),
+        col("text"), col("lang"))
+      .orderBy(col("source").asc)
+
   /** Text cleaning / PII scrub over input with synthesized addresses:
     * the corpus is pure [a-z ] text, so emails and URLs are appended
     * deterministically from doc_id (identically in the oracle) — one
@@ -505,6 +511,7 @@ object TextQueries {
     "q_line_dedup" -> ((s, d) => lineDedup(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "q_text_clean" -> ((s, d) => textClean(s, d)),
+    "q_domain_stats" -> ((s, d) => domainStats(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
     "q_media_stats" -> ((s, d) => mediaStats(s, d)),
@@ -818,6 +825,24 @@ object TextQueries {
          |  SELECT e.d AS id, reach.r AS r FROM reach JOIN edges e ON e.s = reach.id)
          |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
          |ORDER BY doc_id ASC""".stripMargin,
+    // per-source domain report; dup_frac = fraction of the source's
+    // docs carrying a line duplicated across documents corpus-wide
+    "q_domain_stats" ->
+      s"""WITH $toksCte,
+         |lines AS (
+         |  SELECT doc_id, array_to_string(t[8*i+1 : 8*i+8], ' ') AS line
+         |  FROM (SELECT doc_id, t, unnest(range((len(t) + 7) // 8)) AS i FROM toks)),
+         |cnt AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS nd
+         |        FROM lines GROUP BY 1),
+         |dup AS (SELECT doc_id, max(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS hd
+         |        FROM lines JOIN cnt ON md5(lines.line) = cnt.lh
+         |        GROUP BY 1)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(avg(CAST(length(d.text) AS DOUBLE)), 6) AS avg_chars,
+         |  CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+         |  round(avg(CAST(coalesce(dup.hd, 0) AS DOUBLE)), 6) AS dup_frac
+         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+         |GROUP BY d.source ORDER BY d.source ASC""".stripMargin,
     // text cleaning: same augmented input, same regexes (RE2-safe), same
     // URL-before-email order; counts measured on the same intermediate
     "q_text_clean" ->

@@ -169,6 +169,36 @@ object TextOps {
     docs.filter(bucket < (rateCol * 10000).cast("long"))
   }
 
+  /** Per-source (domain) corpus report — the statistic behind domain
+    * filtering and mixture weighting in public pipelines (C4's
+    * blocklists, RefinedWeb/Dolma per-domain caps): for each source,
+    * document count, average length, language spread, and the fraction
+    * of its docs that share at least one [[graft.dedup.Dedup.lineDedup
+    * line]] with another document (a domain whose content is mostly
+    * cross-site boilerplate shows up as high dup_frac and gets
+    * down-weighted).
+    *
+    * Scale shape: the line-duplication flags come from the lineDedup
+    * shuffles (16-byte line-hash keys); the per-source rollup is one
+    * combiner-friendly groupBy over few distinct sources.
+    *
+    * Returns (source, n_docs, avg_chars, n_langs, dup_frac). */
+  def domainStats(docs: DataFrame, idCol: Column, sourceCol: Column,
+      textCol: Column, langCol: Column, chunk: Int = 8): DataFrame = {
+    val dup = graft.dedup.Dedup.lineDedup(docs, idCol, textCol, chunk)
+      .select(col("doc_id"), (col("n_dup_lines") > 0).as("__has_dup"))
+    docs.select(idCol.as("doc_id"), sourceCol.as("source"),
+        langCol.as("lang"), length(textCol).as("__len"))
+      .join(dup, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("__len")), 6).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(when(col("__has_dup"), 1.0).otherwise(0.0)), 6)
+          .as("dup_frac"))
+  }
+
   /** Email-address pattern shared by [[cleanText]] and its oracle; the
     * character classes are RE2-safe so DuckDB applies the identical
     * regex. */

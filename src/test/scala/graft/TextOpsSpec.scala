@@ -88,6 +88,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3) == ((4L, 0.0, 0.0)))
   }
 
+  test("domainStats: dup_frac counts docs sharing a line across the corpus") {
+    val docs = Seq(
+      (1L, "sA", "en", "a b c d"), // "a b" shared with doc 2 -> dup
+      (2L, "sA", "de", "a b x y"), // dup
+      (3L, "sB", "en", "p q"),     // clean
+      (4L, "sB", "en", "p r")      // clean (lines "p q" vs "p r" differ)
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = TextOps.domainStats(docs, col("doc_id"), col("source"),
+        col("text"), col("lang"), chunk = 2)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out(0) == (("sA", 2L, 7.0, 2L, 1.0)))
+    assert(out(1) == (("sB", 2L, 3.0, 1L, 0.0)))
+  }
+
   test("cleanText redacts URLs before emails, collapses whitespace") {
     val docs = Seq(
       (1L, "mail me at bob.smith+x@corp-mail.co.uk  please"),
