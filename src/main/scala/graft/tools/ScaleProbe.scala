@@ -85,6 +85,16 @@ object ScaleProbe {
     val deconS = (System.nanoTime() - t6) / 1e9
     println(f"decontaminate: 45k train vs 5k bench -> $flagged flagged in " +
       f"$deconS%.1fs (${n * 9 / 10 / deconS}%.0f docs/s)")
+    // line-level dedup sweep over the same corpus: ~7 8-token lines per
+    // doc (~350k lines); the 13-token boilerplate head means its first
+    // 8-token chunk is shared by every carrier, so exactly the 2%
+    // boilerplate docs report a duplicated line.
+    val t7 = System.nanoTime()
+    val nDup = graft.dedup.Dedup.lineDedup(docsTxt, col("id"), col("text"))
+      .filter(col("n_dup_lines") > 0).count()
+    val lineS = (System.nanoTime() - t7) / 1e9
+    println(f"lineDedup: $n docs -> $nDup with duplicated lines in " +
+      f"$lineS%.1fs (${n / lineS}%.0f docs/s)")
     spark.stop()
   }
 }

@@ -93,6 +93,29 @@ class IvfSpec extends SparkSpec {
     assert(dup == single)
   }
 
+  test("duplicate query ids with DIFFERENT vectors resolve deterministically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivfdup").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir,
+      IvfIndex.Params(nCells = 8))
+    val vA = corpus(0)._2.toSeq
+    val vB = corpus(1)._2.toSeq
+    def run(df: org.apache.spark.sql.DataFrame) =
+      IvfIndex.topKJoin(df, "id", "vec", dir, k = 3, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    // the chosen vector must not depend on row order or partitioning
+    // (dropDuplicates kept whichever row a partition saw first)
+    val ab = run(Seq((1L, vA), (1L, vB)).toDF("id", "vec").repartition(1))
+    val ba = run(Seq((1L, vB), (1L, vA)).toDF("id", "vec").repartition(7))
+    assert(ab == ba)
+    // and it is one of the two vectors' true result sets
+    val rA = run(Seq((1L, vA)).toDF("id", "vec"))
+    val rB = run(Seq((1L, vB)).toDF("id", "vec"))
+    assert(ab == rA || ab == rB)
+    assert(rA != rB) // distinct vectors -> the check above is not vacuous
+  }
+
   test("append assigns against frozen centroids; appended rows are probed") {
     val dir = Files.createTempDirectory("ivfapp").toString
     IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
