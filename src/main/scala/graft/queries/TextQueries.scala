@@ -208,6 +208,15 @@ object TextQueries {
         seqLen = 128, blockSize = 64)
       .orderBy(col("doc_id").asc).limit(200)
 
+  /** Materialized 128-token training sequences; the oracle pins every
+    * sequence's exact reassembled text via its md5. */
+  private def packedTexts(s: SparkSession, dir: String): DataFrame =
+    TextOps.packedTexts(docs(s, dir), col("doc_id"), col("text"),
+        seqLen = 128, blockSize = 64)
+      .select(col("seq_id"), col("n_tokens"),
+        md5(col("seq_text").cast("binary")).as("seq_md5"))
+      .orderBy(col("seq_id").asc).limit(200)
+
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(docs(s, dir), col("doc_id"), col("text"))
       .orderBy(col("dup_count").desc, col("content_hash").asc)
@@ -510,6 +519,7 @@ object TextQueries {
     "q_simhash" -> ((s, d) => simhash(s, d)),
     "q_line_dedup" -> ((s, d) => lineDedup(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
+    "q_packed_texts" -> ((s, d) => packedTexts(s, d)),
     "q_text_clean" -> ((s, d) => textClean(s, d)),
     "q_domain_stats" -> ((s, d) => domainStats(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
@@ -879,6 +889,21 @@ object TextQueries {
          |  greatest(st, st + n - 1) // 128 AS last_seq,
          |  greatest(st, st + n - 1) // 128 - st // 128 + 1 AS n_seqs
          |FROM s ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // materialized packing: every token takes its global offset, groups
+    // by 128-token sequence, text reassembled in position order
+    "q_packed_texts" ->
+      s"""WITH $toksCte,
+         |c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks),
+         |s AS (SELECT doc_id, t, n,
+         |  CAST(sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS st
+         |  FROM c),
+         |pos AS (
+         |  SELECT st + i AS p, t[i + 1] AS tok
+         |  FROM (SELECT st, t, unnest(range(len(t))) AS i FROM s))
+         |SELECT p // 128 AS seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(tok, ' ' ORDER BY p)) AS seq_md5
+         |FROM pos GROUP BY 1 ORDER BY seq_id ASC LIMIT 200""".stripMargin,
     // line-level dedup over 8-token pseudo-lines; the clean_hash column
     // pins the exact reassembled text, order included
     "q_line_dedup" ->

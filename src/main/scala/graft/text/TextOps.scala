@@ -285,6 +285,40 @@ object TextOps {
         (col("last_seq") - col("first_seq") + 1L).as("n_seqs"))
   }
 
+  /** Materialized packing: the actual `seqLen`-token training sequences
+    * [[packSequences]] only addresses — every token gets its global
+    * position, tokens group by `seq_id` = position div seqLen, and each
+    * sequence's text is reassembled in position order (the final
+    * sequence may be partial).
+    *
+    * Scale shape: this is the one step of the packing pipeline whose
+    * cost is inherently O(corpus tokens) — a token-level explode and a
+    * groupBy on seq_id (uniformly distributed by construction: every
+    * sequence holds exactly seqLen tokens, so no reducer skew). The
+    * offsets join is a broadcast-sized frame at 100 TB only if docs/
+    * partition counts are bounded — it is doc-level (one row per doc),
+    * so it shuffles as an ordinary hash join. Run it once as the final
+    * materialization, not per-experiment; mixture experiments should
+    * filter on [[packSequences]] offsets instead.
+    *
+    * Returns (seq_id, n_tokens, seq_text). */
+  def packedTexts(docs: DataFrame, idCol: Column, textCol: Column,
+      seqLen: Int, blockSize: Long = 1 << 20): DataFrame = {
+    val offsets = packSequences(docs, idCol, textCol, seqLen, blockSize)
+      .select(col("doc_id"), col("start_offset"))
+    docs.select(idCol.as("doc_id"), tokenize(textCol).as("__t"))
+      .join(offsets, "doc_id")
+      .select(col("start_offset"), posexplode(col("__t")).as(Seq("__i", "__tok")))
+      .withColumn("__pos", col("start_offset") + col("__i"))
+      .withColumn("seq_id", expr(s"__pos div ${seqLen}L"))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("seq_text"))
+  }
+
   /** Repetition metrics (the Gopher repetition-filter family, token-
     * occurrence-weighted): `top_2gram_frac` = occurrences of the most
     * frequent 2-gram over all 2-gram occurrences, `dup_3gram_frac` =

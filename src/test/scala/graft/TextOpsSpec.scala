@@ -146,6 +146,20 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("packedTexts reassembles the exact token stream in doc-id order") {
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "d e f g"), // straddles the seq 0/1 boundary at seqLen=5
+      (3L, "h")).toDF("doc_id", "text")
+    val out = TextOps.packedTexts(docs, col("doc_id"), col("text"),
+        seqLen = 5, blockSize = 2)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (0L, 5L, "a b c d e"),
+      (1L, 3L, "f g h"))) // final partial sequence
+  }
+
   test("packSequences boundary cases: exact fits and straddles") {
     val docs = Seq(
       (1L, Seq.fill(10)("a").mkString(" ")), // exactly one sequence [0,10)
