@@ -546,8 +546,30 @@ object TombstoneCache {
   // ttlMs.
   private val invalidations = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.atomic.AtomicLong]()
-  private def invalidationVersion(indexPath: String): Long =
-    Option(invalidations.get(indexPath)).map(_.get()).getOrElse(0L)
+  // bumped whenever the bounded map is cleared, so a version observed
+  // before the clear can never compare equal to one observed after it
+  // (clearing alone could erase another path's fresh bump and reopen
+  // the stale-caching race)
+  private val invalidationEpoch = new java.util.concurrent.atomic.AtomicLong()
+  private def invalidationVersion(indexPath: String): (Long, Long) =
+    (invalidationEpoch.get(),
+      Option(invalidations.get(indexPath)).map(_.get()).getOrElse(0L))
+
+  /** Cache `arr` only if no invalidation raced the resolve. The put is
+    * guarded twice: before (cheap skip) AND after — an invalidate that
+    * lands between the pre-check and the put bumps the version, so the
+    * post-check removes the just-written stale entry. Either the put
+    * happens-before the invalidate's remove (removed), or after it
+    * (post-check sees the bumped version and removes). Conservative
+    * either way: the worst outcome is an uncached listing. */
+  private def putIfCurrent(indexPath: String, v0: (Long, Long),
+      deadline: Long, arr: Array[Long]): Unit =
+    if (invalidationVersion(indexPath) == v0) {
+      if (listingCache.size >= MaxEntries) listingCache.clear()
+      listingCache.put(indexPath, (deadline, arr))
+      if (invalidationVersion(indexPath) != v0)
+        listingCache.remove(indexPath)
+    }
 
   def get(indexPath: String): Array[Long] = {
     val now = System.currentTimeMillis()
@@ -556,15 +578,23 @@ object TombstoneCache {
       case _ =>
         val v0 = invalidationVersion(indexPath)
         val arr = resolve(indexPath)
-        if (listingCache.size >= MaxEntries) listingCache.clear()
-        if (invalidationVersion(indexPath) == v0)
-          listingCache.put(indexPath, (now + ttlMs, arr))
+        putIfCurrent(indexPath, v0, now + ttlMs, arr)
         arr
     }
   }
 
-  /** Drop the cached listing for one index (same-JVM delete()). */
+  /** Drop the cached listing for one index (same-JVM delete()). The
+    * version map is bounded by clearing it when it outgrows the cache
+    * cap: probes that read a now-cleared version conservatively skip
+    * caching (their recheck sees a different value), so the clear can
+    * never resurrect a stale listing. */
   private[ann] def invalidateListing(indexPath: String): Unit = {
+    if (invalidations.size > 4 * MaxEntries) {
+      // epoch first: a reader racing the clear sees either the old map
+      // (old epoch mismatch later) or the cleared map under a new epoch
+      invalidationEpoch.incrementAndGet()
+      invalidations.clear()
+    }
     invalidations.computeIfAbsent(indexPath,
       _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
     listingCache.remove(indexPath)
@@ -576,9 +606,7 @@ object TombstoneCache {
   private[ann] def getFresh(indexPath: String): Array[Long] = {
     val v0 = invalidationVersion(indexPath)
     val arr = resolve(indexPath)
-    if (listingCache.size >= MaxEntries) listingCache.clear()
-    if (invalidationVersion(indexPath) == v0)
-      listingCache.put(indexPath, (System.currentTimeMillis() + ttlMs, arr))
+    putIfCurrent(indexPath, v0, System.currentTimeMillis() + ttlMs, arr)
     arr
   }
 

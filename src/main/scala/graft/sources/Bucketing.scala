@@ -34,12 +34,15 @@ object Bucketing {
       location: Option[String] = None): Unit = {
     require(buckets > 0, "bucket count must be positive")
     val spark = df.sparkSession
-    val existed = spark.catalog.databaseExists(database)
     // single-quote SQL string literal: escape embedded quotes
     val loc = location.map(l => s" LOCATION '${l.replace("'", "''")}'")
       .getOrElse("")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`$loc")
-    if (existed) location.foreach { l =>
+    // verify AFTER the create, unconditionally: a pre-create existence
+    // check races a concurrent creator (both see absent, one CREATE
+    // IF NOT EXISTS becomes a no-op and its location is silently
+    // ignored) — the catalog's post-create location is the truth
+    location.foreach { l =>
       val conf = spark.sessionState.newHadoopConf()
       def qualified(p: String) = {
         val hp = new org.apache.hadoop.fs.Path(p)
@@ -48,7 +51,7 @@ object Bucketing {
       val actual = qualified(spark.sessionState.catalog
         .getDatabaseMetadata(database).locationUri.toString)
       require(actual == qualified(l),
-        s"database $database already exists at $actual, not $l")
+        s"database $database is anchored at $actual, not $l")
     }
     val w0 = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)

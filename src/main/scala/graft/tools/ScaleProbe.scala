@@ -87,8 +87,9 @@ object ScaleProbe {
       f"$deconS%.1fs (${n * 9 / 10 / deconS}%.0f docs/s)")
     // line-level dedup sweep over the same corpus: ~7 8-token lines per
     // doc (~350k lines); the 13-token boilerplate head means its first
-    // 8-token chunk is shared by every carrier, so exactly the 2%
-    // boilerplate docs report a duplicated line.
+    // 8-token chunk is shared by every carrier, so exactly the 2000
+    // boilerplate docs (id % 25 == 7, 4% of the corpus) report a
+    // duplicated line.
     val t7 = System.nanoTime()
     val nDup = graft.dedup.Dedup.lineDedup(docsTxt, col("id"), col("text"))
       .filter(col("n_dup_lines") > 0).count()

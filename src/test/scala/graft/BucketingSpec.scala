@@ -78,7 +78,7 @@ class BucketingSpec extends SparkSpec {
         Bucketing.writeBucketed(docs, "graft_buck3", "t3", "doc_id", 2,
           location = Some(loc2))
       }
-      assert(e.getMessage.contains("already exists"))
+      assert(e.getMessage.contains("is anchored at"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS `graft_buck3`.`t1`")
       spark.sql("DROP TABLE IF EXISTS `graft_buck3`.`t2`")
