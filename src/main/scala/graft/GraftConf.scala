@@ -24,6 +24,16 @@ object GraftConf {
   val Bm25B = "graft.bm25.b"
   /** User stopword list (see [[graft.text.UserStopwords]]). */
   val UserStopwordsKey = graft.text.UserStopwords.ConfKey
+  /** Max DISTINCT queries [[graft.ann.IvfIndex.topKJoin]] will broadcast;
+    * past it the query frame shuffle-joins on the query id instead
+    * (default 100000 — ~a few hundred MB at 1536d, inside executor
+    * memory; a recall-eval with tens of millions of queries would
+    * otherwise exceed the broadcast limit outright). */
+  val IvfBroadcastQueryLimit = "graft.ivf.broadcastQueryLimit"
+
+  def ivfBroadcastQueryLimit(spark: SparkSession): Long =
+    spark.conf.getOption(IvfBroadcastQueryLimit).map(_.toLong)
+      .getOrElse(100000L)
 
   def initK(spark: SparkSession): Int = intConf(spark, InitK, 10)
   def maxK(spark: SparkSession): Int = intConf(spark, MaxK, 1000)

@@ -257,30 +257,48 @@ object AnnIndex {
     TombstoneCache.get(indexPath).toSeq
 
   /** Rebuild the index without tombstoned rows (graph compaction the
-    * reference never does — delete.c leaves holes forever). */
+    * reference never does — delete.c leaves holes forever).
+    *
+    * Fully distributed: the driver never materializes a single vector.
+    * Shard PATHS parallelize one-per-task; each task loads its shard on
+    * an executor, anti-joins the tombstone set there (binary search over
+    * the packed file, read fresh — compacting against a <TTL-stale
+    * cached set would bake a recently deleted row into the rebuilt
+    * index with no tombstone), and streams the survivors straight into
+    * [[build]]'s per-partition graph construction. Driver traffic is
+    * shard names + the manifest — a 100 M x 1536d index compacts
+    * without ever exceeding a few MB of driver heap (VacuumSpec asserts
+    * the plan is RDD-backed, not a driver LocalRelation). */
   def vacuum(spark: SparkSession, indexPath: String, outPath: String): Manifest = {
     val man = readManifest(indexPath)
-    // fresh read: compacting against a stale cached set would bake a
-    // recently deleted row into the rebuilt index with no tombstone
-    val dead = TombstoneCache.getFresh(indexPath).toSet
-    val rows = scan(spark, indexPath)
-      .filter(r => !dead.contains(r._1))
-    import spark.implicits._
-    val df = spark.createDataset(rows).toDF("id", "vec")
-    build(df, "id", "vec", outPath,
+    build(survivors(spark, indexPath, man), "id", "vec", outPath,
       Params(man.metric, man.m, man.efConstruction))
   }
 
-  /** All (id, vector) rows stored in the index (driver-side; test/ops
-    * utility, not a data path). */
-  private def scan(spark: SparkSession, indexPath: String): Seq[(Long, Array[Float])] = {
-    val man = readManifest(indexPath)
-    man.shards.flatMap { s =>
-      val h = ShardCache.get(s"$indexPath/$s")
-      require(h.pq.isEmpty,
-        "vacuum/scan needs raw vectors; a PQ index stores only codes - rebuild from the source table instead")
-      h.ids.indices.map(i => (h.ids(i), h.vecs(i)))
-    }
+  /** The index's live (id, vector) rows as a distributed DataFrame, one
+    * input partition per shard (exposed to specs so the no-driver-
+    * materialization property is assertable on the plan). */
+  private[graft] def survivors(spark: SparkSession, indexPath: String,
+      man: Manifest): DataFrame = {
+    require(!man.pq,
+      "vacuum needs raw vectors; a PQ index stores only codes - rebuild from the source table instead")
+    val shardPaths = man.shards.map(s => s"$indexPath/$s")
+    val idxPath = indexPath
+    import spark.implicits._
+    spark.sparkContext
+      .parallelize(shardPaths, math.max(shardPaths.size, 1))
+      .mapPartitions { paths =>
+        paths.flatMap { p =>
+          val h = ShardCache.get(p)
+          require(h.pq.isEmpty,
+            "vacuum needs raw vectors; a PQ index stores only codes - rebuild from the source table instead")
+          val dead = TombstoneCache.getFresh(idxPath)
+          h.ids.indices.iterator
+            .filter(i => java.util.Arrays.binarySearch(dead, h.ids(i)) < 0)
+            .map(i => (h.ids(i), h.vecs(i)))
+        }
+      }
+      .toDF("id", "vec")
   }
 
   /** Approximate top-k: per-shard HNSW search (k candidates each, search

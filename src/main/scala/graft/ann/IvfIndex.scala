@@ -46,8 +46,11 @@ object IvfIndex {
   def build(df: DataFrame, idCol: String, vecCol: String, outPath: String,
       params: Params = Params()): Array[Array[Float]] = {
     val spark = df.sparkSession
-    val sample = df.select(vecCol).limit(params.sampleLimit).collect()
-      .map(_.getSeq[Float](0).toArray)
+    // uniform hash-order sample, not a prefix: see Pq.trainingSample —
+    // a limit() prefix on a source-ordered corpus trains the coarse
+    // quantizer on one domain and skews every cell
+    val sample = graft.pq.Pq.trainingSample(df, vecCol,
+      params.sampleLimit, params.seed)
     require(sample.nonEmpty, "cannot build an IVF index from an empty table")
     // a coarse quantizer converges in few iterations (FAISS uses ~25)
     val cents = graft.pq.Pq.kmeans(sample,
@@ -225,8 +228,23 @@ object IvfIndex {
       .filter(col("__ivf_rn") <= math.max(nprobe, 1))
       .select(col("__ivf_qid"), col("cell_id"))
     val cells = spark.read.parquet(s"$indexPath/cells")
-    cells.join(broadcast(routed), "cell_id")
-      .join(broadcast(q2), "__ivf_qid")
+    // the (qid, cell) routing pairs ALWAYS broadcast (16 bytes/row — at
+    // any plausible query count they are MBs) so dynamic partition
+    // pruning fires on the cells scan; the query VECTORS broadcast only
+    // while the distinct-query count is inside the conf'd bound. Past
+    // it (recall evals: tens of millions of queries x 1536d = tens of
+    // GB, over spark.sql.maxBroadcastTableBytes) the vectors
+    // shuffle-hash-join on the query id instead — candidates shuffle
+    // once on __ivf_qid, which the per-query top-k window below
+    // re-uses as its partitioning, so the switch adds no extra
+    // exchange to the plan's steady state.
+    val candidates = cells.join(broadcast(routed), "cell_id")
+    val nQ = q2.count()
+    val withVecs =
+      if (nQ <= graft.GraftConf.ivfBroadcastQueryLimit(spark))
+        candidates.join(broadcast(q2), "__ivf_qid")
+      else candidates.join(q2.hint("shuffle_hash"), "__ivf_qid")
+    withVecs
       .withColumn("__ivf_dist", distFn(col(man.vecCol), col("__ivf_qvec")))
       .withColumn("__ivf_rank", row_number().over(
         Window.partitionBy(col("__ivf_qid"))

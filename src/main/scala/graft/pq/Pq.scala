@@ -105,6 +105,29 @@ case class Codebook(centroids: Array[Array[Array[Float]]])
 
 object Pq {
 
+  /** Uniform, data-deterministic training sample: the `n` rows whose
+    * seeded xxhash64 over the vector is smallest. A prefix `limit(n)`
+    * would take whatever partitions Spark reads first — on a corpus
+    * globally ordered by source/crawl-date (the normal case at 100 TB)
+    * centroids would train on one domain's prefix and quantization
+    * error / cell skew explode silently. Hash-order top-n is (a) a
+    * uniform draw (hash order is independent of storage order), (b) a
+    * pure function of (data, seed) — invariant to partitioning, task
+    * scheduling and host, unlike `df.sample` whose output depends on
+    * the split layout — and (c) cheap: TakeOrderedAndProject keeps a
+    * per-partition heap of n rows, so the driver sees at most
+    * partitions x n candidates, never the corpus. Hash ties (2^-64 per
+    * pair) could in principle flip one sample row; no tiebreak column
+    * is paid for that. */
+  private[graft] def trainingSample(df: DataFrame, vecCol: String, n: Int,
+      seed: Long): Array[Array[Float]] =
+    df.select(col(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .orderBy(xxhash64(col(vecCol), lit(seed)).asc)
+      .limit(n)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+
   /** Train a codebook: seeded k-means per subvector over a sample of at
     * most `datasetSizeLimit` vectors. Deterministic for a fixed input,
     * seed and limit. */
@@ -112,9 +135,8 @@ object Pq {
       subvectorCount: Int, datasetSizeLimit: Int = 10000,
       seed: Long = 42L): Codebook = {
     val spark = df.sparkSession
-    val sample: Array[Array[Float]] = df.select(vecCol)
-      .limit(datasetSizeLimit).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample: Array[Array[Float]] =
+      trainingSample(df, vecCol, datasetSizeLimit, seed)
     require(sample.nonEmpty, "cannot train a codebook on an empty table")
     val dim = sample.head.length
     require(dim % subvectorCount == 0,

@@ -94,6 +94,26 @@ class AnnSpec extends SparkSpec {
     assert(vres == after)
   }
 
+  test("vacuum is distributed: survivors plan is RDD-backed, one partition per shard") {
+    val dir = Files.createTempDirectory("annvacdist").toString
+    val man = buildIndex(dir)
+    AnnIndex.delete(spark, dir, corpus.take(3).map(_._1))
+    val df = AnnIndex.survivors(spark, dir, man)
+    // a driver-materializing implementation shows up as a LocalRelation
+    // (all rows embedded in the plan on the driver); the distributed one
+    // is an RDD scan with exactly one input partition per shard
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(l =>
+      !l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"vacuum input materialized on the driver: ${leaves.map(_.nodeName)}")
+    assert(df.rdd.getNumPartitions == man.shards.size)
+    // the anti-join happened executor-side: survivors exclude exactly
+    // the tombstoned ids
+    val ids = df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == corpus.length - 3)
+    assert(corpus.take(3).map(_._1).forall(id => !ids.contains(id)))
+  }
+
   test("100k tombstones: packed file, executor-side skip, correct results") {
     val dir = Files.createTempDirectory("anndel100k").toString
     buildIndex(dir)

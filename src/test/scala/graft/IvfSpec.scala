@@ -56,6 +56,30 @@ class IvfSpec extends SparkSpec {
       s"IVF recall on clustered data: ${exact.intersect(got).size}/10")
   }
 
+  test("centroid training spans a source-sorted corpus (no prefix bias)") {
+    import spark.implicits._
+    // 16 well-separated clusters, rows ORDERED by cluster (the shape of
+    // a corpus sorted by source/crawl-date) and a sample budget smaller
+    // than ONE cluster: a prefix limit() would train all centroids on
+    // cluster 0, collapsing every other cluster into a couple of cells;
+    // the hash-order sample draws uniformly, so the built index uses
+    // (nearly) all its cells
+    val rnd = new java.util.Random(5)
+    val centers = Array.tabulate(16)(c => Array.fill(8)(rnd.nextFloat() * 20f))
+    val pts = for {
+      c <- centers.indices; j <- 0 until 200
+    } yield ((c * 200 + j).toLong,
+      centers(c).map(x => x + rnd.nextFloat() * 0.3f).toSeq)
+    val df = pts.toDF("id", "v") // already in cluster order
+    val dir = Files.createTempDirectory("ivfsorted").toString
+    IvfIndex.build(df, "id", "v", dir,
+      IvfIndex.Params(nCells = 16, sampleLimit = 100, seed = 3L))
+    val usedCells = spark.read.parquet(s"$dir/cells")
+      .select("cell_id").distinct().count()
+    assert(usedCells >= 12,
+      s"centroids collapsed onto a prefix: only $usedCells/16 cells used")
+  }
+
   test("routed batch KNN join: all-cells probe equals exact; routing prunes") {
     val dir = Files.createTempDirectory("ivfjoin").toString
     IvfIndex.build(emb, "vec_id", "embedding", dir,
@@ -91,6 +115,33 @@ class IvfSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
       .sortBy(x => (x._1, x._2)).toSeq
     assert(dup == single)
+  }
+
+  test("routed join switches off the query-vector broadcast past the conf'd bound") {
+    val dir = Files.createTempDirectory("ivfbound").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir,
+      IvfIndex.Params(nCells = 8))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    def run(limit: Long) = {
+      spark.conf.set(GraftConf.IvfBroadcastQueryLimit, limit.toString)
+      try IvfIndex.topKJoin(queries, "vec_id", "embedding", dir,
+        k = 5, nprobe = 8)
+      finally spark.conf.unset(GraftConf.IvfBroadcastQueryLimit)
+    }
+    val small = run(limit = 1000) // 10 distinct queries: inside the bound
+    val big = run(limit = 4) // bound exceeded: vectors must not broadcast
+    val smallPlan = small.queryExecution.executedPlan.toString
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("ShuffledHashJoin"),
+      "inside the bound the query frame should broadcast")
+    assert(bigPlan.contains("ShuffledHashJoin"),
+      "past the bound the query frame must shuffle-join, not broadcast")
+    // same results either way
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    assert(rows(small) == rows(big))
   }
 
   test("duplicate query ids with DIFFERENT vectors resolve deterministically") {

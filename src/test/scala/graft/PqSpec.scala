@@ -73,7 +73,7 @@ class PqSpec extends SparkSpec {
       centers(c).map(x => x + rnd.nextFloat() * 0.1f).toSeq)
     val df = pts.toDF("id", "v")
     val cb = Pq.createCodebook(df, "v", clusterCount = 32,
-      subvectorCount = 4, datasetSizeLimit = 60, seed = 1L)
+      subvectorCount = 4, datasetSizeLimit = 60, seed = 2L)
     val q = pts.head._2.toArray
     val local = pts.map { case (id, v) =>
       (id, Metric.L2Sq.dist(q, v.toArray))
@@ -93,6 +93,20 @@ class PqSpec extends SparkSpec {
     val a = Pq.kmeans(data, 8, seed = 5L)
     val b = Pq.kmeans(data, 8, seed = 5L)
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("training sample is invariant to input partitioning and spans the data") {
+    import spark.implicits._
+    val rows = (0 until 5000).map(i => Tuple1(Seq(i.toFloat, (i % 97).toFloat)))
+    val a = Pq.trainingSample(rows.toDF("v").repartition(3), "v", 500, 42L)
+    val b = Pq.trainingSample(rows.toDF("v").repartition(11), "v", 500, 42L)
+    // same rows, same ORDER (pure function of data + seed, not splits)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // uniform draw, not a prefix: the sampled first components cover the
+    // full 0..4999 range, not the first 500
+    val firsts = a.map(_(0))
+    assert(firsts.max > 4000f && firsts.min < 1000f)
+    assert(firsts.toSet.size > 400)
   }
 
   test("codebook DataFrame round-trip (reference side-table shape)") {
