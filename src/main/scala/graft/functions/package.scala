@@ -42,6 +42,19 @@ package object functions {
   /** Plain tokenizer (lowercase, non-alphanumerics to spaces, split). */
   def tokenize(c: Column): Column = col(Tokenize(expr(c)))
 
+  /** Byte-level BPE token count under `tok`'s merge table (defaults to
+    * the embedded-fixture tokenizer) — the real-tokenizer basis for
+    * token stats and sequence packing. */
+  def bpe_count(c: Column,
+      tok: graft.text.BpeTokenizer = graft.text.Bpe.default): Column =
+    col(org.apache.spark.sql.graft.BpeCount(expr(c), tok))
+
+  /** Byte-level BPE token sequence, each token as lowercase hex of its
+    * byte string (the oracle-replayable representation). */
+  def bpe_tokens(c: Column,
+      tok: graft.text.BpeTokenizer = graft.text.Bpe.default): Column =
+    col(org.apache.spark.sql.graft.BpeTokens(expr(c), tok))
+
   /** `quantize_vector`: nearest-centroid PQ codes (array<byte>).
     * Reference lantern_hnsw/sql/lantern.sql:256-307. */
   def pq_quantize(c: Column, cb: graft.pq.Codebook): Column =

@@ -142,6 +142,27 @@ object TextQueries {
     TextOps.tokenCounts(docs(s, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id").asc).limit(200)
 
+  /** Byte-BPE tokenization end-to-end: count, byte length, and an md5
+    * over the comma-joined hex token sequence — so the oracle's merge
+    * replay must reproduce token IDENTITY, not just counts. */
+  private def tokenBpe(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.bpe_count(col("text")).as("n_bpe"),
+        md5(array_join(graft.functions.bpe_tokens(col("text")), ",")
+          .cast("binary")).as("toks_md5"))
+      .orderBy(col("doc_id").asc).limit(200)
+
+  /** Sequence packing with the REAL tokenizer as the token basis (the
+    * round-4 review: "the packing family is only as real as its
+    * tokenizer"). Same blocked prefix-sum, n_tokens = byte-BPE count. */
+  private def packBpe(s: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(docs(s, dir), col("doc_id"), col("text"),
+        seqLen = 128, blockSize = 64,
+        tokenCount = c => graft.functions.bpe_count(c))
+      .orderBy(col("doc_id").asc).limit(200)
+
   /** Benchmark decontamination end-to-end: docs with doc_id % 10 == 7
     * play the held-out benchmark, the rest are the training corpus; a
     * training doc is contaminated when it shares a token 13-gram with
@@ -511,6 +532,8 @@ object TextQueries {
     "q_lang_id" -> ((s, d) => langId(s, d)),
     "q_fingerprint" -> ((s, d) => fingerprint(s, d)),
     "q_token_counts" -> ((s, d) => tokenCounts(s, d)),
+    "q_token_bpe" -> ((s, d) => tokenBpe(s, d)),
+    "q_pack_bpe" -> ((s, d) => packBpe(s, d)),
     "q_dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "q_minhash" -> ((s, d) => minhash(s, d)),
     "q_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
@@ -536,6 +559,42 @@ object TextQueries {
   )
 
   // ---- DuckDB oracles ----
+
+  /** BPE merge-replay CTEs: the default tokenizer's merge table is
+    * embedded as VALUES (it is DATA — a constant of the tokenizer,
+    * like the stemmer's stopword list) and DuckDB re-runs encoding
+    * from the raw text entirely on its own: each token renders as
+    * `(<hex>)` so `replace(s, '(a)(b)', '(ab)')` per rank IS the
+    * encoder (patterns anchored at token boundaries, no shared
+    * delimiters between adjacent matches). The replay is restricted to
+    * the first 200 doc_ids — exactly the rows the contract queries
+    * emit, and prefix sums in doc_id order never depend on later docs.
+    * `d` must be defined by the caller as that 200-doc slice. */
+  private lazy val bpeMergesCte: String = {
+    val rows = graft.text.Bpe.default.oracleMergeRows
+      .map { case (r, p, rep) => s"($r, '$p', '$rep')" }
+      .mkString(",\n      ")
+    s"""merges(r, pat, rep) AS (VALUES
+       |      $rows)""".stripMargin
+  }
+
+  private lazy val bpeEncCte: String =
+    s"""$bpeMergesCte,
+       |enc AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(hex(encode(text))), '([0-9a-f]{2})', '(\\1)', 'g') AS s,
+       |    0 AS r
+       |  FROM d
+       |  UNION ALL
+       |  SELECT e.doc_id, replace(e.s, m.pat, m.rep) AS s, e.r + 1 AS r
+       |  FROM enc e JOIN merges m ON m.r = e.r + 1),
+       |bpe AS (
+       |  SELECT doc_id, s,
+       |    CAST(length(s) - length(replace(s, '(', '')) AS BIGINT) AS n_bpe
+       |  FROM enc WHERE r = (SELECT max(r) FROM merges))""".stripMargin
+
+  private val bpeDocSlice =
+    "d AS (SELECT doc_id, text FROM documents ORDER BY doc_id ASC LIMIT 200)"
 
   private val enStopSql = TextOps.enStop.map(w => s"'$w'").mkString(", ")
 
@@ -782,13 +841,44 @@ object TextQueries {
          |FROM toks JOIN documents USING (doc_id)
          |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
     "q_token_counts" ->
-      s"""WITH $toksCte
+      s"""WITH RECURSIVE $bpeDocSlice,
+         |$bpeEncCte,
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+         |  FROM d)
          |SELECT doc_id,
          |  len(t) AS n_words,
          |  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
-         |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_bpe_est
-         |FROM toks JOIN documents USING (doc_id)
+         |  n_bpe
+         |FROM toks JOIN d USING (doc_id) JOIN bpe USING (doc_id)
          |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // byte-BPE replay: count + token identity (md5 over the comma-
+    // joined hex tokens, derived from the bracketed string)
+    "q_token_bpe" ->
+      s"""WITH RECURSIVE $bpeDocSlice,
+         |$bpeEncCte
+         |SELECT b.doc_id,
+         |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+         |  b.n_bpe,
+         |  md5(replace(replace(replace(b.s, ')(', ','), '(', ''), ')', '')) AS toks_md5
+         |FROM bpe b JOIN d ON b.doc_id = d.doc_id
+         |ORDER BY b.doc_id ASC LIMIT 200""".stripMargin,
+    // packing offsets on the byte-BPE token basis: the oracle's single
+    // ordered window over replayed counts is the semantic spec the
+    // blocked prefix-sum must reproduce
+    "q_pack_bpe" ->
+      s"""WITH RECURSIVE $bpeDocSlice,
+         |$bpeEncCte,
+         |s AS (SELECT doc_id, n_bpe AS n,
+         |  CAST(sum(n_bpe) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_bpe AS st
+         |  FROM bpe)
+         |SELECT doc_id, n AS n_tokens, st AS start_offset,
+         |  st // 128 AS first_seq,
+         |  greatest(st, st + n - 1) // 128 AS last_seq,
+         |  greatest(st, st + n - 1) // 128 - st // 128 + 1 AS n_seqs
+         |FROM s ORDER BY doc_id ASC LIMIT 200""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash,
         |  CAST(count(*) AS BIGINT) AS dup_count, min(doc_id) AS keeper

@@ -1,0 +1,213 @@
+package graft.text
+
+import java.nio.charset.StandardCharsets
+
+/** Byte-level BPE tokenizer: the real token basis for token counting
+  * and sequence packing (replacing the `ceil(chars/4)` estimate).
+  *
+  * The encoder is defined as MERGES APPLIED IN RANK ORDER, each rank a
+  * single left-to-right non-overlapping pass over the token sequence.
+  * That is equivalent to the classic "always merge the lowest-rank
+  * adjacent pair" BPE encode (Sennrich et al. 2016; GPT-2's byte-level
+  * variant): a merge of rank r can only create pairs whose merge rank
+  * is > r (a new pair always involves the just-created token, and a
+  * merge consuming a token must have been learned after that token
+  * existed), so by the time pass r finishes no pair of rank <= r can
+  * ever reappear. The pass form is chosen because it is EXACTLY
+  * `replace(seq, '(a)(b)', '(ab)')` iterated over a rank-ordered merge
+  * table — replayable verbatim by the DuckDB oracle with no shared
+  * code: each token renders as `(<lowercase hex>)`, so patterns are
+  * anchored at token boundaries (hex never contains parens) and
+  * adjacent matches do not share delimiter characters.
+  *
+  * Tokens are byte sequences; internally they are dense int ids
+  * (0..255 = the raw bytes, 256+i = the output of merge i), so the
+  * per-rank pass is an int-compare scan. Encoding cost is
+  * O(merges x doc bytes) worst case, with a presence-set prune that
+  * skips ranks whose left token never occurred in the doc — on narrow
+  * per-row data this streams through a 100 TB scan like the other
+  * text kernels (no shuffle, no state).
+  *
+  * Training (merge learning) is the standard greedy loop: count
+  * adjacent pairs, merge the most frequent (ties broken by smallest
+  * (left, right) id pair — fully deterministic), stop when no pair
+  * occurs twice or the budget is reached. The default table is trained
+  * at first use from [[trainingText]], an embedded fixture written for
+  * this repo over the synthetic corpus's closed vocabulary — anyone
+  * can re-derive the table by re-running [[train]]; the merge list is
+  * data, embedded as VALUES in the oracle SQL so DuckDB replays
+  * encoding independently from the raw text.
+  *
+  * The reference has no tokenizer (its text surface is the Snowball
+  * stemmer, lantern_extras/src/stemmers.rs); this fills the
+  * training-pipeline gap named in the round-4 review.
+  */
+object Bpe {
+
+  /** One learned merge: adjacent token pair (left, right) -> new token
+    * id (256 + rank position). */
+  final case class Merge(left: Int, right: Int)
+
+  /** Embedded training fixture: English-ish sentences over the
+    * synthetic documents vocabulary (so the learned merges actually
+    * fire on the test corpus) plus generic connective text. */
+  val trainingText: String =
+    """the query plan starts with a table scan and a filter on the key
+      |column the scan feeds a hash join with the customer table and the
+      |join feeds a group agg over the part key the agg output sorts by
+      |value and the sort feeds a window over the order column a small
+      |batch of data streams through the merge sort and the big vector
+      |column packs into a row batch the stream window slides over the
+      |line data and the fast filter drops the slow dup row the spark
+      |query plans the join order and the hash agg merges the group
+      |value the customer order line joins the part table on the key and
+      |the filter prunes the small scan the big sort spills the batch
+      |and the merge picks the fast stream the window agg counts the
+      |row group and the vector scan reads the column data the dup
+      |filter hashes the line key and the slow query sorts the value
+      |order a stream of small batches merges into a big table and the
+      |spark plan scans the part column fast the group window orders the
+      |customer data by key and the hash value joins the vector line
+      |""".stripMargin.replace("\n", " ")
+
+  /** Greedy BPE merge learning over the UTF-8 bytes of `text`:
+    * `budget` merges at most, stopping early when no adjacent pair
+    * occurs at least twice. Deterministic (count desc, then (left,
+    * right) asc). */
+  def train(text: String, budget: Int): IndexedSeq[Merge] = {
+    var toks: Array[Int] =
+      text.getBytes(StandardCharsets.UTF_8).map(_ & 0xff)
+    val merges = IndexedSeq.newBuilder[Merge]
+    var next = 256
+    var n = 0
+    while (n < budget) {
+      val counts = new java.util.HashMap[Long, Int]()
+      var i = 0
+      while (i + 1 < toks.length) {
+        val k = (toks(i).toLong << 32) | toks(i + 1).toLong
+        counts.merge(k, 1, Integer.sum)
+        i += 1
+      }
+      var bestK = -1L
+      var bestC = 1 // require count >= 2
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue
+        if (c > bestC || (c == bestC && bestK != -1L && e.getKey < bestK)) {
+          bestK = e.getKey; bestC = c
+        }
+      }
+      if (bestK == -1L) return merges.result()
+      val l = (bestK >>> 32).toInt
+      val r = (bestK & 0xffffffffL).toInt
+      merges += Merge(l, r)
+      toks = mergePass(toks, l, r, next)
+      next += 1
+      n += 1
+    }
+    merges.result()
+  }
+
+  /** One left-to-right non-overlapping pass replacing (l, r) with
+    * `id` — the exact semantics of a string `replace`. */
+  private def mergePass(toks: Array[Int], l: Int, r: Int,
+      id: Int): Array[Int] = {
+    val out = new Array[Int](toks.length)
+    var i = 0
+    var o = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+        out(o) = id; i += 2
+      } else {
+        out(o) = toks(i); i += 1
+      }
+      o += 1
+    }
+    java.util.Arrays.copyOf(out, o)
+  }
+
+  /** One left-to-right pass, shared with [[BpeTokenizer.encodeIds]]. */
+  private[text] def pass(toks: Array[Int], l: Int, r: Int, id: Int): Array[Int] =
+    mergePass(toks, l, r, id)
+
+  /** Default merge budget: small enough that the oracle's per-rank
+    * replay stays cheap, large enough to cover the corpus vocabulary
+    * with whole-word tokens. */
+  val defaultBudget: Int = 200
+
+  /** The default tokenizer, trained once (deterministically) from the
+    * embedded fixture. */
+  lazy val default: BpeTokenizer =
+    new BpeTokenizer(train(trainingText, defaultBudget))
+}
+
+/** A compiled tokenizer: the merge table plus the derived vocab
+  * (token id -> byte string, rendered as lowercase hex). Top-level
+  * class (not nested in the object) so generated codegen Java can
+  * name the type directly. */
+final class BpeTokenizer(val merges: IndexedSeq[Bpe.Merge])
+    extends Serializable {
+  /** vocab(id) = the byte sequence of token `id` as lowercase hex. */
+  val vocabHex: Array[String] = {
+    val v = new Array[String](256 + merges.length)
+    var b = 0
+    while (b < 256) { v(b) = f"$b%02x"; b += 1 }
+    var i = 0
+    while (i < merges.length) {
+      v(256 + i) = v(merges(i).left) + v(merges(i).right)
+      i += 1
+    }
+    v
+  }
+
+  /** Apply every merge in rank order (one pass each). A rank whose
+    * left or right token id has never appeared is skipped via an
+    * additive presence set — removal would need a recount, and a
+    * stale "present" bit only costs one wasted scan. */
+  def encodeIds(bytes: Array[Byte]): Array[Int] = {
+    var toks: Array[Int] = bytes.map(_ & 0xff)
+    if (toks.length < 2) return toks
+    val present = new java.util.BitSet(256 + merges.length)
+    var i = 0
+    while (i < toks.length) { present.set(toks(i)); i += 1 }
+    var rank = 0
+    while (rank < merges.length) {
+      val m = merges(rank)
+      if (present.get(m.left) && present.get(m.right)) {
+        val merged = Bpe.pass(toks, m.left, m.right, 256 + rank)
+        if (merged.length != toks.length) {
+          toks = merged
+          present.set(256 + rank)
+        }
+      }
+      rank += 1
+    }
+    toks
+  }
+
+  def encode(text: String): Array[Int] =
+    encodeIds(text.getBytes(StandardCharsets.UTF_8))
+
+  /** Token count — the packing/counting basis. */
+  def count(text: String): Int = encode(text).length
+
+  /** Count straight from UTF-8 bytes (the hot codegen kernel path —
+    * UTF8String hands its bytes over without a String round-trip). */
+  def countBytes(bytes: Array[Byte]): Int = encodeIds(bytes).length
+
+  /** Tokens as lowercase-hex byte strings (what the oracle's
+    * bracketed representation holds). */
+  def encodeHex(text: String): Array[String] =
+    encode(text).map(vocabHex)
+
+  /** The merge table as (rank, pattern, replacement) rows in the
+    * oracle's bracketed-hex representation, for embedding as SQL
+    * VALUES. */
+  def oracleMergeRows: IndexedSeq[(Int, String, String)] =
+    merges.zipWithIndex.map { case (m, i) =>
+      (i + 1,
+        s"(${vocabHex(m.left)})(${vocabHex(m.right)})",
+        s"(${vocabHex(m.left)}${vocabHex(m.right)})")
+    }
+}

@@ -79,15 +79,17 @@ object TextOps {
       array_min(transform(t, x => md5(x.cast("binary")))).as("min_token_hash"))
   }
 
-  /** Token counts: whitespace tokens plus a BPE-ish subword estimate
-    * (splits on letter/digit boundaries and ~4-char chunks — a
-    * deterministic stand-in for a real tokenizer's token count). */
+  /** Token counts: whitespace tokens plus the REAL byte-BPE token
+    * count under the default merge table ([[Bpe.default]]) — the
+    * number a training pipeline budgets with. (Round 3 shipped a
+    * `ceil(chars/4)` estimate here; the round-4 review named the real
+    * tokenizer as the gap, closed by [[Bpe]].) */
   def tokenCounts(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
     docs.select(
       idCol.as("doc_id"),
       size(tokenize(textCol)).as("n_words"),
       size(split(textCol, "\\s+")).as("n_ws_tokens"),
-      ceil(length(textCol).cast("double") / 4.0).cast("long").as("n_bpe_est"))
+      graft.functions.bpe_count(textCol).as("n_bpe"))
 
   /** Token n-grams of `t` as space-joined strings (empty array when the
     * doc is shorter than n). The guard matters: Spark's `sequence(0,
@@ -254,12 +256,14 @@ object TextOps {
     * Returns (doc_id, n_tokens, start_offset, first_seq, last_seq,
     * n_seqs). */
   def packSequences(docs: DataFrame, idCol: Column, textCol: Column,
-      seqLen: Int, blockSize: Long = 1 << 20): DataFrame = {
+      seqLen: Int, blockSize: Long = 1 << 20,
+      tokenCount: Column => Column = c => size(tokenize(c)).cast("long"))
+      : DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     import org.apache.spark.sql.expressions.Window
     val base = docs
       .select(idCol.as("doc_id"),
-        size(tokenize(textCol)).cast("long").as("n_tokens"))
+        tokenCount(textCol).cast("long").as("n_tokens"))
       .withColumn("__blk", expr(s"doc_id div ${blockSize}L"))
     val inBlock = Window.partitionBy(col("__blk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

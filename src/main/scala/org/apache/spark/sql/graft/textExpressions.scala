@@ -23,6 +23,13 @@ object TextKernels {
     val toks = graft.text.Stemmer.tokens(s.toString)
     new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any))
   }
+
+  def bpeCount(s: UTF8String, t: graft.text.BpeTokenizer): Long =
+    t.countBytes(s.getBytes).toLong
+
+  def bpeTokens(s: UTF8String, t: graft.text.BpeTokenizer): ArrayData =
+    new GenericArrayData(
+      t.encodeIds(s.getBytes).map(id => UTF8String.fromString(t.vocabHex(id)): Any))
 }
 
 /** `text_to_stem_array(text)`: lowercase, strip non-alphanumerics, split,
@@ -83,6 +90,54 @@ case class Tokenize(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graft.TextKernels.tokenize($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `bpe_count(text)`: byte-level BPE token count under a fixed merge
+  * table (graft.text.Bpe — the real-tokenizer basis for token stats
+  * and sequence packing; the reference has no tokenizer, this is the
+  * training-pipeline gap operator). Narrow, codegen'd, shuffle-free. */
+case class BpeCount(child: Expression, tokenizer: graft.text.BpeTokenizer)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.bpeCount(v.asInstanceOf[UTF8String], tokenizer)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tok = ctx.addReferenceObj("tokenizer", tokenizer,
+      "graft.text.BpeTokenizer")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.bpeCount($c, $tok)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `bpe_tokens(text)`: the BPE token sequence itself, each token
+  * rendered as the lowercase hex of its byte string — the exact
+  * representation the DuckDB oracle's merge replay produces, so token
+  * IDENTITY (not just counts) is oracle-checkable. */
+case class BpeTokens(child: Expression, tokenizer: graft.text.BpeTokenizer)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.bpeTokens(v.asInstanceOf[UTF8String], tokenizer)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tok = ctx.addReferenceObj("tokenizer", tokenizer,
+      "graft.text.BpeTokenizer")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.bpeTokens($c, $tok)")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
