@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.bm25.Bm25
 import graft.dedup.Dedup
+import graft.sources.Bucketing
 import graft.text.TextOps
 
 /** Driver-contract queries for the BM25 / text-analysis / dedup families
@@ -243,15 +244,39 @@ object TextQueries {
       .orderBy(col("dup_count").desc, col("content_hash").asc)
       .limit(50)
 
-  /** Shingled docs and 8-hash MinHash signatures, persisted once per
-    * data dir and shared by q_minhash / q_lsh_pairs / q_jaccard_pairs
-    * (at cluster scale: a persisted signature table). */
+  /** Shingled docs and 8-hash MinHash signatures, written ONCE per data
+    * dir as tables BUCKETED (and bucket-sorted) BY doc_id and shared by
+    * q_minhash / q_lsh_pairs / q_jaccard_pairs / q_neardup_groups.
+    * Bucketing pays the doc_id shuffle at write time: every later
+    * equi-join against these frames on doc_id (jaccardVerify joins the
+    * shingle table twice per pair batch, estimateJaccard the signature
+    * table twice) plans with NO Exchange on the corpus-sized side —
+    * at 100 TB the pairs frame shuffles, the corpus never re-does
+    * (DedupBucketingSpec pins the plan shape). The in-memory persist on
+    * top keeps the hot path off disk at bench scale; the bucket spec
+    * survives it (InMemoryTableScan forwards the scan's partitioning). */
+  private def bucketDb(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    s"graft_dedup_$h"
+  }
+  private def bucketLoc(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_buckets/${bucketDb(dir)}"
+
+  private def bucketedCached(s: SparkSession, dir: String, table: String)
+      (build: => DataFrame): DataFrame =
+    graft.SharedState.cached(s"$table:$dir") {
+      Bucketing.writeBucketed(build, bucketDb(dir), table, "doc_id",
+        buckets = 8, sortCols = Seq("doc_id"), location = Some(bucketLoc(dir)))
+      Bucketing.readBucketed(s, bucketDb(dir), table)
+    }
+
   private def shingledCached(s: SparkSession, dir: String): DataFrame =
-    graft.SharedState.cached(s"shingled:$dir")(
+    bucketedCached(s, dir, "shingled")(
       Dedup.shingled(docs(s, dir), col("doc_id"), col("text")))
 
   private def sigCached(s: SparkSession, dir: String): DataFrame =
-    graft.SharedState.cached(s"minhash8:$dir")(
+    bucketedCached(s, dir, "minhash8")(
       Dedup.signatures(shingledCached(s, dir), numHashes = 8))
 
   private def minhash(s: SparkSession, dir: String): DataFrame =
