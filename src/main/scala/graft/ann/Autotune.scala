@@ -1,6 +1,7 @@
 package graft.ann
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit, xxhash64}
 
 /** ANN index parameter autotuning (reference: `lantern-cli
   * autotune-index`, lantern_cli/src/index_autotune/mod.rs:161-346).
@@ -33,7 +34,12 @@ object Autotune {
       sampleSize: Int = 10000, numQueries: Int = 10,
       variants: Seq[Variant] = presets): Report = {
     val spark = df.sparkSession
-    val sample = df.select(idCol, vecCol).limit(sampleSize).cache()
+    // uniform hash-order sample, not a prefix (same reasoning as
+    // Pq.trainingSample: a limit() prefix on a source-ordered corpus
+    // tunes against one domain's slice)
+    val sample = df.select(idCol, vecCol)
+      .orderBy(xxhash64(col(idCol), lit(42L)).asc)
+      .limit(sampleSize).cache()
     try {
       val local: Array[(Long, Array[Float])] = sample.collect()
         .map(r => (r.get(0).asInstanceOf[Number].longValue(),
@@ -63,6 +69,88 @@ object Autotune {
       // cheapest (preset order) variant meeting the target
       val best = results.find(_.recall >= targetRecall).map(_.variant)
       Report(best, results)
+    } finally sample.unpersist()
+  }
+
+  /** IVF grid presets, cheapest-first (scan fraction nprobe/nCells
+    * ascending within each build): the routed-path analog of the HNSW
+    * (m, efc, ef) variants. nprobe is a search-time knob, so one build
+    * per distinct nCells serves every nprobe row. */
+  case class IvfVariant(nCells: Int, nprobe: Int)
+  val ivfPresets: Seq[IvfVariant] = Seq(
+    IvfVariant(16, 1), IvfVariant(16, 2), IvfVariant(16, 4),
+    IvfVariant(16, 8), IvfVariant(16, 16),
+    IvfVariant(64, 4), IvfVariant(64, 8), IvfVariant(64, 16))
+
+  /** `scanFraction` is MEASURED, not nprobe/nCells: the mean over the
+    * probe queries of (rows in the probed cells) / (total rows) —
+    * cell-size skew makes the two differ, and the measured number is
+    * the cost a 100 TB scan actually pays. */
+  case class IvfResult(variant: IvfVariant, recall: Double,
+      scanFraction: Double, buildMillis: Long, searchMillis: Long)
+
+  case class IvfReport(best: Option[IvfVariant], results: Seq[IvfResult])
+
+  /** The routed-path grid (reference find_best_variant semantics,
+    * index_autotune/mod.rs:161-186: first variant in cheapest-first
+    * order meeting the recall target wins). One IVF build per distinct
+    * nCells; recall@k measured against an exact scan of the sample. */
+  def runIvf(df: DataFrame, idCol: String, vecCol: String, workDir: String,
+      metric: Metric = Metric.L2Sq, k: Int = 10, targetRecall: Double = 0.9,
+      sampleSize: Int = 10000, numQueries: Int = 10,
+      variants: Seq[IvfVariant] = ivfPresets): IvfReport = {
+    val spark = df.sparkSession
+    val sample = df.select(idCol, vecCol)
+      .orderBy(xxhash64(col(idCol), lit(42L)).asc)
+      .limit(sampleSize).cache()
+    try {
+      val local: Array[(Long, Array[Float])] = sample.collect()
+        .map(r => (r.get(0).asInstanceOf[Number].longValue(),
+          r.getSeq[Float](1).toArray))
+      val queries = local.sortBy(_._1).take(numQueries).map(_._2)
+      val truth: Seq[Set[Long]] = queries.map { q =>
+        local.map { case (id, v) => (id, metric.dist(q, v)) }
+          .sortBy(x => (x._2, x._1)).take(k).map(_._1).toSet
+      }.toSeq
+      val total = local.length.toDouble
+
+      val byCells = variants.map(_.nCells).distinct
+      val built: Map[Int, (String, Long, Array[Array[Float]], Map[Int, Long])] =
+        byCells.map { nc =>
+          val dir = s"$workDir/ivf_$nc"
+          val t0 = System.nanoTime()
+          val cents = IvfIndex.build(sample, idCol, vecCol, dir,
+            IvfIndex.Params(nCells = nc, metric = metric))
+          val buildMs = (System.nanoTime() - t0) / 1000000
+          val sizes: Map[Int, Long] = spark.read
+            .parquet(s"$dir/cells").groupBy(col("cell_id"))
+            .count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          nc -> (dir, buildMs, cents, sizes)
+        }.toMap
+
+      val results = variants.map { v =>
+        val (dir, buildMs, cents, sizes) = built(v.nCells)
+        val t1 = System.nanoTime()
+        val hits = queries.zip(truth).map { case (q, exact) =>
+          val approx = IvfIndex.topK(spark, dir, q, k, v.nprobe)
+            .collect().map(_.getLong(0)).toSet
+          exact.intersect(approx).size
+        }.sum
+        val searchMs = (System.nanoTime() - t1) / 1000000
+        // measured scan fraction: rows in each query's nprobe nearest
+        // cells (ties broken by cell id, matching the probe path)
+        val frac = queries.map { q =>
+          val probed = cents.zipWithIndex
+            .map { case (c, i) => (metric.dist(q, c), i) }
+            .sortBy(identity).take(v.nprobe).map(_._2)
+          probed.map(i => sizes.getOrElse(i, 0L)).sum.toDouble / total
+        }.sum / queries.length
+        IvfResult(v, hits.toDouble / (k * queries.length), frac,
+          buildMs, searchMs)
+      }
+      val best = results.find(_.recall >= targetRecall).map(_.variant)
+      IvfReport(best, results)
     } finally sample.unpersist()
   }
 

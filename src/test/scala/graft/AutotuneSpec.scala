@@ -24,6 +24,39 @@ class AutotuneSpec extends SparkSpec {
     assert(report.best.get == first)
   }
 
+  test("IVF autotune measures the recall/scan-fraction frontier, cheapest-first wins") {
+    import graft.ann.Autotune.IvfVariant
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val work = Files.createTempDirectory("autotune_ivf").toString
+    val report = Autotune.runIvf(emb, "vec_id", "embedding", work,
+      metric = Metric.L2Sq, k = 10, targetRecall = 0.9,
+      sampleSize = 500, numQueries = 5,
+      variants = Seq(IvfVariant(16, 1), IvfVariant(16, 4), IvfVariant(16, 16)))
+    assert(report.results.length == 3)
+    // nprobe = nCells probes everything: an exact scan — recall and
+    // scan fraction both exactly 1 (this pins that both are MEASURED)
+    val full = report.results.last
+    assert(full.recall == 1.0, s"full probe recall ${full.recall}")
+    assert(math.abs(full.scanFraction - 1.0) < 1e-9)
+    // a 1-of-16 probe reads a strict fraction of the corpus
+    assert(report.results.head.scanFraction < 0.5)
+    // recall is monotone in nprobe over the same build (candidate sets
+    // are supersets)
+    val rs = report.results.map(_.recall)
+    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b + 1e-9 }, rs)
+    // find_best_variant: the FIRST (cheapest) variant meeting target
+    assert(report.best.contains(
+      report.results.find(_.recall >= 0.9).get.variant))
+    // deterministic: a second run reproduces recalls and fractions
+    val work2 = Files.createTempDirectory("autotune_ivf2").toString
+    val again = Autotune.runIvf(emb, "vec_id", "embedding", work2,
+      metric = Metric.L2Sq, k = 10, targetRecall = 0.9,
+      sampleSize = 500, numQueries = 5,
+      variants = Seq(IvfVariant(16, 1), IvfVariant(16, 4), IvfVariant(16, 16)))
+    assert(again.results.map(r => (r.variant, r.recall, r.scanFraction)) ==
+      report.results.map(r => (r.variant, r.recall, r.scanFraction)))
+  }
+
   test("runAndCreate builds the winning index (--create-index)") {
     val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
     val work = Files.createTempDirectory("autotune2").toString
