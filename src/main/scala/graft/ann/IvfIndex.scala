@@ -98,6 +98,18 @@ object IvfIndex {
     * index re-quantizes appends with its stored codebook. */
   def append(df: DataFrame, indexPath: String): Unit = {
     val man = readManifest(indexPath)
+    assignCells(df, man, indexPath)
+      .repartition(col("cell_id"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cell_id")
+      .parquet(s"$indexPath/cells")
+  }
+
+  /** Frozen-centroid cell assignment (+ PQ re-quantization when the
+    * index carries a codebook) — shared by [[append]] and
+    * [[applyStreamBatch]]. */
+  private def assignCells(df: DataFrame, man: Manifest,
+      indexPath: String): DataFrame = {
     val spark = df.sparkSession
     val cents = spark.read.parquet(s"$indexPath/centroids").collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
@@ -106,19 +118,86 @@ object IvfIndex {
     val base = df.select(col(man.idCol), col(man.vecCol))
       .withColumn("cell_id",
         graft.functions.nearest_centroid(col(man.vecCol), cents, man.metric.id))
-    val rows =
-      if (!man.pq) base
-      else {
-        val cb = graft.pq.Pq.codebookFromDf(
-          spark.read.parquet(s"$indexPath/codebook"))
-        base.withColumn("pq_code",
-          graft.functions.pq_quantize(col(man.vecCol), cb))
+    if (!man.pq) base
+    else {
+      val cb = graft.pq.Pq.codebookFromDf(
+        spark.read.parquet(s"$indexPath/codebook"))
+      base.withColumn("pq_code",
+        graft.functions.pq_quantize(col(man.vecCol), cb))
+    }
+  }
+
+  /** Streaming append — the IVF parity of [[AnnIndex.streamAppend]],
+    * with the same crash-window analysis. Each micro-batch lands as an
+    * immutable `batches/batch_<id>/` directory (partitioned by
+    * cell_id, written with Overwrite) and is COMMITTED by the single
+    * atomic creation of an `_applied_batch_<id>` marker; readers
+    * ([[cellsDf]]) union the base cells with committed batch dirs
+    * only. Re-delivery (at-least-once foreachBatch semantics) is clean
+    * in EVERY window: marker present -> skip; crash mid-stage or
+    * after a complete stage but before the marker -> the uncommitted
+    * dir was invisible to readers and Overwrite re-stages it
+    * byte-identically; zero-row batches write their marker only.
+    * Unlike [[AnnIndex.applyStreamBatch]] there is no manifest to
+    * co-commit, so the marker alone is the commit point — one atomic
+    * step, no window B. Batch dirs accumulate until the index is
+    * rebuilt from its source table (the compaction path, matching the
+    * HNSW family's rebuild-not-merge stance). */
+  def streamAppend(spark: SparkSession, srcPath: String,
+      schema: org.apache.spark.sql.types.StructType, indexPath: String,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(srcPath)
+    src.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          applyStreamBatch(batch.toDF(), batchId, indexPath)
       }
-    rows
-      .repartition(col("cell_id"))
-      .write.mode(SaveMode.Append)
-      .partitionBy("cell_id")
-      .parquet(s"$indexPath/cells")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Idempotent body of one [[streamAppend]] micro-batch (package
+    * visibility so specs can replay it around simulated crashes). */
+  private[graft] def applyStreamBatch(batch: DataFrame, batchId: Long,
+      indexPath: String): Unit = {
+    val marker = new Path(indexPath, s"_applied_batch_$batchId")
+    val fs = marker.getFileSystem(new Configuration())
+    if (fs.exists(marker)) return
+    if (!batch.isEmpty) {
+      val man = readManifest(indexPath)
+      assignCells(batch, man, indexPath)
+        .repartition(col("cell_id"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("cell_id")
+        .parquet(s"$indexPath/batches/batch_$batchId")
+    }
+    fs.create(marker, true).close()
+  }
+
+  /** The readable cell rows: the base `cells/` table plus every
+    * COMMITTED streaming batch (marker present — an uncommitted or
+    * partially staged dir is invisible). Static `cell_id IN (...)`
+    * filters push into every branch as partition filters. */
+  private[graft] def cellsDf(spark: SparkSession,
+      indexPath: String): DataFrame = {
+    val base = spark.read.parquet(s"$indexPath/cells")
+    val batchesDir = new Path(indexPath, "batches")
+    val fs = batchesDir.getFileSystem(new Configuration())
+    if (!fs.exists(batchesDir)) base
+    else {
+      val committed = fs.listStatus(batchesDir).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("batch_") &&
+          fs.exists(new Path(indexPath, s"_applied_${p.getName}")))
+        .sortBy(_.getName)
+      committed.foldLeft(base) { (acc, p) =>
+        acc.unionByName(spark.read.parquet(p.toString))
+      }
+    }
   }
 
   /** Top-k over the `nprobe` nearest cells only (exact within the
@@ -227,7 +306,7 @@ object IvfIndex {
           .orderBy(col("__ivf_cdist").asc, col("cell_id").asc)))
       .filter(col("__ivf_rn") <= math.max(nprobe, 1))
       .select(col("__ivf_qid"), col("cell_id"))
-    val cells = spark.read.parquet(s"$indexPath/cells")
+    val cells = cellsDf(spark, indexPath)
     // the (qid, cell) routing pairs ALWAYS broadcast (16 bytes/row — at
     // any plausible query count they are MBs) so dynamic partition
     // pruning fires on the cells scan; the query VECTORS broadcast only
@@ -262,7 +341,7 @@ object IvfIndex {
     val probes = cents
       .map { case (id, c) => (id, man.metric.dist(query, c)) }
       .sortBy(x => (x._2, x._1)).take(math.max(nprobe, 1)).map(_._1)
-    val cells = spark.read.parquet(s"$indexPath/cells")
+    val cells = cellsDf(spark, indexPath)
       .filter(col("cell_id").isin(probes.toSeq: _*)) // partition filter
     require(cells.columns.contains(man.idCol) &&
       cells.columns.contains(man.vecCol),

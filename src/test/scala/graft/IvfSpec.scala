@@ -186,6 +186,60 @@ class IvfSpec extends SparkSpec {
       s"expected a non-empty cell_id partition filter")
   }
 
+  test("streamAppend: idempotent in every crash window, exact row counts") {
+    val dir = Files.createTempDirectory("ivf_stream").toString + "/idx"
+    val base = emb.filter(col("vec_id") < 100)
+    IvfIndex.build(base, "vec_id", "embedding", dir,
+      IvfIndex.Params(nCells = 8))
+    def total(): Long = IvfIndex.cellsDf(spark, dir).count()
+    assert(total() == 100)
+
+    // batch 1 applies once, then a re-delivery is skipped by its marker
+    val b1 = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+    IvfIndex.applyStreamBatch(b1.toDF(), 1L, dir)
+    assert(total() == 150)
+    IvfIndex.applyStreamBatch(b1.toDF(), 1L, dir)
+    assert(total() == 150, "re-delivered committed batch must be skipped")
+
+    // crash window: batch 2 staged (partially or fully) but no marker
+    // — invisible to readers; the re-delivery re-stages and commits
+    val b2 = emb.filter(col("vec_id") >= 150 && col("vec_id") < 180)
+    b2.limit(7).write.mode("overwrite").parquet(s"$dir/batches/batch_2")
+    assert(total() == 150, "an uncommitted stage must be invisible")
+    IvfIndex.applyStreamBatch(b2.toDF(), 2L, dir)
+    assert(total() == 180)
+    IvfIndex.applyStreamBatch(b2.toDF(), 2L, dir)
+    assert(total() == 180)
+
+    // zero-row batch: marker only
+    IvfIndex.applyStreamBatch(emb.filter(col("vec_id") < 0).toDF(), 3L, dir)
+    assert(total() == 180)
+
+    // appended rows are really probed: full probe == exact over all 180
+    val all = emb.filter(col("vec_id") < 180)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = all.find(_._1 == 170L).get._2
+    val exact = all.map { case (id, v) => (Metric.L2Sq.dist(q, v), id) }
+      .sorted.take(5).map(_._2).toSeq
+    val got = IvfIndex.topK(spark, dir, q, 5, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+  }
+
+  test("streamAppend end-to-end through a real AvailableNow stream") {
+    val root = Files.createTempDirectory("ivf_stream_e2e").toString
+    val dir = s"$root/idx"
+    IvfIndex.build(emb.filter(col("vec_id") < 400), "vec_id", "embedding",
+      dir, IvfIndex.Params(nCells = 8))
+    val srcDir = s"$root/src"
+    emb.filter(col("vec_id") >= 400).write.parquet(srcDir)
+    val query = IvfIndex.streamAppend(spark, srcDir, emb.schema, dir,
+      s"$root/ckpt")
+    query.awaitTermination(60000)
+    assert(IvfIndex.cellsDf(spark, dir).count() == emb.count())
+  }
+
   test("IVFADC: codes-only candidate scan + exact re-rank, recall drop < 0.2") {
     val cb = graft.pq.Pq.createCodebook(emb, "embedding",
       clusterCount = 16, subvectorCount = 8, datasetSizeLimit = 500,
