@@ -114,10 +114,27 @@ class CohereRuntime(baseUrl: String = "https://api.cohere.ai/v1",
     throw new UnsupportedOperationException("cohere runtime: completion not supported")
 }
 
+/** The one-method local-inference surface [[OrtRuntime]] dispatches to
+  * when activated (the Spark-side analog of the reference's
+  * EncoderService, ort_runtime.rs). Implementations own session
+  * management, tokenization and pooling; this library owns batching,
+  * the registry, and the job/streaming plumbing. */
+trait OrtInference {
+  def embed(model: String, texts: Seq[String]): Seq[Array[Float]]
+}
+
 /** Local ONNX runtime: carries the public model registry (reference
-  * ort_runtime.rs:284-298); inference needs an ONNX runtime that is not
-  * bundled in this build. */
-class OrtRuntime extends EmbeddingRuntime {
+  * ort_runtime.rs:284-298). Inference activates WITHOUT a code change
+  * when two things land on the executor classpath: the onnxruntime
+  * jars (probed via `Class.forName("ai.onnxruntime.OrtEnvironment")`)
+  * and an [[OrtInference]] implementation named by the
+  * `graft.ort.impl` system property — drop both on a real cluster and
+  * `embedBatch` delegates; in this zero-egress build the probe is
+  * false and the call fails with the activation instructions
+  * (spec-asserted both ways in EmbedSpec). */
+class OrtRuntime(
+    probe: () => Boolean = () => OrtRuntime.onnxPresent)
+    extends EmbeddingRuntime {
   override def name: String = "ort"
   override def models: Seq[String] = Seq(
     "clip/ViT-B-32-textual", "clip/ViT-B-32-visual",
@@ -131,11 +148,37 @@ class OrtRuntime extends EmbeddingRuntime {
     case m if m.contains("base") || m.contains("m3") => 768
     case _ => 384
   }
+
+  @transient private lazy val inference: OrtInference = {
+    val clsName = System.getProperty("graft.ort.impl", "")
+    require(clsName.nonEmpty,
+      "onnxruntime is on the classpath but no OrtInference implementation " +
+        "is named: set -Dgraft.ort.impl=<class implementing " +
+        "graft.embed.OrtInference>")
+    Class.forName(clsName).getDeclaredConstructor()
+      .newInstance().asInstanceOf[OrtInference]
+  }
+
   override def embedBatch(model: String, texts: Seq[String]): Seq[Array[Float]] =
-    throw new UnsupportedOperationException(
-      "ort runtime requires onnxruntime, which is not bundled in this build")
+    if (!probe())
+      throw new UnsupportedOperationException(
+        "ort runtime inactive: add the onnxruntime jars to the classpath " +
+          "and set -Dgraft.ort.impl to an OrtInference implementation " +
+          "to activate local inference (no code change needed)")
+    else inference.embed(model, texts)
+
   override def complete(model: String, s: String, u: String): String =
     throw new UnsupportedOperationException("ort runtime: completion not supported")
+}
+
+object OrtRuntime {
+  /** Classpath probe for the ONNX runtime entry class (initialization
+    * deferred: `Class.forName(..., initialize = false, ...)` so probing
+    * never triggers native-library loading). */
+  val entryClass = "ai.onnxruntime.OrtEnvironment"
+  def onnxPresent: Boolean =
+    try { Class.forName(entryClass, false, getClass.getClassLoader); true }
+    catch { case _: ClassNotFoundException => false }
 }
 
 /** Runtime registry (reference get_available_runtimes /

@@ -120,9 +120,47 @@ class EmbedSpec extends SparkSpec {
     intercept[IllegalArgumentException](Runtimes.forName("nope"))
   }
 
+  test("ort activation: probe false -> instructions; probe true -> delegated inference") {
+    // this build has no onnxruntime: the real probe must say so, and
+    // embedBatch must fail with the activation instructions
+    assert(!OrtRuntime.onnxPresent)
+    val inactive = intercept[UnsupportedOperationException] {
+      new OrtRuntime().embedBatch("BAAI/bge-small-en", Seq("x"))
+    }
+    assert(inactive.getMessage.contains("graft.ort.impl"))
+
+    // probe forced true + an impl named by the system property: the
+    // SAME embedBatch delegates — activation is configuration, not a
+    // code change
+    val prev = System.getProperty("graft.ort.impl")
+    try {
+      System.setProperty("graft.ort.impl",
+        "graft.FakeOrtInference")
+      val active = new OrtRuntime(probe = () => true)
+      val out = active.embedBatch("BAAI/bge-small-en", Seq("a", "bb"))
+      assert(out.map(_.toSeq) == Seq(Seq(1f, 1f), Seq(2f, 2f)))
+    } finally {
+      if (prev == null) System.clearProperty("graft.ort.impl")
+      else System.setProperty("graft.ort.impl", prev)
+    }
+
+    // probe true but no impl named: the error says exactly what to set
+    System.clearProperty("graft.ort.impl")
+    val noImpl = intercept[IllegalArgumentException] {
+      new OrtRuntime(probe = () => true).embedBatch("m", Seq("x"))
+    }
+    assert(noImpl.getMessage.contains("graft.ort.impl"))
+  }
+
   test("measureSpeed reports positive throughput") {
     val v = Embeddings.measureSpeed(Runtimes.mock(8), "mock-embed",
       (1 to 100).map(i => s"text $i"))
     assert(v > 0)
   }
+}
+
+/** Test double for the ort activation path: length-coded vectors. */
+class FakeOrtInference extends graft.embed.OrtInference {
+  override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] =
+    texts.map(t => Array.fill(2)(t.length.toFloat))
 }
