@@ -44,10 +44,19 @@ object Knn {
 
   /** Streaming KNN cursor (reference scan.c:240-292): the first batch
     * fetches `initK` rows (default 10, GUC `lantern_hnsw.init_k`,
-    * options.h:44); reading past a batch re-runs the search with k
-    * doubled, stopping with a warning at `maxK` (1000). Iterator of
-    * rows in distance order — each re-run is a fresh
-    * TakeOrderedAndProject, so no state is held on executors. */
+    * options.h:44); reading past a batch escalates by doubling,
+    * stopping with a warning at `maxK` (1000).
+    *
+    * Unlike the reference (which re-runs the whole search with the
+    * doubled k, repeating the prefix every escalation), each refill
+    * fetches ONLY the delta: a seek filter `dist > lastDist` prunes
+    * the already-returned rows before the per-partition top-delta, and
+    * the equal-distance boundary block is completed by a filtered
+    * `dist == lastDist` re-fetch (its first rows reproduce the
+    * already-returned ties — the order is total — and are dropped).
+    * Escalating to k therefore costs O(k) rows fetched overall instead
+    * of the reference's O(k log k) (KnnCursorSpec pins both the exact
+    * sequence and the fetched-row accounting). */
   def knnCursor(
       df: DataFrame,
       vecCol: Column,
@@ -56,39 +65,81 @@ object Knn {
       tieBreaker: Option[Column] = None,
       initK: Int = 10,
       maxK: Int = 1000): Iterator[org.apache.spark.sql.Row] =
-    new Iterator[org.apache.spark.sql.Row] {
-      // Refills re-run the search with doubled k; without a total order,
-      // equal-distance rows straddling a batch boundary could reorder
-      // between runs (skipping/duplicating rows). Default tiebreak =
-      // struct of all columns: a lexicographic TOTAL order over rows
-      // (a hash tiebreak could collide on two distinct equal-distance
-      // rows, leaving the order non-total across re-runs).
-      private val tb = tieBreaker.getOrElse(
-        struct(df.columns.map(col).toIndexedSeq: _*))
-      private var k = initK
-      private var batch = knn(df, vecCol, query, k, metric, Some(tb)).collect()
-      private var i = 0
-      private var exhausted = false
+    new KnnCursor(df, vecCol, query, metric, tieBreaker, initK, maxK)
 
-      override def hasNext: Boolean = {
-        if (i < batch.length) true
-        else if (exhausted || batch.length < k) false // corpus smaller than k
-        else if (k >= maxK) {
-          // reference warns and stops the cursor at the 1000 cap
-          exhausted = true
-          false
-        } else {
-          k = math.min(k * 2, maxK)
-          batch = knn(df, vecCol, query, k, metric, Some(tb)).collect()
-          i < batch.length
-        }
-      }
+  private[graft] final class KnnCursor(
+      df: DataFrame, vecCol: Column, query: Column, metric: Metric,
+      tieBreaker: Option[Column], initK: Int, maxK: Int)
+      extends Iterator[org.apache.spark.sql.Row] {
+    // Refills re-enter the search; without a total order, equal-distance
+    // rows straddling a batch boundary could reorder between runs
+    // (skipping/duplicating rows). Default tiebreak = struct of all
+    // columns: a lexicographic TOTAL order over rows (a hash tiebreak
+    // could collide on two distinct equal-distance rows, leaving the
+    // order non-total across re-runs).
+    private val tb = tieBreaker.getOrElse(
+      struct(df.columns.map(col).toIndexedSeq: _*))
+    private val distExpr = metric.dist(vecCol, query)
+    /** Total rows collected to the driver (test hook: the delta
+      * contract is that this stays O(rows consumed)). */
+    private[graft] var fetchedRows = 0L
+    private var k = initK
+    private var batch = fetch(df, initK)
+    private var i = 0
+    private var exhausted = batch.length < initK
+    private var capped = false
 
-      override def next(): org.apache.spark.sql.Row = {
-        if (!hasNext) throw new NoSuchElementException
-        val r = batch(i); i += 1; r
+    private def fetch(d: DataFrame, n: Int): Array[org.apache.spark.sql.Row] = {
+      val r = knn(d, vecCol, query, n, metric, Some(tb)).collect()
+      fetchedRows += r.length
+      r
+    }
+
+    /** Fetch the next `delta` rows past the current batch end in the
+      * (dist, tb) total order. A tb literal is not constructible for an
+      * arbitrary row, so the seek is two-part: complete the boundary
+      * tie-block (== lastDist; its first `seenTies` rows are exactly
+      * the already-returned ones and are dropped), then strictly
+      * greater distances. The recomputed dist is the SAME deterministic
+      * expression, so the float comparisons are exact. */
+    private def refill(delta: Int): Array[org.apache.spark.sql.Row] = {
+      val di = batch.last.fieldIndex("dist")
+      val lastDist = batch.last.getDouble(di)
+      val seenTies =
+        batch.reverseIterator.takeWhile(_.getDouble(di) == lastDist).length
+      val tieBlock =
+        fetch(df.filter(distExpr === lit(lastDist)), seenTies + delta)
+      val tieExtra = tieBlock.drop(seenTies)
+      val need = delta - tieExtra.length
+      val more =
+        if (need <= 0) Array.empty[org.apache.spark.sql.Row]
+        else fetch(df.filter(distExpr > lit(lastDist)), need)
+      tieExtra.take(delta) ++ more
+    }
+
+    override def hasNext: Boolean = {
+      if (i < batch.length) true
+      else if (exhausted || capped) false
+      else if (k >= maxK) {
+        // reference warns and stops the cursor at the 1000 cap
+        capped = true
+        false
+      } else {
+        val newK = math.min(k * 2L, maxK.toLong).toInt
+        val delta = newK - k
+        val got = refill(delta)
+        if (got.length < delta) exhausted = true
+        k = newK
+        batch = batch ++ got // bounded: at most maxK rows live
+        i < batch.length
       }
     }
+
+    override def next(): org.apache.spark.sql.Row = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = batch(i); i += 1; r
+    }
+  }
 
   /** One weighted term of a multi-column search. */
   case class WeightedTerm(weight: Double, vecCol: Column, query: Column,

@@ -35,6 +35,39 @@ class KnnCursorSpec extends SparkSpec {
     assert(it.size == 8)
   }
 
+  test("delta refills: fetched rows stay O(consumed), sequence unchanged") {
+    val cur = new Knn.KnnCursor(emb, col("embedding"), vecLit(q),
+      Knn.L2Sq, Some(col("vec_id")), 3, 1000)
+    val got = cur.take(48).map(_.getAs[Long]("vec_id")).toSeq
+    val exact = Knn.knn(emb, col("embedding"), vecLit(q), 48,
+      Knn.L2Sq, Some(col("vec_id")))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == exact)
+    // escalations 3 -> 6 -> 12 -> 24 -> 48: a full re-run fetches
+    // 3+6+12+24+48 = 93 rows; the delta path fetches each row once
+    // plus one boundary-tie row per refill (distinct dists here)
+    assert(cur.fetchedRows <= 48 + 4,
+      s"refills refetched the prefix: ${cur.fetchedRows} rows for 48 consumed")
+  }
+
+  test("delta refills cross tie-heavy boundaries without skips or dups") {
+    val s = spark
+    import s.implicits._
+    // 40 rows, only 4 distinct distances (10-way ties), batch size 3:
+    // every escalation boundary lands inside a tie block
+    val rows = (0 until 40).map(i => (i.toLong, Seq.fill(4)((i % 4).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val zero = vecLit(Seq.fill(4)(0.0f))
+    val it = Knn.knnCursor(df, col("embedding"), zero,
+      Knn.L2Sq, Some(col("vec_id")), initK = 3)
+    val got = it.map(_.getAs[Long]("vec_id")).toSeq
+    val exact = Knn.knn(df, col("embedding"), zero, 40,
+      Knn.L2Sq, Some(col("vec_id")))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == exact)
+    assert(got.distinct.length == 40)
+  }
+
   test("GraftConf exposes the reference defaults") {
     assert(GraftConf.initK(spark) == 10)
     assert(GraftConf.maxK(spark) == 1000)
