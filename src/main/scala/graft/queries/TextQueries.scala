@@ -266,6 +266,16 @@ object TextQueries {
   private def bucketedCached(s: SparkSession, dir: String, table: String)
       (build: => DataFrame): DataFrame =
     graft.SharedState.cached(s"$table:$dir") {
+      // the table's bucket METADATA lives in the (in-memory) session
+      // catalog, so every fresh session rebuilds — and must first clear
+      // both the catalog entry and any files a PREVIOUS JVM left at the
+      // managed location (CREATE refuses an existing location with
+      // LOCATION_ALREADY_EXISTS; the driver's Verify-then-Bench
+      // sequence hits exactly that)
+      s.sql(s"DROP TABLE IF EXISTS `${bucketDb(dir)}`.`$table`")
+      val stale = new org.apache.hadoop.fs.Path(bucketLoc(dir), table)
+      stale.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(stale, true)
       Bucketing.writeBucketed(build, bucketDb(dir), table, "doc_id",
         buckets = 8, sortCols = Seq("doc_id"), location = Some(bucketLoc(dir)))
       Bucketing.readBucketed(s, bucketDb(dir), table)
