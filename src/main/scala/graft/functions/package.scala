@@ -134,6 +134,16 @@ package object functions {
     * chunk; null for non-PCM16 payloads. */
   def wav_meta(c: Column): Column = col(WavMeta(expr(c)))
 
+  /** `mp4_meta`: ISO-BMFF box walk -> (brand, n_tracks, timescale,
+    * duration_ms, width, height). */
+  def mp4_meta(c: Column): Column =
+    col(org.apache.spark.sql.graft.Mp4Meta(expr(c)))
+
+  /** `mp3_meta`: MPEG-1 Layer III frame walk -> (n_frames, sample_rate,
+    * duration_s, mean_bitrate_kbps). */
+  def mp3_meta(c: Column): Column =
+    col(org.apache.spark.sql.graft.Mp3Meta(expr(c)))
+
   /** `gif_frames`: n_frames + k sampled frames' decoded channel means
     * from a REAL animated-GIF multi-frame decode. */
   def gif_frames(c: Column, k: Int): Column = col(GifFrames(expr(c), k))

@@ -474,6 +474,71 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Synthesized MP4 corpus: one minimal-but-grammar-correct ISO-BMFF
+    * file per doc. Even docs: mvhd version 0, timescale 600, moov
+    * before mdat; odd docs: mvhd version 1 (64-bit times), timescale
+    * 90000, moov AFTER mdat (the non-faststart layout). Every file
+    * carries a `free` box to skip and an mdat in the LARGESIZE form,
+    * so only a real box walker parses the corpus. duration ticks =
+    * 600 + d % 9999, video track (160 + d%32*8) x (90 + d%18*8). */
+  private def mp4TablePath(s: SparkSession, dir: String): String =
+    synthTablePath(s, dir, "mp4", "mp4") { d =>
+      val v = (d % 2).toInt
+      org.apache.spark.sql.graft.MediaKernels.encodeMp4(
+        version = v,
+        timescale = if (v == 0) 600 else 90000,
+        durationTicks = 600 + d % 9999,
+        width = (160 + (d % 32) * 8).toInt,
+        height = (90 + (d % 18) * 8).toInt,
+        moovFirst = v == 0)
+    }
+
+  /** Real video-container metadata end-to-end: ISO-BMFF box walk over
+    * the synthesized corpus; every field oracle-recomputed from doc_id
+    * in closed form. (Track DECODE needs a codec — out of scope; this
+    * is the metadata half of video ingest.) */
+  private def mediaMp4(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.functions.mp4_meta(col("mp4"))
+    s.read.parquet(mp4TablePath(s, dir))
+      .select(col("doc_id"),
+        m.getField("brand").as("brand"),
+        m.getField("n_tracks").as("n_tracks"),
+        m.getField("timescale").as("timescale"),
+        round(m.getField("duration_ms"), 6).as("duration_ms"),
+        m.getField("width").as("w"),
+        m.getField("height").as("h"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Synthesized MP3 corpus: 5 + d % 7 MPEG-1 Layer III frames at
+    * 44100 Hz, frame i at bitrate [128,160,192,224][(d + i) % 4] kbps
+    * with padding (d + i) % 2 — a VBR stream — behind an ID3v2 tag of
+    * 30 + d % 50 junk bytes. Frame count, duration and MEAN bitrate
+    * are closed-form in doc_id. */
+  private val mp3Rates = Seq(128, 160, 192, 224)
+  private def mp3TablePath(s: SparkSession, dir: String): String =
+    synthTablePath(s, dir, "mp3", "mp3") { d =>
+      val frames = (0 until (5 + d % 7).toInt).map { i =>
+        (mp3Rates(((d + i) % 4).toInt), ((d + i) % 2).toInt)
+      }
+      org.apache.spark.sql.graft.MediaKernels.encodeMp3(
+        44100, frames, id3Size = (30 + d % 50).toInt)
+    }
+
+  /** Real compressed-audio container metadata end-to-end: MPEG frame
+    * walk (ID3 skip, per-frame VBR lengths); all fields closed-form in
+    * doc_id. (PCM decode needs the codec — out of scope.) */
+  private def mediaMp3(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.functions.mp3_meta(col("mp3"))
+    s.read.parquet(mp3TablePath(s, dir))
+      .select(col("doc_id"),
+        m.getField("n_frames").as("n_frames"),
+        m.getField("sample_rate").as("sample_rate"),
+        round(m.getField("duration_s"), 6).as("duration_s"),
+        round(m.getField("mean_bitrate_kbps"), 6).as("mean_kbps"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Synthesized animated-GIF corpus: 4 solid-color frames per doc,
     * frame k of doc d colored (r, g, b) = ((d + 31k) % 256,
     * (2d + 17k) % 256, (5d + 3k) % 256). Single-color frames palettize
@@ -586,6 +651,8 @@ object TextQueries {
     "q_media_decode" -> ((s, d) => mediaDecode(s, d)),
     "q_media_resize" -> ((s, d) => mediaResize(s, d)),
     "q_media_wav" -> ((s, d) => mediaWav(s, d)),
+    "q_media_mp4" -> ((s, d) => mediaMp4(s, d)),
+    "q_media_mp3" -> ((s, d) => mediaMp3(s, d)),
     "q_media_gif" -> ((s, d) => mediaGif(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q_quality_repetition" -> ((s, d) => qualityRepetition(s, d)),
@@ -1119,6 +1186,34 @@ object TextQueries {
         |  CAST(1000 + doc_id % 500 AS INT) AS peak,
         |  round(sqrt((pow(1000 + doc_id % 500, 2) + pow(doc_id % 499, 2)) / 2.0), 6) AS rms
         |FROM documents
+        |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // MP4 corpus construction: ticks = 600 + d % 9999 at timescale
+    // 600 (even d, mvhd v0) / 90000 (odd d, v1 + moov-after-mdat),
+    // two tracks, video track (160 + d%32*8) x (90 + d%18*8)
+    "q_media_mp4" ->
+      """SELECT doc_id, 'isom' AS brand, CAST(2 AS INT) AS n_tracks,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 90000 END AS INT) AS timescale,
+        |  round((600 + doc_id % 9999) * 1000.0
+        |    / CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 90000 END, 6) AS duration_ms,
+        |  CAST(160 + (doc_id % 32) * 8 AS INT) AS w,
+        |  CAST(90 + (doc_id % 18) * 8 AS INT) AS h
+        |FROM documents
+        |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // MP3 corpus construction: 5 + d % 7 MPEG-1 L3 frames at 44100 Hz,
+    // frame i at [128,160,192,224][(d + i) % 4] kbps (VBR mean below)
+    "q_media_mp3" ->
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(range(5 + doc_id % 7)) AS i FROM documents),
+        |mb AS (
+        |  SELECT doc_id,
+        |    avg(list_value(128, 160, 192, 224)[1 + (doc_id + i) % 4]) AS kbps
+        |  FROM fr GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(5 + doc_id % 7 AS INT) AS n_frames,
+        |  CAST(44100 AS INT) AS sample_rate,
+        |  round((5 + doc_id % 7) * 1152.0 / 44100, 6) AS duration_s,
+        |  round(kbps, 6) AS mean_kbps
+        |FROM documents JOIN mb USING (doc_id)
         |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
     // animated-GIF corpus construction: frame k of doc d is the solid
     // color ((d+31k)%256, (2d+17k)%256, (5d+3k)%256); sampled frame

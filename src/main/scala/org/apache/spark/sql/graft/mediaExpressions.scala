@@ -354,6 +354,294 @@ object MediaKernels {
     * 44-byte layout — or forgets RIFF's pad-to-even rule — misreads
     * the data chunk; round-trip success proves [[wavMeta]] really
     * walks the chunk list. */
+  @inline private def beInt(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  @inline private def beLong(b: Array[Byte], o: Int): Long =
+    ((beInt(b, o) & 0xffffffffL) << 32) | (beInt(b, o + 4) & 0xffffffffL)
+
+  /** Result shape of [[mp4Meta]]. */
+  val Mp4MetaType: StructType = StructType(Seq(
+    StructField("brand", StringType),
+    StructField("n_tracks", IntegerType),
+    StructField("timescale", IntegerType),
+    StructField("duration_ms", DoubleType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** REAL MP4/ISO-BMFF container walk (public ISO/IEC 14496-12 box
+    * grammar): top-level (size, type) boxes — compact, `largesize`
+    * (size == 1, 64-bit length follows the type) and to-end (size == 0)
+    * forms — with `moov` recursed for `mvhd` (version 0 = 32-bit
+    * times, version 1 = 64-bit), `trak` counting, and the first video
+    * `tkhd`'s 16.16 fixed-point width/height. Box ORDER is free
+    * (`moov` after `mdat` is common in non-faststart files) and
+    * unknown boxes (`free`, `udta`, ...) are skipped by size, so only
+    * a real walker — not a fixed-offset reader — survives the corpus.
+    * Frame DECODE of the tracks needs a video codec and stays out of
+    * scope; this is the metadata-extraction half of video ingest.
+    * Returns null unless `ftyp` and a sane `mvhd` are found. */
+  def mp4Meta(b: Array[Byte]): InternalRow = {
+    var brand: String = null
+    var timescale = 0
+    var durTicks = -1L
+    var nTracks = 0
+    var w = 0
+    var h = 0
+
+    // walk boxes in [from, to); returns false on malformed structure
+    def walk(from: Long, to: Long)(f: (String, Long, Long) => Boolean): Boolean = {
+      var off = from
+      while (off < to) {
+        if (off + 8 > to) return false
+        val size32 = beInt(b, off.toInt) & 0xffffffffL
+        val typ = new String(b, off.toInt + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        var hdr = 8L
+        var boxSize = size32
+        if (size32 == 1) {
+          if (off + 16 > to) return false
+          boxSize = beLong(b, off.toInt + 8)
+          hdr = 16
+        } else if (size32 == 0) boxSize = to - off
+        if (boxSize < hdr || off + boxSize > to) return false
+        if (!f(typ, off + hdr, off + boxSize)) return false
+        off += boxSize
+      }
+      true
+    }
+
+    if (b.length < 8) return null
+    val ok = walk(0, b.length) { (typ, po, pe) =>
+      typ match {
+        case "ftyp" =>
+          if (pe - po < 4) false
+          else { brand = new String(b, po.toInt, 4,
+            java.nio.charset.StandardCharsets.US_ASCII); true }
+        case "moov" =>
+          walk(po, pe) { (t2, co, ce) =>
+            t2 match {
+              case "mvhd" =>
+                if (ce - co < 4) false
+                else {
+                  val ver = b(co.toInt) & 0xff
+                  if (ver == 1) {
+                    if (ce - co < 4 + 28) false
+                    else {
+                      timescale = beInt(b, co.toInt + 4 + 16)
+                      durTicks = beLong(b, co.toInt + 4 + 20)
+                      true
+                    }
+                  } else {
+                    if (ce - co < 4 + 16) false
+                    else {
+                      timescale = beInt(b, co.toInt + 4 + 8)
+                      durTicks = beInt(b, co.toInt + 4 + 12) & 0xffffffffL
+                      true
+                    }
+                  }
+                }
+              case "trak" =>
+                nTracks += 1
+                walk(co, ce) { (t3, to3, te3) =>
+                  if (t3 == "tkhd" && w == 0) {
+                    val ver = b(to3.toInt) & 0xff
+                    // offset of width within the payload, past
+                    // ver/flags + times/ids/reserved/duration +
+                    // layer/group/volume/reserved + matrix
+                    val wOff = if (ver == 1) 4 + 84 else 4 + 72
+                    if (te3 - to3 < wOff + 8) false
+                    else {
+                      val tw = beInt(b, to3.toInt + wOff) >>> 16
+                      val th = beInt(b, to3.toInt + wOff + 4) >>> 16
+                      if (tw > 0 && th > 0) { w = tw; h = th }
+                      true
+                    }
+                  } else true
+                }
+              case _ => true
+            }
+          }
+        case _ => true // free, mdat, udta, ... skipped by size
+      }
+    }
+    if (!ok || brand == null || durTicks < 0 || timescale <= 0) return null
+    InternalRow(UTF8String.fromString(brand), nTracks, timescale,
+      durTicks * 1000.0 / timescale, w, h)
+  }
+
+  /** Result shape of [[mp3Meta]]. */
+  val Mp3MetaType: StructType = StructType(Seq(
+    StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_s", DoubleType),
+    StructField("mean_bitrate_kbps", DoubleType)))
+
+  /** MPEG-1 Layer III bitrate table (public ISO/IEC 11172-3), kbps by
+    * header bitrate index (1-14; 0 = free, 15 = bad). */
+  private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320)
+  private val Mp3SampleRates = Array(44100, 48000, 32000)
+
+  /** REAL MP3 frame-header walk (public MPEG-1 audio frame grammar):
+    * skips a leading ID3v2 tag (10-byte header, syncsafe 28-bit size),
+    * then validates every frame header — 11-bit sync, MPEG-1 version,
+    * Layer III, bitrate/samplerate indexes — and advances by the
+    * computed frame length 144000 x kbps / rate + padding, so VBR
+    * streams (per-frame bitrates) measure correctly where a
+    * first-header-only reader reports garbage. Audio DECODE needs the
+    * codec and stays out of scope. Returns (n_frames, sample_rate,
+    * duration_s = frames x 1152 / rate, mean_bitrate_kbps) or null on
+    * any malformed frame / trailing garbage. */
+  def mp3Meta(b: Array[Byte]): InternalRow = {
+    var off = 0
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe size(4)
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      off = 10 + sz
+      if (off > b.length) return null
+    }
+    var frames = 0
+    var rate = 0
+    var kbpsSum = 0.0
+    while (off < b.length) {
+      if (off + 4 > b.length) return null
+      if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xe0) != 0xe0) return null
+      val version = (b(off + 1) >> 3) & 3
+      val layer = (b(off + 1) >> 1) & 3
+      if (version != 3 || layer != 1) return null // MPEG-1 Layer III only
+      val brIdx = (b(off + 2) >> 4) & 0xf
+      val srIdx = (b(off + 2) >> 2) & 3
+      val padding = (b(off + 2) >> 1) & 1
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null
+      val kbps = Mp3Bitrates(brIdx)
+      val sr = Mp3SampleRates(srIdx)
+      if (rate == 0) rate = sr else if (rate != sr) return null
+      val frameLen = 144000 * kbps / sr + padding
+      if (off + frameLen > b.length) return null
+      frames += 1
+      kbpsSum += kbps
+      off += frameLen
+    }
+    if (frames == 0 || rate == 0) return null
+    InternalRow(frames, rate, frames * 1152.0 / rate, kbpsSum / frames)
+  }
+
+  /** Minimal but grammar-correct ISO-BMFF encoder for the synthesized
+    * corpus: ftyp + free + (mdat with a LARGESIZE header) + moov
+    * {mvhd v0|v1, video trak {tkhd w x h, mdia{mdhd}}, audio trak
+    * {tkhd 0 x 0, mdia{mdhd}}}; `moovFirst = false` moves moov after
+    * mdat (the non-faststart layout). */
+  def encodeMp4(version: Int, timescale: Int, durationTicks: Long,
+      width: Int, height: Int, moovFirst: Boolean): Array[Byte] = {
+    import java.nio.ByteBuffer
+    def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
+      val n = payloads.map(_.length).sum
+      val buf = ByteBuffer.allocate(8 + n)
+      buf.putInt(8 + n).put(typ.getBytes)
+      payloads.foreach(buf.put)
+      buf.array()
+    }
+    val mvhd = {
+      val timeBytes = if (version == 1) 8 else 4
+      // ver/flags 4 + creation/mod/duration (3 x timeBytes) +
+      // timescale 4 + rate 4 + volume 2 + reserved 2+8 + matrix 36 +
+      // predefined 24 + next_track_id 4
+      val buf = ByteBuffer.allocate(88 + 3 * timeBytes)
+      buf.putInt(version << 24)
+      if (version == 1) {
+        buf.putLong(0L).putLong(0L).putInt(timescale).putLong(durationTicks)
+      } else {
+        buf.putInt(0).putInt(0).putInt(timescale).putInt(durationTicks.toInt)
+      }
+      buf.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      buf.putLong(0L) // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(buf.putInt) // unity matrix
+      (0 until 6).foreach(_ => buf.putInt(0)) // predefined
+      buf.putInt(3) // next track id
+      box("mvhd", buf.array())
+    }
+    def tkhd(trackId: Int, w: Int, h: Int): Array[Byte] = {
+      val buf = ByteBuffer.allocate(84)
+      buf.putInt(7) // version 0, flags: enabled|in-movie|in-preview
+      buf.putInt(0).putInt(0).putInt(trackId).putInt(0)
+        .putInt(durationTicks.toInt)
+      buf.putLong(0L)
+      buf.putShort(0).putShort(0).putShort(0).putShort(0)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(buf.putInt)
+      buf.putInt(w << 16).putInt(h << 16)
+      box("tkhd", buf.array())
+    }
+    val mdhd = {
+      val buf = ByteBuffer.allocate(24)
+      buf.putInt(0).putInt(0).putInt(0).putInt(timescale)
+        .putInt(durationTicks.toInt).putShort(0x55c4.toShort).putShort(0)
+      box("mdhd", buf.array())
+    }
+    val moov = box("moov", mvhd,
+      box("trak", tkhd(1, width, height), box("mdia", mdhd)),
+      box("trak", tkhd(2, 0, 0), box("mdia", mdhd)))
+    val ftyp = box("ftyp", {
+      val buf = ByteBuffer.allocate(8)
+      buf.put("isom".getBytes).putInt(0x200)
+      buf.array()
+    })
+    val free = box("free", Array.fill[Byte](5)(0x46))
+    val mdat = { // largesize form: compact size 1, 64-bit length
+      val payload = Array.tabulate[Byte](9)(i => (i * 17).toByte)
+      val buf = ByteBuffer.allocate(16 + payload.length)
+      buf.putInt(1).put("mdat".getBytes)
+        .putLong(16L + payload.length).put(payload)
+      buf.array()
+    }
+    val parts =
+      if (moovFirst) Seq(ftyp, free, moov, mdat)
+      else Seq(ftyp, free, mdat, moov)
+    val out = new Array[Byte](parts.map(_.length).sum)
+    var o = 0
+    parts.foreach { p =>
+      System.arraycopy(p, 0, out, o, p.length); o += p.length
+    }
+    out
+  }
+
+  /** MP3 encoder for the synthesized corpus: optional ID3v2 tag, then
+    * one valid MPEG-1 Layer III header per (kbps, padding) entry with
+    * a zero payload of the exact computed frame length. */
+  def encodeMp3(sampleRate: Int, frames: Seq[(Int, Int)],
+      id3Size: Int): Array[Byte] = {
+    val srIdx = Mp3SampleRates.indexOf(sampleRate)
+    require(srIdx >= 0, s"unsupported sample rate $sampleRate")
+    val frameBytes = frames.map { case (kbps, pad) =>
+      val brIdx = Mp3Bitrates.indexOf(kbps)
+      require(brIdx > 0, s"unsupported bitrate $kbps")
+      val len = 144000 * kbps / sampleRate + pad
+      val f = new Array[Byte](len)
+      f(0) = 0xff.toByte
+      f(1) = 0xfb.toByte // sync + MPEG-1 + Layer III + no CRC
+      f(2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+      f(3) = 0xc0.toByte // single channel
+      f
+    }
+    val id3 =
+      if (id3Size <= 0) Array.empty[Byte]
+      else {
+        val t = new Array[Byte](10 + id3Size)
+        t(0) = 'I'; t(1) = 'D'; t(2) = '3'; t(3) = 4
+        t(6) = ((id3Size >> 21) & 0x7f).toByte
+        t(7) = ((id3Size >> 14) & 0x7f).toByte
+        t(8) = ((id3Size >> 7) & 0x7f).toByte
+        t(9) = (id3Size & 0x7f).toByte
+        java.util.Arrays.fill(t, 10, 10 + id3Size, 0x20.toByte)
+        t
+      }
+    (id3 +: frameBytes).reduce(_ ++ _)
+  }
+
   def encodeWav(sampleRate: Int, channels: Int,
       samples: Array[Short]): Array[Byte] = {
     val info = "INFOISFTg".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -527,6 +815,44 @@ case class Pcm16Stats(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graft.MediaKernels.pcm16Stats($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `mp4_meta(binary)` -> struct(brand, n_tracks, timescale,
+  * duration_ms, width, height) via a real ISO-BMFF box walk. */
+case class Mp4Meta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = MediaKernels.Mp4MetaType
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_meta"
+  override def nullSafeEval(v: Any): Any =
+    MediaKernels.mp4Meta(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = org.apache.spark.sql.graft.MediaKernels.mp4Meta($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `mp3_meta(binary)` -> struct(n_frames, sample_rate, duration_s,
+  * mean_bitrate_kbps) via a real MPEG-1 frame-header walk. */
+case class Mp3Meta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = MediaKernels.Mp3MetaType
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp3_meta"
+  override def nullSafeEval(v: Any): Any =
+    MediaKernels.mp3Meta(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = org.apache.spark.sql.graft.MediaKernels.mp3Meta($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

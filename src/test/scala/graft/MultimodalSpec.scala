@@ -207,4 +207,45 @@ class MultimodalSpec extends SparkSpec {
     assert(sf(0).getDouble(2) == 0x11.toDouble)
     assert(sf(1).getDouble(2) == 0x77.toDouble)
   }
+
+  test("mp4_meta walks boxes: largesize mdat, free box, moov after mdat, v0/v1 mvhd") {
+    import org.apache.spark.sql.graft.MediaKernels
+    val v0 = MediaKernels.encodeMp4(0, 600, 1234L, 320, 180, moovFirst = true)
+    val v1 = MediaKernels.encodeMp4(1, 90000, 5678L, 640, 360, moovFirst = false)
+    val rows = Seq((0L, v0), (1L, v1), (2L, Array[Byte](1, 2, 3)))
+      .toDF("id", "mp4")
+      .select(col("id"), graft.functions.mp4_meta(col("mp4")).as("m"))
+      .orderBy("id").collect()
+    val m0 = rows(0).getStruct(1)
+    assert(m0.getString(0) == "isom")
+    assert(m0.getInt(1) == 2) // tracks
+    assert(m0.getInt(2) == 600)
+    assert(math.abs(m0.getDouble(3) - 1234.0 * 1000 / 600) < 1e-9)
+    assert(m0.getInt(4) == 320 && m0.getInt(5) == 180)
+    val m1 = rows(1).getStruct(1) // 64-bit times + non-faststart layout
+    assert(m1.getInt(2) == 90000)
+    assert(math.abs(m1.getDouble(3) - 5678.0 * 1000 / 90000) < 1e-9)
+    assert(m1.getInt(4) == 640 && m1.getInt(5) == 360)
+    assert(rows(2).isNullAt(1)) // not a BMFF payload
+  }
+
+  test("mp3_meta walks VBR frames behind an ID3v2 tag; malformed -> null") {
+    import org.apache.spark.sql.graft.MediaKernels
+    val good = MediaKernels.encodeMp3(44100,
+      Seq((128, 0), (192, 1), (224, 0)), id3Size = 41)
+    val noTag = MediaKernels.encodeMp3(48000, Seq((160, 1)), id3Size = 0)
+    val truncated = good.dropRight(3) // mid-frame cut
+    val rows = Seq((0L, good), (1L, noTag), (2L, truncated))
+      .toDF("id", "mp3")
+      .select(col("id"), graft.functions.mp3_meta(col("mp3")).as("m"))
+      .orderBy("id").collect()
+    val m0 = rows(0).getStruct(1)
+    assert(m0.getInt(0) == 3)
+    assert(m0.getInt(1) == 44100)
+    assert(math.abs(m0.getDouble(2) - 3 * 1152.0 / 44100) < 1e-9)
+    assert(math.abs(m0.getDouble(3) - (128 + 192 + 224) / 3.0) < 1e-9)
+    val m1 = rows(1).getStruct(1)
+    assert(m1.getInt(0) == 1 && m1.getInt(1) == 48000)
+    assert(rows(2).isNullAt(1)) // truncated final frame
+  }
 }
