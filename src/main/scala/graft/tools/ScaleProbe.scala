@@ -96,6 +96,34 @@ object ScaleProbe {
     val lineS = (System.nanoTime() - t7) / 1e9
     println(f"lineDedup: $n docs -> $nDup with duplicated lines in " +
       f"$lineS%.1fs (${n / lineS}%.0f docs/s)")
+    // byte-BPE encode sweep: 50k docs of 50 words drawn from the
+    // tokenizer's training vocabulary, so the merges actually FIRE
+    // (the md5-token corpus above would tokenize byte-per-byte and
+    // understate the per-rank pass work). Pins the narrow per-row
+    // tokenizer's scan throughput — the number that scales linearly
+    // with executors at 100 TB (no shuffle, no state; cost
+    // O(merges x bytes) with the presence-set prune).
+    val vocabSql = graft.text.TextOps.langStop("en")
+      .++(Seq("table", "scan", "merge", "join", "filter", "window",
+        "batch", "stream", "spark", "data", "query", "hash", "sort",
+        "group", "column", "vector", "customer", "order", "value",
+        "fast", "slow"))
+      .map(w => s"'$w'").mkString("array(", ", ", ")")
+    val bpeDocs = spark.range(n).select(col("id"),
+      expr(s"array_join(transform(sequence(0, 49), " +
+        s"j -> element_at($vocabSql, 1 + cast(pmod(id * 53 + j * 7, 31) as int))), ' ')")
+        .as("text"))
+      .cache()
+    bpeDocs.count()
+    val totalBytes = bpeDocs
+      .agg(sum(octet_length(col("text")))).collect()(0).getLong(0)
+    val t8 = System.nanoTime()
+    val totalToks = bpeDocs
+      .agg(sum(graft.functions.bpe_count(col("text")))).collect()(0).getLong(0)
+    val bpeS = (System.nanoTime() - t8) / 1e9
+    println(f"bpeCount: $n docs ($totalBytes%,d bytes -> $totalToks%,d tokens, " +
+      f"${totalBytes.toDouble / totalToks}%.2f bytes/token) in $bpeS%.1fs " +
+      f"(${n / bpeS}%.0f docs/s, ${totalBytes / bpeS / 1e6}%.1f MB/s on 8 threads)")
     spark.stop()
   }
 }
