@@ -131,6 +131,83 @@ object Bpe {
   private[text] def pass(toks: Array[Int], l: Int, r: Int, id: Int): Array[Int] =
     mergePass(toks, l, r, id)
 
+  /** DISTRIBUTED merge learning — the 100 TB path for training a
+    * tokenizer ON the corpus rather than on a driver-held sample.
+    * Each round counts adjacent token pairs corpus-wide (one
+    * map-side-combined aggregation; ~32 bytes of state per distinct
+    * pair, not per occurrence), picks the same
+    * (count desc, (left, right) asc) argmax as [[train]] on the
+    * driver, and applies the merge executor-side as a narrow
+    * transform. The merge LOOP is inherently sequential (each rank's
+    * counts depend on the previous merge — same as every public BPE
+    * trainer), so cost is `budget` aggregations; the per-round
+    * shuffle carries only the distinct-pair counts. Token state lives
+    * as per-doc int arrays, localCheckpoint'd every 16 rounds so the
+    * plan does not grow by one transform per rank.
+    *
+    * Identical output to [[train]] on the concatenation order being
+    * irrelevant: pair counts here do NOT span document boundaries
+    * (documents are independent sequences), which is the standard
+    * corpus-training formulation; [[train]] on a single string is the
+    * degenerate one-document case. BpeSpec pins the equivalence. */
+  def trainDistributed(docs: org.apache.spark.sql.DataFrame,
+      textCol: org.apache.spark.sql.Column, budget: Int): IndexedSeq[Merge] = {
+    import org.apache.spark.sql.functions.{col, explode, sum => fsum}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var toks = docs.select(textCol.cast("string").as("t"))
+      .filter(col("t").isNotNull)
+      .as[String]
+      .map(t => t.getBytes(StandardCharsets.UTF_8).map(b => b & 0xff))
+      .toDF("toks").persist()
+    toks.count()
+    val merges = IndexedSeq.newBuilder[Merge]
+    var next = 256
+    var n = 0
+    var continue = true
+    while (continue && n < budget) {
+      // pair counts: one combiner-aggregated shuffle of distinct pairs
+      val best = toks.as[Array[Int]]
+        .flatMap { a =>
+          val out = new Array[Long](math.max(a.length - 1, 0))
+          var i = 0
+          while (i + 1 < a.length) {
+            out(i) = (a(i).toLong << 32) | a(i + 1).toLong
+            i += 1
+          }
+          out
+        }
+        .toDF("pair")
+        .groupBy(col("pair")).agg(fsum(org.apache.spark.sql.functions.lit(1L)).as("c"))
+        .filter(col("c") >= 2)
+        // count desc, then pair asc — the exact [[train]] tie-break
+        .orderBy(col("c").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) continue = false
+      else {
+        val pair = best(0).getLong(0)
+        val l = (pair >>> 32).toInt
+        val r = (pair & 0xffffffffL).toInt
+        merges += Merge(l, r)
+        val id = next
+        val merged = toks.as[Array[Int]]
+          .map(a => pass(a, l, r, id))
+          .toDF("toks")
+        val fresh =
+          if ((n + 1) % 16 == 0) merged.localCheckpoint(true)
+          else merged.persist()
+        fresh.count()
+        toks.unpersist()
+        toks = fresh
+        next += 1
+        n += 1
+      }
+    }
+    toks.unpersist()
+    merges.result()
+  }
+
   /** Default merge budget: small enough that the oracle's per-rank
     * replay stays cheap, large enough to cover the corpus vocabulary
     * with whole-word tokens. */

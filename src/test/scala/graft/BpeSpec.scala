@@ -64,6 +64,27 @@ class BpeSpec extends SparkSpec {
     assert(t.count("") == 0)
   }
 
+  test("distributed training equals local training on a one-document corpus") {
+    val s = spark
+    import s.implicits._
+    val text = Bpe.trainingText.take(400)
+    val dist = Bpe.trainDistributed(
+      Seq(text).toDF("text"), org.apache.spark.sql.functions.col("text"), 24)
+    assert(dist == Bpe.train(text, 24))
+  }
+
+  test("distributed training: cross-doc counts, >= 2 threshold, early stop") {
+    val s = spark
+    import s.implicits._
+    // (a,b) occurs once in each of two docs -> count 2 corpus-wide ->
+    // merged; after the merge no pair reaches 2 ((c,d) occurs once),
+    // so training stops well under budget
+    val dist = Bpe.trainDistributed(
+      Seq("ab", "ab", "cd").toDF("text"),
+      org.apache.spark.sql.functions.col("text"), 5)
+    assert(dist == IndexedSeq(Bpe.Merge('a'.toInt, 'b'.toInt)))
+  }
+
   test("bpe_count / bpe_tokens expressions agree with the tokenizer") {
     val s = spark
     import s.implicits._
