@@ -64,8 +64,10 @@ object Knn {
       metric: Metric = L2Sq,
       tieBreaker: Option[Column] = None,
       initK: Int = 10,
-      maxK: Int = 1000): Iterator[org.apache.spark.sql.Row] =
+      maxK: Int = 1000): Iterator[org.apache.spark.sql.Row] = {
+    require(initK > 0, s"initK must be positive, got $initK")
     new KnnCursor(df, vecCol, query, metric, tieBreaker, initK, maxK)
+  }
 
   private[graft] final class KnnCursor(
       df: DataFrame, vecCol: Column, query: Column, metric: Metric,
@@ -105,6 +107,14 @@ object Knn {
     private def refill(delta: Int): Array[org.apache.spark.sql.Row] = {
       val di = batch.last.fieldIndex("dist")
       val lastDist = batch.last.getDouble(di)
+      // NaN boundary (e.g. cos_dist of a zero-norm vector): Scala's
+      // NaN == NaN is false while Spark SQL's EqualTo says true, so
+      // the seek/tie split would drop and duplicate rows — fall back
+      // to the reference's full re-fetch for this (degenerate,
+      // sorts-last) boundary; the prefix is identical under the total
+      // order, so dropping it yields exactly the delta
+      if (lastDist.isNaN)
+        return fetch(df, batch.length + delta).drop(batch.length)
       val seenTies =
         batch.reverseIterator.takeWhile(_.getDouble(di) == lastDist).length
       val tieBlock =

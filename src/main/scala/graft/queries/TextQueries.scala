@@ -146,14 +146,18 @@ object TextQueries {
   /** Byte-BPE tokenization end-to-end: count, byte length, and an md5
     * over the comma-joined hex token sequence — so the oracle's merge
     * replay must reproduce token IDENTITY, not just counts. */
-  private def tokenBpe(s: SparkSession, dir: String): DataFrame =
+  private def tokenBpe(s: SparkSession, dir: String): DataFrame = {
+    // both outputs derive from the SAME bpe_tokens expression so
+    // whole-stage codegen's subexpression elimination runs the
+    // O(merges x bytes) encode once per row, not twice
+    val toks = graft.functions.bpe_tokens(col("text"))
     docs(s, dir).select(
         col("doc_id"),
         octet_length(col("text")).cast("long").as("n_bytes"),
-        graft.functions.bpe_count(col("text")).as("n_bpe"),
-        md5(array_join(graft.functions.bpe_tokens(col("text")), ",")
-          .cast("binary")).as("toks_md5"))
+        size(toks).cast("long").as("n_bpe"),
+        md5(array_join(toks, ",").cast("binary")).as("toks_md5"))
       .orderBy(col("doc_id").asc).limit(200)
+  }
 
   /** Sequence packing with the REAL tokenizer as the token basis (the
     * round-4 review: "the packing family is only as real as its

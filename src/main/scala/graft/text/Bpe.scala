@@ -194,10 +194,11 @@ object Bpe {
         val merged = toks.as[Array[Int]]
           .map(a => pass(a, l, r, id))
           .toDF("toks")
+        // eager localCheckpoint already materializes every partition;
+        // only the persist branch needs an explicit job
         val fresh =
           if ((n + 1) % 16 == 0) merged.localCheckpoint(true)
-          else merged.persist()
-        fresh.count()
+          else { val p = merged.persist(); p.count(); p }
         toks.unpersist()
         toks = fresh
         next += 1
@@ -235,6 +236,16 @@ final class BpeTokenizer(val merges: IndexedSeq[Bpe.Merge])
       v(256 + i) = v(merges(i).left) + v(merges(i).right)
       i += 1
     }
+    // the oracle's string replay distinguishes tokens only by byte
+    // content, while the int-id encoder distinguishes ids — a merge
+    // table where two ids render identically (e.g. ('ab','c') AND
+    // ('a','bc')) would silently diverge between the two. No trainer
+    // output can ever contain such a pair twice with the >= 2
+    // frequency rule on a single corpus, but the invariant is what the
+    // q_token_bpe contract RESTS on, so pin it at construction.
+    require(v.distinct.length == v.length,
+      "duplicate token byte-strings in the merge table: the string " +
+        "replay and the id encoder would diverge")
     v
   }
 

@@ -445,7 +445,12 @@ object MediaKernels {
               case "trak" =>
                 nTracks += 1
                 walk(co, ce) { (t3, to3, te3) =>
-                  if (t3 == "tkhd" && w == 0) {
+                  if (t3 != "tkhd" || w != 0) true
+                  // length-check BEFORE the version read: a zero-
+                  // payload tkhd at the buffer end must yield null,
+                  // not an index exception out of codegen
+                  else if (te3 - to3 < 1) false
+                  else {
                     val ver = b(to3.toInt) & 0xff
                     // offset of width within the payload, past
                     // ver/flags + times/ids/reserved/duration +
@@ -458,7 +463,7 @@ object MediaKernels {
                       if (tw > 0 && th > 0) { w = tw; h = th }
                       true
                     }
-                  } else true
+                  }
                 }
               case _ => true
             }

@@ -145,11 +145,18 @@ class EmbedSpec extends SparkSpec {
     }
 
     // probe true but no impl named: the error says exactly what to set
-    System.clearProperty("graft.ort.impl")
-    val noImpl = intercept[IllegalArgumentException] {
-      new OrtRuntime(probe = () => true).embedBatch("m", Seq("x"))
+    // (save/restore again — an externally set property must survive
+    // the suite)
+    val prev2 = System.getProperty("graft.ort.impl")
+    try {
+      System.clearProperty("graft.ort.impl")
+      val noImpl = intercept[IllegalArgumentException] {
+        new OrtRuntime(probe = () => true).embedBatch("m", Seq("x"))
+      }
+      assert(noImpl.getMessage.contains("graft.ort.impl"))
+    } finally {
+      if (prev2 != null) System.setProperty("graft.ort.impl", prev2)
     }
-    assert(noImpl.getMessage.contains("graft.ort.impl"))
   }
 
   test("measureSpeed reports positive throughput") {

@@ -68,6 +68,27 @@ class KnnCursorSpec extends SparkSpec {
     assert(got.distinct.length == 40)
   }
 
+  test("NaN distances at a batch boundary neither duplicate nor drop rows") {
+    val s = spark
+    import s.implicits._
+    // zero-norm vectors make cos_dist = 0/0 = NaN for every row: the
+    // delta path's Scala ==) and Spark SQL (EqualTo) NaN semantics
+    // disagree, so the cursor must take the full-refetch fallback
+    val rows = (0 until 7).map(i => (i.toLong, Seq.fill(4)(0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val it = Knn.knnCursor(df, col("embedding"), vecLit(Seq.fill(4)(1.0f)),
+      Knn.Cos, Some(col("vec_id")), initK = 2)
+    val got = it.map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == (0L until 7L), s"NaN boundary broke the cursor: $got")
+  }
+
+  test("non-positive initK is rejected up front") {
+    intercept[IllegalArgumentException] {
+      Knn.knnCursor(emb, col("embedding"), vecLit(q),
+        Knn.L2Sq, Some(col("vec_id")), initK = 0)
+    }
+  }
+
   test("GraftConf exposes the reference defaults") {
     assert(GraftConf.initK(spark) == 10)
     assert(GraftConf.maxK(spark) == 1000)

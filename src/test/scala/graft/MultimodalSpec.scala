@@ -227,6 +227,19 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(m1.getDouble(3) - 5678.0 * 1000 / 90000) < 1e-9)
     assert(m1.getInt(4) == 640 && m1.getInt(5) == 360)
     assert(rows(2).isNullAt(1)) // not a BMFF payload
+
+    // malformed: a zero-payload tkhd box at the very end of the buffer
+    // must yield null, not an index exception out of codegen
+    def beBox(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+      buf.putInt(8 + payload.length).put(typ.getBytes).put(payload)
+      buf.array()
+    }
+    val ftyp = beBox("ftyp", "isom\u0000\u0000\u0000\u0000".getBytes)
+    val evil = ftyp ++ beBox("moov", beBox("trak", beBox("tkhd", Array.empty)))
+    val evilRow = Seq(Tuple1(evil)).toDF("mp4")
+      .select(graft.functions.mp4_meta(col("mp4")).as("m")).collect()(0)
+    assert(evilRow.isNullAt(0))
   }
 
   test("mp3_meta walks VBR frames behind an ID3v2 tag; malformed -> null") {
