@@ -34,42 +34,61 @@ object Autotune {
       sampleSize: Int = 10000, numQueries: Int = 10,
       variants: Seq[Variant] = presets): Report = {
     val spark = df.sparkSession
-    // uniform hash-order sample, not a prefix (same reasoning as
-    // Pq.trainingSample: a limit() prefix on a source-ordered corpus
-    // tunes against one domain's slice)
-    val sample = df.select(idCol, vecCol)
-      .orderBy(xxhash64(col(idCol), lit(42L)).asc)
-      .limit(sampleSize).cache()
+    val st = sampleTruth(df, idCol, vecCol, metric, k, sampleSize, numQueries)
     try {
-      val local: Array[(Long, Array[Float])] = sample.collect()
-        .map(r => (r.get(0).asInstanceOf[Number].longValue(),
-          r.getSeq[Float](1).toArray))
-      val queries = local.sortBy(_._1).take(numQueries).map(_._2)
-      // exact ground truth by full scan (mod.rs:188-218)
-      val truth: Seq[Set[Long]] = queries.map { q =>
-        local.map { case (id, v) => (id, metric.dist(q, v)) }
-          .sortBy(x => (x._2, x._1)).take(k).map(_._1).toSet
-      }.toSeq
-
       val results = variants.zipWithIndex.map { case (v, i) =>
         val dir = s"$workDir/variant_$i"
         val t0 = System.nanoTime()
-        AnnIndex.build(sample, idCol, vecCol, dir,
+        AnnIndex.build(st.sample, idCol, vecCol, dir,
           AnnIndex.Params(metric, v.m, v.efConstruction, numShards = 4))
         val builtMs = (System.nanoTime() - t0) / 1000000
         val t1 = System.nanoTime()
-        val hits = queries.zip(truth).map { case (q, exact) =>
+        val hits = st.queries.zip(st.truth).map { case (q, exact) =>
           val approx = AnnIndex.topK(spark, dir, q, k, v.ef)
-            .collect().map(_.getLong(0)).toSet
+            .collect().map(idOf).toSet
           exact.intersect(approx).size
         }.sum
         val searchMs = (System.nanoTime() - t1) / 1000000
-        Result(v, hits.toDouble / (k * queries.length), builtMs, searchMs)
+        Result(v, hits.toDouble / st.denom, builtMs, searchMs)
       }
       // cheapest (preset order) variant meeting the target
       val best = results.find(_.recall >= targetRecall).map(_.variant)
       Report(best, results)
-    } finally sample.unpersist()
+    } finally st.sample.unpersist()
+  }
+
+  /** Shared grid scaffolding: uniform hash-order sample (not a prefix —
+    * same reasoning as Pq.trainingSample: a limit() prefix on a
+    * source-ordered corpus tunes against one domain's slice), probe
+    * queries, and exact ground truth by full scan (mod.rs:188-218).
+    * The recall denominator uses min(k, |sample|): on a corpus smaller
+    * than k even a perfect index can only return |sample| rows, and a
+    * k-based denominator would reject every variant. */
+  private case class SampleTruth(sample: DataFrame,
+      local: Array[(Long, Array[Float])], queries: Array[Array[Float]],
+      truth: Seq[Set[Long]], denom: Double)
+
+  /** First column as Long regardless of the table's id type (topK
+    * preserves the source column type). */
+  private def idOf(r: org.apache.spark.sql.Row): Long =
+    r.get(0).asInstanceOf[Number].longValue()
+
+  private def sampleTruth(df: DataFrame, idCol: String, vecCol: String,
+      metric: Metric, k: Int, sampleSize: Int,
+      numQueries: Int): SampleTruth = {
+    val sample = df.select(idCol, vecCol)
+      .orderBy(xxhash64(col(idCol), lit(42L)).asc)
+      .limit(sampleSize).cache()
+    val local: Array[(Long, Array[Float])] = sample.collect()
+      .map(r => (idOf(r), r.getSeq[Float](1).toArray))
+    val queries = local.sortBy(_._1).take(numQueries).map(_._2)
+    val effK = math.min(k, local.length)
+    val truth: Seq[Set[Long]] = queries.map { q =>
+      local.map { case (id, v) => (id, metric.dist(q, v)) }
+        .sortBy(x => (x._2, x._1)).take(k).map(_._1).toSet
+    }.toSeq
+    SampleTruth(sample, local, queries, truth,
+      math.max(effK * queries.length, 1).toDouble)
   }
 
   /** IVF grid presets, cheapest-first (scan fraction nprobe/nCells
@@ -100,26 +119,16 @@ object Autotune {
       sampleSize: Int = 10000, numQueries: Int = 10,
       variants: Seq[IvfVariant] = ivfPresets): IvfReport = {
     val spark = df.sparkSession
-    val sample = df.select(idCol, vecCol)
-      .orderBy(xxhash64(col(idCol), lit(42L)).asc)
-      .limit(sampleSize).cache()
+    val st = sampleTruth(df, idCol, vecCol, metric, k, sampleSize, numQueries)
     try {
-      val local: Array[(Long, Array[Float])] = sample.collect()
-        .map(r => (r.get(0).asInstanceOf[Number].longValue(),
-          r.getSeq[Float](1).toArray))
-      val queries = local.sortBy(_._1).take(numQueries).map(_._2)
-      val truth: Seq[Set[Long]] = queries.map { q =>
-        local.map { case (id, v) => (id, metric.dist(q, v)) }
-          .sortBy(x => (x._2, x._1)).take(k).map(_._1).toSet
-      }.toSeq
-      val total = local.length.toDouble
+      val total = st.local.length.toDouble
 
       val byCells = variants.map(_.nCells).distinct
       val built: Map[Int, (String, Long, Array[Array[Float]], Map[Int, Long])] =
         byCells.map { nc =>
           val dir = s"$workDir/ivf_$nc"
           val t0 = System.nanoTime()
-          val cents = IvfIndex.build(sample, idCol, vecCol, dir,
+          val cents = IvfIndex.build(st.sample, idCol, vecCol, dir,
             IvfIndex.Params(nCells = nc, metric = metric))
           val buildMs = (System.nanoTime() - t0) / 1000000
           val sizes: Map[Int, Long] = spark.read
@@ -132,26 +141,25 @@ object Autotune {
       val results = variants.map { v =>
         val (dir, buildMs, cents, sizes) = built(v.nCells)
         val t1 = System.nanoTime()
-        val hits = queries.zip(truth).map { case (q, exact) =>
+        val hits = st.queries.zip(st.truth).map { case (q, exact) =>
           val approx = IvfIndex.topK(spark, dir, q, k, v.nprobe)
-            .collect().map(_.getLong(0)).toSet
+            .collect().map(idOf).toSet
           exact.intersect(approx).size
         }.sum
         val searchMs = (System.nanoTime() - t1) / 1000000
         // measured scan fraction: rows in each query's nprobe nearest
         // cells (ties broken by cell id, matching the probe path)
-        val frac = queries.map { q =>
+        val frac = st.queries.map { q =>
           val probed = cents.zipWithIndex
             .map { case (c, i) => (metric.dist(q, c), i) }
             .sortBy(identity).take(v.nprobe).map(_._2)
           probed.map(i => sizes.getOrElse(i, 0L)).sum.toDouble / total
-        }.sum / queries.length
-        IvfResult(v, hits.toDouble / (k * queries.length), frac,
-          buildMs, searchMs)
+        }.sum / st.queries.length
+        IvfResult(v, hits.toDouble / st.denom, frac, buildMs, searchMs)
       }
       val best = results.find(_.recall >= targetRecall).map(_.variant)
       IvfReport(best, results)
-    } finally sample.unpersist()
+    } finally st.sample.unpersist()
   }
 
   /** Run the grid and, like the reference's `--create-index`, build the

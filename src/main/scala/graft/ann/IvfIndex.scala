@@ -166,7 +166,13 @@ object IvfIndex {
   private[graft] def applyStreamBatch(batch: DataFrame, batchId: Long,
       indexPath: String): Unit = {
     val marker = new Path(indexPath, s"_applied_batch_$batchId")
-    val fs = marker.getFileSystem(new Configuration())
+    // the SESSION Hadoop conf, not a bare new Configuration(): the
+    // marker is the commit point of the protocol, and on a store
+    // configured via spark.hadoop.* (s3a credentials/endpoints — the
+    // normal case at scale) an unconfigured FileSystem would stage
+    // every batch but never commit one
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sessionState.newHadoopConf())
     if (fs.exists(marker)) return
     if (!batch.isEmpty) {
       val man = readManifest(indexPath)
@@ -187,7 +193,7 @@ object IvfIndex {
       indexPath: String): DataFrame = {
     val base = spark.read.parquet(s"$indexPath/cells")
     val batchesDir = new Path(indexPath, "batches")
-    val fs = batchesDir.getFileSystem(new Configuration())
+    val fs = batchesDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(batchesDir)) base
     else {
       val committed = fs.listStatus(batchesDir).toSeq.map(_.getPath)

@@ -66,6 +66,13 @@ object Knn {
       initK: Int = 10,
       maxK: Int = 1000): Iterator[org.apache.spark.sql.Row] = {
     require(initK > 0, s"initK must be positive, got $initK")
+    // the cursor appends its own "dist" column (as the reference's
+    // scans expose the distance); a pre-existing dist column would be
+    // silently overwritten AND poison the struct-of-all-columns total
+    // order the seek refills depend on
+    require(!df.columns.contains("dist"),
+      "knnCursor input must not already have a 'dist' column " +
+        "(rename it; the cursor emits the search distance under that name)")
     new KnnCursor(df, vecCol, query, metric, tieBreaker, initK, maxK)
   }
 

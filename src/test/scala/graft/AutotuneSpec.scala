@@ -57,6 +57,21 @@ class AutotuneSpec extends SparkSpec {
       report.results.map(r => (r.variant, r.recall, r.scanFraction)))
   }
 
+  test("a corpus smaller than k can still meet the target (min(k, n) denominator)") {
+    import graft.ann.Autotune.IvfVariant
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+    val work = Files.createTempDirectory("autotune_small").toString
+    val report = Autotune.runIvf(emb, "vec_id", "embedding", work,
+      metric = Metric.L2Sq, k = 10, targetRecall = 0.99,
+      sampleSize = 100, numQueries = 3,
+      variants = Seq(IvfVariant(2, 2)))
+    // an exhaustive probe over 8 rows returns all 8 — recall must be
+    // 1.0, not 0.8 (a k=10 denominator would reject every variant)
+    assert(report.results.head.recall == 1.0, report.results)
+    assert(report.best.contains(IvfVariant(2, 2)))
+  }
+
   test("runAndCreate builds the winning index (--create-index)") {
     val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
     val work = Files.createTempDirectory("autotune2").toString

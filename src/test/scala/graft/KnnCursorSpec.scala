@@ -89,6 +89,15 @@ class KnnCursorSpec extends SparkSpec {
     }
   }
 
+  test("a pre-existing dist column is rejected, not silently overwritten") {
+    val poisoned = emb.withColumn("dist", lit(0.0))
+    val e = intercept[IllegalArgumentException] {
+      Knn.knnCursor(poisoned, col("embedding"), vecLit(q),
+        Knn.L2Sq, Some(col("vec_id")))
+    }
+    assert(e.getMessage.contains("dist"))
+  }
+
   test("GraftConf exposes the reference defaults") {
     assert(GraftConf.initK(spark) == 10)
     assert(GraftConf.maxK(spark) == 1000)
