@@ -185,26 +185,39 @@ object IvfIndex {
     fs.create(marker, true).close()
   }
 
-  /** The readable cell rows: the base `cells/` table plus every
-    * COMMITTED streaming batch (marker present — an uncommitted or
-    * partially staged dir is invisible). Static `cell_id IN (...)`
-    * filters push into every branch as partition filters. */
-  private[graft] def cellsDf(spark: SparkSession,
-      indexPath: String): DataFrame = {
+  /** The readable cell frames as SEPARATE branches: the base `cells/`
+    * table plus one frame per COMMITTED streaming batch (marker
+    * present — an uncommitted or partially staged dir is invisible).
+    * Branches are exposed individually because dynamic partition
+    * pruning matches a partitioned scan sitting directly under its
+    * join, not through a Union — [[topKJoin]] joins each branch before
+    * unioning. Listing cost is bounded: ONE root listing serves every
+    * marker check (no per-batch exists RPC) and batch reads reuse the
+    * base schema, so no per-dir footer inference runs. */
+  private[graft] def cellsBranches(spark: SparkSession,
+      indexPath: String): Seq[DataFrame] = {
     val base = spark.read.parquet(s"$indexPath/cells")
     val batchesDir = new Path(indexPath, "batches")
     val fs = batchesDir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(batchesDir)) base
+    if (!fs.exists(batchesDir)) Seq(base)
     else {
+      val markers = fs.listStatus(new Path(indexPath))
+        .map(_.getPath.getName)
+        .filter(_.startsWith("_applied_batch_")).toSet
       val committed = fs.listStatus(batchesDir).toSeq.map(_.getPath)
         .filter(p => p.getName.startsWith("batch_") &&
-          fs.exists(new Path(indexPath, s"_applied_${p.getName}")))
+          markers.contains(s"_applied_${p.getName}"))
         .sortBy(_.getName)
-      committed.foldLeft(base) { (acc, p) =>
-        acc.unionByName(spark.read.parquet(p.toString))
-      }
+      base +: committed.map(p =>
+        spark.read.schema(base.schema).parquet(p.toString))
     }
   }
+
+  /** All readable cell rows in one frame. Static `cell_id IN (...)`
+    * filters push into every branch as partition filters. */
+  private[graft] def cellsDf(spark: SparkSession,
+      indexPath: String): DataFrame =
+    cellsBranches(spark, indexPath).reduce(_ unionByName _)
 
   /** Top-k over the `nprobe` nearest cells only (exact within the
     * probed cells: reads the raw vector column). */
@@ -312,7 +325,6 @@ object IvfIndex {
           .orderBy(col("__ivf_cdist").asc, col("cell_id").asc)))
       .filter(col("__ivf_rn") <= math.max(nprobe, 1))
       .select(col("__ivf_qid"), col("cell_id"))
-    val cells = cellsDf(spark, indexPath)
     // the (qid, cell) routing pairs ALWAYS broadcast (16 bytes/row — at
     // any plausible query count they are MBs) so dynamic partition
     // pruning fires on the cells scan; the query VECTORS broadcast only
@@ -323,7 +335,14 @@ object IvfIndex {
     // once on __ivf_qid, which the per-query top-k window below
     // re-uses as its partitioning, so the switch adds no extra
     // exchange to the plan's steady state.
-    val candidates = cells.join(broadcast(routed), "cell_id")
+    //
+    // Each cells BRANCH (base + committed streaming batches) joins the
+    // routing pairs separately and the RESULTS union: DPP only matches
+    // a partitioned scan directly under its join, so joining a Union
+    // of scans would silently read every cell of every branch.
+    val candidates = cellsBranches(spark, indexPath)
+      .map(_.join(broadcast(routed), "cell_id"))
+      .reduce(_ unionByName _)
     val nQ = q2.count()
     val withVecs =
       if (nQ <= graft.GraftConf.ivfBroadcastQueryLimit(spark))
@@ -366,7 +385,7 @@ object IvfIndex {
     props.setProperty("n_cells", man.nCells.toString)
     props.setProperty("pq", man.pq.toString)
     val p = new Path(indexPath, "manifest.properties")
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(graft.HadoopConfs.driver())
     val out = fs.create(p, true)
     try props.store(out, "graft IVF index manifest")
     finally out.close()
@@ -374,7 +393,7 @@ object IvfIndex {
 
   def readManifest(indexPath: String): Manifest = {
     val p = new Path(indexPath, "manifest.properties")
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(graft.HadoopConfs.driver())
     require(fs.exists(p),
       s"no manifest at $p - this IVF index predates the manifest format; " +
         "rebuild it with IvfIndex.build")

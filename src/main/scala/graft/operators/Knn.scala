@@ -70,7 +70,9 @@ object Knn {
     // scans expose the distance); a pre-existing dist column would be
     // silently overwritten AND poison the struct-of-all-columns total
     // order the seek refills depend on
-    require(!df.columns.contains("dist"),
+    // case-INSENSITIVE: Spark resolution is, so a column named "Dist"
+    // would be silently replaced by withColumn("dist", ...) all the same
+    require(!df.columns.exists(_.equalsIgnoreCase("dist")),
       "knnCursor input must not already have a 'dist' column " +
         "(rename it; the cursor emits the search distance under that name)")
     new KnnCursor(df, vecCol, query, metric, tieBreaker, initK, maxK)
@@ -113,15 +115,16 @@ object Knn {
       * expression, so the float comparisons are exact. */
     private def refill(delta: Int): Array[org.apache.spark.sql.Row] = {
       val di = batch.last.fieldIndex("dist")
-      val lastDist = batch.last.getDouble(di)
-      // NaN boundary (e.g. cos_dist of a zero-norm vector): Scala's
-      // NaN == NaN is false while Spark SQL's EqualTo says true, so
-      // the seek/tie split would drop and duplicate rows — fall back
-      // to the reference's full re-fetch for this (degenerate,
-      // sorts-last) boundary; the prefix is identical under the total
-      // order, so dropping it yields exactly the delta
-      if (lastDist.isNaN)
+      // degenerate boundaries take the reference's full re-fetch (the
+      // prefix is identical under the total order, so dropping it
+      // yields exactly the delta): a NULL dist (null vector rows sort
+      // FIRST under asc) would NPE out of getDouble, and a NaN
+      // boundary (cos_dist of a zero-norm vector) splits rows
+      // differently between Scala == (NaN != NaN) and Spark SQL's
+      // EqualTo (NaN = NaN), dropping and duplicating rows
+      if (batch.last.isNullAt(di) || batch.last.getDouble(di).isNaN)
         return fetch(df, batch.length + delta).drop(batch.length)
+      val lastDist = batch.last.getDouble(di)
       val seenTies =
         batch.reverseIterator.takeWhile(_.getDouble(di) == lastDist).length
       val tieBlock =

@@ -59,8 +59,11 @@ class BpeSpec extends SparkSpec {
 
   test("multibyte UTF-8 bytes are tokenized byte-level, not dropped") {
     val t = Bpe.default
-    assert(t.count("é") == "é".getBytes("UTF-8").length ||
-      t.count("é") < "é".getBytes("UTF-8").length) // merges may join
+    // é is two UTF-8 bytes (c3 a9); the ASCII training fixture never
+    // learned that merge, so the count is EXACTLY 2 — a dropped-byte
+    // bug would yield 0 or 1, a char-level tokenizer 1
+    assert(t.count("é") == 2)
+    assert(t.encodeHex("é").toSeq == Seq("c3", "a9"))
     assert(t.count("") == 0)
   }
 

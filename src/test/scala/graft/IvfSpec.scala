@@ -227,6 +227,33 @@ class IvfSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("routed join keeps per-branch dynamic pruning after a committed stream batch") {
+    val dir = Files.createTempDirectory("ivf_dpp").toString + "/idx"
+    IvfIndex.build(emb.filter(col("vec_id") < 400), "vec_id", "embedding",
+      dir, IvfIndex.Params(nCells = 16))
+    IvfIndex.applyStreamBatch(
+      emb.filter(col("vec_id") >= 400).toDF(), 1L, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+    val joined = IvfIndex.topKJoin(queries, "vec_id", "embedding", dir,
+      k = 5, nprobe = 16)
+    // DPP must reach BOTH branch scans (a Union above the scans would
+    // silently drop it and re-read every cell of every branch)
+    val plan = joined.queryExecution.executedPlan.toString
+    val dppScans = plan.split("\n")
+      .count(l => l.contains("dynamicpruningexpression"))
+    assert(dppScans >= 2, s"expected DPP on base AND batch scans:\n$plan")
+    // and the result over base+batch equals exact over the full corpus
+    val got = joined.collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val exact = corpus.filter(_._1 < 5).sortBy(_._1).flatMap { case (qid, qv) =>
+      corpus.map { case (id, v) => (id, Metric.L2Sq.dist(qv, v)) }
+        .sortBy(x => (x._2, x._1)).take(5).zipWithIndex
+        .map { case ((id, _), i) => (qid, i + 1, id) }
+    }.toSeq
+    assert(got == exact)
+  }
+
   test("streamAppend end-to-end through a real AvailableNow stream") {
     val root = Files.createTempDirectory("ivf_stream_e2e").toString
     val dir = s"$root/idx"
