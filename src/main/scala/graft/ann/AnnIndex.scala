@@ -178,7 +178,9 @@ object AnnIndex {
   private[graft] def applyStreamBatch(batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, indexPath: String): Unit = {
     val marker = new Path(indexPath, s"_applied_batch_$batchId")
-    val fs = marker.getFileSystem(new Configuration())
+    // session Hadoop conf: the marker is the commit point, and a bare
+    // Configuration cannot reach spark.hadoop.*-configured stores
+    val fs = marker.getFileSystem(graft.HadoopConfs.driver())
     if (fs.exists(marker)) return
     val stage = s"batch_$batchId"
     val man = readManifest(indexPath)
@@ -216,7 +218,7 @@ object AnnIndex {
     // come from different JVMs/hosts against shared storage (a clock
     // like nanoTime has a per-boot origin: a "newer" delete could sort
     // before an older one and be served stale, or pruned outright).
-    val fs = new Path(indexPath).getFileSystem(new Configuration())
+    val fs = new Path(indexPath).getFileSystem(graft.HadoopConfs.driver())
     // merge from a FRESH listing, never the TTL probe cache: merging a
     // <TTL-stale set here would resurrect another JVM's recent deletes
     // into the new (winning) generation
@@ -390,7 +392,7 @@ object AnnIndex {
     props.setProperty("pq", man.pq.toString)
     props.setProperty("shards", man.shards.mkString(","))
     val p = new Path(indexPath, "manifest.properties")
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(graft.HadoopConfs.driver())
     val out = fs.create(p, true)
     try props.store(out, "graft ANN index manifest")
     finally out.close()
@@ -398,7 +400,7 @@ object AnnIndex {
 
   def readManifest(indexPath: String): Manifest = {
     val p = new Path(indexPath, "manifest.properties")
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(graft.HadoopConfs.driver())
     val in = fs.open(p)
     val props = new java.util.Properties()
     try props.load(in) finally in.close()
