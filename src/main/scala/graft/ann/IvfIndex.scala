@@ -38,8 +38,11 @@ object IvfIndex {
       sampleLimit: Int = 10000, seed: Long = 42L,
       pq: Option[graft.pq.Codebook] = None)
 
+  /** `cellsDir` is the CURRENT cells generation (the consolidation
+    * commit point): readers follow it, so swapping the manifest
+    * atomically retargets every search at a consolidated generation. */
   case class Manifest(idCol: String, vecCol: String, metric: Metric,
-      nCells: Int, pq: Boolean)
+      nCells: Int, pq: Boolean, cellsDir: String = "cells")
 
   /** Train centroids, assign cells, write the partitioned table +
     * centroid/codebook sidecars + manifest. Returns the centroids. */
@@ -102,7 +105,7 @@ object IvfIndex {
       .repartition(col("cell_id"))
       .write.mode(SaveMode.Append)
       .partitionBy("cell_id")
-      .parquet(s"$indexPath/cells")
+      .parquet(s"$indexPath/${man.cellsDir}")
   }
 
   /** Frozen-centroid cell assignment (+ PQ re-quantization when the
@@ -129,7 +132,7 @@ object IvfIndex {
 
   /** Streaming append — the IVF parity of [[AnnIndex.streamAppend]],
     * with the same crash-window analysis. Each micro-batch lands as an
-    * immutable `batches/batch_<id>/` directory (partitioned by
+    * immutable `<gen>_batches/batch_<id>/` directory (partitioned by
     * cell_id, written with Overwrite) and is COMMITTED by the single
     * atomic creation of an `_applied_batch_<id>` marker; readers
     * ([[cellsDf]]) union the base cells with committed batch dirs
@@ -140,9 +143,9 @@ object IvfIndex {
     * byte-identically; zero-row batches write their marker only.
     * Unlike [[AnnIndex.applyStreamBatch]] there is no manifest to
     * co-commit, so the marker alone is the commit point — one atomic
-    * step, no window B. Batch dirs accumulate until the index is
-    * rebuilt from its source table (the compaction path, matching the
-    * HNSW family's rebuild-not-merge stance). */
+    * step, no window B. [[consolidate]] folds committed batches into
+    * a fresh cells generation (manifest-swap commit, markers carried
+    * forward) so batch dirs never accumulate unboundedly. */
   def streamAppend(spark: SparkSession, srcPath: String,
       schema: org.apache.spark.sql.types.StructType, indexPath: String,
       checkpoint: String,
@@ -161,11 +164,21 @@ object IvfIndex {
       .start()
   }
 
+  // batches and applied-markers are scoped to a cells GENERATION so a
+  // consolidated generation starts clean by construction
+  private def batchesDirName(gen: String) = s"${gen}_batches"
+  private def markerName(gen: String, batchId: Long) =
+    s"_applied_${gen}_batch_$batchId"
+  private val GenDir = "^cells(_g\\d{6})?$".r
+  private val GenBatchesDir = "^(cells(?:_g\\d{6})?)_batches$".r
+  private val GenMarker = "^_applied_(cells(?:_g\\d{6})?)_batch_(\\d+)$".r
+
   /** Idempotent body of one [[streamAppend]] micro-batch (package
     * visibility so specs can replay it around simulated crashes). */
   private[graft] def applyStreamBatch(batch: DataFrame, batchId: Long,
       indexPath: String): Unit = {
-    val marker = new Path(indexPath, s"_applied_batch_$batchId")
+    val man = readManifest(indexPath)
+    val marker = new Path(indexPath, markerName(man.cellsDir, batchId))
     // the SESSION Hadoop conf, not a bare new Configuration(): the
     // marker is the commit point of the protocol, and on a store
     // configured via spark.hadoop.* (s3a credentials/endpoints — the
@@ -175,18 +188,17 @@ object IvfIndex {
       batch.sparkSession.sessionState.newHadoopConf())
     if (fs.exists(marker)) return
     if (!batch.isEmpty) {
-      val man = readManifest(indexPath)
       assignCells(batch, man, indexPath)
         .repartition(col("cell_id"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("cell_id")
-        .parquet(s"$indexPath/batches/batch_$batchId")
+        .parquet(s"$indexPath/${batchesDirName(man.cellsDir)}/batch_$batchId")
     }
     fs.create(marker, true).close()
   }
 
-  /** The readable cell frames as SEPARATE branches: the base `cells/`
-    * table plus one frame per COMMITTED streaming batch (marker
+  /** The readable cell frames as SEPARATE branches: the current cells
+    * generation plus one frame per COMMITTED streaming batch (marker
     * present — an uncommitted or partially staged dir is invisible).
     * Branches are exposed individually because dynamic partition
     * pruning matches a partitioned scan sitting directly under its
@@ -194,19 +206,20 @@ object IvfIndex {
     * unioning. Listing cost is bounded: ONE root listing serves every
     * marker check (no per-batch exists RPC) and batch reads reuse the
     * base schema, so no per-dir footer inference runs. */
-  private[graft] def cellsBranches(spark: SparkSession,
-      indexPath: String): Seq[DataFrame] = {
-    val base = spark.read.parquet(s"$indexPath/cells")
-    val batchesDir = new Path(indexPath, "batches")
+  private[graft] def cellsBranches(spark: SparkSession, indexPath: String,
+      cellsDir: String): Seq[DataFrame] = {
+    val base = spark.read.parquet(s"$indexPath/$cellsDir")
+    val batchesDir = new Path(indexPath, batchesDirName(cellsDir))
     val fs = batchesDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(batchesDir)) Seq(base)
     else {
       val markers = fs.listStatus(new Path(indexPath))
         .map(_.getPath.getName)
-        .filter(_.startsWith("_applied_batch_")).toSet
+        .filter(_.startsWith(s"_applied_${cellsDir}_batch_")).toSet
       val committed = fs.listStatus(batchesDir).toSeq.map(_.getPath)
         .filter(p => p.getName.startsWith("batch_") &&
-          markers.contains(s"_applied_${p.getName}"))
+          markers.contains(
+            s"_applied_${cellsDir}_${p.getName}"))
         .sortBy(_.getName)
       base +: committed.map(p =>
         spark.read.schema(base.schema).parquet(p.toString))
@@ -216,8 +229,77 @@ object IvfIndex {
   /** All readable cell rows in one frame. Static `cell_id IN (...)`
     * filters push into every branch as partition filters. */
   private[graft] def cellsDf(spark: SparkSession,
-      indexPath: String): DataFrame =
-    cellsBranches(spark, indexPath).reduce(_ unionByName _)
+      indexPath: String): DataFrame = {
+    val man = readManifest(indexPath)
+    cellsBranches(spark, indexPath, man.cellsDir).reduce(_ unionByName _)
+  }
+
+  /** Fold every committed streaming batch into a fresh cells
+    * generation (`cells_g<n>`), commit by swapping the manifest's
+    * `cells_dir`, and clean superseded generations. OFFLINE
+    * maintenance, caller-serialized with concurrent [[streamAppend]]
+    * runs and other consolidates (the reference serializes its
+    * maintenance through table locks the same way); READERS are safe
+    * throughout — they follow whatever manifest they loaded, and both
+    * generations are complete while both exist.
+    *
+    * Crash windows: before the manifest swap, the new generation and
+    * its markers are unreferenced garbage (the old view stays
+    * complete; a rerun builds generation n+1 and the cleanup pass
+    * removes the debris). After the swap, readers see the consolidated
+    * generation; superseded dirs are garbage until the cleanup —
+    * rerunning completes it. The applied markers of every folded batch
+    * are CARRIED FORWARD into the new generation BEFORE the swap, so a
+    * checkpoint replay of an already-folded batch id is still skipped,
+    * never re-appended. Returns true when batches were folded. */
+  def consolidate(spark: SparkSession, indexPath: String): Boolean = {
+    val man = readManifest(indexPath)
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(root).map(_.getPath.getName)
+    // marker ids to CARRY (includes zero-row batches and markers whose
+    // dirs were folded before — replay skip must persist forever) ...
+    val committedIds = names.collect {
+      case GenMarker(gen, id) if gen == man.cellsDir => id.toLong
+    }.sorted
+    // ... but only committed batch DIRS constitute work to fold: after
+    // a consolidation the carried markers remain with no dirs
+    val batchesDir = new Path(root, batchesDirName(man.cellsDir))
+    val foldable = fs.exists(batchesDir) &&
+      fs.listStatus(batchesDir).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith("batch_") &&
+          names.contains(s"_applied_${man.cellsDir}_$n")
+      }
+    def cleanup(current: String): Unit =
+      fs.listStatus(root).map(_.getPath.getName).foreach { n =>
+        val stale = n match {
+          case GenDir(_) => n != current
+          case GenBatchesDir(gen) => gen != current
+          case GenMarker(gen, _) => gen != current
+          case _ => false
+        }
+        if (stale) fs.delete(new Path(root, n), true)
+      }
+    if (!foldable) { cleanup(man.cellsDir); return false }
+    val nextGen = {
+      val used = names.collect { case GenDir(g) =>
+        if (g == null) 0L else g.stripPrefix("_g").toLong }
+      f"cells_g${used.max + 1}%06d"
+    }
+    cellsBranches(spark, indexPath, man.cellsDir)
+      .reduce(_ unionByName _)
+      .repartition(col("cell_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell_id")
+      .parquet(s"$indexPath/$nextGen")
+    committedIds.foreach { id =>
+      fs.create(new Path(root, markerName(nextGen, id)), true).close()
+    }
+    writeManifest(indexPath, man.copy(cellsDir = nextGen)) // commit point
+    cleanup(nextGen)
+    true
+  }
 
   /** Top-k over the `nprobe` nearest cells only (exact within the
     * probed cells: reads the raw vector column). */
@@ -340,7 +422,7 @@ object IvfIndex {
     // routing pairs separately and the RESULTS union: DPP only matches
     // a partitioned scan directly under its join, so joining a Union
     // of scans would silently read every cell of every branch.
-    val candidates = cellsBranches(spark, indexPath)
+    val candidates = cellsBranches(spark, indexPath, man.cellsDir)
       .map(_.join(broadcast(routed), "cell_id"))
       .reduce(_ unionByName _)
     val nQ = q2.count()
@@ -366,7 +448,8 @@ object IvfIndex {
     val probes = cents
       .map { case (id, c) => (id, man.metric.dist(query, c)) }
       .sortBy(x => (x._2, x._1)).take(math.max(nprobe, 1)).map(_._1)
-    val cells = cellsDf(spark, indexPath)
+    val cells = cellsBranches(spark, indexPath, man.cellsDir)
+      .reduce(_ unionByName _)
       .filter(col("cell_id").isin(probes.toSeq: _*)) // partition filter
     require(cells.columns.contains(man.idCol) &&
       cells.columns.contains(man.vecCol),
@@ -384,6 +467,7 @@ object IvfIndex {
     props.setProperty("metric", man.metric.name)
     props.setProperty("n_cells", man.nCells.toString)
     props.setProperty("pq", man.pq.toString)
+    props.setProperty("cells_dir", man.cellsDir)
     val p = new Path(indexPath, "manifest.properties")
     val fs = p.getFileSystem(graft.HadoopConfs.driver())
     val out = fs.create(p, true)
@@ -405,6 +489,7 @@ object IvfIndex {
       props.getProperty("vec_col"),
       Metric.fromName(props.getProperty("metric")),
       props.getProperty("n_cells").toInt,
-      Option(props.getProperty("pq")).exists(_.toBoolean))
+      Option(props.getProperty("pq")).exists(_.toBoolean),
+      Option(props.getProperty("cells_dir")).getOrElse("cells"))
   }
 }

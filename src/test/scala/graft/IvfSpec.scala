@@ -204,7 +204,7 @@ class IvfSpec extends SparkSpec {
     // crash window: batch 2 staged (partially or fully) but no marker
     // — invisible to readers; the re-delivery re-stages and commits
     val b2 = emb.filter(col("vec_id") >= 150 && col("vec_id") < 180)
-    b2.limit(7).write.mode("overwrite").parquet(s"$dir/batches/batch_2")
+    b2.limit(7).write.mode("overwrite").parquet(s"$dir/cells_batches/batch_2")
     assert(total() == 150, "an uncommitted stage must be invisible")
     IvfIndex.applyStreamBatch(b2.toDF(), 2L, dir)
     assert(total() == 180)
@@ -252,6 +252,54 @@ class IvfSpec extends SparkSpec {
         .map { case ((id, _), i) => (qid, i + 1, id) }
     }.toSeq
     assert(got == exact)
+  }
+
+  test("consolidate folds batches into a new generation; folded markers carry forward") {
+    val dir = Files.createTempDirectory("ivf_consol").toString + "/idx"
+    IvfIndex.build(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+      dir, IvfIndex.Params(nCells = 8))
+    val b1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+    val b2 = emb.filter(col("vec_id") >= 350 && col("vec_id") < 400)
+    IvfIndex.applyStreamBatch(b1.toDF(), 1L, dir)
+    IvfIndex.applyStreamBatch(b2.toDF(), 2L, dir)
+    assert(IvfIndex.cellsDf(spark, dir).count() == 400)
+
+    assert(IvfIndex.consolidate(spark, dir))
+    assert(IvfIndex.readManifest(dir).cellsDir.startsWith("cells_g"))
+    assert(IvfIndex.cellsDf(spark, dir).count() == 400)
+
+    // checkpoint replay of an already-FOLDED batch id must be skipped
+    // (its marker was carried into the new generation)
+    IvfIndex.applyStreamBatch(b1.toDF(), 1L, dir)
+    assert(IvfIndex.cellsDf(spark, dir).count() == 400,
+      "a folded batch was re-appended after consolidation")
+
+    // new batches land against the new generation and are read
+    val b3 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 420)
+    IvfIndex.applyStreamBatch(b3.toDF(), 3L, dir)
+    assert(IvfIndex.cellsDf(spark, dir).count() == 420)
+
+    // second consolidate folds b3 and removes superseded generations
+    assert(IvfIndex.consolidate(spark, dir))
+    assert(IvfIndex.cellsDf(spark, dir).count() == 420)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(root).map(_.getPath.getName).toSet
+    assert(!names.contains("cells"), s"superseded generation kept: $names")
+    assert(names.count(_.matches("cells_g\\d{6}")) == 1, names)
+
+    // nothing left to fold: no-op
+    assert(!IvfIndex.consolidate(spark, dir))
+
+    // search stays exact over the consolidated index
+    val all = emb.filter(col("vec_id") < 420)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = all.find(_._1 == 410L).get._2
+    val exact = all.map { case (id, v) => (Metric.L2Sq.dist(q, v), id) }
+      .sorted.take(5).map(_._2).toSeq
+    assert(IvfIndex.topK(spark, dir, q, 5, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq == exact)
   }
 
   test("streamAppend end-to-end through a real AvailableNow stream") {
