@@ -182,6 +182,19 @@ object TextQueries {
       .orderBy(col("doc_id").asc).limit(200)
   }
 
+  /** LM-coverage quality gate end-to-end: docs with doc_id % 10 == 3
+    * play the trusted reference slice, the rest are scored by how many
+    * of their token transitions the reference attests — the
+    * integer-exact core of the CCNet-style perplexity filter. */
+  private def lmCoverage(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextOps.lmCoverage(
+        d.filter(col("doc_id") % 10 =!= 3),
+        col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 10 === 3), col("text"))
+      .orderBy(col("doc_id").asc).limit(200)
+  }
+
   private def qualityRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetition(docs(s, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id").asc).limit(200)
@@ -660,6 +673,7 @@ object TextQueries {
     "q_media_gif" -> ((s, d) => mediaGif(s, d)),
     "q_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "q_quality_repetition" -> ((s, d) => qualityRepetition(s, d)),
+    "q_lm_coverage" -> ((s, d) => lmCoverage(s, d)),
     "q_corpus_ngrams" -> ((s, d) => corpusNgrams(s, d)),
     "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
   )
@@ -1250,6 +1264,35 @@ object TextQueries {
          |  coalesce(h.n_contaminated, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN hits h USING (doc_id)
          |WHERE d.doc_id % 10 <> 7
+         |ORDER BY d.doc_id ASC LIMIT 200""".stripMargin,
+    // LM-coverage quality gate: transitions of non-reference docs
+    // scored against the bigram table of the doc_id % 10 == 3 slice;
+    // all integers (plus one exact division) — float-order-proof
+    "q_lm_coverage" ->
+      s"""WITH $toksCte,
+         |g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(greatest(len(t) - 1, 0)),
+         |      i -> t[i + 1] || ' ' || t[i + 2]) AS gs
+         |  FROM toks),
+         |refc AS (
+         |  SELECT gram, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 3)
+         |  GROUP BY gram),
+         |tg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 10 <> 3),
+         |agg AS (
+         |  SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         |    CAST(count(refc.c) AS BIGINT) AS n_attested,
+         |    CAST(sum(coalesce(refc.c, 0)) AS BIGINT) AS attested_occurrences,
+         |    round(CAST(count(refc.c) AS DOUBLE) / greatest(count(*), 1), 6) AS attested_frac
+         |  FROM tg LEFT JOIN refc USING (gram) GROUP BY tg.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(agg.n_transitions, 0) AS n_transitions,
+         |  coalesce(agg.n_attested, 0) AS n_attested,
+         |  coalesce(agg.attested_occurrences, 0) AS attested_occurrences,
+         |  coalesce(agg.attested_frac, 0.0) AS attested_frac
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |WHERE d.doc_id % 10 <> 3
          |ORDER BY d.doc_id ASC LIMIT 200""".stripMargin,
     // Gopher-family repetition metrics, token-occurrence-weighted
     "q_quality_repetition" ->

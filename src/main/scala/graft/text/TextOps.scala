@@ -323,6 +323,70 @@ object TextOps {
           s => s.getField("__tok")), " ").as("seq_text"))
   }
 
+  /** Reference-corpus bigram coverage (the integer-exact core of the
+    * CCNet-style LM quality gate): how many of a document's token
+    * transitions are attested in a TRUSTED reference slice, and how
+    * often. A low attested fraction marks disfluent/garbage text the
+    * same way high LM perplexity does, with every output an exact
+    * integer (plus one exact division) — so the oracle check is
+    * float-order-proof where a log-prob sum would not be.
+    *
+    * Scale shape: the reference slice aggregates to a bigram count
+    * table and BROADCASTS (a trusted reference is always tiny next to
+    * the corpus); the corpus side is a narrow gram expansion feeding
+    * the broadcast join, then ONE map-side-combined groupBy on doc_id
+    * of integer partials. Returns (doc_id, n_transitions, n_attested,
+    * attested_occurrences, attested_frac). */
+  def lmCoverage(docs: DataFrame, idCol: Column, textCol: Column,
+      ref: DataFrame, refTextCol: Column): DataFrame = {
+    val refGrams = ref
+      .select(explode(ngrams(tokenize(refTextCol), 2)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+    docs
+      .select(idCol.as("doc_id"),
+        explode_outer(ngrams(tokenize(textCol), 2)).as("__g"))
+      .join(broadcast(refGrams), Seq("__g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("__g")).as("n_transitions"),
+        count(col("__c")).as("n_attested"),
+        sum(coalesce(col("__c"), lit(0L))).as("attested_occurrences"),
+        round(count(col("__c")).cast("double") /
+          greatest(count(col("__g")), lit(1L)).cast("double"), 6)
+          .as("attested_frac"))
+  }
+
+  /** Add-k smoothed bigram LM perplexity against a reference slice —
+    * the full CCNet/Gopher-style fluency score ([[lmCoverage]] is its
+    * oracle-exact integer core; this one's cross-partition log-prob
+    * sum is float-order-sensitive, so it is spec-verified rather than
+    * hash-compared). P(w2|w1) = (B(w1,w2) + k) / (U(w1) + k*V);
+    * ppl = 2^(mean -log2 P) over the doc's transitions (null for docs
+    * with none). Same broadcast-model shape as [[lmCoverage]]. */
+  def lmPerplexity(docs: DataFrame, idCol: Column, textCol: Column,
+      ref: DataFrame, refTextCol: Column, addK: Double = 1.0): DataFrame = {
+    val refToks = ref.select(explode(tokenize(refTextCol)).as("__w"))
+    val uni = refToks.groupBy(col("__w")).agg(count(lit(1)).as("__u"))
+    val vocab = uni.count().toDouble
+    val bi = ref
+      .select(explode(ngrams(tokenize(refTextCol), 2)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__b"))
+    docs
+      .select(idCol.as("doc_id"),
+        explode_outer(ngrams(tokenize(textCol), 2)).as("__g"))
+      .withColumn("__w1", split(col("__g"), " ").getItem(0))
+      .join(broadcast(bi), Seq("__g"), "left")
+      .join(broadcast(uni.withColumnRenamed("__w", "__w1")), Seq("__w1"), "left")
+      .withColumn("__neglog2",
+        -log2((coalesce(col("__b"), lit(0L)).cast("double") + lit(addK)) /
+          (coalesce(col("__u"), lit(0L)).cast("double") + lit(addK * vocab))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("__g")).as("n_transitions"),
+        when(count(col("__g")) > 0, pow(lit(2.0), avg(col("__neglog2"))))
+          .as("ppl"))
+  }
+
   /** Repetition metrics (the Gopher repetition-filter family, token-
     * occurrence-weighted): `top_2gram_frac` = occurrences of the most
     * frequent 2-gram over all 2-gram occurrences, `dup_3gram_frac` =

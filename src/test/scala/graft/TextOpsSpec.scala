@@ -175,4 +175,42 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1) == ((2L, 10L, 1L, 1L, 1L)))
     assert(out(2) == ((3L, 15L, 1L, 2L, 2L)))
   }
+
+  test("lmCoverage: attested transitions counted exactly; empty docs kept at zero") {
+    val ref = Seq((100L, "the fast table scan runs")).toDF("doc_id", "text")
+    // ref bigrams: {the fast, fast table, table scan, scan runs} each x1
+    val docs = Seq(
+      (0L, "the fast table"),   // 2 transitions, both attested
+      (1L, "zq zq table scan"), // 3 transitions, 1 attested
+      (2L, "x"),                // no transitions
+      (3L, "")                  // empty doc
+    ).toDF("doc_id", "text")
+    val out = TextOps.lmCoverage(docs, col("doc_id"), col("text"),
+        ref, col("text"))
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getLong(1), out(i).getLong(2),
+      out(i).getLong(3), out(i).getDouble(4))
+    assert(row(0) == ((2L, 2L, 2L, 1.0)))
+    assert(row(1) == ((3L, 1L, 1L, 0.333333)))
+    assert(row(2) == ((0L, 0L, 0L, 0.0)))
+    assert(row(3) == ((0L, 0L, 0L, 0.0)))
+  }
+
+  test("lmPerplexity ranks in-domain text below garbage") {
+    val ref = Seq(
+      (100L, "the fast table scan feeds the hash join"),
+      (101L, "the hash join feeds the group agg")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "the fast table scan feeds the group agg"), // in-domain
+      (1L, "zq vx qp wm kt lr ds bn")                  // garbage
+    ).toDF("doc_id", "text")
+    val out = TextOps.lmPerplexity(docs, col("doc_id"), col("text"),
+        ref, col("text"))
+      .orderBy("doc_id").collect()
+    val fluent = out(0).getDouble(2)
+    val garbage = out(1).getDouble(2)
+    assert(fluent < garbage,
+      s"in-domain ppl $fluent should be below garbage ppl $garbage")
+    assert(fluent > 1.0) // smoothing keeps probabilities < 1
+  }
 }
