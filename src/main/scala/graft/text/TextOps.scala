@@ -339,12 +339,18 @@ object TextOps {
     * attested_occurrences, attested_frac). */
   def lmCoverage(docs: DataFrame, idCol: Column, textCol: Column,
       ref: DataFrame, refTextCol: Column): DataFrame = {
+    // bind tokenize to a real column BEFORE ngrams: referencing the
+    // tokenize EXPRESSION inside ngrams' slice lambda would re-run the
+    // tokenizer per gram (no CSE across lambda scopes — the repetition
+    // operator's __t discipline)
     val refGrams = ref
-      .select(explode(ngrams(tokenize(refTextCol), 2)).as("__g"))
+      .withColumn("__t", tokenize(refTextCol))
+      .select(explode(ngrams(col("__t"), 2)).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as("__c"))
     docs
+      .withColumn("__t", tokenize(textCol))
       .select(idCol.as("doc_id"),
-        explode_outer(ngrams(tokenize(textCol), 2)).as("__g"))
+        explode_outer(ngrams(col("__t"), 2)).as("__g"))
       .join(broadcast(refGrams), Seq("__g"), "left")
       .groupBy(col("doc_id"))
       .agg(
@@ -369,11 +375,13 @@ object TextOps {
     val uni = refToks.groupBy(col("__w")).agg(count(lit(1)).as("__u"))
     val vocab = uni.count().toDouble
     val bi = ref
-      .select(explode(ngrams(tokenize(refTextCol), 2)).as("__g"))
+      .withColumn("__t", tokenize(refTextCol)) // bindOnce: see lmCoverage
+      .select(explode(ngrams(col("__t"), 2)).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as("__b"))
     docs
+      .withColumn("__t", tokenize(textCol))
       .select(idCol.as("doc_id"),
-        explode_outer(ngrams(tokenize(textCol), 2)).as("__g"))
+        explode_outer(ngrams(col("__t"), 2)).as("__g"))
       .withColumn("__w1", split(col("__g"), " ").getItem(0))
       .join(broadcast(bi), Seq("__g"), "left")
       .join(broadcast(uni.withColumnRenamed("__w", "__w1")), Seq("__w1"), "left")
