@@ -178,9 +178,12 @@ object AnnIndex {
   private[graft] def applyStreamBatch(batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, indexPath: String): Unit = {
     val marker = new Path(indexPath, s"_applied_batch_$batchId")
-    // session Hadoop conf: the marker is the commit point, and a bare
-    // Configuration cannot reach spark.hadoop.*-configured stores
-    val fs = marker.getFileSystem(graft.HadoopConfs.driver())
+    // the BATCH's session Hadoop conf (not the thread-local active
+    // session, which foreachBatch's executor thread may not carry):
+    // the marker is the commit point, and a bare Configuration cannot
+    // reach spark.hadoop.*-configured stores
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sessionState.newHadoopConf())
     if (fs.exists(marker)) return
     val stage = s"batch_$batchId"
     val man = readManifest(indexPath)
@@ -218,7 +221,8 @@ object AnnIndex {
     // come from different JVMs/hosts against shared storage (a clock
     // like nanoTime has a per-boot origin: a "newer" delete could sort
     // before an older one and be served stale, or pruned outright).
-    val fs = new Path(indexPath).getFileSystem(graft.HadoopConfs.driver())
+    val fs = new Path(indexPath).getFileSystem(
+      spark.sessionState.newHadoopConf())
     // merge from a FRESH listing, never the TTL probe cache: merging a
     // <TTL-stale set here would resurrect another JVM's recent deletes
     // into the new (winning) generation

@@ -165,13 +165,29 @@ object IvfIndex {
   }
 
   // batches and applied-markers are scoped to a cells GENERATION so a
-  // consolidated generation starts clean by construction
+  // consolidated generation starts clean by construction; `\d+` (not a
+  // fixed width) so the millionth generation still matches its own
+  // artifacts
   private def batchesDirName(gen: String) = s"${gen}_batches"
   private def markerName(gen: String, batchId: Long) =
     s"_applied_${gen}_batch_$batchId"
-  private val GenDir = "^cells(_g\\d{6})?$".r
-  private val GenBatchesDir = "^(cells(?:_g\\d{6})?)_batches$".r
-  private val GenMarker = "^_applied_(cells(?:_g\\d{6})?)_batch_(\\d+)$".r
+  private val GenDir = "^cells(_g\\d+)?$".r
+  private val GenBatchesDir = "^(cells(?:_g\\d+)?)_batches$".r
+  private val GenMarker = "^_applied_(cells(?:_g\\d+)?)_batch_(\\d+)$".r
+  private val GenFolded = "^_folded_upto_(cells(?:_g\\d+)?)_(\\d+)$".r
+
+  private def genOrdinal(gen: String): Long =
+    if (gen == "cells") 0L else gen.stripPrefix("cells_g").toLong
+
+  /** The highest batch id already folded into `gen` by a consolidation
+    * (one compact watermark file per generation instead of carrying
+    * every historical marker forever: batch ids are assigned
+    * sequentially by the stream and foreachBatch completes them in
+    * order, so the folded set is always a gapless prefix). */
+  private def foldedUpto(rootNames: Iterable[String], gen: String): Long =
+    rootNames.collect {
+      case GenFolded(g, id) if g == gen => id.toLong
+    }.foldLeft(-1L)(math.max)
 
   /** Idempotent body of one [[streamAppend]] micro-batch (package
     * visibility so specs can replay it around simulated crashes). */
@@ -186,6 +202,11 @@ object IvfIndex {
     // every batch but never commit one
     val fs = marker.getFileSystem(
       batch.sparkSession.sessionState.newHadoopConf())
+    // already folded into this generation by a consolidation: skip
+    // (checkpoint replays of pre-consolidation batch ids land here)
+    val rootNames = fs.listStatus(new Path(indexPath))
+      .map(_.getPath.getName)
+    if (batchId <= foldedUpto(rootNames, man.cellsDir)) return
     if (fs.exists(marker)) return
     if (!batch.isEmpty) {
       assignCells(batch, man, indexPath)
@@ -236,34 +257,39 @@ object IvfIndex {
 
   /** Fold every committed streaming batch into a fresh cells
     * generation (`cells_g<n>`), commit by swapping the manifest's
-    * `cells_dir`, and clean superseded generations. OFFLINE
-    * maintenance, caller-serialized with concurrent [[streamAppend]]
-    * runs and other consolidates (the reference serializes its
-    * maintenance through table locks the same way); READERS are safe
-    * throughout — they follow whatever manifest they loaded, and both
-    * generations are complete while both exist.
+    * `cells_dir`, and clean generations older than the PREVIOUS one.
+    * OFFLINE maintenance, caller-serialized with concurrent
+    * [[streamAppend]] runs and other consolidates (the reference
+    * serializes its maintenance through table locks the same way).
+    * READERS are safe throughout: they follow whatever manifest they
+    * loaded, and the just-superseded generation is RETAINED for one
+    * consolidation cycle (the same two-generation discipline as the
+    * HNSW tombstone files) so a plan listed against it still finds
+    * its files; only generations two consolidations old are removed.
+    *
+    * Instead of carrying one marker per folded batch forever, the
+    * folded ids compact into a single `_folded_upto_<gen>_<id>`
+    * watermark (sound because foreachBatch completes batch ids in
+    * order — the committed set is a gapless prefix): steady-state
+    * root listings stay O(batches since last fold), not O(all
+    * batches ever).
     *
     * Crash windows: before the manifest swap, the new generation and
-    * its markers are unreferenced garbage (the old view stays
+    * its watermark are unreferenced garbage (the old view stays
     * complete; a rerun builds generation n+1 and the cleanup pass
-    * removes the debris). After the swap, readers see the consolidated
-    * generation; superseded dirs are garbage until the cleanup —
-    * rerunning completes it. The applied markers of every folded batch
-    * are CARRIED FORWARD into the new generation BEFORE the swap, so a
-    * checkpoint replay of an already-folded batch id is still skipped,
-    * never re-appended. Returns true when batches were folded. */
+    * removes the debris). After the swap, readers see the
+    * consolidated generation; a rerun completes the cleanup. Returns
+    * true when batches were folded. */
   def consolidate(spark: SparkSession, indexPath: String): Boolean = {
     val man = readManifest(indexPath)
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val names = fs.listStatus(root).map(_.getPath.getName)
-    // marker ids to CARRY (includes zero-row batches and markers whose
-    // dirs were folded before — replay skip must persist forever) ...
     val committedIds = names.collect {
       case GenMarker(gen, id) if gen == man.cellsDir => id.toLong
     }.sorted
-    // ... but only committed batch DIRS constitute work to fold: after
-    // a consolidation the carried markers remain with no dirs
+    // only committed batch DIRS constitute work to fold (a marker may
+    // outlive its dir: zero-row batches never had one)
     val batchesDir = new Path(root, batchesDirName(man.cellsDir))
     val foldable = fs.exists(batchesDir) &&
       fs.listStatus(batchesDir).exists { st =>
@@ -271,21 +297,33 @@ object IvfIndex {
         n.startsWith("batch_") &&
           names.contains(s"_applied_${man.cellsDir}_$n")
       }
-    def cleanup(current: String): Unit =
-      fs.listStatus(root).map(_.getPath.getName).foreach { n =>
-        val stale = n match {
-          case GenDir(_) => n != current
-          case GenBatchesDir(gen) => gen != current
-          case GenMarker(gen, _) => gen != current
-          case _ => false
+    // retention: keep `current` AND the generation it superseded
+    def cleanup(current: String): Unit = {
+      val now = fs.listStatus(root).map(_.getPath.getName)
+      val genNames = now.filter(n => GenDir.findFirstIn(n).isDefined)
+      val cur = genOrdinal(current)
+      val keep: Set[String] = Set(current) ++
+        genNames.filter(g => genOrdinal(g) < cur).sortBy(genOrdinal).lastOption
+      now.foreach { n =>
+        val owner = n match {
+          case GenDir(_) => Some(n)
+          case GenBatchesDir(g) => Some(g)
+          case GenMarker(g, _) => Some(g)
+          case GenFolded(g, _) => Some(g)
+          case _ => None
         }
-        if (stale) fs.delete(new Path(root, n), true)
+        owner.foreach { g =>
+          if (!keep.contains(g)) fs.delete(new Path(root, n), true)
+        }
       }
+    }
     if (!foldable) { cleanup(man.cellsDir); return false }
     val nextGen = {
       val used = names.collect { case GenDir(g) =>
         if (g == null) 0L else g.stripPrefix("_g").toLong }
-      f"cells_g${used.max + 1}%06d"
+      // 0L guard: even a corrupt index with no generation dir listed
+      // must pick a fresh name rather than throw on an empty max
+      f"cells_g${(0L +: used).max + 1}%06d"
     }
     cellsBranches(spark, indexPath, man.cellsDir)
       .reduce(_ unionByName _)
@@ -293,9 +331,11 @@ object IvfIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell_id")
       .parquet(s"$indexPath/$nextGen")
-    committedIds.foreach { id =>
-      fs.create(new Path(root, markerName(nextGen, id)), true).close()
-    }
+    // the folded watermark covers every previously folded id plus the
+    // batches folded now — written BEFORE the swap so a replay can
+    // never find the new generation without it
+    val upto = (foldedUpto(names, man.cellsDir) +: committedIds).max
+    fs.create(new Path(root, s"_folded_upto_${nextGen}_$upto"), true).close()
     writeManifest(indexPath, man.copy(cellsDir = nextGen)) // commit point
     cleanup(nextGen)
     true

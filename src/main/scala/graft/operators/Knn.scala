@@ -38,7 +38,11 @@ object Knn {
       tieBreaker: Option[Column] = None,
       distName: String = "dist"): DataFrame = {
     val withDist = df.withColumn(distName, metric.dist(vecCol, query))
-    val order = col(distName).asc +: tieBreaker.map(_.asc).toSeq
+    // NULLS LAST, matching the reference's Postgres ORDER BY ASC (and
+    // DuckDB's default): a null-vector row must never outrank a real
+    // neighbor — Spark's default asc is NULLS FIRST, which would
+    // return null rows as the top-k
+    val order = col(distName).asc_nulls_last +: tieBreaker.map(_.asc).toSeq
     withDist.orderBy(order: _*).limit(k)
   }
 
@@ -117,16 +121,17 @@ object Knn {
       val di = batch.last.fieldIndex("dist")
       // degenerate boundaries take the reference's full re-fetch (the
       // prefix is identical under the total order, so dropping it
-      // yields exactly the delta): a NULL dist (null vector rows sort
-      // FIRST under asc) would NPE out of getDouble, and a NaN
-      // boundary (cos_dist of a zero-norm vector) splits rows
-      // differently between Scala == (NaN != NaN) and Spark SQL's
-      // EqualTo (NaN = NaN), dropping and duplicating rows
+      // yields exactly the delta): a NULL dist (null-vector rows, now
+      // sorted LAST) would NPE out of getDouble, and a NaN boundary
+      // (cos_dist of a zero-norm vector) splits rows differently
+      // between Scala == (NaN != NaN) and Spark SQL's EqualTo
+      // (NaN = NaN), dropping and duplicating rows
       if (batch.last.isNullAt(di) || batch.last.getDouble(di).isNaN)
         return fetch(df, batch.length + delta).drop(batch.length)
       val lastDist = batch.last.getDouble(di)
-      val seenTies =
-        batch.reverseIterator.takeWhile(_.getDouble(di) == lastDist).length
+      val seenTies = batch.reverseIterator
+        .takeWhile(r => !r.isNullAt(di) && r.getDouble(di) == lastDist)
+        .length
       val tieBlock =
         fetch(df.filter(distExpr === lit(lastDist)), seenTies + delta)
       val tieExtra = tieBlock.drop(seenTies)
@@ -134,7 +139,16 @@ object Knn {
       val more =
         if (need <= 0) Array.empty[org.apache.spark.sql.Row]
         else fetch(df.filter(distExpr > lit(lastDist)), need)
-      tieExtra.take(delta) ++ more
+      // null-dist rows sort AFTER every finite/NaN distance but are
+      // excluded by both seek filters (comparisons with null are
+      // null): when the strictly-greater fetch runs dry, the cursor's
+      // tail is the null block, ordered by the tiebreak alone
+      val head = tieExtra.take(delta) ++ more
+      val nullNeed = delta - head.length
+      val nulls =
+        if (nullNeed <= 0) Array.empty[org.apache.spark.sql.Row]
+        else fetch(df.filter(distExpr.isNull), nullNeed)
+      head ++ nulls
     }
 
     override def hasNext: Boolean = {

@@ -152,7 +152,7 @@ object Bpe {
     * degenerate one-document case. BpeSpec pins the equivalence. */
   def trainDistributed(docs: org.apache.spark.sql.DataFrame,
       textCol: org.apache.spark.sql.Column, budget: Int): IndexedSeq[Merge] = {
-    import org.apache.spark.sql.functions.{col, explode, sum => fsum}
+    import org.apache.spark.sql.functions.{col, count, lit}
     val spark = docs.sparkSession
     import spark.implicits._
     var toks = docs.select(textCol.cast("string").as("t"))
@@ -178,7 +178,7 @@ object Bpe {
           out
         }
         .toDF("pair")
-        .groupBy(col("pair")).agg(fsum(org.apache.spark.sql.functions.lit(1L)).as("c"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2)
         // count desc, then pair asc — the exact [[train]] tie-break
         .orderBy(col("c").desc, col("pair").asc)

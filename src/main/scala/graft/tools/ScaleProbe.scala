@@ -103,15 +103,15 @@ object ScaleProbe {
     // tokenizer's scan throughput — the number that scales linearly
     // with executors at 100 TB (no shuffle, no state; cost
     // O(merges x bytes) with the presence-set prune).
-    val vocabSql = graft.text.TextOps.langStop("en")
-      .++(Seq("table", "scan", "merge", "join", "filter", "window",
+    val vocabWords = graft.text.TextOps.langStop("en") ++
+      Seq("table", "scan", "merge", "join", "filter", "window",
         "batch", "stream", "spark", "data", "query", "hash", "sort",
         "group", "column", "vector", "customer", "order", "value",
-        "fast", "slow"))
-      .map(w => s"'$w'").mkString("array(", ", ", ")")
+        "fast", "slow")
+    val vocabSql = vocabWords.map(w => s"'$w'").mkString("array(", ", ", ")")
     val bpeDocs = spark.range(n).select(col("id"),
       expr(s"array_join(transform(sequence(0, 49), " +
-        s"j -> element_at($vocabSql, 1 + cast(pmod(id * 53 + j * 7, 31) as int))), ' ')")
+        s"j -> element_at($vocabSql, 1 + cast(pmod(id * 53 + j * 7, ${vocabWords.length}) as int))), ' ')")
         .as("text"))
       .cache()
     bpeDocs.count()

@@ -285,8 +285,10 @@ class IvfSpec extends SparkSpec {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val names = fs.listStatus(root).map(_.getPath.getName).toSet
-    assert(!names.contains("cells"), s"superseded generation kept: $names")
-    assert(names.count(_.matches("cells_g\\d{6}")) == 1, names)
+    // retention: the just-superseded generation survives one cycle (so
+    // in-flight readers keep their files); older ones are gone
+    assert(!names.contains("cells"), s"two-cycle-old generation kept: $names")
+    assert(names.count(_.matches("cells_g\\d+")) == 2, names)
 
     // nothing left to fold: no-op
     assert(!IvfIndex.consolidate(spark, dir))

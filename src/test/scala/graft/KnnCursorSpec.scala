@@ -82,6 +82,27 @@ class KnnCursorSpec extends SparkSpec {
     assert(got == (0L until 7L), s"NaN boundary broke the cursor: $got")
   }
 
+  test("null-vector rows rank LAST (reference NULLS LAST), cursor included") {
+    val s = spark
+    import s.implicits._
+    // Spark's default asc is NULLS FIRST — a null-vector row must not
+    // outrank real neighbors (Postgres/DuckDB ASC is NULLS LAST)
+    val rows: Seq[(Long, Option[Seq[Float]])] =
+      (0L until 5L).map(i => (i, Some(Seq.fill(4)(i.toFloat)))) ++
+        Seq((10L, None), (11L, None), (12L, None))
+    val df = rows.toDF("vec_id", "embedding")
+    val zero = vecLit(Seq.fill(4)(0.0f))
+    val topAll = Knn.knn(df, col("embedding"), zero, 8,
+        Knn.L2Sq, Some(col("vec_id")))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(topAll == Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 12L),
+      s"null rows must sort last: $topAll")
+    // the cursor crosses the finite -> null boundary without loss
+    val it = Knn.knnCursor(df, col("embedding"), zero,
+      Knn.L2Sq, Some(col("vec_id")), initK = 3)
+    assert(it.map(_.getAs[Long]("vec_id")).toSeq == topAll)
+  }
+
   test("non-positive initK is rejected up front") {
     intercept[IllegalArgumentException] {
       Knn.knnCursor(emb, col("embedding"), vecLit(q),
