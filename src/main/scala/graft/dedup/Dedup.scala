@@ -338,6 +338,67 @@ object Dedup {
     * gives the bit. Hamming distance between bit-strings approximates
     * token-multiset similarity. (The md5 basis keeps it reproducible in
     * any engine; a 64-bit xxhash variant is a drop-in at scale.) */
+  /** 64-bit SimHash over the distinct token 3-shingles of [[shingled]]
+    * output — the signature WIDTH is what makes hamming balls
+    * selective: over a closed-vocabulary corpus the 16-bit token
+    * variant ([[simhash16]]) marks a third of all pairs as neighbors
+    * at distance 3, while 64 shingle-weighted bits isolate true
+    * near-duplicates. Bit p votes +1/-1 by the p-th hex char of
+    * md5(g) || md5('#' || g) (two digests cover the 64 positions).
+    * Returns (doc_id, simhash) with the signature as a 64-char bit
+    * string. */
+  def simhash64Of(sh: DataFrame): DataFrame = {
+    val sim = bindOnce(transform(col("sh"), g =>
+      concat(md5(g.cast("binary")),
+        md5(concat(lit("#"), g).cast("binary"))))) { hashed =>
+      val bitCols = (1 to 64).map { p =>
+        val votes = aggregate(hashed, lit(0),
+          (acc, h) => acc +
+            when(conv(substring(h, p, 1), 16, 10).cast("int") >= 8, 1)
+              .otherwise(-1))
+        when(votes > 0, lit("1")).otherwise(lit("0"))
+      }
+      concat(bitCols: _*)
+    }
+    sh.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Banded hamming-ball near-duplicate pairs over [[simhash64Of]]
+    * signatures: the signature splits into `bands` equal bit ranges
+    * and candidates equi-join on (band index, band bits) — by
+    * pigeonhole any pair within hamming distance `bands - 1` shares
+    * at least one band, so the default (8 bands, maxHamming 6) loses
+    * nothing. Exact hamming then verifies each candidate. Bucketed
+    * equi-joins only, never all-pairs — the same scale discipline as
+    * the MinHash LSH path; at 100 TB the band width (64/bands bits)
+    * is the bucket-selectivity knob. Returns (doc_a, doc_b, hamming). */
+  def simhashPairs(sig: DataFrame, maxHamming: Int = 6,
+      bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"maxHamming $maxHamming needs > $maxHamming bands to be complete")
+    val width = 64 / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        substring(col("simhash"), b * width + 1, width).as("key"))
+    }
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("__bk"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.__bk") === col("b.__bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("__sa"), col("b.simhash").as("__sb"))
+      .distinct() // a close pair shares several bands
+    cand
+      .withColumn("hamming", aggregate(
+        zip_with(split(col("__sa"), ""), split(col("__sb"), ""),
+          (x, y) => when(x =!= y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   def simhash16(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val sim = bindOnce(transform(tokenize(textCol), x => md5(x.cast("binary")))) {
       hashed =>

@@ -349,6 +349,15 @@ object TextQueries {
         md5(col("text_clean").cast("binary")).as("clean_hash"))
       .orderBy(col("doc_id").asc).limit(200)
 
+  /** 64-bit shingle-SimHash near-dup pairs: banded hamming-ball
+    * candidates verified by exact distance (reuses the bucketed
+    * shingle frame). */
+  private def simhashPairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+        graft.SharedState.cached(s"simhash64:$dir")(
+          Dedup.simhash64Of(shingledCached(s, dir))))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
   private def simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash16(docs(s, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id").asc).limit(200)
@@ -657,6 +666,7 @@ object TextQueries {
     "q_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
     "q_neardup_groups" -> ((s, d) => nearDupGroups(s, d)),
     "q_simhash" -> ((s, d) => simhash(s, d)),
+    "q_simhash_pairs" -> ((s, d) => simhashPairsQ(s, d)),
     "q_line_dedup" -> ((s, d) => lineDedup(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "q_packed_texts" -> ((s, d) => packedTexts(s, d)),
@@ -1169,6 +1179,32 @@ object TextQueries {
          |    THEN '1' ELSE '0' END), '') AS simhash
          |FROM toks
          |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // 64-bit shingle-SimHash near-dup pairs: the oracle replays the
+    // signature (bit p = vote by hex char p of md5(g)||md5('#'||g)),
+    // the 8x8-bit banding, and the exact hamming verify
+    "q_simhash_pairs" ->
+      s"""WITH $toksCte, $shinglesCte,
+         |sig AS (
+         |  SELECT doc_id, array_to_string(list_transform(range(1, 65), p ->
+         |    CASE WHEN list_sum(list_transform(s, g ->
+         |      CASE WHEN ('0x' || substr(md5(g) || md5('#' || g), p, 1))::BIGINT >= 8 THEN 1 ELSE -1 END)) > 0
+         |    THEN '1' ELSE '0' END), '') AS sg
+         |  FROM sh),
+         |bk AS (
+         |  SELECT doc_id, sg, bi, substr(sg, bi * 8 + 1, 8) AS key
+         |  FROM (SELECT doc_id, sg, unnest(range(8)) AS bi FROM sig)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sg AS sa, b.sg AS sb
+         |  FROM bk a JOIN bk b
+         |    ON a.bi = b.bi AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(list_sum(list_transform(range(64), i ->
+         |    CASE WHEN substr(sa, i + 1, 1) <> substr(sb, i + 1, 1) THEN 1 ELSE 0 END)) AS INT) AS hamming
+         |FROM cand
+         |WHERE list_sum(list_transform(range(64), i ->
+         |    CASE WHEN substr(sa, i + 1, 1) <> substr(sb, i + 1, 1) THEN 1 ELSE 0 END)) <= 6
+         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     // decoded-pixel channel means of the synthesized gradient PNGs in
     // closed form: r depends only on x, g only on y, b is constant
     "q_media_decode" ->

@@ -510,6 +510,33 @@ class IvfSpec extends SparkSpec {
     assert(full == 29L * 30L / 2L)
   }
 
+  test("simhash64 pairs: banded candidates find exactly the hamming ball") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the fast table scan feeds the hash join group agg"),
+      (1L, "the fast table scan feeds the hash join group value"), // near-dup of 0
+      (2L, "window stream batch merge sort column vector line data"),
+      (3L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.simhash64Of(
+      Dedup.shingled(docs, col("doc_id"), col("text")))
+    val sigs = sig.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs.values.forall(_.length == 64))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val pairs = Dedup.simhashPairs(sig, maxHamming = 20, bands = 32)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // every emitted pair's hamming matches a direct bit compare, and
+    // the banded join found every pair the exhaustive check admits
+    val exhaustive = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = ham(sigs(a), sigs(b)) if h <= 20
+    } yield (a, b) -> h).toMap
+    assert(pairs == exhaustive, s"pairs $pairs vs exhaustive $exhaustive")
+    // the planted near-dup pair is found and is the closest
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs((0L, 1L)) == pairs.values.min)
+  }
+
   test("lineDedup drops cross-document duplicate lines, keeps order") {
     import spark.implicits._
     val docs = Seq(
