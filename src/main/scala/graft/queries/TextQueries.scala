@@ -97,6 +97,7 @@ object TextQueries {
       timed("dedup_shingles") { shingledCached(s, dir).count() },
       timed("dedup_signatures") { sigCached(s, dir).count() },
       timed("dedup_jaccard_pairs") { jaccardPairsCached(s, dir).count() },
+      timed("dedup_simhash64") { simhash64Cached(s, dir).count() },
       timed("mock_embeddings") { mockEmbCached(s, dir).count() })
   }
 
@@ -349,13 +350,18 @@ object TextQueries {
         md5(col("text_clean").cast("binary")).as("clean_hash"))
       .orderBy(col("doc_id").asc).limit(200)
 
+  /** 64-bit SimHash signatures, persisted once per dir (warmed in
+    * [[prepare]] — at cluster scale a stored signature table, like the
+    * MinHash ones). */
+  private def simhash64Cached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cached(s"simhash64:$dir")(
+      Dedup.simhash64Of(shingledCached(s, dir)))
+
   /** 64-bit shingle-SimHash near-dup pairs: banded hamming-ball
     * candidates verified by exact distance (reuses the bucketed
     * shingle frame). */
   private def simhashPairsQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(
-        graft.SharedState.cached(s"simhash64:$dir")(
-          Dedup.simhash64Of(shingledCached(s, dir))))
+    Dedup.simhashPairs(simhash64Cached(s, dir))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   private def simhash(s: SparkSession, dir: String): DataFrame =
