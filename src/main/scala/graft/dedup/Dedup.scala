@@ -371,7 +371,13 @@ object Dedup {
     * nothing. Exact hamming then verifies each candidate. Bucketed
     * equi-joins only, never all-pairs — the same scale discipline as
     * the MinHash LSH path; at 100 TB the band width (64/bands bits)
-    * is the bucket-selectivity knob. Returns (doc_a, doc_b, hamming). */
+    * is the bucket-selectivity knob, and a pathologically common band
+    * value (billions of near-identical docs) concentrates one key the
+    * same way LSH mega-buckets do — there the LSH path's star-cap
+    * discipline does not apply (this join VERIFIES pairs, a cap would
+    * drop true ones), so the mitigation is wider bands with a smaller
+    * maxHamming, or exact-dedup first so identical texts collapse
+    * before pairing. Returns (doc_a, doc_b, hamming). */
   def simhashPairs(sig: DataFrame, maxHamming: Int = 6,
       bands: Int = 8): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
