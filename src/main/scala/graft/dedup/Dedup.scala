@@ -347,7 +347,17 @@ object Dedup {
     * md5(g) || md5('#' || g) (two digests cover the 64 positions).
     * Returns (doc_id, simhash) with the signature as a 64-char bit
     * string. */
-  def simhash64Of(sh: DataFrame): DataFrame = {
+  def simhash64Of(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), graft.functions.simhash64(col("sh")).as("simhash"))
+
+  /** The SQL-expression-tree formulation of [[simhash64Of]] — 64
+    * aggregate() passes over the md5-hex-expanded shingle array, one per
+    * bit. This is the form the DuckDB oracle replays; it is kept ONLY as
+    * the equivalence witness for the single-pass codegen kernel
+    * ([[org.apache.spark.sql.graft.DedupKernels.simhash64]]), which a
+    * spec pins bit-for-bit against this. ~64x the CPU of the kernel —
+    * never use it on a real corpus. */
+  private[graft] def simhash64OfSql(sh: DataFrame): DataFrame = {
     val sim = bindOnce(transform(col("sh"), g =>
       concat(md5(g.cast("binary")),
         md5(concat(lit("#"), g).cast("binary"))))) { hashed =>

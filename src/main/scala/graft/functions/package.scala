@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, DecodeImageStats, ResampleImageStats, FrameSampleHashes, Pcm16Stats, WavMeta, GifFrames}
+import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, Simhash64, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, DecodeImageStats, ResampleImageStats, FrameSampleHashes, Pcm16Stats, WavMeta, GifFrames}
 import org.apache.spark.sql.{functions => F}
 
 /** Column-level API for the engine's scalar functions, mirroring the
@@ -41,6 +41,11 @@ package object functions {
 
   /** Plain tokenizer (lowercase, non-alphanumerics to spaces, split). */
   def tokenize(c: Column): Column = col(Tokenize(expr(c)))
+
+  /** 64-bit SimHash signature (64-char bit string) of a shingle array —
+    * the single-pass codegen kernel behind [[graft.dedup.Dedup.simhash64Of]]. */
+  def simhash64(c: Column): Column =
+    col(org.apache.spark.sql.graft.Simhash64(expr(c)))
 
   /** Byte-level BPE token count under `tok`'s merge table (defaults to
     * the embedded-fixture tokenizer) — the real-tokenizer basis for
@@ -176,6 +181,7 @@ package object functions {
       "inner_product" -> (es => InnerProduct(es.head, es(1))),
       "text_to_stem_array" -> (es => TextToStemArray(es.head)),
       "tokenize" -> (es => Tokenize(es.head)),
+      "simhash64" -> (es => Simhash64(es.head)),
       // ExpectsInputTypes validates but does not coerce: widen int
       // inputs to bigint here, like the reference's smallint[]/integer[]
       // casts

@@ -1,0 +1,77 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels invoked from codegen (must be stable public methods). */
+object DedupKernels {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Single-pass 64-bit SimHash over a shingle array. Bit semantics are
+    * identical to the SQL formulation the DuckDB oracle replays: bit p
+    * (1-based) votes +1 when the p-th hex digit of
+    * md5(g) || md5('#' || g) is >= 8, else -1; the bit is '1' iff the
+    * total is > 0. A hex digit is >= 8 exactly when the nibble's high
+    * bit is set, so the vote reads straight off the digest bytes — no
+    * hex string is ever materialized, and each shingle is hashed twice
+    * total (vs 64 substring+conv passes over a concatenated hex string
+    * in the expression-tree form this kernel replaced). */
+  def simhash64(sh: ArrayData): UTF8String = {
+    val votes = new Array[Int](64)
+    val md = mdLocal.get()
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val g = sh.getUTF8String(i).getBytes
+      val d1 = md.digest(g) // digest() resets the instance
+      md.update('#'.toByte)
+      val d2 = md.digest(g)
+      var j = 0
+      while (j < 16) {
+        // hex digit 2j+1 = high nibble of byte j, digit 2j+2 = low nibble
+        val b1 = d1(j)
+        votes(2 * j) += (if ((b1 & 0x80) != 0) 1 else -1)
+        votes(2 * j + 1) += (if ((b1 & 0x08) != 0) 1 else -1)
+        val b2 = d2(j)
+        votes(32 + 2 * j) += (if ((b2 & 0x80) != 0) 1 else -1)
+        votes(32 + 2 * j + 1) += (if ((b2 & 0x08) != 0) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](64)
+    var p = 0
+    while (p < 64) {
+      out(p) = if (votes(p) > 0) '1'.toByte else '0'.toByte
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** `simhash64(shingles)`: 64-bit SimHash signature of a document's
+  * shingle array as a 64-char bit string — the single-pass codegen
+  * kernel behind [[graft.dedup.Dedup.simhash64Of]]. Narrow, shuffle-free,
+  * O(shingles) md5 calls (two per shingle). */
+case class Simhash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any =
+    DedupKernels.simhash64(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.DedupKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
