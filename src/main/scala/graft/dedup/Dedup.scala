@@ -380,16 +380,31 @@ object Dedup {
     * at least one band, so the default (8 bands, maxHamming 6) loses
     * nothing. Exact hamming then verifies each candidate. Bucketed
     * equi-joins only, never all-pairs — the same scale discipline as
-    * the MinHash LSH path; at 100 TB the band width (64/bands bits)
-    * is the bucket-selectivity knob, and a pathologically common band
-    * value (billions of near-identical docs) concentrates one key the
-    * same way LSH mega-buckets do — there the LSH path's star-cap
-    * discipline does not apply (this join VERIFIES pairs, a cap would
-    * drop true ones), so the mitigation is wider bands with a smaller
-    * maxHamming, or exact-dedup first so identical texts collapse
-    * before pairing. Returns (doc_a, doc_b, hamming). */
+    * the MinHash LSH path.
+    *
+    * Skew guard (`maxBucket`, default 10000, 0 disables): a
+    * pathologically common band value — billions of near-identical
+    * boilerplate docs, which exact dedup does NOT collapse because
+    * they aren't byte-identical — concentrates one (band, key) and
+    * all-pairs within it is a bucket² executor blowup. Buckets larger
+    * than `maxBucket` switch to star candidates: every member pairs
+    * with the bucket's minimum doc_id only — O(n) candidates, each
+    * still verified by EXACT hamming, so no emitted pair is ever
+    * wrong. What the cap trades away is pair COMPLETENESS inside
+    * mega-buckets: a member further than `maxHamming` from the star
+    * center loses its direct edges to other members (unless another,
+    * smaller band bucket emits them). For the near-dup-grouping
+    * consumer this is the right trade — a hot bucket is by
+    * construction a cluster of docs agreeing on the band bits, and
+    * the star keeps one verified path to the center, so connected
+    * components are preserved whenever the center is within
+    * `maxHamming` of the members (the planted-mega-cluster spec pins
+    * exactly this). Small buckets — everything at contract scale —
+    * keep exact all-pairs, so the default guard changes nothing
+    * below `maxBucket` members per bucket. Returns
+    * (doc_a, doc_b, hamming). */
   def simhashPairs(sig: DataFrame, maxHamming: Int = 6,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8, maxBucket: Int = 10000): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming < bands,
       s"maxHamming $maxHamming needs > $maxHamming bands to be complete")
@@ -400,12 +415,29 @@ object Dedup {
     }
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("__bk"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.__bk") === col("b.__bk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("__sa"), col("b.simhash").as("__sb"))
-      .distinct() // a close pair shares several bands
+    val allPairs: DataFrame => DataFrame = b =>
+      b.as("a").join(b.as("b"),
+          col("a.__bk") === col("b.__bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("__sa"), col("b.simhash").as("__sb"))
+    val cand = (if (maxBucket <= 0) allPairs(banded) else {
+      // the window count is one shuffle on the band key — O(n) per
+      // bucket even on the hot key, vs the O(n^2) join it prevents
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__bk"))
+      val withN = banded.withColumn("__bn", count(lit(1)).over(w))
+      val smallPairs = allPairs(withN.filter(col("__bn") <= maxBucket)
+        .select(col("doc_id"), col("simhash"), col("__bk")))
+      // struct min orders by doc_id first: the star center is the
+      // bucket's minimum id, carried with its signature
+      val starPairs = withN.filter(col("__bn") > maxBucket)
+        .withColumn("__ctr",
+          min(struct(col("doc_id"), col("simhash"))).over(w))
+        .filter(col("doc_id") =!= col("__ctr.doc_id"))
+        .select(col("__ctr.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+          col("__ctr.simhash").as("__sa"), col("simhash").as("__sb"))
+      smallPairs.unionByName(starPairs)
+    }).distinct() // a close pair shares several bands
     cand
       .withColumn("hamming", aggregate(
         zip_with(split(col("__sa"), ""), split(col("__sb"), ""),

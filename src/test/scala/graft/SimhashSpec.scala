@@ -41,6 +41,46 @@ class SimhashSpec extends SparkSpec {
     assert(n.isNullAt(1))
   }
 
+  test("simhashPairs skew guard: mega-bucket stars bound pairs, keep components") {
+    import spark.implicits._
+    // a 31-doc near-identical cluster (distinct signatures — exact dedup
+    // could NOT collapse these): center 0L = all zeros, member i flips
+    // only bit i-1. Pairwise hamming <= 2, so UNGUARDED output is all
+    // C(31,2) = 465 pairs — the bucket-squared shape. Plus one isolated
+    // small pair far from the cluster (all-ones signatures) that must
+    // keep exact all-pairs under the guard.
+    val zeros = "0" * 64
+    val cluster = (0 to 30).map { i =>
+      val s = if (i == 0) zeros
+      else zeros.substring(0, i - 1) + "1" + zeros.substring(i)
+      (i.toLong, s)
+    }
+    val farPair = Seq((100L, "1" * 64), (101L, "1" * 63 + "0"))
+    val sig = (cluster ++ farPair).toDF("doc_id", "simhash")
+
+    val unguarded = Dedup.simhashPairs(sig, maxBucket = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(unguarded.size == 465 + 1)
+
+    val guarded = Dedup.simhashPairs(sig, maxBucket = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // every cluster bucket is hot (>= 23 members share any band key), so
+    // only the 30 star edges to the center survive + the small far pair
+    assert(guarded.size == 30 + 1, s"got ${guarded.keys.toSeq.sorted}")
+    assert((1L to 30L).forall(i => guarded.get((0L, i)).contains(1)))
+    assert(guarded.get((100L, 101L)).contains(1))
+    // emitted hamming values are exact (verified, not estimated)
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val sigs = (cluster ++ farPair).toMap
+    guarded.foreach { case ((a, b), h) => assert(h == ham(sigs(a), sigs(b))) }
+
+    // connected components are unchanged by the cap
+    def comps(pairs: Map[(Long, Long), Int]) =
+      Dedup.connectedComponents(pairs.keys.toSeq.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(guarded) == comps(unguarded))
+  }
+
   test("simhash64 registers as a SQL function") {
     graft.functions.registerAll(spark)
     val r = spark.sql(
