@@ -595,6 +595,13 @@ object TombstoneCache {
         listingCache.remove(indexPath)
     }
 
+  /** Row-level skip probe for the codegen `tombstone_live` filter
+    * expression (stable public entry point for generated code). */
+  def isLive(indexPath: String, id: Long): Boolean = {
+    val dead = get(indexPath)
+    dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0
+  }
+
   def get(indexPath: String): Array[Long] = {
     val now = System.currentTimeMillis()
     listingCache.get(indexPath) match {

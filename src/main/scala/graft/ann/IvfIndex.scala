@@ -130,6 +130,32 @@ object IvfIndex {
     }
   }
 
+  /** Record deleted row ids (FAISS `remove_ids` analog; reference
+    * delete semantics lantern_hnsw/src/hnsw/delete.c:15-72) — the SAME
+    * generation-numbered packed-long tombstone machinery as the graph
+    * index ([[AnnIndex.delete]]: immutable `tombstones-g<n>.bin`
+    * generations under the index root, highest wins, cross-JVM-safe
+    * numbering). Every search path ([[topK]], [[topKAdc]],
+    * [[topKJoin]]) skips tombstoned ids executor-side through the
+    * codegen `tombstone_live` filter; [[consolidate]] reclaims the
+    * rows physically. Caller-serialized with other deletes, like the
+    * graph path. */
+  def delete(spark: SparkSession, indexPath: String, ids: Seq[Long]): Unit =
+    AnnIndex.delete(spark, indexPath, ids)
+
+  /** The index's current tombstoned ids (sorted). */
+  def tombstones(indexPath: String): Seq[Long] =
+    AnnIndex.tombstones(indexPath)
+
+  /** Tombstone-skip filter over a cells frame: rows whose id is in the
+    * packed tombstone file vanish from every search. Resolved on the
+    * executors (TTL-cached file read + binary search per row — no
+    * driver-held set on the probe path); sits ABOVE the partitioned
+    * scan so partition pruning / DPP on cell_id are untouched. */
+  private def liveOnly(df: DataFrame, idCol: String,
+      indexPath: String): DataFrame =
+    df.filter(graft.functions.tombstone_live(col(idCol), indexPath))
+
   /** Streaming append — the IVF parity of [[AnnIndex.streamAppend]],
     * with the same crash-window analysis. Each micro-batch lands as an
     * immutable `<gen>_batches/batch_<id>/` directory (partitioned by
@@ -255,9 +281,18 @@ object IvfIndex {
     cellsBranches(spark, indexPath, man.cellsDir).reduce(_ unionByName _)
   }
 
-  /** Fold every committed streaming batch into a fresh cells
-    * generation (`cells_g<n>`), commit by swapping the manifest's
-    * `cells_dir`, and clean generations older than the PREVIOUS one.
+  /** Fold every committed streaming batch AND every tombstoned delete
+    * into a fresh cells generation (`cells_g<n>`) — consolidation is
+    * also the IVF vacuum: deleted rows are physically reclaimed here.
+    * Commits by swapping the manifest's `cells_dir`; keeps the
+    * generation that was serving when the fold started for one more
+    * cycle. Tombstone FILES are retained across consolidation (an
+    * in-flight reader still serving the previous generation needs them
+    * to keep deleted rows hidden; against the new generation they are
+    * a semantic no-op since the rows are gone). Consequence: re-adding
+    * a previously deleted id requires clearing tombstones explicitly
+    * once no pre-consolidation readers remain — the reference has the
+    * same re-insert caveat for invalidated labels.
     * OFFLINE maintenance, caller-serialized with concurrent
     * [[streamAppend]] runs and other consolidates (the reference
     * serializes its maintenance through table locks the same way).
@@ -291,19 +326,30 @@ object IvfIndex {
     // only committed batch DIRS constitute work to fold (a marker may
     // outlive its dir: zero-row batches never had one)
     val batchesDir = new Path(root, batchesDirName(man.cellsDir))
-    val foldable = fs.exists(batchesDir) &&
+    val hasBatches = fs.exists(batchesDir) &&
       fs.listStatus(batchesDir).exists { st =>
         val n = st.getPath.getName
         n.startsWith("batch_") &&
           names.contains(s"_applied_${man.cellsDir}_$n")
       }
-    // retention: keep `current` AND the generation it superseded
-    def cleanup(current: String): Unit = {
+    // tombstoned rows are also fold work: consolidation doubles as the
+    // IVF vacuum, physically reclaiming deleted rows (the graph path's
+    // [[AnnIndex.vacuum]] analog). Fresh read — folding against a
+    // <TTL-stale cached set would bake a just-deleted row into the new
+    // generation (it would still be FILTERED at probe time, since the
+    // tombstone files survive consolidation, and reclaimed by the next
+    // fold — but the fresh read makes reclamation deterministic).
+    val dead = TombstoneCache.getFresh(indexPath)
+    val foldable = hasBatches || dead.nonEmpty
+    // retention: keep `current` AND `prevServing` — the generation that
+    // was actually serving readers when this consolidate started, NOT
+    // the highest ordinal below current: after a crash between writing
+    // generation g(n+1) and the manifest swap, the rerun builds g(n+2),
+    // and keeping highest-below would retain the orphaned g(n+1) debris
+    // while deleting g(n) — the generation in-flight readers still hold
+    def cleanup(current: String, prevServing: String): Unit = {
       val now = fs.listStatus(root).map(_.getPath.getName)
-      val genNames = now.filter(n => GenDir.findFirstIn(n).isDefined)
-      val cur = genOrdinal(current)
-      val keep: Set[String] = Set(current) ++
-        genNames.filter(g => genOrdinal(g) < cur).sortBy(genOrdinal).lastOption
+      val keep: Set[String] = Set(current, prevServing)
       now.foreach { n =>
         val owner = n match {
           case GenDir(_) => Some(n)
@@ -317,7 +363,7 @@ object IvfIndex {
         }
       }
     }
-    if (!foldable) { cleanup(man.cellsDir); return false }
+    if (!foldable) { cleanup(man.cellsDir, man.cellsDir); return false }
     val nextGen = {
       val used = names.collect { case GenDir(g) =>
         if (g == null) 0L else g.stripPrefix("_g").toLong }
@@ -325,8 +371,18 @@ object IvfIndex {
       // must pick a fresh name rather than throw on an empty max
       f"cells_g${(0L +: used).max + 1}%06d"
     }
-    cellsBranches(spark, indexPath, man.cellsDir)
+    val folded = cellsBranches(spark, indexPath, man.cellsDir)
       .reduce(_ unionByName _)
+    // drop tombstoned rows via a broadcast anti-join against the
+    // driver-read set (this is the WRITE path — deterministic, no TTL;
+    // deletes are rare events so the set broadcasts at any real size)
+    val live = if (dead.isEmpty) folded else {
+      import spark.implicits._
+      val deadDf = spark.createDataset(dead.toSeq).toDF("__dead_id")
+      folded.join(broadcast(deadDf),
+        col(man.idCol).cast("long") === col("__dead_id"), "left_anti")
+    }
+    live
       .repartition(col("cell_id"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell_id")
@@ -337,7 +393,7 @@ object IvfIndex {
     val upto = (foldedUpto(names, man.cellsDir) +: committedIds).max
     fs.create(new Path(root, s"_folded_upto_${nextGen}_$upto"), true).close()
     writeManifest(indexPath, man.copy(cellsDir = nextGen)) // commit point
-    cleanup(nextGen)
+    cleanup(nextGen, man.cellsDir)
     true
   }
 
@@ -462,9 +518,11 @@ object IvfIndex {
     // routing pairs separately and the RESULTS union: DPP only matches
     // a partitioned scan directly under its join, so joining a Union
     // of scans would silently read every cell of every branch.
-    val candidates = cellsBranches(spark, indexPath, man.cellsDir)
-      .map(_.join(broadcast(routed), "cell_id"))
-      .reduce(_ unionByName _)
+    val candidates = liveOnly(
+      cellsBranches(spark, indexPath, man.cellsDir)
+        .map(_.join(broadcast(routed), "cell_id"))
+        .reduce(_ unionByName _),
+      man.idCol, indexPath)
     val nQ = q2.count()
     val withVecs =
       if (nQ <= graft.GraftConf.ivfBroadcastQueryLimit(spark))
@@ -495,7 +553,7 @@ object IvfIndex {
       cells.columns.contains(man.vecCol),
       s"cells schema ${cells.columns.mkString(",")} lacks manifest columns " +
         s"(${man.idCol}, ${man.vecCol})")
-    cells
+    liveOnly(cells, man.idCol, indexPath)
   }
 
   // ---- manifest I/O (java.util.Properties: no extra deps) ----

@@ -47,6 +47,12 @@ package object functions {
   def simhash64(c: Column): Column =
     col(org.apache.spark.sql.graft.Simhash64(expr(c)))
 
+  /** true iff `id` is not tombstoned in the index at `indexPath`
+    * (executor-side resolution against the packed tombstone file — the
+    * DataFrame filter the IVF probes apply). */
+  def tombstone_live(id: Column, indexPath: String): Column =
+    col(org.apache.spark.sql.graft.TombstoneLive(expr(id.cast("long")), indexPath))
+
   /** Byte-level BPE token count under `tok`'s merge table (defaults to
     * the embedded-fixture tokenizer) — the real-tokenizer basis for
     * token stats and sequence packing. */

@@ -483,6 +483,47 @@ object VectorQueries {
         nprobe = 16)
       .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
 
+  /** Dedicated mutable IVF index for the delete/vacuum family (the
+    * shared probe index must stay immutable): built once per dir, the
+    * exact top-3 ids for the fixed query vector tombstoned — so the
+    * post-delete all-cells probe is exactly rows 4..13 of the exact
+    * ranking (LIMIT 10 OFFSET 3 oracle, deterministic at any sf). */
+  private val ivfDeleteIndexes = TrieMap[String, String]()
+  private def ivfDeleteIndexPath(s: SparkSession, dir: String): String =
+    ivfDeleteIndexes.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+      graft.ann.IvfIndex.build(emb(s, dir), "vec_id", "embedding", p,
+        graft.ann.IvfIndex.Params(nCells = 16))
+      val top3 = Knn.knn(emb(s, dir), col("embedding"), vecLit(qVec), 3,
+          Knn.L2Sq, Some(col("vec_id")))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      graft.ann.IvfIndex.delete(s, p, top3)
+      p
+    })
+
+  /** Post-delete IVF search: tombstoned ids are skipped executor-side
+    * by the codegen tombstone_live filter over the probed cells. */
+  private def ivfDelete(s: SparkSession, dir: String): DataFrame =
+    graft.ann.IvfIndex.topK(s, ivfDeleteIndexPath(s, dir), qVec.toArray, 10,
+        nprobe = 16)
+      .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+
+  /** IVF vacuum = consolidate: tombstoned rows physically reclaimed
+    * into a fresh cells generation (manifest-swap commit); the
+    * consolidated index must return the same post-delete ranking. */
+  private val ivfVacuumed = TrieMap[String, String]()
+  private def ivfVacuumPath(s: SparkSession, dir: String): String =
+    ivfVacuumed.getOrElseUpdate(dir, {
+      val p = ivfDeleteIndexPath(s, dir)
+      val folded = graft.ann.IvfIndex.consolidate(s, p)
+      require(folded, "consolidate found no tombstones to fold")
+      p
+    })
+  private def ivfVacuum(s: SparkSession, dir: String): DataFrame =
+    graft.ann.IvfIndex.topK(s, ivfVacuumPath(s, dir), qVec.toArray, 10,
+        nprobe = 16)
+      .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+
   /** Routed batch KNN join: each query equi-joins only its probed
     * cells (vs q_knn_join's every-shard graph probes). nprobe = all 16
     * cells makes it exact, so the oracle is the same windowed
@@ -521,6 +562,8 @@ object VectorQueries {
       timed("ivf") { ivfIndexPath(s, dir) },
       timed("ivf_append") { ivfAppendPath(s, dir) },
       timed("ivf_adc") { ivfAdcIndexPath(s, dir) },
+      timed("ivf_delete") { ivfDeleteIndexPath(s, dir) },
+      timed("ivf_vacuum") { ivfVacuumPath(s, dir) },
       timed("fvecs") { fvecsFilePath(s, dir) })
   }
 
@@ -561,6 +604,8 @@ object VectorQueries {
     "q_ivf_join" -> ((s, dir) => ivfJoin(s, dir)),
     "q_ivf_append" -> ((s, dir) => ivfAppend(s, dir)),
     "q_ivf_adc" -> ((s, dir) => ivfAdc(s, dir)),
+    "q_ivf_delete" -> ((s, dir) => ivfDelete(s, dir)),
+    "q_ivf_vacuum" -> ((s, dir) => ivfVacuum(s, dir)),
   )
 
   /** Band-key SQL for the hyperplane LSH oracle: sum of sign bits
@@ -686,6 +731,16 @@ object VectorQueries {
          |FROM embeddings, q
          |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10 OFFSET 3""".stripMargin,
     "q_ann_vacuum" ->
+      s"""WITH q AS (SELECT $qVecSql AS qv)
+         |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
+         |FROM embeddings, q
+         |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10 OFFSET 3""".stripMargin,
+    "q_ivf_delete" ->
+      s"""WITH q AS (SELECT $qVecSql AS qv)
+         |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
+         |FROM embeddings, q
+         |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10 OFFSET 3""".stripMargin,
+    "q_ivf_vacuum" ->
       s"""WITH q AS (SELECT $qVecSql AS qv)
          |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
          |FROM embeddings, q

@@ -566,4 +566,109 @@ class IvfSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L, "")))
     assert(out(4L) == ((0L, 0L, "")))
   }
+
+  /** 16 clusters x 20 pts, 8-dim — the delete-family fixture. */
+  private def clusterPts(seed: Int): Seq[(Long, Seq[Float])] = {
+    val rnd = new java.util.Random(seed)
+    val centers = Array.fill(16)(Array.fill(8)(rnd.nextFloat() * 10f))
+    for { c <- centers.indices; j <- 0 until 20 }
+      yield ((c * 20 + j).toLong,
+        centers(c).map(x => x + rnd.nextFloat() * 0.2f).toSeq)
+  }
+
+  test("IVF delete: tombstoned ids vanish from every search; consolidate reclaims") {
+    import spark.implicits._
+    val pts = clusterPts(11)
+    val df = pts.toDF("id", "v")
+    val dir = Files.createTempDirectory("ivfdel").toString
+    IvfIndex.build(df, "id", "v", dir,
+      IvfIndex.Params(nCells = 8, sampleLimit = pts.length, seed = 2L))
+    val q = pts.head._2.toArray
+    val ranked = pts.map { case (id, v) =>
+      (id, Metric.L2Sq.dist(q, v.toArray)) }.sortBy(x => (x._2, x._1))
+    val top3 = ranked.take(3).map(_._1)
+    IvfIndex.delete(spark, dir, top3)
+    val expect = ranked.slice(3, 13).map(_._1).toSeq
+
+    // topK skips tombstones
+    assert(IvfIndex.topK(spark, dir, q, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq == expect)
+    // topKJoin skips tombstones
+    val joined = IvfIndex.topKJoin(
+        Seq((0L, pts.head._2)).toDF("qid", "qv"), "qid", "qv", dir,
+        k = 10, nprobe = 8)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(joined == expect)
+
+    // consolidate = vacuum: fold returns true even with no stream
+    // batches, the new generation physically lacks the dead rows, the
+    // probe result is unchanged
+    assert(IvfIndex.consolidate(spark, dir))
+    val man = IvfIndex.readManifest(dir)
+    assert(man.cellsDir != "cells", "consolidate must swap the generation")
+    val genIds = spark.read.parquet(s"$dir/${man.cellsDir}")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top3.forall(id => !genIds.contains(id)))
+    assert(IvfIndex.topK(spark, dir, q, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq == expect)
+
+    // cross-generation merge: a later delete (as from another JVM —
+    // the generation number is parsed from storage, not a clock) must
+    // compound with the folded ones, and generations stay pruned
+    IvfIndex.delete(spark, dir, Seq(ranked(3)._1))
+    assert(IvfIndex.topK(spark, dir, q, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq == ranked.slice(4, 14).map(_._1).toSeq)
+    assert(IvfIndex.tombstones(dir).toSet == (top3 :+ ranked(3)._1).toSet)
+    val genFiles = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(n => n.startsWith("tombstones-g"))
+    assert(genFiles.length <= 2, s"generations not pruned: ${genFiles.toSeq}")
+  }
+
+  test("IVFADC probe skips tombstones") {
+    import spark.implicits._
+    val pts = clusterPts(12)
+    val df = pts.toDF("id", "v")
+    val cb = graft.pq.Pq.createCodebook(df, "v", clusterCount = 16,
+      subvectorCount = 4, datasetSizeLimit = pts.length, seed = 7L)
+    val dir = Files.createTempDirectory("ivfdeladc").toString
+    IvfIndex.build(df, "id", "v", dir,
+      IvfIndex.Params(nCells = 8, sampleLimit = pts.length, seed = 2L,
+        pq = Some(cb)))
+    val q = pts.head._2.toArray
+    val ranked = pts.map { case (id, v) =>
+      (id, Metric.L2Sq.dist(q, v.toArray)) }.sortBy(x => (x._2, x._1))
+    val top2 = ranked.take(2).map(_._1)
+    IvfIndex.delete(spark, dir, top2)
+    // refine covers the corpus -> the re-rank is exact over survivors
+    val got = IvfIndex.topKAdc(spark, dir, q, 5, nprobe = 8,
+        refine = pts.length)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == ranked.slice(2, 7).map(_._1).toSeq)
+  }
+
+  test("consolidate crash debris: the serving generation survives cleanup") {
+    import spark.implicits._
+    val pts = clusterPts(13)
+    val df = pts.toDF("id", "v")
+    val dir = Files.createTempDirectory("ivfcrash").toString
+    IvfIndex.build(df, "id", "v", dir,
+      IvfIndex.Params(nCells = 4, sampleLimit = pts.length, seed = 2L))
+    IvfIndex.delete(spark, dir, Seq(pts.head._1))
+    // simulate a prior consolidate that crashed AFTER writing its new
+    // generation + watermark but BEFORE the manifest swap: the debris
+    // generation outranks the serving one ordinally
+    val debris = new java.io.File(dir, "cells_g000001")
+    df.withColumn("cell_id", lit(0))
+      .write.partitionBy("cell_id").parquet(debris.toString)
+    new java.io.File(dir, "_folded_upto_cells_g000001_0").createNewFile()
+    // the rerun folds from the SERVING generation (cells), builds
+    // g000002, and must retain cells (in-flight readers) while
+    // removing the orphaned debris — not the other way around
+    assert(IvfIndex.consolidate(spark, dir))
+    val man = IvfIndex.readManifest(dir)
+    assert(man.cellsDir == "cells_g000002", s"got ${man.cellsDir}")
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains("cells"), "serving generation was deleted")
+    assert(!names.contains("cells_g000001"), "crash debris was retained")
+  }
 }
