@@ -178,4 +178,36 @@ object Autotune {
     }
     (report, manifest)
   }
+
+  /** IVF parity of [[runAndCreate]] (reference `--create-index` +
+    * `--export`, lantern_cli/src/index_autotune/cli.rs): run the IVF
+    * grid and build the full-table index at the winner's nCells (nprobe
+    * is a search-time knob — callers read it off `report.best`). The
+    * measured grid is exported alongside the index as
+    * `<indexPath>/autotune_results` parquet — the durable analog of the
+    * reference's exported results table. */
+  def runIvfAndCreate(df: DataFrame, idCol: String, vecCol: String,
+      workDir: String, indexPath: String, metric: Metric = Metric.L2Sq,
+      k: Int = 10, targetRecall: Double = 0.9, sampleSize: Int = 10000,
+      numQueries: Int = 10, variants: Seq[IvfVariant] = ivfPresets)
+      : (IvfReport, Option[IvfIndex.Manifest]) = {
+    val spark = df.sparkSession
+    val report = runIvf(df, idCol, vecCol, workDir, metric, k, targetRecall,
+      sampleSize, numQueries, variants)
+    val manifest = report.best.map { v =>
+      IvfIndex.build(df, idCol, vecCol, indexPath,
+        IvfIndex.Params(nCells = v.nCells, metric = metric))
+      import spark.implicits._
+      report.results
+        .map(r => (r.variant.nCells, r.variant.nprobe, r.recall,
+          r.scanFraction, r.buildMillis, r.searchMillis))
+        .toDF("n_cells", "nprobe", "recall", "scan_fraction",
+          "build_ms", "search_ms")
+        .repartition(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$indexPath/autotune_results")
+      IvfIndex.readManifest(indexPath)
+    }
+    (report, manifest)
+  }
 }

@@ -470,7 +470,8 @@ object IvfIndex {
     * routing broadcast carries (query_id, cell_id) pairs only — one
     * vector copy per query, not per probed cell. */
   def topKJoin(queries: DataFrame, idCol: String, vecCol: String,
-      indexPath: String, k: Int, nprobe: Int = 4): DataFrame = {
+      indexPath: String, k: Int, nprobe: Int = 4,
+      queryBound: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     val man = readManifest(indexPath)
@@ -523,7 +524,15 @@ object IvfIndex {
         .map(_.join(broadcast(routed), "cell_id"))
         .reduce(_ unionByName _),
       man.idCol, indexPath)
-    val nQ = q2.count()
+    // strategy pick needs only an UPPER bound on the distinct query
+    // count (past the limit the shuffle-hash path is safe at any size,
+    // it just forgoes the broadcast): a caller-supplied bound or a
+    // plan-statistics row count avoids the extra count() job per
+    // invocation — a driver round-trip that dominates at high call
+    // rates; the exact count is the last resort, not the default
+    val nQ: Long = queryBound
+      .orElse(q2.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
+      .getOrElse(q2.count())
     val withVecs =
       if (nQ <= graft.GraftConf.ivfBroadcastQueryLimit(spark))
         candidates.join(broadcast(q2), "__ivf_qid")

@@ -60,7 +60,17 @@ object Knn {
     * already-returned ties — the order is total — and are dropped).
     * Escalating to k therefore costs O(k) rows fetched overall instead
     * of the reference's O(k log k) (KnnCursorSpec pins both the exact
-    * sequence and the fetched-row accounting). */
+    * sequence and the fetched-row accounting).
+    *
+    * Tie-heavy accounting: a refill whose boundary sits inside a big
+    * equal-distance block re-fetches that block's seen prefix
+    * (`seenTies + delta` rows) — the struct tiebreak has no literal
+    * form, so the block cannot be seeked into directly. Because the
+    * escalation deltas DOUBLE, `seenTies <= k_i` and the re-fetches
+    * form a geometric series: total rows fetched stay O(k) (constant
+    * factor <= ~3) even when one tie block spans every escalation.
+    * The quadratic O(k x tieBlock) worst case needs constant-size
+    * deltas, which this cursor never issues. */
   def knnCursor(
       df: DataFrame,
       vecCol: Column,

@@ -532,7 +532,8 @@ object VectorQueries {
     graft.ann.IvfIndex.topKJoin(
         emb(s, dir).filter(col("vec_id") < 20)
           .select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", ivfIndexPath(s, dir), k = 3, nprobe = 16)
+        "vec_id", "embedding", ivfIndexPath(s, dir), k = 3, nprobe = 16,
+        queryBound = Some(20L)) // known bound: no per-call count() job
       .select(col("query_id"), col("id"), round(col("dist"), 6).as("dist"),
         col("rank"))
 

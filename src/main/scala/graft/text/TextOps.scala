@@ -366,25 +366,34 @@ object TextOps {
     * the full CCNet/Gopher-style fluency score ([[lmCoverage]] is its
     * oracle-exact integer core; this one's cross-partition log-prob
     * sum is float-order-sensitive, so it is spec-verified rather than
-    * hash-compared). P(w2|w1) = (B(w1,w2) + k) / (U(w1) + k*V);
+    * hash-compared). P(w2|w1) = (B(w1,w2) + k) / (C(w1) + k*V) where
+    * C(w1) = sum over w2 of B(w1,w2) — the count of bigrams with left
+    * context w1, derived FROM the bigram table so the unsmoothed
+    * conditional sums to exactly 1 per context (a raw unigram
+    * occurrence count would overcount: the last token of every
+    * reference doc occurs without a following transition). V = the
+    * reference unigram vocabulary (the smoothing support).
     * ppl = 2^(mean -log2 P) over the doc's transitions (null for docs
     * with none). Same broadcast-model shape as [[lmCoverage]]. */
   def lmPerplexity(docs: DataFrame, idCol: Column, textCol: Column,
       ref: DataFrame, refTextCol: Column, addK: Double = 1.0): DataFrame = {
     val refToks = ref.select(explode(tokenize(refTextCol)).as("__w"))
-    val uni = refToks.groupBy(col("__w")).agg(count(lit(1)).as("__u"))
-    val vocab = uni.count().toDouble
+    val vocab = refToks.distinct().count().toDouble
     val bi = ref
       .withColumn("__t", tokenize(refTextCol)) // bindOnce: see lmCoverage
       .select(explode(ngrams(col("__t"), 2)).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as("__b"))
+    // context totals from the bigram table itself: C(w1) = sum B(w1,*)
+    val ctx = bi
+      .withColumn("__w1", split(col("__g"), " ").getItem(0))
+      .groupBy(col("__w1")).agg(sum(col("__b")).as("__u"))
     docs
       .withColumn("__t", tokenize(textCol))
       .select(idCol.as("doc_id"),
         explode_outer(ngrams(col("__t"), 2)).as("__g"))
       .withColumn("__w1", split(col("__g"), " ").getItem(0))
       .join(broadcast(bi), Seq("__g"), "left")
-      .join(broadcast(uni.withColumnRenamed("__w", "__w1")), Seq("__w1"), "left")
+      .join(broadcast(ctx), Seq("__w1"), "left")
       .withColumn("__neglog2",
         -log2((coalesce(col("__b"), lit(0L)).cast("double") + lit(addK)) /
           (coalesce(col("__u"), lit(0L)).cast("double") + lit(addK * vocab))))

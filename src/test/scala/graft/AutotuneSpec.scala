@@ -84,4 +84,33 @@ class AutotuneSpec extends SparkSpec {
     assert(graft.ann.AnnIndex.readManifest(s"$work/index").count ==
       emb.count())
   }
+
+  test("runIvfAndCreate builds the winner's IVF index; it answers probes exactly") {
+    import graft.ann.Autotune.IvfVariant
+    import graft.ann.IvfIndex
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val work = Files.createTempDirectory("autotune_ivf_create").toString
+    val (report, manifest) = Autotune.runIvfAndCreate(emb, "vec_id",
+      "embedding", s"$work/grid", s"$work/index", metric = Metric.L2Sq,
+      k = 5, targetRecall = 0.6, sampleSize = 100, numQueries = 3,
+      variants = Seq(IvfVariant(8, 2), IvfVariant(8, 8)))
+    assert(report.best.nonEmpty && manifest.nonEmpty)
+    assert(manifest.get.nCells == report.best.get.nCells)
+    // the created index answers a q_ivf_topk-shaped all-cells probe
+    // exactly (full probe = exact scan within the partitioned path)
+    val corpus = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val q = corpus.head._2
+    val exact = corpus.map { case (id, v) => (id, Metric.L2Sq.dist(q, v)) }
+      .sortBy(x => (x._2, x._1)).take(5).map(_._1).toSeq
+    val got = IvfIndex.topK(spark, s"$work/index", q, 5,
+        nprobe = manifest.get.nCells)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+    // the measured grid is exported alongside the index
+    val exported = spark.read.parquet(s"$work/index/autotune_results")
+    assert(exported.count() == 2)
+    assert(exported.columns.toSet == Set("n_cells", "nprobe", "recall",
+      "scan_fraction", "build_ms", "search_ms"))
+  }
 }

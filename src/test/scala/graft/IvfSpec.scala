@@ -646,6 +646,49 @@ class IvfSpec extends SparkSpec {
     assert(got == ranked.slice(2, 7).map(_._1).toSeq)
   }
 
+  test("topKJoin with a caller bound plans without an extra count job") {
+    import spark.implicits._
+    val pts = clusterPts(14)
+    val df = pts.toDF("id", "v")
+    val dir = Files.createTempDirectory("ivfbound").toString
+    IvfIndex.build(df, "id", "v", dir,
+      IvfIndex.Params(nCells = 4, sampleLimit = pts.length, seed = 2L))
+    val queries = Seq((0L, pts.head._2), (1L, pts(1)._2)).toDF("qid", "qv")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // both constructions pay the same parquet schema-inference jobs;
+      // only the unbounded one may add the count() job — the bounded
+      // path must run strictly fewer
+      val bounded = IvfIndex.topKJoin(queries, "qid", "qv", dir,
+        k = 3, nprobe = 4, queryBound = Some(2L))
+      Thread.sleep(300) // listener delivery is async
+      val boundedJobs = jobs.get()
+      jobs.set(0)
+      IvfIndex.topKJoin(queries, "qid", "qv", dir, k = 3, nprobe = 4)
+      Thread.sleep(300)
+      val unboundedJobs = jobs.get()
+      assert(boundedJobs < unboundedJobs,
+        s"bounded construction ran $boundedJobs job(s), unbounded $unboundedJobs")
+      // and the bounded plan still answers exactly
+      val got = bounded.orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val exact = Seq(0L -> pts.head._2, 1L -> pts(1)._2).flatMap {
+        case (qid, qv) =>
+          pts.map { case (id, v) =>
+            (id, Metric.L2Sq.dist(qv.toArray, v.toArray)) }
+            .sortBy(x => (x._2, x._1)).take(3).map(p => (qid, p._1))
+      }
+      assert(got == exact)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("consolidate crash debris: the serving generation survives cleanup") {
     import spark.implicits._
     val pts = clusterPts(13)

@@ -68,6 +68,25 @@ class KnnCursorSpec extends SparkSpec {
     assert(got.distinct.length == 40)
   }
 
+  test("one giant tie block: fetched rows stay O(consumed) under doubling") {
+    val s = spark
+    import s.implicits._
+    // 64 rows at ONE distance — every refill boundary sits inside the
+    // same tie block, the worst case for the seenTies re-fetch. The
+    // doubling deltas bound the re-fetches geometrically: total fetched
+    // must stay within a small constant of rows consumed (the
+    // quadratic O(k x tieBlock) shape would fetch ~64*64/2 here)
+    val rows = (0 until 64).map(i => (i.toLong, Seq.fill(4)(1.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val zero = vecLit(Seq.fill(4)(0.0f))
+    val cur = new Knn.KnnCursor(df, col("embedding"), zero,
+      Knn.L2Sq, Some(col("vec_id")), 4, 1000)
+    val got = cur.map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == (0L until 64L))
+    assert(cur.fetchedRows <= 4 * 64,
+      s"tie-block refills blew the O(k) budget: ${cur.fetchedRows} for 64")
+  }
+
   test("NaN distances at a batch boundary neither duplicate nor drop rows") {
     val s = spark
     import s.implicits._
