@@ -62,6 +62,34 @@ class JobRegistry(spark: SparkSession, registryPath: String) {
     writeAll(readAll().map(j =>
       if (j.job_id == jobId) j.copy(status = status, error = error) else j))
 
+  /** Incremental daemon mode for one job (reference
+    * daemon/embedding_jobs.rs:1147-1260: catch-up scan then follow):
+    * Structured Streaming over the job's source through
+    * [[Embeddings.streamEmbed]]. The default AvailableNow trigger
+    * drains the backlog and stops — the daemon's catch-up sweep; the
+    * checkpoint pins batch ids so a restart never re-embeds rows.
+    * Marks the job completed on a clean drain, failed otherwise. */
+  def runStreaming(jobId: Long, checkpoint: String,
+      batchSize: Int = 64): Unit = {
+    val job = readAll().find(_.job_id == jobId).getOrElse(
+      throw new NoSuchElementException(s"no embedding job $jobId"))
+    require(job.status == Status.Enabled,
+      s"job $jobId is ${job.status}, not ${Status.Enabled}")
+    try {
+      val schema = spark.read.parquet(job.src_path).schema
+      val q = Embeddings.streamEmbed(spark, job.src_path, job.dst_path,
+        checkpoint, schema, job.text_col, job.out_col,
+        Runtimes.forName(job.runtime), job.model, batchSize)
+      q.awaitTermination()
+      setStatus(jobId, Status.Completed)
+    } catch {
+      case e: Throwable =>
+        setStatus(jobId, Status.Failed,
+          Option(e.getMessage).getOrElse(e.getClass.getName))
+        throw e
+    }
+  }
+
   /** One daemon sweep: run every enabled job to completion (batch).
     * Returns the ids that ran. */
   def runPending(batchSize: Int = 64): Seq[Long] = {

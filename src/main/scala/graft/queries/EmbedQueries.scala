@@ -39,9 +39,40 @@ object EmbedQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Incremental daemon path end-to-end: the same 200 rows flow
+    * through a registered job + Structured Streaming (AvailableNow)
+    * into a parquet sink, so the oracle is the BATCH embed of the same
+    * rows — daemon semantics (job row, checkpointed stream, status
+    * transition) are on the contract, not just in specs. */
+  private val streamRuns = new scala.collection.concurrent.TrieMap[String, String]()
+  private def embedStreamPath(s: SparkSession, dir: String): String =
+    streamRuns.getOrElseUpdate(dir, {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_embed_stream").toString
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id").asc).limit(200)
+        .write.parquet(s"$work/src")
+      val reg = new graft.embed.JobRegistry(s, s"$work/registry")
+      val id = reg.addEmbeddingJob(s"$work/src", "text", "embedding",
+        s"$work/dst", "mock", "mock-embed")
+      reg.runStreaming(id, s"$work/ckpt", batchSize = 32)
+      require(reg.getJobStatus(id).contains("completed"),
+        s"streaming embed job ended ${reg.getJobStatus(id)}")
+      s"$work/dst"
+    })
+
+  private def embedStream(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(embedStreamPath(s, dir))
+      .select(col("doc_id") +:
+        (0 until Dim).map(j =>
+          round(element_at(col("embedding"), j + 1).cast("double"), 6)
+            .as(s"e$j")): _*)
+      .orderBy(col("doc_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_mock" -> ((s, d) => embedMock(s, d)),
     "q_completion_mock" -> ((s, d) => completionMock(s, d)),
+    "q_embed_stream" -> ((s, d) => embedStream(s, d)),
   )
 
   private def eSql(j: Int): String =
@@ -54,5 +85,10 @@ object EmbedQueries {
     "q_completion_mock" ->
       """SELECT doc_id, 'MOCK[mock-complete]: ' || substr(text, 1, 32) AS completion
         |FROM documents ORDER BY doc_id ASC LIMIT 100""".stripMargin,
+    // the streamed rows are the same first 200 docs through the same
+    // mock runtime, so the batch-embed oracle applies verbatim
+    "q_embed_stream" ->
+      s"""SELECT doc_id, ${(0 until Dim).map(eSql).mkString(", ")}
+         |FROM documents ORDER BY doc_id ASC LIMIT 200""".stripMargin,
   )
 }

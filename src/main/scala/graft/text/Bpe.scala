@@ -151,7 +151,8 @@ object Bpe {
     * corpus-training formulation; [[train]] on a single string is the
     * degenerate one-document case. BpeSpec pins the equivalence. */
   def trainDistributed(docs: org.apache.spark.sql.DataFrame,
-      textCol: org.apache.spark.sql.Column, budget: Int): IndexedSeq[Merge] = {
+      textCol: org.apache.spark.sql.Column, budget: Int,
+      progress: Int => Unit = _ => ()): IndexedSeq[Merge] = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val spark = docs.sparkSession
     import spark.implicits._
@@ -160,13 +161,19 @@ object Bpe {
       .as[String]
       .map(t => t.getBytes(StandardCharsets.UTF_8).map(b => b & 0xff))
       .toDF("toks").persist()
-    toks.count()
+    // the PREVIOUS round's cached frame: kept alive until the current
+    // round's count job has materialized the current frame through it,
+    // then dropped — so each round runs ONE Spark job (the pair count,
+    // which doubles as the cache fill) instead of count + materialize
+    var prev: org.apache.spark.sql.DataFrame = null
+    def dropPrev(): Unit = if (prev != null) { prev.unpersist(); prev = null }
     val merges = IndexedSeq.newBuilder[Merge]
     var next = 256
     var n = 0
     var continue = true
     while (continue && n < budget) {
       // pair counts: one combiner-aggregated shuffle of distinct pairs
+      // (this job also fills the current frame's cache)
       val best = toks.as[Array[Int]]
         .flatMap { a =>
           val out = new Array[Long](math.max(a.length - 1, 0))
@@ -184,6 +191,7 @@ object Bpe {
         .orderBy(col("c").desc, col("pair").asc)
         .limit(1)
         .collect()
+      dropPrev() // toks is materialized now; its parent can go
       if (best.isEmpty) continue = false
       else {
         val pair = best(0).getLong(0)
@@ -194,19 +202,52 @@ object Bpe {
         val merged = toks.as[Array[Int]]
           .map(a => pass(a, l, r, id))
           .toDF("toks")
-        // eager localCheckpoint already materializes every partition;
-        // only the persist branch needs an explicit job
-        val fresh =
-          if ((n + 1) % 16 == 0) merged.localCheckpoint(true)
-          else { val p = merged.persist(); p.count(); p }
-        toks.unpersist()
-        toks = fresh
+        if ((n + 1) % 16 == 0) {
+          // eager localCheckpoint: one extra job, lineage TRUNCATED so
+          // the plan cannot grow by one transform per rank
+          val fresh = merged.localCheckpoint(true)
+          toks.unpersist()
+          toks = fresh
+        } else {
+          prev = toks
+          toks = merged.persist() // filled by the next round's count job
+        }
         next += 1
         n += 1
+        progress(n)
       }
     }
+    dropPrev()
     toks.unpersist()
     merges.result()
+  }
+
+  /** Persist a merge table as a tiny parquet artifact — the
+    * tokenizer's analog of the PQ codebook sidecar: (rank, left,
+    * right), one row per merge. A 50k-merge vocabulary is ~600 KB. */
+  def save(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case (m, i) => (i, m.left, m.right) }
+      .toDF("rank", "left", "right")
+      .repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Load a merge table saved by [[save]] and compile it. Validates the
+    * rank sequence is gapless from 0 (a hole would silently shift every
+    * later token id, changing the encoding). */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): BpeTokenizer = {
+    val rows = spark.read.parquet(path)
+      .select("rank", "left", "right").orderBy("rank").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"merge table at $path has rank ${r.getInt(0)} at position $i " +
+          "(corrupt or partially written artifact)")
+    }
+    new BpeTokenizer(rows.map(r => Merge(r.getInt(1), r.getInt(2))).toIndexedSeq)
   }
 
   /** Default merge budget: small enough that the oracle's per-rank

@@ -3,21 +3,45 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.ann.{AnnIndex, Metric}
 object ScaleProbe {
+  /** Peak driver heap observed by a 20 ms poller while `f` runs —
+    * backs the "vacuum never materializes vectors on the driver"
+    * claim with a measured number (GC timing adds noise; the signal
+    * is the ABSENCE of an O(corpus) spike). */
+  private def withHeapHighWater[T](f: => T): (T, Long) = {
+    val rt = Runtime.getRuntime
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var run = true
+    val poller = new Thread(() => {
+      while (run) {
+        peak.accumulateAndGet(rt.totalMemory - rt.freeMemory, math.max)
+        Thread.sleep(20)
+      }
+    })
+    poller.setDaemon(true)
+    poller.start()
+    try { val r = f; (r, peak.get()) }
+    finally { run = false; poller.join(200) }
+  }
+
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    // ScaleProbe [n=50000] [threads=8] — e.g. `500000 32` for the
+    // half-million-row sweep at local[32]
+    val n = args.headOption.map(_.toInt).getOrElse(50000)
+    val threads = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    // deterministic synthetic 50k x 64d corpus
-    val n = 50000
+    // deterministic synthetic n x 64d corpus
     val df = spark.range(n).select(col("id"),
       expr("transform(sequence(0, 63), j -> cast(sin(id * 131 + j * 17) as float))").as("vec"))
       .cache()
     df.count()
     val dir = java.nio.file.Files.createTempDirectory("scale").toString
     val t0 = System.nanoTime()
-    AnnIndex.build(df, "id", "vec", dir, AnnIndex.Params(Metric.L2Sq, numShards = 8))
+    AnnIndex.build(df, "id", "vec", dir,
+      AnnIndex.Params(Metric.L2Sq, numShards = threads))
     val buildS = (System.nanoTime() - t0) / 1e9
     val q = Array.tabulate(64)(j => math.sin(12345 * 131 + j * 17).toFloat)
     val t1 = System.nanoTime()
@@ -26,8 +50,26 @@ object ScaleProbe {
     val t2 = System.nanoTime()
     AnnIndex.topK(spark, dir, q, 10, 64).collect()
     val warmS = (System.nanoTime() - t2) / 1e9
-    println(f"build: $buildS%.1fs (${n / buildS}%.0f inserts/s total, 8 shards on 8 threads)")
+    println(f"build: $buildS%.1fs (${n / buildS}%.0f inserts/s total, $threads shards on $threads threads)")
     println(f"coldSearch: $searchS%.2fs warmSearch: $warmS%.2fs top1=${r.head.getLong(0)}")
+    // distributed vacuum with driver-heap high-water: tombstone 1% of
+    // the ids, compact, and report peak driver heap relative to the
+    // pre-vacuum baseline — the corpus vectors are n x 64 x 4 bytes
+    // (e.g. 128 MB at n=500k), and the delta must stay far below that
+    AnnIndex.delete(spark, dir,
+      (0L until n.toLong).filter(_ % 100 == 37))
+    val vacDir = java.nio.file.Files.createTempDirectory("scale_vac").toString
+    System.gc()
+    val rt = Runtime.getRuntime
+    val heapBefore = rt.totalMemory - rt.freeMemory
+    val t2b = System.nanoTime()
+    val (vacMan, heapPeak) =
+      withHeapHighWater(AnnIndex.vacuum(spark, dir, vacDir))
+    val vacS = (System.nanoTime() - t2b) / 1e9
+    println(f"vacuum: ${vacMan.count}%,d survivors (1%% tombstoned) in " +
+      f"$vacS%.1fs; driver heap ${heapBefore / 1e6}%.0f -> " +
+      f"peak ${heapPeak / 1e6}%.0f MB (delta ${(heapPeak - heapBefore) / 1e6}%.0f MB " +
+      f"vs ${n * 64L * 4 / 1e6}%.0f MB of corpus vectors)")
     // batch KNN join sweep: 10k queries x 8 shards in ONE job — pins the
     // topKJoin throughput claim (every query partition probes every
     // shard; shard graphs served from the executor LRU cache)
@@ -40,7 +82,7 @@ object ScaleProbe {
     val t3 = System.nanoTime()
     val joined = AnnIndex.topKJoin(queries, "id", "vec", dir, 10, 64).count()
     val joinS = (System.nanoTime() - t3) / 1e9
-    println(f"topKJoin: $nq queries x 8 shards -> $joined rows in $joinS%.1fs " +
+    println(f"topKJoin: $nq queries x $threads shards -> $joined rows in $joinS%.1fs " +
       f"(${nq / joinS}%.0f queries/s, cacheBytes=${graft.ann.ShardCache.cachedBytes})")
     // routed IVF batch join over the same corpus: nprobe/nCells of the
     // (brute-force) distance work per query vs the graph join's
@@ -123,7 +165,7 @@ object ScaleProbe {
     val bpeS = (System.nanoTime() - t8) / 1e9
     println(f"bpeCount: $n docs ($totalBytes%,d bytes -> $totalToks%,d tokens, " +
       f"${totalBytes.toDouble / totalToks}%.2f bytes/token) in $bpeS%.1fs " +
-      f"(${n / bpeS}%.0f docs/s, ${totalBytes / bpeS / 1e6}%.1f MB/s on 8 threads)")
+      f"(${n / bpeS}%.0f docs/s, ${totalBytes / bpeS / 1e6}%.1f MB/s on $threads threads)")
     spark.stop()
   }
 }

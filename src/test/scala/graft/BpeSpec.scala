@@ -130,4 +130,26 @@ class BpeSpec extends SparkSpec {
     assert(out(2).getAs[Long]("start_offset") == n0 + n1)
     assert(out(2).getAs[Long]("n_tokens") == 0L)
   }
+
+  test("merge table saves to parquet and loads to an identical tokenizer") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_rt").toString
+    val merges = Bpe.default.merges
+    Bpe.save(spark, merges, s"$dir/merges")
+    val loaded = Bpe.load(spark, s"$dir/merges")
+    assert(loaded.merges == merges)
+    // identical ENCODING, not just an equal table
+    val probes = Seq("the fast table scan feeds the hash join",
+      "zq vx qp wm", "", "naïve café — résumé", Bpe.trainingText.take(500))
+    probes.foreach { p =>
+      assert(loaded.encode(p).toSeq == Bpe.default.encode(p).toSeq,
+        s"round-tripped tokenizer diverged on: $p")
+    }
+    // a corrupt artifact (rank hole) must be rejected, not shift ids
+    import spark.implicits._
+    merges.zipWithIndex.collect { case (m, i) if i != 1 => (i, m.left, m.right) }
+      .toDF("rank", "left", "right")
+      .write.mode("overwrite").parquet(s"$dir/holed")
+    val e = intercept[IllegalArgumentException](Bpe.load(spark, s"$dir/holed"))
+    assert(e.getMessage.contains("rank"))
+  }
 }
