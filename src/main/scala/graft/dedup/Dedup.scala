@@ -413,36 +413,47 @@ object Dedup {
       struct(lit(b).as("band"),
         substring(col("simhash"), b * width + 1, width).as("key"))
     }
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      explode(array(bandCols: _*)).as("__bk"))
+    // candidate generation carries BARE id pairs (no signatures): the
+    // distinct runs on 16 bytes/row, and — decisively — the exact
+    // verification below cannot be pushed into the candidate join as a
+    // residual condition, so it runs once per DISTINCT pair instead of
+    // once per bucket-matched pair (a close pair shares several bands;
+    // the same discipline as lshCandidatePairs)
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("__bk"))
     val allPairs: DataFrame => DataFrame = b =>
       b.as("a").join(b.as("b"),
           col("a.__bk") === col("b.__bk") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("__sa"), col("b.simhash").as("__sb"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val cand = (if (maxBucket <= 0) allPairs(banded) else {
-      // the window count is one shuffle on the band key — O(n) per
-      // bucket even on the hot key, vs the O(n^2) join it prevents
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__bk"))
-      val withN = banded.withColumn("__bn", count(lit(1)).over(w))
+      // per-bucket stats via ONE combiner-aggregated groupBy, joined
+      // back to the banded rows — cheaper than a window (no per-bucket
+      // sort, and the stats table is tiny for narrow band keys: at the
+      // default 8 bands x 8-bit keys it holds <= 2048 rows, so AQE
+      // broadcasts the join; a skew-heavy corpus degrades to a plain
+      // shuffle join, the same cost the window would have paid)
+      val stats = banded.groupBy(col("__bk"))
+        .agg(count(lit(1)).as("__bn"), min(col("doc_id")).as("__min"))
+      val withN = banded.join(stats, "__bk")
       val smallPairs = allPairs(withN.filter(col("__bn") <= maxBucket)
-        .select(col("doc_id"), col("simhash"), col("__bk")))
-      // struct min orders by doc_id first: the star center is the
-      // bucket's minimum id, carried with its signature
-      val starPairs = withN.filter(col("__bn") > maxBucket)
-        .withColumn("__ctr",
-          min(struct(col("doc_id"), col("simhash"))).over(w))
-        .filter(col("doc_id") =!= col("__ctr.doc_id"))
-        .select(col("__ctr.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
-          col("__ctr.simhash").as("__sa"), col("simhash").as("__sb"))
+        .select(col("doc_id"), col("__bk")))
+      // the star center is the bucket's minimum doc id
+      val starPairs = withN
+        .filter(col("__bn") > maxBucket && col("doc_id") =!= col("__min"))
+        .select(col("__min").as("doc_a"), col("doc_id").as("doc_b"))
       smallPairs.unionByName(starPairs)
-    }).distinct() // a close pair shares several bands
+    }).distinct()
+    // exact verification: join the signatures back (bounded top-N-free
+    // equi-joins on doc id) and compare with the single-pass codegen
+    // bit_hamming kernel — not the split/zip_with SQL form, which
+    // materializes two 64-element arrays per evaluation
     cand
-      .withColumn("hamming", aggregate(
-        zip_with(split(col("__sa"), ""), split(col("__sb"), ""),
-          (x, y) => when(x =!= y, 1).otherwise(0)),
-        lit(0), (acc, x) => acc + x))
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("__sa")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("__sb")),
+        "doc_b")
+      .withColumn("hamming",
+        graft.functions.bit_hamming(col("__sa"), col("__sb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }

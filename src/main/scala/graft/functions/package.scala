@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, Simhash64, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, DecodeImageStats, ResampleImageStats, FrameSampleHashes, Pcm16Stats, WavMeta, GifFrames}
+import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, Simhash64, BitHamming, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, DecodeImageStats, ResampleImageStats, FrameSampleHashes, Pcm16Stats, WavMeta, GifFrames}
 import org.apache.spark.sql.{functions => F}
 
 /** Column-level API for the engine's scalar functions, mirroring the
@@ -46,6 +46,11 @@ package object functions {
     * the single-pass codegen kernel behind [[graft.dedup.Dedup.simhash64Of]]. */
   def simhash64(c: Column): Column =
     col(org.apache.spark.sql.graft.Simhash64(expr(c)))
+
+  /** Differing character positions between two equal-length ASCII
+    * strings (bit-string signature verification kernel). */
+  def bit_hamming(a: Column, b: Column): Column =
+    col(org.apache.spark.sql.graft.BitHamming(expr(a), expr(b)))
 
   /** true iff `id` is not tombstoned in the index at `indexPath`
     * (executor-side resolution against the packed tombstone file — the
@@ -188,6 +193,7 @@ package object functions {
       "text_to_stem_array" -> (es => TextToStemArray(es.head)),
       "tokenize" -> (es => Tokenize(es.head)),
       "simhash64" -> (es => Simhash64(es.head)),
+      "bit_hamming" -> (es => BitHamming(es.head, es(1))),
       // ExpectsInputTypes validates but does not coerce: widen int
       // inputs to bigint here, like the reference's smallint[]/integer[]
       // casts

@@ -53,6 +53,50 @@ object DedupKernels {
     }
     UTF8String.fromBytes(out)
   }
+
+  /** Differing byte positions between equal-length ASCII strings
+    * (codegen kernel for [[BitHamming]]; throws unchecked on length
+    * mismatch — a mixed-width signature column is caller error). */
+  def bitHamming(a: UTF8String, b: UTF8String): Int = {
+    val ab = a.getBytes
+    val bb = b.getBytes
+    if (ab.length != bb.length)
+      throw new IllegalArgumentException(
+        s"bit_hamming: unequal lengths ${ab.length} vs ${bb.length}")
+    var i = 0
+    var c = 0
+    while (i < ab.length) {
+      if (ab(i) != bb(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** `bit_hamming(a, b)`: number of differing character positions between
+  * two equal-length ASCII strings — the verification kernel for
+  * bit-string signatures ([[Simhash64]] output). One byte-compare loop,
+  * no array materialization: the SQL formulation
+  * (`aggregate(zip_with(split(a,''), split(b,''), ...))`) builds two
+  * 64-element string arrays and evaluates three lambdas per position
+  * PER CANDIDATE PAIR — and Catalyst pushes post-join filters into the
+  * join as residual conditions, so that cost lands on every
+  * bucket-matched pair, not just the distinct survivors. */
+case class BitHamming(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bit_hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DedupKernels.bitHamming(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.DedupKernels.bitHamming($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** `simhash64(shingles)`: 64-bit SimHash signature of a document's
