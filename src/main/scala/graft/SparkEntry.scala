@@ -31,5 +31,6 @@ object SparkEntry {
     * returning (artifact, build seconds) — lets the bench report build
     * cost separately from steady-state query cost. */
   def prepare(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
-    VectorQueries.prepare(spark, sfDir) ++ TextQueries.prepare(spark, sfDir)
+    VectorQueries.prepare(spark, sfDir) ++ TextQueries.prepare(spark, sfDir) ++
+      EmbedQueries.prepare(spark, sfDir)
 }

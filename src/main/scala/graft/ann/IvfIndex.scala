@@ -201,6 +201,17 @@ object IvfIndex {
   private val GenBatchesDir = "^(cells(?:_g\\d+)?)_batches$".r
   private val GenMarker = "^_applied_(cells(?:_g\\d+)?)_batch_(\\d+)$".r
   private val GenFolded = "^_folded_upto_(cells(?:_g\\d+)?)_(\\d+)$".r
+  private val GenTsFolded = "^_tsfolded_(cells(?:_g\\d+)?)_(\\d+)$".r
+
+  /** Highest tombstone GENERATION already reclaimed into `gen` (the
+    * convergence watermark: without it, every consolidate after any
+    * delete would see a non-empty tombstone set — the files are
+    * retained for in-flight readers — and rewrite the whole corpus
+    * again). -1 = nothing reclaimed. */
+  private def tsFoldedUpto(rootNames: Iterable[String], gen: String): Long =
+    rootNames.collect {
+      case GenTsFolded(g, id) if g == gen => id.toLong
+    }.foldLeft(-1L)(math.max)
 
   private def genOrdinal(gen: String): Long =
     if (gen == "cells") 0L else gen.stripPrefix("cells_g").toLong
@@ -339,14 +350,28 @@ object IvfIndex {
     // generation (it would still be FILTERED at probe time, since the
     // tombstone files survive consolidation, and reclaimed by the next
     // fold — but the fresh read makes reclamation deterministic).
+    // Convergence: tombstone FILES outlive the fold (in-flight readers
+    // of the previous generation need them), so "tombstones exist" is
+    // not fold work — only tombstone GENERATIONS newer than the
+    // `_tsfolded` watermark of the current cells generation are.
     val dead = TombstoneCache.getFresh(indexPath)
-    val foldable = hasBatches || dead.nonEmpty
-    // retention: keep `current` AND `prevServing` — the generation that
-    // was actually serving readers when this consolidate started, NOT
-    // the highest ordinal below current: after a crash between writing
-    // generation g(n+1) and the manifest swap, the rerun builds g(n+2),
-    // and keeping highest-below would retain the orphaned g(n+1) debris
-    // while deleting g(n) — the generation in-flight readers still hold
+    val tsGen = TombstoneCache.generationFiles(indexPath, fs)
+      .flatMap(p => TombstoneCache.generationNumber(p.getName))
+      .foldLeft(-1L)(math.max)
+    val hasFreshDeletes = dead.nonEmpty &&
+      tsGen > tsFoldedUpto(names, man.cellsDir)
+    val foldable = hasBatches || hasFreshDeletes
+    // retention: keep `current` AND `prevServing` — the generation
+    // that was serving readers when the LAST fold committed. On the
+    // fold path that is the generation this consolidate started from
+    // (NOT the highest ordinal below current: after a crash between
+    // writing generation g(n+1) and the manifest swap, the rerun
+    // builds g(n+2), and keeping highest-below would retain the
+    // orphaned g(n+1) debris while deleting g(n) — the generation
+    // in-flight readers still hold). On the NO-OP path nothing was
+    // superseded now, so the previously-retained generation (highest
+    // below current) must survive for its readers; only
+    // above-current crash debris is swept.
     def cleanup(current: String, prevServing: String): Unit = {
       val now = fs.listStatus(root).map(_.getPath.getName)
       val keep: Set[String] = Set(current, prevServing)
@@ -356,6 +381,7 @@ object IvfIndex {
           case GenBatchesDir(g) => Some(g)
           case GenMarker(g, _) => Some(g)
           case GenFolded(g, _) => Some(g)
+          case GenTsFolded(g, _) => Some(g)
           case _ => None
         }
         owner.foreach { g =>
@@ -363,7 +389,13 @@ object IvfIndex {
         }
       }
     }
-    if (!foldable) { cleanup(man.cellsDir, man.cellsDir); return false }
+    if (!foldable) {
+      val below = names.filter(n => GenDir.findFirstIn(n).isDefined)
+        .filter(g => genOrdinal(g) < genOrdinal(man.cellsDir))
+      cleanup(man.cellsDir,
+        if (below.isEmpty) man.cellsDir else below.maxBy(genOrdinal))
+      return false
+    }
     val nextGen = {
       val used = names.collect { case GenDir(g) =>
         if (g == null) 0L else g.stripPrefix("_g").toLong }
@@ -392,6 +424,13 @@ object IvfIndex {
     // never find the new generation without it
     val upto = (foldedUpto(names, man.cellsDir) +: committedIds).max
     fs.create(new Path(root, s"_folded_upto_${nextGen}_$upto"), true).close()
+    // tombstone-reclamation watermark: deletes up to tombstone
+    // generation tsGen are IN the new cells generation, so the next
+    // consolidate with no newer deletes (and no batches) is a no-op
+    // instead of a full corpus rewrite. Written before the swap, like
+    // the batch watermark.
+    if (tsGen >= 0)
+      fs.create(new Path(root, s"_tsfolded_${nextGen}_$tsGen"), true).close()
     writeManifest(indexPath, man.copy(cellsDir = nextGen)) // commit point
     cleanup(nextGen, man.cellsDir)
     true
@@ -526,16 +565,19 @@ object IvfIndex {
       man.idCol, indexPath)
     // strategy pick needs only an UPPER bound on the distinct query
     // count (past the limit the shuffle-hash path is safe at any size,
-    // it just forgoes the broadcast): a caller-supplied bound or a
-    // plan-statistics row count avoids the extra count() job per
-    // invocation — a driver round-trip that dominates at high call
-    // rates; the exact count is the last resort, not the default
-    val nQ: Long = queryBound
-      .orElse(q2.queryExecution.optimizedPlan.stats.rowCount.map(_.toLong))
-      .getOrElse(q2.count())
+    // it just forgoes the broadcast). A caller-supplied bound is
+    // trusted in both directions. Plan statistics are ESTIMATES that
+    // can undercount (CBO with stale stats), so they may only push
+    // toward the SAFE path: a large estimate skips both the broadcast
+    // and the count() job; a small one still pays the exact count()
+    // before committing to a broadcast.
+    val limit = graft.GraftConf.ivfBroadcastQueryLimit(spark)
+    val nQ: Long = queryBound.getOrElse {
+      val est = q2.queryExecution.optimizedPlan.stats.rowCount
+      if (est.exists(_.toLong > limit)) Long.MaxValue else q2.count()
+    }
     val withVecs =
-      if (nQ <= graft.GraftConf.ivfBroadcastQueryLimit(spark))
-        candidates.join(broadcast(q2), "__ivf_qid")
+      if (nQ <= limit) candidates.join(broadcast(q2), "__ivf_qid")
       else candidates.join(q2.hint("shuffle_hash"), "__ivf_qid")
     withVecs
       .withColumn("__ivf_dist", distFn(col(man.vecCol), col("__ivf_qvec")))

@@ -386,25 +386,31 @@ object Dedup {
     * pathologically common band value — billions of near-identical
     * boilerplate docs, which exact dedup does NOT collapse because
     * they aren't byte-identical — concentrates one (band, key) and
-    * all-pairs within it is a bucket² executor blowup. Buckets larger
-    * than `maxBucket` switch to star candidates: every member pairs
-    * with the bucket's minimum doc_id only — O(n) candidates, each
-    * still verified by EXACT hamming, so no emitted pair is ever
-    * wrong. What the cap trades away is pair COMPLETENESS inside
+    * all-pairs within it is a bucket² executor blowup. A bucket is
+    * capped only when it is BOTH larger than `maxBucket` AND larger
+    * than `skewMult` x the mean bucket size (default 16x): an
+    * absolute threshold alone would misfire on a perfectly uniform
+    * corpus, where every bucket grows as n/2^bandWidth and crossing
+    * `maxBucket` just means the corpus outgrew the band width — there
+    * the quadratic candidate count is real work the caller should
+    * re-shape with wider bands, not something to silently cut to
+    * star edges (which would collapse recall with no warning). A
+    * capped bucket emits star candidates: every member pairs with the
+    * bucket's minimum doc_id only — O(n) candidates, each still
+    * verified by EXACT hamming, so no emitted pair is ever wrong.
+    * What the cap trades away is pair COMPLETENESS inside
     * mega-buckets: a member further than `maxHamming` from the star
     * center loses its direct edges to other members (unless another,
-    * smaller band bucket emits them). For the near-dup-grouping
+    * uncapped band bucket emits them). For the near-dup-grouping
     * consumer this is the right trade — a hot bucket is by
     * construction a cluster of docs agreeing on the band bits, and
     * the star keeps one verified path to the center, so connected
     * components are preserved whenever the center is within
     * `maxHamming` of the members (the planted-mega-cluster spec pins
-    * exactly this). Small buckets — everything at contract scale —
-    * keep exact all-pairs, so the default guard changes nothing
-    * below `maxBucket` members per bucket. Returns
-    * (doc_a, doc_b, hamming). */
+    * exactly this). Returns (doc_a, doc_b, hamming). */
   def simhashPairs(sig: DataFrame, maxHamming: Int = 6,
-      bands: Int = 8, maxBucket: Int = 10000): DataFrame = {
+      bands: Int = 8, maxBucket: Int = 10000,
+      skewMult: Double = 16.0): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxHamming < bands,
       s"maxHamming $maxHamming needs > $maxHamming bands to be complete")
@@ -434,12 +440,24 @@ object Dedup {
       // shuffle join, the same cost the window would have paid)
       val stats = banded.groupBy(col("__bk"))
         .agg(count(lit(1)).as("__bn"), min(col("doc_id")).as("__min"))
-      val withN = banded.join(stats, "__bk")
-      val smallPairs = allPairs(withN.filter(col("__bn") <= maxBucket)
+      // the skew floor: mean bucket size, attached by a 1-row broadcast
+      // cross join so the whole decision stays in the plan (no driver
+      // action). skewMult <= 0 disables the relative test (specs use it
+      // to force capping on small fixtures).
+      val withAvg =
+        if (skewMult <= 0) stats.withColumn("__cap", lit(maxBucket.toLong))
+        else stats.crossJoin(broadcast(
+            stats.agg(avg(col("__bn")).as("__avg"))))
+          .withColumn("__cap",
+            greatest(lit(maxBucket.toLong),
+              ceil(col("__avg") * skewMult).cast("long")))
+          .drop("__avg")
+      val withN = banded.join(withAvg, "__bk")
+      val smallPairs = allPairs(withN.filter(col("__bn") <= col("__cap"))
         .select(col("doc_id"), col("__bk")))
       // the star center is the bucket's minimum doc id
       val starPairs = withN
-        .filter(col("__bn") > maxBucket && col("doc_id") =!= col("__min"))
+        .filter(col("__bn") > col("__cap") && col("doc_id") =!= col("__min"))
         .select(col("__min").as("doc_a"), col("doc_id").as("doc_b"))
       smallPairs.unionByName(starPairs)
     }).distinct()

@@ -28,20 +28,28 @@ object DedupKernels {
     val n = sh.numElements()
     var i = 0
     while (i < n) {
-      val g = sh.getUTF8String(i).getBytes
-      val d1 = md.digest(g) // digest() resets the instance
-      md.update('#'.toByte)
-      val d2 = md.digest(g)
-      var j = 0
-      while (j < 16) {
-        // hex digit 2j+1 = high nibble of byte j, digit 2j+2 = low nibble
-        val b1 = d1(j)
-        votes(2 * j) += (if ((b1 & 0x80) != 0) 1 else -1)
-        votes(2 * j + 1) += (if ((b1 & 0x08) != 0) 1 else -1)
-        val b2 = d2(j)
-        votes(32 + 2 * j) += (if ((b2 & 0x80) != 0) 1 else -1)
-        votes(32 + 2 * j + 1) += (if ((b2 & 0x08) != 0) 1 else -1)
-        j += 1
+      if (sh.isNullAt(i)) {
+        // SQL-form parity: a null element's md5 is null, the >= 8 test
+        // is null, and the CASE falls to the ELSE branch — every one of
+        // the 64 positions votes -1 (never an NPE)
+        var p = 0
+        while (p < 64) { votes(p) -= 1; p += 1 }
+      } else {
+        val g = sh.getUTF8String(i).getBytes
+        val d1 = md.digest(g) // digest() resets the instance
+        md.update('#'.toByte)
+        val d2 = md.digest(g)
+        var j = 0
+        while (j < 16) {
+          // hex digit 2j+1 = high nibble of byte j, digit 2j+2 = low nibble
+          val b1 = d1(j)
+          votes(2 * j) += (if ((b1 & 0x80) != 0) 1 else -1)
+          votes(2 * j + 1) += (if ((b1 & 0x08) != 0) 1 else -1)
+          val b2 = d2(j)
+          votes(32 + 2 * j) += (if ((b2 & 0x80) != 0) 1 else -1)
+          votes(32 + 2 * j + 1) += (if ((b2 & 0x08) != 0) 1 else -1)
+          j += 1
+        }
       }
       i += 1
     }

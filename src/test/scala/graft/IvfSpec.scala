@@ -689,6 +689,38 @@ class IvfSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("consolidate converges: folded deletes are not re-fold work; no-op retains the superseded generation") {
+    import spark.implicits._
+    val pts = clusterPts(15)
+    val df = pts.toDF("id", "v")
+    val dir = Files.createTempDirectory("ivfconv").toString
+    IvfIndex.build(df, "id", "v", dir,
+      IvfIndex.Params(nCells = 4, sampleLimit = pts.length, seed = 2L))
+    IvfIndex.delete(spark, dir, Seq(pts.head._1))
+    assert(IvfIndex.consolidate(spark, dir)) // folds the delete
+    val gen1 = IvfIndex.readManifest(dir).cellsDir
+    assert(gen1 != "cells")
+    // tombstone files survive the fold (in-flight readers), but they
+    // are NOT new fold work: the next consolidate must be a no-op —
+    // not a full corpus rewrite into yet another generation
+    assert(!IvfIndex.consolidate(spark, dir),
+      "consolidate did not converge after folding all deletes")
+    assert(IvfIndex.readManifest(dir).cellsDir == gen1)
+    // and the no-op cleanup must RETAIN the superseded generation for
+    // its in-flight readers (one more cycle), not delete it
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains("cells"),
+      "no-op consolidate deleted the previously-serving generation")
+    // a NEW delete is fresh fold work again
+    IvfIndex.delete(spark, dir, Seq(pts(1)._1))
+    assert(IvfIndex.consolidate(spark, dir))
+    val gen2 = IvfIndex.readManifest(dir).cellsDir
+    assert(gen2 != gen1)
+    // after the second fold, gen1 is retained and cells finally swept
+    val names2 = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names2.contains(gen1) && !names2.contains("cells"))
+  }
+
   test("consolidate crash debris: the serving generation survives cleanup") {
     import spark.implicits._
     val pts = clusterPts(13)

@@ -62,7 +62,9 @@ class SimhashSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(unguarded.size == 465 + 1)
 
-    val guarded = Dedup.simhashPairs(sig, maxBucket = 5)
+    // skewMult = 0: absolute threshold only (this fixture is too small
+    // for the relative floor — mean bucket size is single digits)
+    val guarded = Dedup.simhashPairs(sig, maxBucket = 5, skewMult = 0)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     // every cluster bucket is hot (>= 23 members share any band key), so
     // only the 30 star edges to the center survive + the small far pair
@@ -79,6 +81,43 @@ class SimhashSpec extends SparkSpec {
       Dedup.connectedComponents(pairs.keys.toSeq.toDF("doc_a", "doc_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps(guarded) == comps(unguarded))
+  }
+
+  test("uniform bucket growth does not trigger the skew guard") {
+    import spark.implicits._
+    // every bucket the same size and above maxBucket: an absolute-only
+    // threshold would star-cap ALL of them (collapsing recall on a
+    // merely-large uniform corpus); the relative floor (bn > 16x mean)
+    // must keep exact all-pairs because no bucket exceeds the mean
+    val groups = 4
+    val perGroup = 8 // > maxBucket below, == every other bucket
+    val sigs = (0 until groups).flatMap { g =>
+      // group g: identical signatures, >= 32 bits from other groups
+      val s = ("%2s".format(g.toBinaryString).replace(' ', '0') * 32).take(64)
+      (0 until perGroup).map(i => ((g * perGroup + i).toLong, s))
+    }
+    val sig = sigs.toDF("doc_id", "simhash")
+    val exact = Dedup.simhashPairs(sig, maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.simhashPairs(sig, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each group yields C(8,2)=28 within-group pairs at hamming 0
+    assert(exact.size == groups * 28)
+    assert(guarded == exact,
+      "uniform buckets above maxBucket were star-capped despite no skew")
+  }
+
+  test("a null shingle element votes -1 everywhere, matching the SQL form") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(Option("alpha beta gamma"), None, Option("beta gamma delta"))),
+      (2L, Seq(Option.empty[String]))).toDF("doc_id", "sh")
+    val kernel = Dedup.simhash64Of(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sql = Dedup.simhash64OfSql(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kernel == sql)
+    assert(kernel(2L) == "0" * 64) // lone null element: all votes -1
   }
 
   test("simhash64 registers as a SQL function") {
