@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EmbedQueries, EventQueries, PqQueries, TextQueries, VectorQueries}
+import graft.queries.{EmbedQueries, EventQueries, HttpQueries, PqQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,16 +21,16 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.queries ++ TextQueries.queries ++ PqQueries.queries ++
-      EmbedQueries.queries ++ EventQueries.queries
+      EmbedQueries.queries ++ EventQueries.queries ++ HttpQueries.queries
 
   def oracleSql: Map[String, String] =
     VectorQueries.oracleSql ++ TextQueries.oracleSql ++ PqQueries.oracleSql ++
-      EmbedQueries.oracleSql ++ EventQueries.oracleSql
+      EmbedQueries.oracleSql ++ EventQueries.oracleSql ++ HttpQueries.oracleSql
 
   /** Build the one-time index/file artifacts the queries probe,
     * returning (artifact, build seconds) — lets the bench report build
     * cost separately from steady-state query cost. */
   def prepare(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
     VectorQueries.prepare(spark, sfDir) ++ TextQueries.prepare(spark, sfDir) ++
-      EmbedQueries.prepare(spark, sfDir)
+      EmbedQueries.prepare(spark, sfDir) ++ HttpQueries.prepare(spark, sfDir)
 }

@@ -1,0 +1,339 @@
+package graft.http
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ann.{AnnIndex, Metric}
+import graft.operators.Knn
+import graft.pq.Pq
+
+/** Collection store behind the HTTP façade (reference
+  * lantern_cli/src/http_server/collection.rs:155-243, index.rs:52-118,
+  * pq.rs:47-120): named tables a REST client can create, fill, index
+  * and search without speaking SQL or the DataFrame API.
+  *
+  * Spark-first shape — a collection is a parquet directory plus a tiny
+  * properties sidecar, NOT a database handle: inserts are JSON rows
+  * parsed by Spark's own `from_json` and appended as parquet (columnar
+  * from the first byte, so a later 100-TB scan of an HTTP-built
+  * collection is the same scan as any other table); indexes are the
+  * library's own ANN index dirs built in place; search routes to the
+  * sharded index when one matches the (column, metric) pair and to the
+  * exact distributed top-k otherwise — the same planner choice the
+  * reference's Postgres makes between an index scan and a seq scan
+  * (search.rs:59-134).
+  *
+  * Declared column types are the reference's Postgres names (REAL[],
+  * TEXT, JSONB, BIGINT GENERATED ALWAYS AS IDENTITY, ...) mapped onto
+  * Spark types; the identity column is assigned max+1+seq per insert
+  * batch, deterministic in JSON array order. */
+object Collections {
+
+  /** Default schema = reference collection.rs:196-207. Listed (name,
+    * declared type) pairs keep declaration order, like the reference's
+    * CREATE TABLE. */
+  val defaultSchema: Seq[(String, String)] = Seq(
+    "id" -> "bigint GENERATED ALWAYS AS IDENTITY PRIMARY KEY",
+    "vector" -> "REAL[]",
+    "data" -> "TEXT",
+    "metadata" -> "JSONB")
+
+  /** Postgres declared type -> Spark type. JSON/JSONB stay strings
+    * (opaque passthrough, like the reference's COPY text protocol). */
+  def sparkType(declared: String): DataType = {
+    val d = declared.trim.toLowerCase
+    val base = d.takeWhile(c => c != ' ' && c != '(')
+    if (d.endsWith("[]")) ArrayType(sparkType(d.dropRight(2)))
+    else base match {
+      case "bigint" | "int8" | "bigserial" | "serial8" => LongType
+      case "int" | "integer" | "int4" | "serial" | "smallint" | "int2" =>
+        IntegerType
+      case "real" | "float4" => FloatType
+      case "double" | "float8" | "float" => DoubleType
+      case "numeric" | "decimal" => DoubleType
+      case "text" | "varchar" | "char" | "json" | "jsonb" | "uuid" =>
+        StringType
+      case "boolean" | "bool" => BooleanType
+      case "timestamp" | "timestamptz" => TimestampType
+      case "date" => DateType
+      case "bytea" | "binary" => BinaryType
+      case other =>
+        throw new IllegalArgumentException(s"unsupported type '$other'")
+    }
+  }
+
+  private def isIdentity(declared: String): Boolean = {
+    val d = declared.toLowerCase
+    d.contains("identity") || d.contains("serial")
+  }
+
+  case class Spec(name: String, schema: Seq[(String, String)]) {
+    val identityCol: Option[String] =
+      schema.collectFirst { case (n, t) if isIdentity(t) => n }
+    def sparkSchema: StructType =
+      StructType(schema.map { case (n, t) => StructField(n, sparkType(t)) })
+    /** The id column an index build keys on: the identity column, else
+      * a column literally named id, else the first integral column. */
+    def idColumn: Option[String] = identityCol
+      .orElse(schema.collectFirst { case (n, _) if n == "id" => n })
+      .orElse(schema.collectFirst {
+        case (n, t) if Set[DataType](LongType, IntegerType)(sparkType(t)) => n
+      })
+  }
+
+  case class IndexInfo(name: String, column: String, metric: String,
+      m: Int, efConstruction: Int, ef: Int, pq: Boolean)
+
+  // ---- layout ----
+  private def colDir(root: String, name: String) = s"$root/$name"
+  private def dataDir(root: String, name: String) = s"$root/$name/data"
+  private def indexesDir(root: String, name: String) = s"$root/$name/indexes"
+  private def pqDir(root: String, name: String, column: String) =
+    s"$root/$name/pq_$column"
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val ValidName = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  def requireValidName(n: String): Unit = require(
+    ValidName.pattern.matcher(n).matches(),
+    s"invalid name '$n' (letters, digits, underscore; not starting with a digit)")
+
+  // ---- schema sidecar (properties, the repo's manifest idiom) ----
+  private def writeSpec(spark: SparkSession, root: String, spec: Spec): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("columns", spec.schema.map(_._1).mkString(","))
+    spec.schema.foreach { case (n, t) => props.setProperty(s"type.$n", t) }
+    val p = new Path(colDir(root, spec.name), "_schema.properties")
+    val out = fs(spark, root).create(p, true)
+    try props.store(out, "graft http collection schema") finally out.close()
+  }
+
+  def readSpec(spark: SparkSession, root: String, name: String): Option[Spec] = {
+    val p = new Path(colDir(root, name), "_schema.properties")
+    val f = fs(spark, root)
+    if (!f.exists(p)) None
+    else {
+      val props = new java.util.Properties()
+      val in = f.open(p)
+      try props.load(in) finally in.close()
+      val cols = props.getProperty("columns").split(",").toSeq
+      Some(Spec(name, cols.map(c => c -> props.getProperty(s"type.$c"))))
+    }
+  }
+
+  // ---- collection lifecycle ----
+  def create(spark: SparkSession, root: String, name: String,
+      schema: Seq[(String, String)]): Spec = {
+    requireValidName(name)
+    require(readSpec(spark, root, name).isEmpty,
+      s"collection '$name' already exists")
+    val spec = Spec(name, if (schema.isEmpty) defaultSchema else schema)
+    spec.sparkSchema // validates every declared type before any write
+    writeSpec(spark, root, spec)
+    spec
+  }
+
+  def list(spark: SparkSession, root: String): Seq[Spec] = {
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).filter(_.isDirectory).toSeq
+      .map(_.getPath.getName).sorted
+      .flatMap(n => readSpec(spark, root, n))
+  }
+
+  def drop(spark: SparkSession, root: String, name: String): Boolean = {
+    requireValidName(name)
+    val f = fs(spark, root)
+    val p = new Path(colDir(root, name))
+    f.exists(p) && f.delete(p, true)
+  }
+
+  /** Read a collection's rows (empty frame with the right schema when
+    * nothing has been inserted yet). */
+  def data(spark: SparkSession, root: String, name: String): DataFrame = {
+    val spec = readSpec(spark, root, name)
+      .getOrElse(throw new NoSuchElementException(s"collection '$name'"))
+    val dir = dataDir(root, name)
+    if (fs(spark, root).exists(new Path(dir)))
+      spark.read.schema(spec.sparkSchema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      spec.sparkSchema)
+  }
+
+  /** Append JSON rows (reference insert_data, collection.rs:280-302:
+    * "keys from the first row will be taken as column names" — here
+    * every declared column is read from each row, missing keys are
+    * null). The identity column ignores client values (GENERATED
+    * ALWAYS) and gets max+1+seq in JSON array order. */
+  def insert(spark: SparkSession, root: String, name: String,
+      rowsJson: Seq[String]): Long = {
+    val spec = readSpec(spark, root, name)
+      .getOrElse(throw new NoSuchElementException(s"collection '$name'"))
+    if (rowsJson.isEmpty) return 0L
+    import spark.implicits._
+    val nonIdentity = StructType(
+      spec.sparkSchema.filterNot(f => spec.identityCol.contains(f.name)))
+    val parsed = rowsJson.zipWithIndex
+      .map { case (r, i) => (i.toLong, r) }
+      .toDF("__seq", "__json")
+      .withColumn("__row",
+        from_json(col("__json"), nonIdentity, Map("mode" -> "FAILFAST")))
+    val withId = spec.identityCol match {
+      case Some(idc) =>
+        val maxId: Long = data(spark, root, name)
+          .agg(coalesce(max(col(idc)), lit(0L))).head().getLong(0)
+        parsed.withColumn(idc, lit(maxId + 1L) + col("__seq"))
+      case None => parsed
+    }
+    val out = withId.select(spec.schema.map { case (n, _) =>
+      if (spec.identityCol.contains(n)) col(n).as(n)
+      else col(s"__row.$n").as(n)
+    }: _*)
+    out.write.mode("append").parquet(dataDir(root, name))
+    rowsJson.size.toLong
+  }
+
+  // ---- indexes ----
+  def metricOf(name: String): Metric = name match {
+    case "l2sq" => Metric.L2Sq
+    case "cosine" | "cos" => Metric.Cos
+    case "hamming" => Metric.Hamming
+    case other => throw new IllegalArgumentException(
+      s"unknown metric '$other' (expected l2sq, cosine or hamming)")
+  }
+
+  def createIndex(spark: SparkSession, root: String, collection: String,
+      info: IndexInfo): IndexInfo = {
+    requireValidName(info.name)
+    val spec = readSpec(spark, root, collection)
+      .getOrElse(throw new NoSuchElementException(s"collection '$collection'"))
+    val idc = spec.idColumn.getOrElse(throw new IllegalArgumentException(
+      s"collection '$collection' has no integral id column to index by"))
+    require(spec.schema.exists(_._1 == info.column),
+      s"no column '${info.column}' in collection '$collection'")
+    val cb = if (info.pq) Some(Pq.codebookFromDf(
+      spark.read.parquet(pqDir(root, collection, info.column))))
+    else None
+    val path = s"${indexesDir(root, collection)}/${info.name}"
+    val rows = data(spark, root, collection)
+      .filter(col(info.column).isNotNull)
+      .select(col(idc).cast("long").as(idc), col(info.column))
+    AnnIndex.build(rows, idc, info.column, path,
+      AnnIndex.Params(metricOf(info.metric), info.m, info.efConstruction,
+        pq = cb))
+    val props = new java.util.Properties()
+    props.setProperty("column", info.column)
+    props.setProperty("metric", info.metric)
+    props.setProperty("m", info.m.toString)
+    props.setProperty("ef_construction", info.efConstruction.toString)
+    props.setProperty("ef", info.ef.toString)
+    props.setProperty("pq", info.pq.toString)
+    val out = fs(spark, root)
+      .create(new Path(path, "_http_index.properties"), true)
+    try props.store(out, "graft http index") finally out.close()
+    info
+  }
+
+  def listIndexes(spark: SparkSession, root: String,
+      collection: String): Seq[IndexInfo] = {
+    val f = fs(spark, root)
+    val dir = new Path(indexesDir(root, collection))
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).filter(_.isDirectory).toSeq
+      .map(_.getPath).sortBy(_.getName).flatMap { p =>
+        val ip = new Path(p, "_http_index.properties")
+        if (!f.exists(ip)) None
+        else {
+          val props = new java.util.Properties()
+          val in = f.open(ip)
+          try props.load(in) finally in.close()
+          Some(IndexInfo(p.getName, props.getProperty("column"),
+            props.getProperty("metric"), props.getProperty("m").toInt,
+            props.getProperty("ef_construction").toInt,
+            props.getProperty("ef").toInt,
+            props.getProperty("pq").toBoolean))
+        }
+      }
+  }
+
+  /** Index names are global like the reference's DROP INDEX: scan the
+    * collections for the owner. Returns false when nothing matched. */
+  def dropIndex(spark: SparkSession, root: String,
+      indexName: String): Boolean = {
+    requireValidName(indexName)
+    val f = fs(spark, root)
+    list(spark, root).exists { spec =>
+      val p = new Path(s"${indexesDir(root, spec.name)}/$indexName")
+      f.exists(p) && f.delete(p, true)
+    }
+  }
+
+  // ---- PQ (reference pq.rs quantize_table) ----
+  def quantize(spark: SparkSession, root: String, collection: String,
+      column: String, clusters: Int, splits: Int, limit: Option[Int]): Unit = {
+    val spec = readSpec(spark, root, collection)
+      .getOrElse(throw new NoSuchElementException(s"collection '$collection'"))
+    require(spec.schema.exists(_._1 == column),
+      s"no column '$column' in collection '$collection'")
+    val cb = Pq.createCodebook(data(spark, root, collection), column,
+      clusters, splits, limit.getOrElse(10000))
+    Pq.codebookToDf(spark, cb).coalesce(1)
+      .write.mode("overwrite").parquet(pqDir(root, collection, column))
+  }
+
+  // ---- search (reference search.rs vector_search) ----
+  case class SearchRequest(column: String, queryVector: Array[Float],
+      metric: String, select: Option[Seq[String]], k: Int, ef: Int)
+
+  /** Top-k rows with a `distance` column. Routes through a matching ANN
+    * index when one exists on (column, metric) — the reference's
+    * index-scan path — and through the exact distributed top-k
+    * otherwise. Either way ties break on the id column (or the vector
+    * column's hash when there is none) so results are deterministic. */
+  def search(spark: SparkSession, root: String, collection: String,
+      req: SearchRequest): DataFrame = {
+    val spec = readSpec(spark, root, collection)
+      .getOrElse(throw new NoSuchElementException(s"collection '$collection'"))
+    require(spec.schema.exists(_._1 == req.column),
+      s"no column '${req.column}' in collection '$collection'")
+    val metric = metricOf(req.metric)
+    val rows = data(spark, root, collection)
+    val fields = req.select.getOrElse(spec.schema.map(_._1))
+    fields.foreach(c => require(spec.schema.exists(_._1 == c),
+      s"no column '$c' in collection '$collection'"))
+    val idx = listIndexes(spark, root, collection)
+      .find(i => i.column == req.column && i.metric == req.metric)
+    val out = idx match {
+      case Some(i) if spec.idColumn.isDefined =>
+        val idc = spec.idColumn.get
+        val hits = AnnIndex.topK(spark,
+          s"${indexesDir(root, collection)}/${i.name}", req.queryVector,
+          req.k, math.max(req.ef, i.ef))
+        // k hit ids broadcast back onto the table for the selected
+        // fields — the big side never shuffles
+        rows.join(broadcast(hits.withColumnRenamed("id", "__hit_id")),
+            col(idc).cast("long") === col("__hit_id"))
+          .withColumn("distance", col("dist"))
+      case _ =>
+        val knnMetric = metric match {
+          case Metric.L2Sq => Knn.L2Sq
+          case Metric.Cos => Knn.Cos
+          case Metric.Hamming => Knn.Hamming
+        }
+        val tie = spec.idColumn.map(col)
+          .getOrElse(xxhash64(col(req.column)))
+        Knn.knn(rows, col(req.column),
+          graft.functions.vecLit(req.queryVector.toSeq), req.k, knnMetric,
+          Some(tie), distName = "distance")
+    }
+    val order = col("distance").asc_nulls_last +:
+      spec.idColumn.map(c => col(c).asc).toSeq
+    out.orderBy(order: _*).limit(req.k)
+      .select((fields.map(col) :+ col("distance")): _*)
+  }
+}

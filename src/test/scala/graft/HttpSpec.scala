@@ -1,0 +1,259 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.util.Base64
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods.parse
+
+import graft.http.CollectionServer
+
+/** End-to-end lifecycle of the HTTP collection façade over loopback:
+  * create / insert / search (exact, indexed, text+model) / index /
+  * pq / auth / delete — the reference http_server surface
+  * (collection.rs, search.rs, index.rs, pq.rs) driven through real
+  * HTTP requests against the Spark-backed store. */
+class HttpSpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def req(port: Int, method: String, path: String,
+      body: String = "", auth: Option[(String, String)] = None)
+      : (Int, JValue) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .method(method, if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+        else HttpRequest.BodyPublishers.ofString(body))
+    auth.foreach { case (u, p) => b.header("Authorization",
+      "Basic " + Base64.getEncoder.encodeToString(s"$u:$p".getBytes)) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(),
+      if (resp.body().isEmpty) JNothing else parse(resp.body()))
+  }
+
+  private def withServer(auth: Option[(String, String)] = None)
+      (f: Int => Unit): Unit = {
+    val root = Files.createTempDirectory("graft_http_spec").toString
+    val srv = new CollectionServer(spark, root, auth = auth)
+    val port = srv.start()
+    try f(port) finally srv.stop()
+  }
+
+  private def rowsOf(j: JValue): List[Map[String, JValue]] =
+    (j \ "rows").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JObject].obj.toMap)
+
+  private def longOf(v: JValue): Long = v.asInstanceOf[JInt].num.toLong
+  private def doubleOf(v: JValue): Double = v match {
+    case JDouble(d) => d
+    case JInt(n) => n.toDouble
+    case JDecimal(d) => d.toDouble
+    case other => fail(s"not a number: $other")
+  }
+
+  /** 4-dim corpus; components multiples of 1/16 so float==double. */
+  private val corpus: Seq[(Seq[Double], String)] = Seq(
+    Seq(0.0, 0.0, 0.0, 0.0) -> "origin",
+    Seq(1.0, 0.0, 0.0, 0.0) -> "e1",
+    Seq(0.0, 1.0, 0.0, 0.0) -> "e2",
+    Seq(0.5, 0.5, 0.0, 0.0) -> "mid",
+    Seq(2.0, 2.0, 2.0, 2.0) -> "far")
+
+  private def insertCorpus(port: Int, name: String): Unit = {
+    val rows = corpus.map { case (v, d) =>
+      s"""{"vector": ${v.mkString("[", ",", "]")}, "data": "$d"}"""
+    }.mkString("[", ",", "]")
+    val (st, body) = req(port, "PUT", s"/collections/$name",
+      s"""{"rows": $rows}""")
+    assert(st == 200, body)
+    assert(longOf(body \ "inserted") == corpus.size)
+  }
+
+  test("collection lifecycle: create with default schema, list, get, delete") {
+    withServer() { port =>
+      val (st1, c1) = req(port, "POST", "/collections",
+        """{"name": "docs"}""")
+      assert(st1 == 200)
+      // default schema = reference collection.rs:196-207
+      assert((c1 \ "schema" \ "vector") == JString("REAL[]"))
+      assert((c1 \ "schema" \ "data") == JString("TEXT"))
+
+      val (st2, listed) = req(port, "GET", "/collections")
+      assert(st2 == 200)
+      assert(listed.asInstanceOf[JArray].arr.map(_ \ "name") ==
+        List(JString("docs")))
+
+      val (st3, got) = req(port, "GET", "/collections/docs")
+      assert(st3 == 200 && (got \ "name") == JString("docs"))
+      assert(req(port, "GET", "/collections/nope")._1 == 404)
+
+      assert(req(port, "DELETE", "/collections/docs")._1 == 200)
+      assert(req(port, "DELETE", "/collections/docs")._1 == 404)
+      val (_, empty) = req(port, "GET", "/collections")
+      assert(empty.asInstanceOf[JArray].arr.isEmpty)
+    }
+  }
+
+  test("insert assigns identity ids in row order; exact search ranks by distance") {
+    withServer() { port =>
+      assert(req(port, "POST", "/collections", """{"name": "t"}""")._1 == 200)
+      insertCorpus(port, "t")
+      // identity: 1..5 in JSON array order; second batch continues
+      val (_, more) = req(port, "PUT", "/collections/t",
+        """{"rows": [{"vector": [9,9,9,9], "data": "later"}]}""")
+      assert(longOf(more \ "inserted") == 1)
+
+      val (st, res) = req(port, "POST", "/collections/t/search",
+        """{"column": "vector", "query_vector": [0,0,0,0],
+           "metric": "l2sq", "select": "id,data", "k": 3}""")
+      assert(st == 200, res)
+      val rows = rowsOf(res)
+      assert(rows.map(r => r("data").asInstanceOf[JString].s) ==
+        List("origin", "mid", "e1"))
+      // l2sq distances 0, 0.5, 1; the e1/e2 tie breaks on id (2 < 3)
+      assert(rows.map(r => doubleOf(r("distance"))) == List(0.0, 0.5, 1.0))
+      assert(rows.map(r => longOf(r("id"))) == List(1L, 4L, 2L))
+      // the later batch got id 6
+      val (_, res2) = req(port, "POST", "/collections/t/search",
+        """{"column": "vector", "query_vector": [9,9,9,9], "k": 1}""")
+      assert(longOf(rowsOf(res2).head("id")) == 6L)
+    }
+  }
+
+  test("cosine metric and select=* default") {
+    withServer() { port =>
+      assert(req(port, "POST", "/collections", """{"name": "c"}""")._1 == 200)
+      insertCorpus(port, "c")
+      val (st, res) = req(port, "POST", "/collections/c/search",
+        """{"column": "vector", "query_vector": [1,1,1,1],
+           "metric": "cosine", "k": 1}""")
+      assert(st == 200)
+      val top = rowsOf(res).head
+      // cos_dist([2,2,2,2],[1,1,1,1]) = 0; all declared columns present
+      assert(top("data") == JString("far"))
+      assert(doubleOf(top("distance")) == 0.0)
+      assert(top.keySet == Set("id", "vector", "data", "metadata", "distance"))
+    }
+  }
+
+  test("search routes through a matching ANN index once created") {
+    withServer() { port =>
+      assert(req(port, "POST", "/collections", """{"name": "idxed"}""")._1 == 200)
+      insertCorpus(port, "idxed")
+      val (st, _) = req(port, "POST", "/collections/idxed/index",
+        """{"column": "vector", "metric": "l2sq", "m": 8,
+           "ef_construction": 64, "ef": 64, "name": "my_idx"}""")
+      assert(st == 200)
+      val (_, info) = req(port, "GET", "/collections/idxed")
+      val idx = (info \ "indexes").asInstanceOf[JArray].arr
+      assert(idx.map(_ \ "name") == List(JString("my_idx")))
+
+      // indexed search finds the same neighbors as exact on this corpus
+      val (_, res) = req(port, "POST", "/collections/idxed/search",
+        """{"column": "vector", "query_vector": [0,0,0,0], "k": 3,
+           "select": "data", "ef": 64}""")
+      assert(rowsOf(res).map(r => r("data").asInstanceOf[JString].s) ==
+        List("origin", "mid", "e1"))
+
+      // a row inserted AFTER the index build is invisible to the index
+      // path (stale index) but visible to exact search on another
+      // metric — proof the route really goes through the index
+      val (_, _) = req(port, "PUT", "/collections/idxed",
+        """{"rows": [{"vector": [0,0,0,0.0625], "data": "post-index"}]}""")
+      val (_, viaIdx) = req(port, "POST", "/collections/idxed/search",
+        """{"column": "vector", "query_vector": [0,0,0,0], "k": 2,
+           "select": "data"}""")
+      assert(!rowsOf(viaIdx).exists(_("data") == JString("post-index")))
+      val (_, viaExact) = req(port, "POST", "/collections/idxed/search",
+        """{"column": "vector", "query_vector": [0,0,0,1], "k": 2,
+           "select": "data", "metric": "cosine"}""")
+      assert(rowsOf(viaExact).exists(_("data") == JString("post-index")))
+
+      // drop by global index name (reference DROP INDEX); exact path
+      // takes over and sees every row again
+      assert(req(port, "DELETE", "/index/my_idx")._1 == 200)
+      assert(req(port, "DELETE", "/index/my_idx")._1 == 404)
+      val (_, afterDrop) = req(port, "POST", "/collections/idxed/search",
+        """{"column": "vector", "query_vector": [0,0,0,0], "k": 2,
+           "select": "data"}""")
+      assert(rowsOf(afterDrop).map(r => r("data").asInstanceOf[JString].s) ==
+        List("origin", "post-index"))
+    }
+  }
+
+  test("pq endpoint trains a codebook; pq index search works") {
+    withServer() { port =>
+      assert(req(port, "POST", "/collections", """{"name": "pqc"}""")._1 == 200)
+      insertCorpus(port, "pqc")
+      val (st, body) = req(port, "POST", "/collections/pqc/pq",
+        """{"column": "vector", "clusters": 2, "splits": 2}""")
+      assert(st == 200, body)
+      // pq=true without a codebook is a 400; with one, the build works
+      val (st2, _) = req(port, "POST", "/collections/pqc/index",
+        """{"column": "vector", "pq": true, "name": "pq_idx"}""")
+      assert(st2 == 200)
+      val (_, res) = req(port, "POST", "/collections/pqc/search",
+        """{"column": "vector", "query_vector": [2,2,2,2], "k": 1,
+           "select": "data", "ef": 64}""")
+      assert(rowsOf(res).head("data") == JString("far"))
+    }
+  }
+
+  test("query_text with query_model embeds via the runtime registry") {
+    withServer() { port =>
+      // mock runtime vectors are 8-dim
+      assert(req(port, "POST", "/collections",
+        """{"name": "texts", "schema": {"id": "bigint generated always as identity",
+           "vector": "REAL[]", "data": "TEXT"}}""")._1 == 200)
+      val emb = graft.embed.Runtimes.mock()
+        .embedBatch("mock-embed", Seq("alpha", "beta"))
+      val rows = emb.zip(Seq("alpha", "beta")).map { case (v, t) =>
+        s"""{"vector": ${v.mkString("[", ",", "]")}, "data": "$t"}"""
+      }.mkString("[", ",", "]")
+      assert(req(port, "PUT", "/collections/texts",
+        s"""{"rows": $rows}""")._1 == 200)
+      // the mock embedding of "alpha" is exactly alpha's stored vector
+      val (st, res) = req(port, "POST", "/collections/texts/search",
+        """{"column": "vector", "query_text": "alpha",
+           "query_model": "mock-embed", "k": 1}""")
+      assert(st == 200, res)
+      val top = rowsOf(res).head
+      assert(top("data") == JString("alpha"))
+      assert(doubleOf(top("distance")) == 0.0)
+      // neither vector nor text+model -> reference's 400 message
+      val (st2, err) = req(port, "POST", "/collections/texts/search",
+        """{"column": "vector"}""")
+      assert(st2 == 400 &&
+        (err \ "error").asInstanceOf[JString].s.contains("query_vector"))
+    }
+  }
+
+  test("basic auth: 401 without or with wrong credentials") {
+    withServer(auth = Some(("admin", "s3cret"))) { port =>
+      assert(req(port, "GET", "/collections")._1 == 401)
+      assert(req(port, "GET", "/collections",
+        auth = Some(("admin", "wrong")))._1 == 401)
+      val (st, _) = req(port, "GET", "/collections",
+        auth = Some(("admin", "s3cret")))
+      assert(st == 200)
+    }
+  }
+
+  test("bad requests: invalid names, unknown metric, malformed JSON") {
+    withServer() { port =>
+      assert(req(port, "POST", "/collections",
+        """{"name": "bad name; drop"}""")._1 == 400)
+      assert(req(port, "POST", "/collections", """{"name":""" )._1 == 400)
+      assert(req(port, "POST", "/collections", """{"name": "m"}""")._1 == 200)
+      insertCorpus(port, "m")
+      assert(req(port, "POST", "/collections/m/search",
+        """{"column": "vector", "query_vector": [0,0,0,0],
+           "metric": "manhattan"}""")._1 == 400)
+      assert(req(port, "POST", "/collections/m/search",
+        """{"column": "nope", "query_vector": [0,0,0,0]}""")._1 == 400)
+      // duplicate create
+      assert(req(port, "POST", "/collections", """{"name": "m"}""")._1 == 400)
+    }
+  }
+}
