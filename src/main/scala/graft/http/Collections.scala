@@ -165,12 +165,25 @@ object Collections {
       spec.sparkSchema)
   }
 
+  /** Per-(root, collection) insert locks: identity assignment reads
+    * max(id) then appends, so two concurrent HTTP inserts into the
+    * same collection must serialize or they'd mint duplicate ids (the
+    * reference gets this from Postgres sequences). Different
+    * collections still insert fully in parallel. */
+  private val insertLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Append JSON rows (reference insert_data, collection.rs:280-302:
     * "keys from the first row will be taken as column names" — here
     * every declared column is read from each row, missing keys are
     * null). The identity column ignores client values (GENERATED
     * ALWAYS) and gets max+1+seq in JSON array order. */
   def insert(spark: SparkSession, root: String, name: String,
+      rowsJson: Seq[String]): Long =
+    insertLocks.computeIfAbsent(s"$root/$name", _ => new Object)
+      .synchronized { insertLocked(spark, root, name, rowsJson) }
+
+  private def insertLocked(spark: SparkSession, root: String, name: String,
       rowsJson: Seq[String]): Long = {
     val spec = readSpec(spark, root, name)
       .getOrElse(throw new NoSuchElementException(s"collection '$name'"))

@@ -229,6 +229,32 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("concurrent inserts never mint duplicate identity ids") {
+    withServer() { port =>
+      assert(req(port, "POST", "/collections", """{"name": "conc"}""")._1 == 200)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val batches = (0 until 4).map { b =>
+        Future {
+          val rows = (0 until 10).map(i =>
+            s"""{"vector": [$b,$i,0,0], "data": "b$b-r$i"}""")
+            .mkString("[", ",", "]")
+          req(port, "PUT", "/collections/conc", s"""{"rows": $rows}""")._1
+        }
+      }
+      assert(Await.result(Future.sequence(batches), 60.seconds)
+        .forall(_ == 200))
+      // all 40 rows present, ids exactly 1..40 with no duplicates
+      val (_, res) = req(port, "POST", "/collections/conc/search",
+        """{"column": "vector", "query_vector": [0,0,0,0], "k": 100,
+           "select": "id"}""")
+      val ids = rowsOf(res).map(r => longOf(r("id")))
+      assert(ids.size == 40)
+      assert(ids.toSet == (1L to 40L).toSet)
+    }
+  }
+
   test("basic auth: 401 without or with wrong credentials") {
     withServer(auth = Some(("admin", "s3cret"))) { port =>
       assert(req(port, "GET", "/collections")._1 == 401)
