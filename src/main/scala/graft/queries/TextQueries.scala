@@ -215,6 +215,24 @@ object TextQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id").asc).limit(200)
 
+  /** DCLM-style quality-classifier gate, integer-exact core: train
+    * fixed-point frequency weights (hashed bag-of-words, Laplace
+    * P(pos|token) in fixed point) on a weak-supervision split of the
+    * corpus (sources src0-src4 = positive), score every document, and
+    * report the first 200 docs' (w_sum, n_scored, score_fp). Training
+    * AND scoring are on the hash contract; the float log-odds and
+    * spark.ml scorers are spec-verified (QualityClassifierSpec), the
+    * same split as lm_coverage/perplexity. */
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isPos = col("source").isin("src0", "src1", "src2", "src3", "src4")
+    val w = graft.text.QualityClassifier.fixedPointWeights(
+      graft.text.QualityClassifier.trainCounts(d, col("text"), isPos))
+    graft.text.QualityClassifier
+      .scoreFixedPoint(d, col("doc_id"), col("text"), w)
+      .orderBy(col("doc_id").asc).limit(200)
+  }
+
   /** Per-source domain report (the domain-filtering statistic). */
   private def domainStats(s: SparkSession, dir: String): DataFrame =
     TextOps.domainStats(docs(s, dir), col("doc_id"), col("source"),
@@ -692,6 +710,7 @@ object TextQueries {
     "q_lm_coverage" -> ((s, d) => lmCoverage(s, d)),
     "q_corpus_ngrams" -> ((s, d) => corpusNgrams(s, d)),
     "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
+    "q_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
   )
 
   // ---- DuckDB oracles ----
@@ -1365,6 +1384,34 @@ object TextQueries {
          |GROUP BY 1 ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin,
     // deterministic md5-bucket stratified sampling: thresholds are the
     // exact integers rate x 10000 (rates are binary fractions)
+    "q_quality_classifier" ->
+      s"""WITH $toksCte,
+         |btok AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(unnest(t)), 1, 15))::BIGINT % 4096 AS bucket
+         |  FROM toks),
+         |lab AS (
+         |  SELECT doc_id,
+         |    source IN ('src0','src1','src2','src3','src4') AS pos
+         |  FROM documents),
+         |counts AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+         |  FROM btok JOIN lab USING (doc_id) GROUP BY bucket),
+         |w AS (SELECT bucket, (cp + 1) * 1000000 // (cp + cn + 2) AS weight
+         |      FROM counts),
+         |scored AS (
+         |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS w_sum,
+         |    CAST(count(*) AS BIGINT) AS n_scored
+         |  FROM btok JOIN w USING (bucket) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(s.w_sum, 0) AS w_sum,
+         |  COALESCE(s.n_scored, 0) AS n_scored,
+         |  COALESCE(s.w_sum, 0) // greatest(COALESCE(s.n_scored, 0), 1)
+         |    AS score_fp
+         |FROM documents d LEFT JOIN scored s USING (doc_id)
+         |ORDER BY d.doc_id ASC LIMIT 200""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT % 10000
