@@ -631,6 +631,15 @@ object TombstoneCache {
     listingCache.remove(indexPath)
   }
 
+  /** Read one SPECIFIC tombstone file, bypassing every cache layer —
+    * for write paths that must pin the file they act on to the listing
+    * they derived it from (IVF consolidate: the generation it reads
+    * must be exactly the generation it watermarks, or a racing
+    * delete() slips between the listing and the read). Generations are
+    * cumulative merges, so the newest file IS the full set. */
+  private[ann] def readPinned(p: Path,
+      fs: org.apache.hadoop.fs.FileSystem): Array[Long] = readBin(p, fs)
+
   /** Fresh read that bypasses (and refreshes) the TTL cache — for WRITE
     * paths (delete merge, vacuum) where serving a <TTL-stale set would
     * lose or resurrect another writer's deletes. Probes use [[get]]. */

@@ -354,10 +354,19 @@ object IvfIndex {
     // of the previous generation need them), so "tombstones exist" is
     // not fold work — only tombstone GENERATIONS newer than the
     // `_tsfolded` watermark of the current cells generation are.
-    val dead = TombstoneCache.getFresh(indexPath)
-    val tsGen = TombstoneCache.generationFiles(indexPath, fs)
+    // The dead set is read from the SAME listing that tsGen comes
+    // from: listing first and reading "freshest" separately would let
+    // a concurrent delete() land in between, stamping its generation
+    // into the watermark without its ids being in the fold — those
+    // rows would then never be reclaimed (the next consolidate sees
+    // tsGen <= watermark and no-ops).
+    val tsFiles = TombstoneCache.generationFiles(indexPath, fs)
+    val tsGen = tsFiles
       .flatMap(p => TombstoneCache.generationNumber(p.getName))
       .foldLeft(-1L)(math.max)
+    val dead: Array[Long] =
+      if (tsFiles.isEmpty) Array.emptyLongArray
+      else TombstoneCache.readPinned(tsFiles.maxBy(TombstoneCache.genOrder), fs)
     val hasFreshDeletes = dead.nonEmpty &&
       tsGen > tsFoldedUpto(names, man.cellsDir)
     val foldable = hasBatches || hasFreshDeletes

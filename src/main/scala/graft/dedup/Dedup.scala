@@ -388,13 +388,18 @@ object Dedup {
     * they aren't byte-identical — concentrates one (band, key) and
     * all-pairs within it is a bucket² executor blowup. A bucket is
     * capped only when it is BOTH larger than `maxBucket` AND larger
-    * than `skewMult` x the mean bucket size (default 16x): an
+    * than `skewMult` x the MEDIAN bucket size (default 16x): an
     * absolute threshold alone would misfire on a perfectly uniform
     * corpus, where every bucket grows as n/2^bandWidth and crossing
     * `maxBucket` just means the corpus outgrew the band width — there
     * the quadratic candidate count is real work the caller should
     * re-shape with wider bands, not something to silently cut to
-    * star edges (which would collapse recall with no warning). A
+    * star edges (which would collapse recall with no warning). The
+    * floor is the median, NOT the mean: on a corpus dominated by one
+    * boilerplate cluster — the guard's motivating case — the hot
+    * buckets inflate the mean until the relative test never fires,
+    * while the median tracks the typical bucket and keeps them
+    * capped. A
     * capped bucket emits star candidates: every member pairs with the
     * bucket's minimum doc_id only — O(n) candidates, each still
     * verified by EXACT hamming, so no emitted pair is ever wrong.
@@ -440,18 +445,20 @@ object Dedup {
       // shuffle join, the same cost the window would have paid)
       val stats = banded.groupBy(col("__bk"))
         .agg(count(lit(1)).as("__bn"), min(col("doc_id")).as("__min"))
-      // the skew floor: mean bucket size, attached by a 1-row broadcast
-      // cross join so the whole decision stays in the plan (no driver
-      // action). skewMult <= 0 disables the relative test (specs use it
-      // to force capping on small fixtures).
+      // the skew floor: MEDIAN bucket size (exact percentile over the
+      // stats frame — one row per bucket, narrow band keys keep it
+      // small), attached by a 1-row broadcast cross join so the whole
+      // decision stays in the plan (no driver action). skewMult <= 0
+      // disables the relative test (specs use it to force capping on
+      // small fixtures).
       val withAvg =
         if (skewMult <= 0) stats.withColumn("__cap", lit(maxBucket.toLong))
         else stats.crossJoin(broadcast(
-            stats.agg(avg(col("__bn")).as("__avg"))))
+            stats.agg(expr("percentile(__bn, 0.5)").as("__med"))))
           .withColumn("__cap",
             greatest(lit(maxBucket.toLong),
-              ceil(col("__avg") * skewMult).cast("long")))
-          .drop("__avg")
+              ceil(col("__med") * skewMult).cast("long")))
+          .drop("__med")
       val withN = banded.join(withAvg, "__bk")
       val smallPairs = allPairs(withN.filter(col("__bn") <= col("__cap"))
         .select(col("doc_id"), col("__bk")))

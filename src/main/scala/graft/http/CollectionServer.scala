@@ -43,6 +43,11 @@ class CollectionServer(spark: SparkSession, root: String,
     host: String = "127.0.0.1", port: Int = 0,
     auth: Option[(String, String)] = None) {
 
+  /** Upper bound on search `k`/`ef` (reference scan cap is 1000; this
+    * is the REST analog — a top-k endpoint must never become a
+    * full-table export through the driver). */
+  val MaxK = 10000
+
   private var server: HttpServer = _
 
   def start(): Int = synchronized {
@@ -101,10 +106,15 @@ class CollectionServer(spark: SparkSession, root: String,
 
   private def checkAuth(ex: HttpExchange): Unit = auth.foreach {
     case (user, pass) =>
+      // any credential failure — including undecodable base64 — is a
+      // 401, never a 400 (reference mod.rs:61-75 parity)
       val ok = Option(ex.getRequestHeaders.getFirst("Authorization"))
         .filter(_.startsWith("Basic "))
-        .map(h => new String(Base64.getDecoder.decode(h.drop(6)),
-          StandardCharsets.UTF_8))
+        .flatMap { h =>
+          try Some(new String(Base64.getDecoder.decode(h.drop(6)),
+            StandardCharsets.UTF_8))
+          catch { case _: IllegalArgumentException => None }
+        }
         .contains(s"$user:$pass")
       if (!ok) throw HttpError(401, "Unauthorized")
   }
@@ -271,9 +281,16 @@ class CollectionServer(spark: SparkSession, root: String,
     }
     val select = str(body, "select")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // k bounds the driver-side collect: client-controlled and must
+    // stay a top-k, never a full-table export
+    val k = int(body, "k").getOrElse(10)
+    if (k < 1 || k > MaxK)
+      throw HttpError(400, s"'k' must be in [1, $MaxK], got $k")
+    val ef = int(body, "ef").getOrElse(10)
+    if (ef < 1 || ef > MaxK)
+      throw HttpError(400, s"'ef' must be in [1, $MaxK], got $ef")
     val df = Collections.search(spark, root, name, Collections.SearchRequest(
-      column, qv, str(body, "metric").getOrElse("l2sq"), select,
-      int(body, "k").getOrElse(10), int(body, "ef").getOrElse(10)))
+      column, qv, str(body, "metric").getOrElse("l2sq"), select, k, ef))
     (200, compact(render(JObject("rows" -> dfToJson(df)))))
   }
 

@@ -131,7 +131,11 @@ object Collections {
     require(readSpec(spark, root, name).isEmpty,
       s"collection '$name' already exists")
     val spec = Spec(name, if (schema.isEmpty) defaultSchema else schema)
-    spec.sparkSchema // validates every declared type before any write
+    // validate every column NAME (a comma or dot would corrupt the
+    // properties sidecar / break nested-path resolution) and every
+    // declared TYPE before any write
+    spec.schema.foreach { case (n, _) => requireValidName(n) }
+    spec.sparkSchema
     writeSpec(spark, root, spec)
     spec
   }
@@ -198,9 +202,14 @@ object Collections {
         from_json(col("__json"), nonIdentity, Map("mode" -> "FAILFAST")))
     val withId = spec.identityCol match {
       case Some(idc) =>
+        val idType = sparkType(spec.schema.find(_._1 == idc).get._2)
         val maxId: Long = data(spark, root, name)
-          .agg(coalesce(max(col(idc)), lit(0L))).head().getLong(0)
-        parsed.withColumn(idc, lit(maxId + 1L) + col("__seq"))
+          .agg(coalesce(max(col(idc)).cast("long"), lit(0L)))
+          .head().getLong(0)
+        // cast to the DECLARED type: a serial/int identity written as
+        // long would poison every later schema-enforced read
+        parsed.withColumn(idc,
+          (lit(maxId + 1L) + col("__seq")).cast(idType))
       case None => parsed
     }
     val out = withId.select(spec.schema.map { case (n, _) =>
@@ -229,9 +238,13 @@ object Collections {
       s"collection '$collection' has no integral id column to index by"))
     require(spec.schema.exists(_._1 == info.column),
       s"no column '${info.column}' in collection '$collection'")
-    val cb = if (info.pq) Some(Pq.codebookFromDf(
-      spark.read.parquet(pqDir(root, collection, info.column))))
-    else None
+    val cb = if (info.pq) {
+      val pd = pqDir(root, collection, info.column)
+      require(fs(spark, root).exists(new Path(pd)),
+        s"pq=true but no codebook for '${info.column}' — POST " +
+          s"/collections/$collection/pq first")
+      Some(Pq.codebookFromDf(spark.read.parquet(pd)))
+    } else None
     val path = s"${indexesDir(root, collection)}/${info.name}"
     val rows = data(spark, root, collection)
       .filter(col(info.column).isNotNull)

@@ -98,10 +98,13 @@ object HttpQueries {
       (vecId, label, dist)
     }
     import s.implicits._
-    parsed.toDF("vec_id", "label", "distance")
+    // order by the UNROUNDED distance (+ vec_id tie) exactly like the
+    // oracle's ORDER BY, and round only for the emitted column — a
+    // rounded-first sort could flip two sub-1e-6-apart rows
+    parsed.toDF("vec_id", "label", "__dist")
+      .orderBy(col("__dist").asc, col("vec_id").asc)
       .select(col("vec_id"), col("label"),
-        round(col("distance"), 6).as("distance"))
-      .orderBy(col("distance").asc, col("vec_id").asc)
+        round(col("__dist"), 6).as("distance"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -255,14 +255,39 @@ class HttpSpec extends SparkSpec {
     }
   }
 
-  test("basic auth: 401 without or with wrong credentials") {
+  test("basic auth: 401 without, with wrong, or with undecodable credentials") {
     withServer(auth = Some(("admin", "s3cret"))) { port =>
       assert(req(port, "GET", "/collections")._1 == 401)
       assert(req(port, "GET", "/collections",
         auth = Some(("admin", "wrong")))._1 == 401)
+      // malformed base64 is a credential failure (401), not a 400
+      val raw = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/collections"))
+        .header("Authorization", "Basic !!!not-base64!!!").GET().build()
+      assert(client.send(raw,
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 401)
       val (st, _) = req(port, "GET", "/collections",
         auth = Some(("admin", "s3cret")))
       assert(st == 200)
+    }
+  }
+
+  test("serial identity column round-trips with its declared int type") {
+    withServer() { port =>
+      assert(req(port, "POST", "/collections",
+        """{"name": "ser", "schema": {"id": "serial primary key",
+           "vector": "REAL[]"}}""")._1 == 200)
+      // two inserts: the second must re-read the int id column cleanly
+      // (a long-typed identity write would poison the enforced read)
+      assert(req(port, "PUT", "/collections/ser",
+        """{"rows": [{"vector": [1,0]}]}""")._1 == 200)
+      assert(req(port, "PUT", "/collections/ser",
+        """{"rows": [{"vector": [0,1]}]}""")._1 == 200)
+      val (st, res) = req(port, "POST", "/collections/ser/search",
+        """{"column": "vector", "query_vector": [1,0], "k": 2,
+           "select": "id"}""")
+      assert(st == 200, res)
+      assert(rowsOf(res).map(r => longOf(r("id"))).toSet == Set(1L, 2L))
     }
   }
 
@@ -280,6 +305,18 @@ class HttpSpec extends SparkSpec {
         """{"column": "nope", "query_vector": [0,0,0,0]}""")._1 == 400)
       // duplicate create
       assert(req(port, "POST", "/collections", """{"name": "m"}""")._1 == 400)
+      // k is clamped: a top-k endpoint must never become a full export
+      assert(req(port, "POST", "/collections/m/search",
+        """{"column": "vector", "query_vector": [0,0,0,0],
+           "k": 2147483647}""")._1 == 400)
+      assert(req(port, "POST", "/collections/m/search",
+        """{"column": "vector", "query_vector": [0,0,0,0], "k": 0}""")._1 == 400)
+      // schema column names validate like collection names
+      assert(req(port, "POST", "/collections",
+        """{"name": "badcol", "schema": {"a,b": "text"}}""")._1 == 400)
+      // pq=true without a trained codebook is a 400, not a 500
+      assert(req(port, "POST", "/collections/m/index",
+        """{"column": "vector", "pq": true}""")._1 == 400)
     }
   }
 }

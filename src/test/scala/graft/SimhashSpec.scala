@@ -107,6 +107,32 @@ class SimhashSpec extends SparkSpec {
       "uniform buckets above maxBucket were star-capped despite no skew")
   }
 
+  test("skew floor is the median: a dominant cluster cannot inflate the guard off") {
+    import spark.implicits._
+    // 24 near-identical docs (one boilerplate cluster) + 40 distinct
+    // singletons: cluster buckets have 24 members, singleton buckets 1.
+    // The MEDIAN bucket size is 1, so cap = max(5, 16x1) = 16 and the
+    // cluster is star-capped. A MEAN-based floor would compute
+    // (8x24 + 320x1)/328 = 1.6 -> cap 26 > 24 and never fire — the
+    // guard would self-disable on exactly the corpus it exists for.
+    val cluster = (0 until 24).map(i => (i.toLong, "0" * 64))
+    val singles = (0 until 40).map { i =>
+      val sig = (0 until 8).map { b =>
+        val v = 1 + ((i * 13 + b * 29) % 255)
+        ("0" * 8 + v.toBinaryString).takeRight(8)
+      }.mkString
+      (100L + i, sig)
+    }
+    val sig = (cluster ++ singles).toDF("doc_id", "simhash")
+    val unguarded = Dedup.simhashPairs(sig, maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.size == 24 * 23 / 2) // the cluster's all-pairs only
+    val guarded = Dedup.simhashPairs(sig, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star edges to the cluster minimum only — bounded output
+    assert(guarded == (1 until 24).map(i => (0L, i.toLong)).toSet)
+  }
+
   test("a null shingle element votes -1 everywhere, matching the SQL form") {
     import spark.implicits._
     val df = Seq(
