@@ -115,6 +115,28 @@ object QualityClassifier {
       .agg(sum(col("logodds")).as("score"))
   }
 
+  /** The gate ACTION: keep the documents scoring STRICTLY above the
+    * corpus's (1-frac) quantile. The threshold is one approx-quantile
+    * aggregate over the score column (no corpus sort), attached back
+    * in-plan by a 1-row broadcast cross join — the same
+    * no-driver-action discipline as the dedup skew floor. At 100 TB
+    * this is a scan + one tiny agg + a scan with a broadcast filter.
+    *
+    * Gating is by VALUE, not rank: documents tied exactly AT the
+    * threshold drop, so with heavily tied scores the kept fraction
+    * can undershoot `frac` (exact-rank gating would need a corpus
+    * sort — the wrong trade at scale). */
+  def keepTopFraction(scored: DataFrame, scoreCol: Column,
+      frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    val thr = scored.agg(
+      percentile_approx(scoreCol, lit(1.0 - frac), lit(10000))
+        .as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(scoreCol > col("__thr"))
+      .drop("__thr")
+  }
+
   /** spark.ml path: HashingTF + LogisticRegression over the same
     * tokenization. Returns (model, scored docs with `probability` /
     * `prediction`). Discriminative weights beat the generative counts

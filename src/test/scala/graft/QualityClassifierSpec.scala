@@ -96,6 +96,21 @@ class QualityClassifierSpec extends SparkSpec {
       if (pos) scored(id) > mid else scored(id) < mid })
   }
 
+  test("keepTopFraction gates the corpus to the positive half") {
+    val docs = planted(60).toDF("doc_id", "text", "pos")
+    val counts = QualityClassifier.trainCounts(docs, col("text"), col("pos"))
+    val w = QualityClassifier.fixedPointWeights(counts)
+    val scored = QualityClassifier
+      .scoreFixedPoint(docs, col("doc_id"), col("text"), w)
+    val kept = QualityClassifier
+      .keepTopFraction(scored, col("score_fp"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val labels = planted(60).map(t => t._1 -> t._3).toMap
+    // the planted corpus separates perfectly, so the top half IS the
+    // positive class
+    assert(kept == labels.filter(_._2).keySet)
+  }
+
   test("spark.ml logistic regression reaches full accuracy on the planted corpus") {
     val docs = planted(80).toDF("doc_id", "text", "pos")
     val model = QualityClassifier.trainLogReg(docs, col("text"), col("pos"))
