@@ -230,7 +230,15 @@ object Collections {
   }
 
   def createIndex(spark: SparkSession, root: String, collection: String,
-      info: IndexInfo): IndexInfo = {
+      info: IndexInfo): IndexInfo =
+    insertLocks.computeIfAbsent(s"$root/$collection#index", _ => new Object)
+      .synchronized { createIndexLocked(spark, root, collection, info) }
+
+  /** Index build + sidecar write serialize per collection (two
+    * concurrent same-name builds would interleave their shard files);
+    * inserts keep their own lock key, so building never blocks them. */
+  private def createIndexLocked(spark: SparkSession, root: String,
+      collection: String, info: IndexInfo): IndexInfo = {
     requireValidName(info.name)
     val spec = readSpec(spark, root, collection)
       .getOrElse(throw new NoSuchElementException(s"collection '$collection'"))

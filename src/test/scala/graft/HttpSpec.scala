@@ -255,6 +255,16 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("searching an empty collection returns zero rows, not an error") {
+    withServer() { port =>
+      assert(req(port, "POST", "/collections", """{"name": "void"}""")._1 == 200)
+      val (st, res) = req(port, "POST", "/collections/void/search",
+        """{"column": "vector", "query_vector": [0,0,0,0], "k": 5}""")
+      assert(st == 200, res)
+      assert(rowsOf(res).isEmpty)
+    }
+  }
+
   test("basic auth: 401 without, with wrong, or with undecodable credentials") {
     withServer(auth = Some(("admin", "s3cret"))) { port =>
       assert(req(port, "GET", "/collections")._1 == 401)
