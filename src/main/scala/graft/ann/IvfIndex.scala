@@ -616,6 +616,72 @@ object IvfIndex {
     liveOnly(cells, man.idCol, indexPath)
   }
 
+  /** Validate the stored index invariants — the IVF counterpart of
+    * [[AnnIndex.validate]] (reference validate_index.c semantics:
+    * walk everything, report violations, mutate nothing):
+    *
+    *  - centroid sidecar: exactly `nCells` rows, contiguous cell ids,
+    *    one consistent dimensionality;
+    *  - every stored row (base generation AND committed stream
+    *    batches): non-null id, vector of the centroid dim, `cell_id`
+    *    in range AND equal to the frozen-centroid assignment — the
+    *    invariant probes prune by, so a violation here is a silent
+    *    recall hole, not a crash;
+    *  - PQ consistency: the manifest flag, the codebook sidecar and
+    *    the `pq_code` column must agree.
+    *
+    * ONE distributed scan; only violation counts reach the driver.
+    * Returns (component, violation) rows, empty = valid. */
+  def validate(spark: SparkSession, indexPath: String): Seq[(String, String)] = {
+    val man = readManifest(indexPath)
+    val centRows = spark.read.parquet(s"$indexPath/centroids").collect()
+    val cents = centRows.sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
+    val centErrs =
+      (if (cents.length != man.nCells)
+        Seq("centroids" -> s"${cents.length} centroids != nCells ${man.nCells}")
+      else Seq.empty) ++
+      (if (centRows.map(_.getInt(0)).sorted.toSeq != (0 until centRows.length))
+        Seq("centroids" -> "cell ids not contiguous from 0")
+      else Seq.empty) ++
+      (if (cents.map(_.length).distinct.length > 1)
+        Seq("centroids" -> "inconsistent centroid dims")
+      else Seq.empty)
+    if (centErrs.nonEmpty) return centErrs // row checks need sane centroids
+    val dim = cents.head.length
+    val rows = cellsBranches(spark, indexPath, man.cellsDir)
+      .reduce(_ unionByName _)
+    val pqErrs =
+      if (man.pq != rows.columns.contains("pq_code"))
+        Seq("pq" -> (s"manifest pq=${man.pq} but pq_code column " +
+          s"${if (man.pq) "missing" else "present"}"))
+      else if (man.pq && !new Path(s"$indexPath/codebook")
+          .getFileSystem(spark.sessionState.newHadoopConf())
+          .exists(new Path(s"$indexPath/codebook")))
+        Seq("pq" -> "manifest pq=true but no codebook sidecar")
+      else Seq.empty
+    val a = rows.agg(
+      sum(when(col(man.idCol).isNull, 1L).otherwise(0L)).as("null_ids"),
+      sum(when(col(man.vecCol).isNull ||
+        size(col(man.vecCol)) =!= dim, 1L).otherwise(0L)).as("bad_dims"),
+      sum(when(col("cell_id") < 0 || col("cell_id") >= man.nCells, 1L)
+        .otherwise(0L)).as("range"),
+      // guard on dim first: a malformed vector must count as bad_dims,
+      // not crash the assignment kernel
+      sum(when(col(man.vecCol).isNotNull &&
+        size(col(man.vecCol)) === dim &&
+        col("cell_id") =!= graft.functions.nearest_centroid(
+          col(man.vecCol), cents, man.metric.id), 1L).otherwise(0L))
+        .as("assign")).head()
+    def nz(i: Int, comp: String, what: String): Seq[(String, String)] =
+      if (a.isNullAt(i) || a.getLong(i) == 0L) Seq.empty
+      else Seq(comp -> s"${a.getLong(i)} $what")
+    pqErrs ++
+      nz(0, "rows", s"rows with null ${man.idCol}") ++
+      nz(1, "rows", s"vectors not of dim $dim") ++
+      nz(2, "cells", s"cell_id out of [0, ${man.nCells})") ++
+      nz(3, "cells", "rows not in their nearest-centroid cell")
+  }
+
   // ---- manifest I/O (java.util.Properties: no extra deps) ----
 
   def writeManifest(indexPath: String, man: Manifest): Unit = {

@@ -448,6 +448,17 @@ object VectorQueries {
         nprobe = 16)
       .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
 
+  /** IVF index validation (the [[annValidate]] counterpart): zero
+    * violations across centroid sidecar, cell range, vector dims, the
+    * frozen-centroid assignment of every row, and PQ consistency —
+    * checked on the APPEND index, whose base + committed batch
+    * branches exercise the multi-branch walk. */
+  private def ivfValidate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val violations = graft.ann.IvfIndex.validate(s, ivfAppendPath(s, dir))
+    Seq(Tuple1(violations.length.toLong)).toDF("violations")
+  }
+
   /** IVFADC: the candidate scan ranks byte codes only (raw vectors stay
     * on disk), then the refine set re-ranks exactly — with refine=100
     * of a probed corpus whose true top-10 survives the ADC cut, the
@@ -607,6 +618,7 @@ object VectorQueries {
     "q_ivf_adc" -> ((s, dir) => ivfAdc(s, dir)),
     "q_ivf_delete" -> ((s, dir) => ivfDelete(s, dir)),
     "q_ivf_vacuum" -> ((s, dir) => ivfVacuum(s, dir)),
+    "q_ivf_validate" -> ((s, dir) => ivfValidate(s, dir)),
   )
 
   /** Band-key SQL for the hyperplane LSH oracle: sum of sign bits
@@ -752,6 +764,8 @@ object VectorQueries {
          |FROM embeddings, q
          |ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_ann_validate" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q_ivf_validate" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q_ann_filtered" ->
       s"""WITH q AS (SELECT $qVecSql AS qv)

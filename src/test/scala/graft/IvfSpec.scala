@@ -689,6 +689,37 @@ class IvfSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("validate: clean index passes; corrupted assignment and centroid sidecar are caught") {
+    import spark.implicits._
+    val pts = clusterPts(21)
+    val df = pts.toDF("id", "v")
+    val dir = Files.createTempDirectory("ivfval").toString
+    IvfIndex.build(df, "id", "v", dir,
+      IvfIndex.Params(nCells = 4, sampleLimit = pts.length, seed = 3L))
+    assert(IvfIndex.validate(spark, dir).isEmpty)
+    // appended rows are part of the walk
+    IvfIndex.append(Seq((9000L, pts.head._2)).toDF("id", "v"), dir)
+    assert(IvfIndex.validate(spark, dir).isEmpty)
+    // corrupt: rewrite one cell partition under a WRONG cell_id — the
+    // silent-recall-hole case validate exists for
+    val man = IvfIndex.readManifest(dir)
+    val cells = spark.read.parquet(s"$dir/${man.cellsDir}")
+    val moved = cells.filter(col("cell_id") === 0)
+      .withColumn("cell_id", lit(3))
+    moved.write.mode("append").partitionBy("cell_id")
+      .parquet(s"$dir/${man.cellsDir}")
+    val errs = IvfIndex.validate(spark, dir)
+    assert(errs.exists(_._2.contains("nearest-centroid")), errs.toString)
+    // corrupt the centroid sidecar: drop a centroid
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .filter(col("cell_id") =!= 0)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids_tmp")
+    spark.read.parquet(s"$dir/centroids_tmp").write
+      .mode("overwrite").parquet(s"$dir/centroids")
+    val errs2 = IvfIndex.validate(spark, dir)
+    assert(errs2.exists(_._1 == "centroids"), errs2.toString)
+  }
+
   test("consolidate converges: folded deletes are not re-fold work; no-op retains the superseded generation") {
     import spark.implicits._
     val pts = clusterPts(15)
