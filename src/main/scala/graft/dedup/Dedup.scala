@@ -172,6 +172,47 @@ object Dedup {
     pairsFromBuckets(banded, blockNames ++ Seq("band_id", "k0"), maxBucket)
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540 — cluster embeddings with a coarse quantizer,
+    * then deduplicate WITHIN each cluster): the k-means cluster id
+    * becomes the blocking key of [[hyperplanePairs]]' banded LSH, so a
+    * candidate pair needs the SAME cluster and a shared sign band —
+    * never all-pairs, and never a cross-cluster join. Every candidate
+    * is verified by exact cosine distance; `maxDist` keeps verified
+    * near-dups only. Missed cross-cluster near-dups are the method's
+    * documented trade (the paper's too — duplicates land in the same
+    * cluster by construction for any sane quantizer).
+    *
+    * Scale shape: assignment is the codegen `nearest_centroid` argmin
+    * (narrow scan), candidates are (cluster, band)-bucket equi-joins
+    * with the same mega-bucket star cap as the LSH path, verification
+    * joins vectors back per DISTINCT pair. Centroids are caller-
+    * supplied (train via [[graft.pq.Pq.kmeans]] on a uniform sample,
+    * or reuse an IVF index's quantizer — SemDeDup and IVF share the
+    * coarse-clustering step by design). Returns
+    * (doc_a, doc_b, cos_dist). */
+  def semanticPairs(df: DataFrame, idCol: Column, vecCol: Column,
+      centroids: Array[Array[Float]], planes: Seq[Seq[Float]],
+      bands: Int, bitsPerBand: Int, maxDist: Double,
+      maxBucket: Int = 0): DataFrame = {
+    val withCluster = df.select(idCol.as("__sp_id"), vecCol.as("__sp_vec"))
+      .withColumn("__cluster", graft.functions.nearest_centroid(
+        col("__sp_vec"), centroids, graft.ann.Metric.Cos.id))
+    val cand = hyperplanePairs(withCluster, col("__sp_id"),
+      col("__sp_vec"), planes, bands, bitsPerBand, maxBucket,
+      blockCols = Seq(col("__cluster")))
+    val vecs = withCluster.select(col("__sp_id"), col("__sp_vec"))
+    cand
+      .join(vecs.select(col("__sp_id").as("doc_a"),
+        col("__sp_vec").as("__va")), "doc_a")
+      .join(vecs.select(col("__sp_id").as("doc_b"),
+        col("__sp_vec").as("__vb")), "doc_b")
+      .withColumn("cos_dist",
+        graft.functions.cos_dist(col("__va"), col("__vb")))
+      .filter(col("cos_dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("cos_dist"))
+  }
+
   /** Attach est_jaccard = fraction of matching minhashes to id pairs. */
   def estimateJaccard(pairs: DataFrame, sig: DataFrame, numHashes: Int): DataFrame =
     pairs
