@@ -646,10 +646,12 @@ object IvfIndex {
       (if (cents.map(_.length).distinct.length > 1)
         Seq("centroids" -> "inconsistent centroid dims")
       else Seq.empty)
-    if (centErrs.nonEmpty) return centErrs // row checks need sane centroids
-    val dim = cents.head.length
     val rows = cellsBranches(spark, indexPath, man.cellsDir)
-      .reduce(_ unionByName _)
+      .reduce(_ unionByName _) // batch branches read with the base
+                               // schema pinned, so the union never
+                               // throws on a physically divergent batch
+                               // — a missing pq_code surfaces as nulls,
+                               // counted below
     val pqErrs =
       if (man.pq != rows.columns.contains("pq_code"))
         Seq("pq" -> (s"manifest pq=${man.pq} but pq_code column " +
@@ -659,7 +661,17 @@ object IvfIndex {
           .exists(new Path(s"$indexPath/codebook")))
         Seq("pq" -> "manifest pq=true but no codebook sidecar")
       else Seq.empty
-    val a = rows.agg(
+    // the row-level aggregate needs sane centroids; the sidecar/pq
+    // findings above do not — report BOTH so a doubly-corrupt index
+    // does not take two repair round-trips to diagnose
+    if (centErrs.nonEmpty) return centErrs ++ pqErrs
+    val dim = cents.head.length
+    val pqNullCheck: Seq[org.apache.spark.sql.Column] =
+      if (man.pq && rows.columns.contains("pq_code"))
+        Seq(sum(when(col("pq_code").isNull, 1L).otherwise(0L))
+          .as("null_codes"))
+      else Seq.empty
+    val aggCols = Seq(
       sum(when(col(man.idCol).isNull, 1L).otherwise(0L)).as("null_ids"),
       sum(when(col(man.vecCol).isNull ||
         size(col(man.vecCol)) =!= dim, 1L).otherwise(0L)).as("bad_dims"),
@@ -671,7 +683,8 @@ object IvfIndex {
         size(col(man.vecCol)) === dim &&
         col("cell_id") =!= graft.functions.nearest_centroid(
           col(man.vecCol), cents, man.metric.id), 1L).otherwise(0L))
-        .as("assign")).head()
+        .as("assign")) ++ pqNullCheck
+    val a = rows.agg(aggCols.head, aggCols.tail: _*).head()
     def nz(i: Int, comp: String, what: String): Seq[(String, String)] =
       if (a.isNullAt(i) || a.getLong(i) == 0L) Seq.empty
       else Seq(comp -> s"${a.getLong(i)} $what")
@@ -679,7 +692,9 @@ object IvfIndex {
       nz(0, "rows", s"rows with null ${man.idCol}") ++
       nz(1, "rows", s"vectors not of dim $dim") ++
       nz(2, "cells", s"cell_id out of [0, ${man.nCells})") ++
-      nz(3, "cells", "rows not in their nearest-centroid cell")
+      nz(3, "cells", "rows not in their nearest-centroid cell") ++
+      (if (pqNullCheck.nonEmpty)
+        nz(4, "pq", "rows with null pq_code") else Seq.empty)
   }
 
   // ---- manifest I/O (java.util.Properties: no extra deps) ----

@@ -296,14 +296,21 @@ object Collections {
   }
 
   /** Index names are global like the reference's DROP INDEX: scan the
-    * collections for the owner. Returns false when nothing matched. */
+    * collections for the owner. Returns false when nothing matched.
+    * Takes each collection's index lock, so a drop cannot interleave
+    * with a createIndex on the same collection (a delete landing
+    * between the shard build and the sidecar write would leave a
+    * phantom index directory holding only the properties file). */
   def dropIndex(spark: SparkSession, root: String,
       indexName: String): Boolean = {
     requireValidName(indexName)
     val f = fs(spark, root)
     list(spark, root).exists { spec =>
-      val p = new Path(s"${indexesDir(root, spec.name)}/$indexName")
-      f.exists(p) && f.delete(p, true)
+      insertLocks.computeIfAbsent(s"$root/${spec.name}#index",
+        _ => new Object).synchronized {
+        val p = new Path(s"${indexesDir(root, spec.name)}/$indexName")
+        f.exists(p) && f.delete(p, true)
+      }
     }
   }
 

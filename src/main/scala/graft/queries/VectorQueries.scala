@@ -451,8 +451,9 @@ object VectorQueries {
   /** IVF index validation (the [[annValidate]] counterpart): zero
     * violations across centroid sidecar, cell range, vector dims, the
     * frozen-centroid assignment of every row, and PQ consistency —
-    * checked on the APPEND index, whose base + committed batch
-    * branches exercise the multi-branch walk. */
+    * checked on the append index (append folds into the base cells
+    * directory, so this walks one branch; the committed-stream-batch
+    * multi-branch walk is exercised by IvfSpec's validate test). */
   private def ivfValidate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val violations = graft.ann.IvfIndex.validate(s, ivfAppendPath(s, dir))

@@ -125,10 +125,16 @@ object QualityClassifier {
     * Gating is by VALUE, not rank: documents tied exactly AT the
     * threshold drop, so with heavily tied scores the kept fraction
     * can undershoot `frac` (exact-rank gating would need a corpus
-    * sort — the wrong trade at scale). */
+    * sort — the wrong trade at scale). Degenerate case: a CONSTANT
+    * score column makes every document tie at the threshold and the
+    * gate keeps nothing — a constant scorer carries no signal to gate
+    * on, so an empty result is the honest answer, but callers gating
+    * on untested score columns should know. `frac = 1.0` keeps
+    * everything (no threshold pass at all). */
   def keepTopFraction(scored: DataFrame, scoreCol: Column,
       frac: Double): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    if (frac == 1.0) return scored // strict > would drop the minimum ties
     val thr = scored.agg(
       percentile_approx(scoreCol, lit(1.0 - frac), lit(10000))
         .as("__thr"))

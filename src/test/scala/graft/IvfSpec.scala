@@ -697,8 +697,14 @@ class IvfSpec extends SparkSpec {
     IvfIndex.build(df, "id", "v", dir,
       IvfIndex.Params(nCells = 4, sampleLimit = pts.length, seed = 3L))
     assert(IvfIndex.validate(spark, dir).isEmpty)
-    // appended rows are part of the walk
+    // appended rows are part of the walk (append folds into the base
+    // cells dir)
     IvfIndex.append(Seq((9000L, pts.head._2)).toDF("id", "v"), dir)
+    assert(IvfIndex.validate(spark, dir).isEmpty)
+    // committed STREAM batches are a separate branch of the walk (the
+    // union path): the row aggregate must cover them too
+    IvfIndex.applyStreamBatch(
+      Seq((9100L, pts(1)._2)).toDF("id", "v"), 1L, dir)
     assert(IvfIndex.validate(spark, dir).isEmpty)
     // corrupt: rewrite one cell partition under a WRONG cell_id — the
     // silent-recall-hole case validate exists for

@@ -109,6 +109,10 @@ class QualityClassifierSpec extends SparkSpec {
     // the planted corpus separates perfectly, so the top half IS the
     // positive class
     assert(kept == labels.filter(_._2).keySet)
+    // frac = 1.0 keeps EVERYTHING — the strict-> filter must not drop
+    // the minimum-scoring tie block
+    assert(QualityClassifier.keepTopFraction(scored, col("score_fp"), 1.0)
+      .count() == 60)
   }
 
   test("spark.ml logistic regression reaches full accuracy on the planted corpus") {
