@@ -92,9 +92,13 @@ object Dedup {
   /** Distinct LSH candidate pairs (doc_a, doc_b) from signatures:
     * band the signature `bands` ways and self-join on the integer band
     * key tuple. The distinct runs on bare id pairs — signature arrays
-    * are joined back only after dedup (estimateJaccard). */
+    * are joined back only after dedup (estimateJaccard). The mega-bucket
+    * skew guard ([[pairsFromBuckets]]) is ON by default — with MinHash,
+    * near-identical docs share the ENTIRE signature, so a boilerplate
+    * cluster makes every band the same mega-bucket at once; the
+    * default-on cap is what keeps candidate generation O(n) there. */
   def lshCandidatePairs(sig: DataFrame, numHashes: Int, bands: Int,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 10000, skewMult: Double = 16.0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val bandStructs = (0 until bands).map { bIdx =>
@@ -105,54 +109,76 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.*"))
     val keys = "band_id" +: (0 until r).map(j => s"k$j")
-    pairsFromBuckets(banded, keys, maxBucket)
+    pairsFromBuckets(banded, keys, maxBucket, skewMult)
   }
 
-  /** Shared bucket-join candidate generation: all-pairs within each
-    * bucket, with the mega-bucket star cap when `maxBucket` > 0.
-    * `bucketed` needs a `doc_id` column plus the `keys` columns. */
-  private def pairsFromBuckets(bucketed: DataFrame, keys: Seq[String],
-      maxBucket: Int): DataFrame = {
-    if (maxBucket <= 0) {
-      bucketed.withColumnRenamed("doc_id", "doc_a")
-        .join(bucketed.withColumnRenamed("doc_id", "doc_b"), keys)
+  /** Shared bucket-join candidate generation for every LSH entry point
+    * (MinHash bands, hyperplane sign bands, simhash bit bands): all-pairs
+    * within each bucket, guarded by the default-on mega-bucket star cap.
+    * `bucketed` needs a `doc_id` column plus the `keys` columns.
+    *
+    * The guard (one shape, shared by all paths): a bucket is star-capped
+    * only when it is BOTH larger than `maxBucket` AND larger than
+    * `skewMult` x the MEDIAN bucket size. The absolute threshold alone
+    * would misfire on a perfectly uniform corpus — there every bucket
+    * grows as n/keyspace and crossing `maxBucket` just means the corpus
+    * outgrew the band width; the quadratic candidate count is real work
+    * the caller should re-shape with wider bands, not something to
+    * silently cut (which would collapse recall with no warning). The
+    * floor is the median, NOT the mean: on a corpus dominated by one
+    * boilerplate cluster — the guard's motivating case — the hot buckets
+    * inflate the mean until the relative test never fires, while the
+    * median tracks the typical bucket and keeps them capped. Stats come
+    * from ONE combiner-aggregated groupBy joined back to the banded rows
+    * (no per-bucket window sort); the median attaches by a 1-row
+    * broadcast cross join so the whole decision stays in the plan. A
+    * capped bucket emits star edges to the bucket's minimum doc_id —
+    * O(n) candidates, same connected components for the dedup-grouping
+    * consumer whenever downstream verification keeps the center's edges
+    * (the planted-mega-cluster specs pin exactly this). `maxBucket <= 0`
+    * disables the guard entirely; `skewMult <= 0` keeps the absolute
+    * threshold only (specs use it to force capping on tiny fixtures). */
+  private[graft] def pairsFromBuckets(bucketed: DataFrame, keys: Seq[String],
+      maxBucket: Int, skewMult: Double = 16.0): DataFrame = {
+    val keyCols = keys.map(col)
+    def allPairs(b: DataFrame): DataFrame =
+      b.select((col("doc_id").as("doc_a") +: keyCols): _*)
+        .join(b.select((col("doc_id").as("doc_b") +: keyCols): _*), keys)
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
-        .distinct()
-    } else {
-      // Skew guard for corpora with mega duplicate clusters: a bucket of
-      // n near-identical docs would emit n^2/2 pairs. Buckets larger
-      // than maxBucket link every member to the bucket minimum instead
-      // (star shape) — same connected components for dedup grouping,
-      // O(n) pairs. Small buckets keep exact all-pairs.
-      val keyCols = keys.map(col)
-      val withSize = bucketed
-        .withColumn("__bn", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)))
-      val small = withSize.filter(col("__bn") <= maxBucket)
-      val smallPairs = small.select((col("doc_id").as("doc_a") +: keyCols): _*)
-        .join(small.select((col("doc_id").as("doc_b") +: keyCols): _*), keys)
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-      val bigPairs = withSize.filter(col("__bn") > maxBucket)
-        .withColumn("__min", min(col("doc_id")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)))
-        .filter(col("doc_id") =!= col("__min"))
+    (if (maxBucket <= 0) allPairs(bucketed)
+    else {
+      val stats = bucketed.groupBy(keyCols: _*)
+        .agg(count(lit(1)).as("__bn"), min(col("doc_id")).as("__min"))
+      val withCap =
+        if (skewMult <= 0) stats.withColumn("__cap", lit(maxBucket.toLong))
+        else stats.crossJoin(broadcast(
+            stats.agg(expr("percentile(__bn, 0.5)").as("__med"))))
+          .withColumn("__cap",
+            greatest(lit(maxBucket.toLong),
+              ceil(col("__med") * skewMult).cast("long")))
+          .drop("__med")
+      val withN = bucketed.join(withCap, keys)
+      val smallPairs = allPairs(withN.filter(col("__bn") <= col("__cap"))
+        .select((col("doc_id") +: keyCols): _*))
+      // the star center is the bucket's minimum doc id
+      val starPairs = withN
+        .filter(col("__bn") > col("__cap") && col("doc_id") =!= col("__min"))
         .select(col("__min").as("doc_a"), col("doc_id").as("doc_b"))
-      smallPairs.unionByName(bigPairs).distinct()
-    }
+      smallPairs.unionByName(starPairs)
+    }).distinct()
   }
 
   /** Random-hyperplane LSH candidate pairs over an embedding column:
     * `bands` sign-bit keys of `bitsPerBand` planes each; a candidate
     * pair shares at least one band (and every `blockCols` value, when
-    * metadata blocking composes with the LSH bucketing). `maxBucket`
-    * applies the same mega-bucket star cap as [[lshCandidatePairs]] —
-    * at corpus scale a popular sign pattern would otherwise emit
-    * bucket² pairs. */
+    * metadata blocking composes with the LSH bucketing). The default-on
+    * mega-bucket star cap ([[pairsFromBuckets]]) applies — at corpus
+    * scale a popular sign pattern would otherwise emit bucket² pairs. */
   def hyperplanePairs(df: DataFrame, idCol: Column, vecCol: Column,
       planes: Seq[Seq[Float]], bands: Int, bitsPerBand: Int,
-      maxBucket: Int = 0, blockCols: Seq[Column] = Nil): DataFrame = {
+      maxBucket: Int = 10000, blockCols: Seq[Column] = Nil,
+      skewMult: Double = 16.0): DataFrame = {
     require(planes.length >= bands * bitsPerBand,
       s"need ${bands * bitsPerBand} planes, got ${planes.length}")
     val bandStructs = (0 until bands).map { b =>
@@ -169,7 +195,8 @@ object Dedup {
         blockCols.zip(blockNames).map { case (c, n) => c.as(n) }) :+
         explode(array(bandStructs: _*)).as("band"): _*)
       .select((col("doc_id") +: blockNames.map(col)) :+ col("band.*"): _*)
-    pairsFromBuckets(banded, blockNames ++ Seq("band_id", "k0"), maxBucket)
+    pairsFromBuckets(banded, blockNames ++ Seq("band_id", "k0"), maxBucket,
+      skewMult)
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
@@ -194,13 +221,13 @@ object Dedup {
   def semanticPairs(df: DataFrame, idCol: Column, vecCol: Column,
       centroids: Array[Array[Float]], planes: Seq[Seq[Float]],
       bands: Int, bitsPerBand: Int, maxDist: Double,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 10000, skewMult: Double = 16.0): DataFrame = {
     val withCluster = df.select(idCol.as("__sp_id"), vecCol.as("__sp_vec"))
       .withColumn("__cluster", graft.functions.nearest_centroid(
         col("__sp_vec"), centroids, graft.ann.Metric.Cos.id))
     val cand = hyperplanePairs(withCluster, col("__sp_id"),
       col("__sp_vec"), planes, bands, bitsPerBand, maxBucket,
-      blockCols = Seq(col("__cluster")))
+      blockCols = Seq(col("__cluster")), skewMult = skewMult)
     val vecs = withCluster.select(col("__sp_id"), col("__sp_vec"))
     cand
       .join(vecs.select(col("__sp_id").as("doc_a"),
@@ -470,45 +497,12 @@ object Dedup {
     // verification below cannot be pushed into the candidate join as a
     // residual condition, so it runs once per DISTINCT pair instead of
     // once per bucket-matched pair (a close pair shares several bands;
-    // the same discipline as lshCandidatePairs)
+    // the same discipline as lshCandidatePairs). The guard itself is
+    // the shared pairsFromBuckets one (stats via ONE combiner groupBy —
+    // tiny for narrow band keys: at the default 8 bands x 8-bit keys
+    // the stats table holds <= 2048 rows, so AQE broadcasts the join).
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("__bk"))
-    val allPairs: DataFrame => DataFrame = b =>
-      b.as("a").join(b.as("b"),
-          col("a.__bk") === col("b.__bk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val cand = (if (maxBucket <= 0) allPairs(banded) else {
-      // per-bucket stats via ONE combiner-aggregated groupBy, joined
-      // back to the banded rows — cheaper than a window (no per-bucket
-      // sort, and the stats table is tiny for narrow band keys: at the
-      // default 8 bands x 8-bit keys it holds <= 2048 rows, so AQE
-      // broadcasts the join; a skew-heavy corpus degrades to a plain
-      // shuffle join, the same cost the window would have paid)
-      val stats = banded.groupBy(col("__bk"))
-        .agg(count(lit(1)).as("__bn"), min(col("doc_id")).as("__min"))
-      // the skew floor: MEDIAN bucket size (exact percentile over the
-      // stats frame — one row per bucket, narrow band keys keep it
-      // small), attached by a 1-row broadcast cross join so the whole
-      // decision stays in the plan (no driver action). skewMult <= 0
-      // disables the relative test (specs use it to force capping on
-      // small fixtures).
-      val withAvg =
-        if (skewMult <= 0) stats.withColumn("__cap", lit(maxBucket.toLong))
-        else stats.crossJoin(broadcast(
-            stats.agg(expr("percentile(__bn, 0.5)").as("__med"))))
-          .withColumn("__cap",
-            greatest(lit(maxBucket.toLong),
-              ceil(col("__med") * skewMult).cast("long")))
-          .drop("__med")
-      val withN = banded.join(withAvg, "__bk")
-      val smallPairs = allPairs(withN.filter(col("__bn") <= col("__cap"))
-        .select(col("doc_id"), col("__bk")))
-      // the star center is the bucket's minimum doc id
-      val starPairs = withN
-        .filter(col("__bn") > col("__cap") && col("doc_id") =!= col("__min"))
-        .select(col("__min").as("doc_a"), col("doc_id").as("doc_b"))
-      smallPairs.unionByName(starPairs)
-    }).distinct()
+    val cand = pairsFromBuckets(banded, Seq("__bk"), maxBucket, skewMult)
     // exact verification: join the signatures back (bounded top-N-free
     // equi-joins on doc id) and compare with the single-pass codegen
     // bit_hamming kernel — not the split/zip_with SQL form, which

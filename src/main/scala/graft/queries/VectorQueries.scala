@@ -384,8 +384,9 @@ object VectorQueries {
   /** Embedding near-duplicates via random-hyperplane LSH: 2 bands of 8
     * sign bits each bucket the corpus; only bucket-mates are verified
     * with exact cosine distance. Candidate generation is equi-joins on
-    * 8-bit keys, never an all-pairs product ([[graft.dedup.Dedup.hyperplanePairs]];
-    * at corpus scale pass maxBucket to star-cap popular sign patterns). */
+    * 8-bit keys, never an all-pairs product, and the default-on
+    * mega-bucket star guard of [[graft.dedup.Dedup.pairsFromBuckets]]
+    * caps popular sign patterns without being asked. */
   private def nearDupLsh(s: SparkSession, dir: String): DataFrame = {
     val cand = graft.dedup.Dedup.hyperplanePairs(emb(s, dir),
         col("vec_id"), col("embedding"), hyperplanes,

@@ -361,8 +361,10 @@ class IvfSpec extends SparkSpec {
     val df = rows.toDF("id", "v")
     val planes: Seq[Seq[Float]] = (0 until 8).map(p =>
       (0 until 8).map(j => if (j == p) 1.0f else 0.0f))
+    // skewMult = 0: absolute threshold only (this fixture is too small
+    // for the median floor — the mega bucket IS the median here)
     val capped = Dedup.hyperplanePairs(df, col("id"), col("v"), planes,
-        bands = 2, bitsPerBand = 4, maxBucket = 5)
+        bands = 2, bitsPerBand = 4, maxBucket = 5, skewMult = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // star: clones all link to id 1, O(n) pairs, components preserved
     assert((2L to 30L).forall(i => capped.contains((1L, i))))
@@ -397,7 +399,8 @@ class IvfSpec extends SparkSpec {
       def comps(maxBucket: Int): Map[Long, Long] =
         Dedup.connectedComponents(
           Dedup.hyperplanePairs(df, col("id"), col("v"), planes,
-            bands = 2, bitsPerBand = 4, maxBucket = maxBucket))
+            bands = 2, bitsPerBand = 4, maxBucket = maxBucket,
+            skewMult = 0))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(comps(3) == comps(0), s"components diverged for seed $seed")
     }
@@ -498,7 +501,8 @@ class IvfSpec extends SparkSpec {
         (32L, "completely different text about spark joins and shuffles there")))
       .toDF("doc_id", "text")
     val sig = Dedup.minhashSignature(docs, col("doc_id"), col("text"))
-    val capped = Dedup.lshCandidatePairs(sig, 8, 4, maxBucket = 5)
+    val capped = Dedup.lshCandidatePairs(sig, 8, 4, maxBucket = 5,
+        skewMult = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // star: every clone links to doc 1 -> components preserved, O(n) pairs
     assert((2L to 30L).forall(i => capped.contains((1L, i))))
