@@ -233,6 +233,27 @@ object TextQueries {
       .orderBy(col("doc_id").asc).limit(200)
   }
 
+  /** The quality gate ACTION end-to-end on the contract: train the
+    * fixed-point classifier, score the WHOLE corpus, keep the top
+    * quarter by the EXACT interpolated percentile threshold
+    * (`exact = true` — integer scores make every interpolation step
+    * exact in double, so the kept set replays bit-for-bit in DuckDB's
+    * quantile_cont; the percentile_approx default stays the 100-TB
+    * path, QualityClassifierSpec pins that the two agree away from
+    * threshold ties). Output = top-200 kept docs by (score desc, id). */
+  private def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isPos = col("source").isin("src0", "src1", "src2", "src3", "src4")
+    val w = graft.text.QualityClassifier.fixedPointWeights(
+      graft.text.QualityClassifier.trainCounts(d, col("text"), isPos))
+    val scored = graft.text.QualityClassifier
+      .scoreFixedPoint(d, col("doc_id"), col("text"), w)
+    graft.text.QualityClassifier
+      .keepTopFraction(scored, col("score_fp"), 0.25, exact = true)
+      .orderBy(col("score_fp").desc, col("doc_id").asc).limit(200)
+      .select(col("doc_id"), col("score_fp"))
+  }
+
   /** Per-source domain report (the domain-filtering statistic). */
   private def domainStats(s: SparkSession, dir: String): DataFrame =
     TextOps.domainStats(docs(s, dir), col("doc_id"), col("source"),
@@ -711,6 +732,7 @@ object TextQueries {
     "q_corpus_ngrams" -> ((s, d) => corpusNgrams(s, d)),
     "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "q_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
+    "q_quality_gate" -> ((s, d) => qualityGate(s, d)),
   )
 
   // ---- DuckDB oracles ----
@@ -1412,6 +1434,38 @@ object TextQueries {
          |    AS score_fp
          |FROM documents d LEFT JOIN scored s USING (doc_id)
          |ORDER BY d.doc_id ASC LIMIT 200""".stripMargin,
+    // the gate row scores the WHOLE corpus (no 200-doc slice — the
+    // threshold is a corpus statistic), then keeps score > exact P75
+    "q_quality_gate" ->
+      s"""WITH $toksCte,
+         |btok AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(unnest(t)), 1, 15))::BIGINT % 4096 AS bucket
+         |  FROM toks),
+         |lab AS (
+         |  SELECT doc_id,
+         |    source IN ('src0','src1','src2','src3','src4') AS pos
+         |  FROM documents),
+         |counts AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+         |  FROM btok JOIN lab USING (doc_id) GROUP BY bucket),
+         |w AS (SELECT bucket, (cp + 1) * 1000000 // (cp + cn + 2) AS weight
+         |      FROM counts),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS w_sum,
+         |    CAST(count(*) AS BIGINT) AS n_scored
+         |  FROM btok JOIN w USING (bucket) GROUP BY doc_id),
+         |scored AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(s.w_sum, 0) // greatest(COALESCE(s.n_scored, 0), 1)
+         |      AS score_fp
+         |  FROM documents d LEFT JOIN agg s USING (doc_id)),
+         |thr AS (SELECT quantile_cont(score_fp, 0.75) AS t FROM scored)
+         |SELECT doc_id, score_fp FROM scored, thr
+         |WHERE score_fp > t
+         |ORDER BY score_fp DESC, doc_id ASC LIMIT 200""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT % 10000

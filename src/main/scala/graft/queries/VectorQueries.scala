@@ -381,6 +381,32 @@ object VectorQueries {
       (0 until 64).map(j => (((i * 97 + j * 31 + 13) % 17) - 8) / 8.0f)
     }
 
+  /** Fixed 4-centroid coarse quantizer for the SemDeDup contract row.
+    * Components are multiples of 1/16 (exact in float and double), so
+    * the argmin cos assignment replays bit-for-bit in DuckDB — the
+    * same discipline as [[PqQueries.gridCodebook]]. Centroids are
+    * caller-supplied data in [[graft.dedup.Dedup.semanticPairs]]'
+    * contract (train via k-means in production; embed as constants on
+    * the oracle path, like the BPE merge table). */
+  private[queries] val semCentroids: Array[Array[Float]] =
+    Array.tabulate(4, 64) { (c, j) => (((c * 7 + j * 13 + 5) % 33) - 16) / 16.0f }
+
+  /** SemDeDup semantic near-dup pairs end-to-end on the contract:
+    * k-means-style cluster blocking (fixed centroids) composed with
+    * banded hyperplane LSH, exact-cosine verified, top-10 by rounded
+    * distance. The DuckDB oracle replays the whole path: argmin cos
+    * assignment (first-min tie-break, matching the kernel's strict <),
+    * sign-band keys, (cluster, band)-bucketed candidates, and the same
+    * rounded verify. */
+  private def semanticPairsQ(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.semanticPairs(emb(s, dir), col("vec_id"),
+        col("embedding"), semCentroids, hyperplanes,
+        bands = 2, bitsPerBand = 8, maxDist = 0.75)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+        round(col("cos_dist"), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_a").asc, col("vec_b").asc)
+      .limit(10)
+
   /** Embedding near-duplicates via random-hyperplane LSH: 2 bands of 8
     * sign bits each bucket the corpus; only bucket-mates are verified
     * with exact cosine distance. Candidate generation is equi-joins on
@@ -602,6 +628,7 @@ object VectorQueries {
     "q_weighted_candidates" -> ((s, dir) => weightedCandidates(s, dir)),
     "q_weighted_ann" -> ((s, dir) => weightedAnn(s, dir)),
     "q_neardup_embedding" -> ((s, dir) => nearDupPairs(s, dir)),
+    "q_semantic_pairs" -> ((s, dir) => semanticPairsQ(s, dir)),
     "q_ann_l2sq" -> ((s, dir) => annL2Sq(s, dir)),
     "q_ann_ef64" -> ((s, dir) => annL2SqEf64(s, dir)),
     "q_ann_filtered" -> ((s, dir) => annFiltered(s, dir)),
@@ -631,6 +658,12 @@ object VectorQueries {
         .map(f => "%.3f".format(f)).mkString("[", ", ", "]::DOUBLE[]")
       s"(CASE WHEN list_sum(list_transform(embedding, (x, k) -> CAST(x AS DOUBLE) * ($hp)[k])) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** The [[semCentroids]] table as DuckDB VALUES rows (cid, cv). */
+  private def semCentValuesSql: String =
+    semCentroids.zipWithIndex.map { case (cv, i) =>
+      s"($i, ${cv.map(f => "%.4f".format(f)).mkString("[", ", ", "]::DOUBLE[]")})"
+    }.mkString(",\n    ")
 
   private val cosPairExpr =
     """1.0 - list_sum(list_transform(ea.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
@@ -808,6 +841,42 @@ object VectorQueries {
         |  FROM d)
         |SELECT query_id, id, round(dist, 6) AS dist, rank
         |FROM r WHERE rank <= 3""".stripMargin,
+    // SemDeDup end-to-end: argmin-cos cluster assignment (row_number
+    // with cid tie-break = the kernel's first-strict-min), sign bands,
+    // (cluster, band)-bucketed candidates, exact-cosine verify. The
+    // unrounded <= 0.75 filter matches the Spark side's pre-round filter
+    // (identical double arithmetic in identical order on both engines).
+    "q_semantic_pairs" ->
+      s"""WITH cents(cid, cv) AS (VALUES $semCentValuesSql),
+         |assign AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, c.cid AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        (CASE WHEN list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+         |              OR list_sum(list_transform(c.cv, x -> x * x)) = 0 THEN 1.0
+         |         ELSE 1.0 - list_sum(list_transform(e.embedding, (x, i) -> CAST(x AS DOUBLE) * c.cv[i]))
+         |           / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+         |                  * list_sum(list_transform(c.cv, x -> x * x))) END) ASC,
+         |        c.cid ASC) AS rn
+         |    FROM embeddings e, cents c) WHERE rn = 1),
+         |bits AS (
+         |  SELECT e.vec_id, a.cluster, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1
+         |  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id),
+         |cand AS (
+         |  SELECT DISTINCT vec_a, vec_b FROM (
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |    FROM bits a JOIN bits b
+         |      ON a.cluster = b.cluster AND a.band0 = b.band0 AND a.vec_id < b.vec_id
+         |    UNION
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |    FROM bits a JOIN bits b
+         |      ON a.cluster = b.cluster AND a.band1 = b.band1 AND a.vec_id < b.vec_id))
+         |SELECT vec_a, vec_b, round($cosPairExpr, 6) AS dist
+         |FROM cand
+         |JOIN embeddings ea ON ea.vec_id = vec_a
+         |JOIN embeddings eb ON eb.vec_id = vec_b
+         |WHERE $cosPairExpr <= 0.75
+         |ORDER BY round($cosPairExpr, 6) ASC, vec_a ASC, vec_b ASC LIMIT 10""".stripMargin,
     "q_neardup_embedding" ->
       s"""WITH bits AS (
          |  SELECT vec_id, label, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1

@@ -130,13 +130,22 @@ object QualityClassifier {
     * gate keeps nothing — a constant scorer carries no signal to gate
     * on, so an empty result is the honest answer, but callers gating
     * on untested score columns should know. `frac = 1.0` keeps
-    * everything (no threshold pass at all). */
+    * everything (no threshold pass at all).
+    *
+    * `exact = true` swaps percentile_approx for the exact interpolated
+    * percentile — the contract path: over INTEGER scores every
+    * interpolation step is exact in double (position fraction is a
+    * multiple of 1/4 for frac = 0.25, products of quarters with ≤ 2^20
+    * integers are exact), so the kept set replays bit-for-bit in a
+    * DuckDB quantile_cont. The approx default stays the 100-TB path —
+    * one pass, bounded memory, no full sort of the score column. */
   def keepTopFraction(scored: DataFrame, scoreCol: Column,
-      frac: Double): DataFrame = {
+      frac: Double, exact: Boolean = false): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
     if (frac == 1.0) return scored // strict > would drop the minimum ties
     val thr = scored.agg(
-      percentile_approx(scoreCol, lit(1.0 - frac), lit(10000))
+      (if (exact) percentile(scoreCol, lit(1.0 - frac))
+       else percentile_approx(scoreCol, lit(1.0 - frac), lit(10000)))
         .as("__thr"))
     scored.crossJoin(broadcast(thr))
       .filter(scoreCol > col("__thr"))

@@ -115,6 +115,29 @@ class QualityClassifierSpec extends SparkSpec {
       .count() == 60)
   }
 
+  test("exact-percentile gate (the contract path) agrees with approx away from ties") {
+    val docs = planted(60).toDF("doc_id", "text", "pos")
+    val counts = QualityClassifier.trainCounts(docs, col("text"), col("pos"))
+    val w = QualityClassifier.fixedPointWeights(counts)
+    val scored = QualityClassifier
+      .scoreFixedPoint(docs, col("doc_id"), col("text"), w)
+    // exact = true is the DuckDB-replayable contract variant; approx is
+    // the one-pass 100-TB default. On a corpus whose quantile does not
+    // sit inside a tie block the kept sets are identical — the swap is
+    // a precision statement, not a semantics change.
+    val exact = QualityClassifier
+      .keepTopFraction(scored, col("score_fp"), 0.5, exact = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val approx = QualityClassifier
+      .keepTopFraction(scored, col("score_fp"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == approx)
+    // and the exact threshold is the interpolated percentile: with the
+    // planted corpus's perfect separation the kept set IS the top half
+    val labels = planted(60).map(t => t._1 -> t._3).toMap
+    assert(exact == labels.filter(_._2).keySet)
+  }
+
   test("spark.ml logistic regression reaches full accuracy on the planted corpus") {
     val docs = planted(80).toDF("doc_id", "text", "pos")
     val model = QualityClassifier.trainLogReg(docs, col("text"), col("pos"))
