@@ -33,7 +33,13 @@ import graft.embed.Runtimes
   * mod.rs:61-75). The handlers hold no state of their own — every
   * byte of data lives in the parquet collections and index dirs, so
   * the server is a stateless front that can run on any driver with
-  * the same storage root. JSON via json4s-jackson (ships with Spark).
+  * the same storage root. Write endpoints (insert, index build) take a
+  * per-collection STORAGE lease on top of the in-JVM lock, so two
+  * servers sharing a root cannot mint duplicate identity ids or
+  * interleave shard builds — a request finding a fresh foreign lease
+  * gets 409 Conflict (the reference gets this serialization from
+  * Postgres sequences and locks). JSON via json4s-jackson (ships with
+  * Spark).
   *
   * Deviation from the reference, by design: handlers build DataFrame
   * plans instead of interpolating SQL strings, so the façade is not
@@ -47,6 +53,14 @@ class CollectionServer(spark: SparkSession, root: String,
     * is the REST analog — a top-k endpoint must never become a
     * full-table export through the driver). */
   val MaxK = 10000
+
+  /** Upper bound on request body bytes (insert batches). Reading an
+    * unbounded body into driver memory before any validation would let
+    * one PUT exhaust the driver; bigger loads belong on the bulk
+    * parquet path, not the REST front. */
+  val MaxBodyBytes: Int = 16 * 1024 * 1024
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private var server: HttpServer = _
 
@@ -92,11 +106,22 @@ class CollectionServer(spark: SparkSession, root: String,
         route(ex)
       } catch {
         case HttpError(s, m) => (s, errJson(m))
+        case Collections.WriterConflict(m) => (409, errJson(m))
         case e: NoSuchElementException => (404, errJson(e.getMessage))
         case e @ (_: IllegalArgumentException | _: MappingException) =>
           (400, errJson(e.getMessage))
+        case e: Exception if isClientDataError(e) =>
+          // a malformed row fails INSIDE the Spark job (FAILFAST
+          // from_json) and surfaces wrapped in SparkException layers —
+          // that is the client's bad input, not a server fault
+          (400, errJson("malformed row data: " +
+            rootCause(e).getMessage.linesIterator.take(1).mkString))
         case e: Exception =>
-          (500, errJson(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+          // never echo internal exception detail to the client; the
+          // server log keeps the stack for the operator
+          log.error("internal error handling " +
+            s"${ex.getRequestMethod} ${ex.getRequestURI}", e)
+          (500, errJson("internal server error"))
       }
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -104,24 +129,48 @@ class CollectionServer(spark: SparkSession, root: String,
     try ex.getResponseBody.write(bytes) finally ex.close()
   }
 
+  /** The failure is in the request's row data, not the server: walk
+    * the cause chain for Spark's JSON-parse failure markers (FAILFAST
+    * from_json wraps them in SparkException layers). */
+  private def isClientDataError(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).exists { c =>
+      val cls = c.getClass.getName
+      cls.contains("BadRecordException") || cls.contains("JsonParse") ||
+        Option(c.getMessage).exists(m =>
+          m.contains("Malformed records are detected") ||
+            m.contains("MALFORMED_RECORD"))
+    }
+
+  private def rootCause(e: Throwable): Throwable =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .reduceLeft((_, c) => c)
+
   private def checkAuth(ex: HttpExchange): Unit = auth.foreach {
     case (user, pass) =>
       // any credential failure — including undecodable base64 — is a
-      // 401, never a 400 (reference mod.rs:61-75 parity)
+      // 401, never a 400 (reference mod.rs:61-75 parity); the compare
+      // is constant-time (MessageDigest.isEqual) so response timing
+      // cannot leak how many leading credential bytes matched
+      val expected = s"$user:$pass".getBytes(StandardCharsets.UTF_8)
       val ok = Option(ex.getRequestHeaders.getFirst("Authorization"))
         .filter(_.startsWith("Basic "))
         .flatMap { h =>
-          try Some(new String(Base64.getDecoder.decode(h.drop(6)),
-            StandardCharsets.UTF_8))
+          try Some(Base64.getDecoder.decode(h.drop(6)))
           catch { case _: IllegalArgumentException => None }
         }
-        .contains(s"$user:$pass")
+        .exists(presented =>
+          java.security.MessageDigest.isEqual(expected, presented))
       if (!ok) throw HttpError(401, "Unauthorized")
   }
 
   private def readBody(ex: HttpExchange): JValue = {
-    val raw = new String(ex.getRequestBody.readAllBytes(),
-      StandardCharsets.UTF_8)
+    // readNBytes caps the read: one oversized PUT must not exhaust
+    // driver memory before validation ever runs
+    val in = ex.getRequestBody
+    val bytes = in.readNBytes(MaxBodyBytes + 1)
+    if (bytes.length > MaxBodyBytes)
+      throw HttpError(413, s"request body exceeds $MaxBodyBytes bytes")
+    val raw = new String(bytes, StandardCharsets.UTF_8)
     if (raw.isEmpty) JObject()
     else try parse(raw)
     catch { case e: Exception => throw HttpError(400,

@@ -112,6 +112,11 @@ object Collections {
   }
 
   def readSpec(spark: SparkSession, root: String, name: String): Option[Spec] = {
+    // the common entry for EVERY per-collection handler: names arrive
+    // from URL path segments, and java.net.URI.getPath decodes
+    // percent-escapes, so '..' reaches here as one segment — without
+    // this check s"$root/$name" escapes the storage root
+    requireValidName(name)
     val p = new Path(colDir(root, name), "_schema.properties")
     val f = fs(spark, root)
     if (!f.exists(p)) None
@@ -177,6 +182,60 @@ object Collections {
   private val insertLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Another writer process holds the collection's storage lease. The
+    * HTTP layer maps this to 409 Conflict. */
+  case class WriterConflict(msg: String) extends RuntimeException(msg)
+
+  /** Stale-lease threshold: a crashed writer's lease older than this is
+    * broken by the next claimant. Generous on purpose — an index build
+    * can legitimately hold the lease for minutes; at the default only a
+    * crash (not a slow build) ever looks stale. */
+  val LeaseTtlMs: Long = 10 * 60 * 1000L
+
+  /** Storage-level writer lease, taken INSIDE the JVM-local lock: the
+    * in-process ConcurrentHashMap monitor serializes threads of one
+    * server, and this lease serializes across PROCESSES sharing a
+    * storage root — without it two façade JVMs could both read max(id)
+    * and mint duplicate identity ids (the reference gets cross-process
+    * safety from Postgres sequences; a shared filesystem gives us
+    * create-if-absent, which is atomic on HDFS and best-effort-atomic
+    * on the local fs). A claim finding a fresh foreign lease raises
+    * [[WriterConflict]] (HTTP 409) rather than blocking a request
+    * thread; a lease older than [[LeaseTtlMs]] is treated as crash
+    * debris, broken, and re-claimed once. */
+  private def withLease[T](spark: SparkSession, root: String, name: String,
+      kind: String)(body: => T): T = {
+    val f = fs(spark, root)
+    val dir = new Path(colDir(root, name))
+    val lock = new Path(dir, s"_$kind.lock")
+    // 404 before any lease artifact: a lease file must never conjure a
+    // collection directory into existence
+    if (readSpec(spark, root, name).isEmpty)
+      throw new NoSuchElementException(s"collection '$name'")
+    def claim(): Boolean =
+      try {
+        // overwrite = false: fails when another process holds the lease
+        val out = f.create(lock, false)
+        try out.writeLong(System.currentTimeMillis()) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def breakIfStale(): Unit = {
+      val st = try Some(f.getFileStatus(lock))
+        catch { case _: java.io.FileNotFoundException => None }
+      st.foreach { s =>
+        if (System.currentTimeMillis() - s.getModificationTime > LeaseTtlMs)
+          f.delete(lock, false)
+      }
+    }
+    if (!claim()) {
+      breakIfStale()
+      if (!claim())
+        throw WriterConflict(s"collection '$name' is locked by another " +
+          s"writer process ($kind lease held < ${LeaseTtlMs / 1000}s)")
+    }
+    try body finally f.delete(lock, false)
+  }
+
   /** Append JSON rows (reference insert_data, collection.rs:280-302:
     * "keys from the first row will be taken as column names" — here
     * every declared column is read from each row, missing keys are
@@ -185,7 +244,11 @@ object Collections {
   def insert(spark: SparkSession, root: String, name: String,
       rowsJson: Seq[String]): Long =
     insertLocks.computeIfAbsent(s"$root/$name", _ => new Object)
-      .synchronized { insertLocked(spark, root, name, rowsJson) }
+      .synchronized {
+        withLease(spark, root, name, "insert") {
+          insertLocked(spark, root, name, rowsJson)
+        }
+      }
 
   private def insertLocked(spark: SparkSession, root: String, name: String,
       rowsJson: Seq[String]): Long = {
@@ -232,7 +295,11 @@ object Collections {
   def createIndex(spark: SparkSession, root: String, collection: String,
       info: IndexInfo): IndexInfo =
     insertLocks.computeIfAbsent(s"$root/$collection#index", _ => new Object)
-      .synchronized { createIndexLocked(spark, root, collection, info) }
+      .synchronized {
+        withLease(spark, root, collection, "index") {
+          createIndexLocked(spark, root, collection, info)
+        }
+      }
 
   /** Index build + sidecar write serialize per collection (two
     * concurrent same-name builds would interleave their shard files);
@@ -309,7 +376,12 @@ object Collections {
       insertLocks.computeIfAbsent(s"$root/${spec.name}#index",
         _ => new Object).synchronized {
         val p = new Path(s"${indexesDir(root, spec.name)}/$indexName")
-        f.exists(p) && f.delete(p, true)
+        // the storage lease extends the no-interleave guarantee across
+        // writer processes: a drop cannot land inside another server's
+        // in-flight build on the same collection
+        f.exists(p) && withLease(spark, root, spec.name, "index") {
+          f.exists(p) && f.delete(p, true)
+        }
       }
     }
   }

@@ -282,6 +282,72 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("path traversal: '..' as a name segment is rejected on every route") {
+    withServer() { port =>
+      // URI.getPath decodes percent-escapes, so '%2e%2e' arrives at the
+      // router as the single segment '..' — without validation
+      // s"$root/$name" would resolve to the storage root's parent
+      assert(req(port, "GET", "/collections/%2e%2e")._1 == 400)
+      assert(req(port, "PUT", "/collections/%2e%2e",
+        """{"rows": [{"vector": [1,0]}]}""")._1 == 400)
+      assert(req(port, "POST", "/collections/%2e%2e/search",
+        """{"column": "vector", "query_vector": [0,0]}""")._1 == 400)
+      assert(req(port, "POST", "/collections/%2e%2e/index",
+        """{"column": "vector"}""")._1 == 400)
+      assert(req(port, "DELETE", "/index/%2e%2e")._1 == 400)
+    }
+  }
+
+  test("a malformed row fails the Spark-side parse as a 400, not a 500") {
+    withServer() { port =>
+      assert(req(port, "POST", "/collections", """{"name": "mf"}""")._1 == 200)
+      // FAILFAST from_json raises inside the Spark job; the handler
+      // must recognize the cause chain as client data, not server fault
+      val (st, err) = req(port, "PUT", "/collections/mf",
+        """{"rows": [{"vector": "not-an-array", "data": "x"}]}""")
+      assert(st == 400, s"$st $err")
+      assert((err \ "error").asInstanceOf[JString].s
+        .toLowerCase.contains("malformed"))
+    }
+  }
+
+  test("storage lease: a foreign fresh lease 409s, a stale one is broken") {
+    val root = Files.createTempDirectory("graft_http_lease").toString
+    val srv = new CollectionServer(spark, root)
+    val port = srv.start()
+    try {
+      assert(req(port, "POST", "/collections", """{"name": "lk"}""")._1 == 200)
+      // simulate another server's in-flight insert: a fresh lease file
+      val lock = new java.io.File(s"$root/lk/_insert.lock")
+      assert(lock.createNewFile())
+      val (st, err) = req(port, "PUT", "/collections/lk",
+        """{"rows": [{"vector": [1,0,0,0]}]}""")
+      assert(st == 409, s"$st $err")
+      // a crashed writer's lease (older than the TTL) must not wedge
+      // the collection forever: the next claim breaks it and proceeds
+      assert(lock.setLastModified(
+        System.currentTimeMillis() - graft.http.Collections.LeaseTtlMs - 1000))
+      assert(req(port, "PUT", "/collections/lk",
+        """{"rows": [{"vector": [1,0,0,0]}]}""")._1 == 200)
+      // and the lease is released afterwards
+      assert(!lock.exists())
+    } finally srv.stop()
+  }
+
+  test("request bodies over the cap get 413 before any parsing") {
+    val root = Files.createTempDirectory("graft_http_cap").toString
+    val srv = new CollectionServer(spark, root) {
+      override val MaxBodyBytes: Int = 256
+    }
+    val port = srv.start()
+    try {
+      val big = "x" * 500
+      val (st, _) = req(port, "POST", "/collections",
+        s"""{"name": "$big"}""")
+      assert(st == 413)
+    } finally srv.stop()
+  }
+
   test("serial identity column round-trips with its declared int type") {
     withServer() { port =>
       assert(req(port, "POST", "/collections",
