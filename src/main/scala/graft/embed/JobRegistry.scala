@@ -13,25 +13,59 @@ import org.apache.spark.sql.functions._
   * daemon loop is [[runPending]], which executes each enabled job as a
   * batch [[Embeddings.embedColumn]] write. Incremental daemon mode maps
   * to [[Embeddings.streamEmbed]] keyed off the same job row.
+  *
+  * Durability: registry updates commit by write-temp + fs-rename — the
+  * new state is written COMPLETELY to a sidecar dir, the previous
+  * registry is renamed aside, and the sidecar renamed into place, so a
+  * crashed writer can never leave a truncated registry: every crash
+  * window leaves either the old state, the new state, or the old state
+  * recoverable from its aside-name (readers restore it on next access;
+  * the uncommitted update is simply lost, which is what uncommitted
+  * means). Concurrency matches the reference's ONE-bgworker daemon
+  * model: methods serialize in-JVM; two daemon processes sharing a
+  * registry path are out of contract (last-writer-wins on the rename).
   */
 class JobRegistry(spark: SparkSession, registryPath: String) {
   import JobRegistry._
 
-  private def readAll(): Seq[Job] = {
-    val p = new org.apache.hadoop.fs.Path(registryPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Seq.empty
+  private def hadoopFs =
+    new org.apache.hadoop.fs.Path(registryPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+  private def dst = new org.apache.hadoop.fs.Path(registryPath)
+  private def aside = new org.apache.hadoop.fs.Path(registryPath + ".old")
+  private def tmp = new org.apache.hadoop.fs.Path(registryPath + ".tmp")
+
+  /** A writer that crashed between renaming the registry aside and
+    * committing the replacement leaves no live registry; restore the
+    * aside copy (the last committed state). */
+  private def recoverIfNeeded(): Unit = {
+    val fs = hadoopFs
+    if (!fs.exists(dst) && fs.exists(aside)) fs.rename(aside, dst)
+  }
+
+  private def readAll(): Seq[Job] = synchronized {
+    recoverIfNeeded()
+    val fs = hadoopFs
+    if (!fs.exists(dst)) Seq.empty
     else {
       import spark.implicits._
       spark.read.parquet(registryPath).as[Job].collect().toSeq
     }
   }
 
-  private def writeAll(jobs: Seq[Job]): Unit = {
+  private def writeAll(jobs: Seq[Job]): Unit = synchronized {
     import spark.implicits._
+    val fs = hadoopFs
+    // 1. complete new state lands in the fixed tmp dir (Overwrite also
+    //    clears debris from a writer that crashed mid-write)
     spark.createDataset(jobs).toDF()
       .repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(registryPath)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // 2. commit by renames: previous state aside, new state in place
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (fs.exists(dst)) fs.rename(dst, aside)
+    fs.rename(tmp, dst)
+    fs.delete(aside, true)
   }
 
   def addEmbeddingJob(srcPath: String, textCol: String, outCol: String,

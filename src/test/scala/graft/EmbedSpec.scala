@@ -67,6 +67,34 @@ class EmbedSpec extends SparkSpec {
     assert(reg.getJobStatus(ok).contains(JobRegistry.Status.Enabled))
   }
 
+  test("registry survives a writer crash in every rename window") {
+    val work = Files.createTempDirectory("jobs_crash").toString
+    val path = s"$work/registry"
+    val reg = new JobRegistry(spark, path)
+    val id = reg.addEmbeddingJob(s"$work/src", "t", "vec", s"$work/dst",
+      "mock", "mock-embed")
+    // crash window A: new state fully written to .tmp but never
+    // committed — the live registry must be untouched and the debris
+    // must not leak into reads
+    val fs = new java.io.File(path)
+    val tmpDir = new java.io.File(path + ".tmp")
+    org.apache.commons.io.FileUtils.copyDirectory(fs, tmpDir)
+    assert(reg.getJobStatus(id).contains(JobRegistry.Status.Enabled))
+    // crash window B: previous state renamed aside, replacement never
+    // landed — a reader must restore the aside copy (last committed
+    // state) instead of seeing an empty registry
+    val asideDir = new java.io.File(path + ".old")
+    assert(fs.renameTo(asideDir))
+    assert(!fs.exists())
+    assert(reg.getJobStatus(id).contains(JobRegistry.Status.Enabled),
+      "aside-state recovery failed: the registry vanished")
+    assert(fs.exists() && !asideDir.exists())
+    // and the next update commits cleanly over the recovered state
+    reg.cancelJob(id)
+    assert(reg.getJobStatus(id).contains(JobRegistry.Status.Canceled))
+    assert(!tmpDir.exists() || tmpDir.listFiles() != null) // tmp is transient
+  }
+
   test("streamEmbed processes a backfill then new rows incrementally") {
     val work = Files.createTempDirectory("stream").toString
     val schema = StructType(Seq(
