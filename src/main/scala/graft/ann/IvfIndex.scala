@@ -361,12 +361,37 @@ object IvfIndex {
     // rows would then never be reclaimed (the next consolidate sees
     // tsGen <= watermark and no-ops).
     val tsFiles = TombstoneCache.generationFiles(indexPath, fs)
-    val tsGen = tsFiles
+    val tsGenListed = tsFiles
       .flatMap(p => TombstoneCache.generationNumber(p.getName))
       .foldLeft(-1L)(math.max)
     val dead: Array[Long] =
       if (tsFiles.isEmpty) Array.emptyLongArray
       else TombstoneCache.readPinned(tsFiles.maxBy(TombstoneCache.genOrder), fs)
+    // legacy clock-named tombstone files (pre-generation-numbering)
+    // carry no generation, so tsGen would stay -1 and the fresh-deletes
+    // test below would never fire: deletes recorded ONLY in such files
+    // were filtered at probe time but never physically reclaimed, and
+    // the `_tsfolded` watermark write would skip them. Normalize on
+    // first touch — the same migration delete() performs on its write
+    // path: the pinned dead set becomes numbered generation 1, the
+    // clock-named files go away, and the regular watermark machinery
+    // takes over from here.
+    val tsGen =
+      if (dead.isEmpty || tsGenListed >= 0) tsGenListed
+      else {
+        val next = TombstoneCache.nextGeneration(indexPath, fs)
+        val gen = new Path(root, f"tombstones-g$next%012d.bin")
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(fs.create(gen, false)))
+        try {
+          out.writeInt(AnnIndex.TombstoneMagic)
+          out.writeInt(dead.length)
+          dead.foreach(out.writeLong)
+        } finally out.close()
+        tsFiles.foreach(fs.delete(_, false))
+        TombstoneCache.invalidateListing(indexPath)
+        next
+      }
     val hasFreshDeletes = dead.nonEmpty &&
       tsGen > tsFoldedUpto(names, man.cellsDir)
     val foldable = hasBatches || hasFreshDeletes

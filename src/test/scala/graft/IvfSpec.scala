@@ -628,6 +628,53 @@ class IvfSpec extends SparkSpec {
     assert(genFiles.length <= 2, s"generations not pruned: ${genFiles.toSeq}")
   }
 
+  test("legacy clock-named tombstone files are migrated and reclaimed by consolidate") {
+    import spark.implicits._
+    val pts = clusterPts(13)
+    val df = pts.toDF("id", "v")
+    val dir = Files.createTempDirectory("ivflegacy").toString
+    IvfIndex.build(df, "id", "v", dir,
+      IvfIndex.Params(nCells = 8, sampleLimit = pts.length, seed = 2L))
+    val q = pts.head._2.toArray
+    val ranked = pts.map { case (id, v) =>
+      (id, Metric.L2Sq.dist(q, v.toArray)) }.sortBy(x => (x._2, x._1))
+    val top2 = ranked.take(2).map(_._1).sorted
+    // plant a PRE-generation clock-named tombstone file (the round-4
+    // format): magic + count + sorted ids, no generation number
+    val legacy = new java.io.File(dir, "tombstones-1699999999999.bin")
+    val out = new java.io.DataOutputStream(
+      new java.io.FileOutputStream(legacy))
+    try {
+      out.writeInt(0x47544f4d)
+      out.writeInt(top2.length)
+      top2.foreach(out.writeLong)
+    } finally out.close()
+
+    // probes filter through legacy files (pre-fix behavior, unchanged)
+    val expect = ranked.slice(2, 12).map(_._1).toSeq
+    assert(IvfIndex.topK(spark, dir, q, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq == expect)
+
+    // THE fix: a dead set recorded only in legacy files is still fold
+    // work — consolidate must not report "nothing to do"
+    assert(IvfIndex.consolidate(spark, dir),
+      "legacy-only deletes were not treated as fold work")
+    val man = IvfIndex.readManifest(dir)
+    val genIds = spark.read.parquet(s"$dir/${man.cellsDir}")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top2.forall(id => !genIds.contains(id)),
+      "legacy-recorded deletes were not physically reclaimed")
+    // the clock-named file was migrated to a numbered generation
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.contains(legacy.getName))
+    assert(names.exists(_.startsWith("tombstones-g")))
+    // the watermark now covers the migrated generation: a second
+    // consolidate with nothing new is a no-op, not a corpus rewrite
+    assert(!IvfIndex.consolidate(spark, dir))
+    assert(IvfIndex.topK(spark, dir, q, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq == expect)
+  }
+
   test("IVFADC probe skips tombstones") {
     import spark.implicits._
     val pts = clusterPts(12)
