@@ -169,6 +169,69 @@ object ScaleProbe {
     println(f"bpeCount: $n docs ($totalBytes%,d bytes -> $totalToks%,d tokens, " +
       f"${totalBytes.toDouble / totalToks}%.2f bytes/token) in $bpeS%.1fs " +
       f"(${n / bpeS}%.0f docs/s, ${totalBytes / bpeS / 1e6}%.1f MB/s on $threads threads)")
+    // guarded-dedup sweep: a planted near-identical boilerplate cluster
+    // (10% of the corpus) through BOTH banded candidate paths. The
+    // guard-OFF candidate volume is COMPUTED from the bucket stats
+    // (sum of C(bn, 2) over buckets) rather than materialized — at
+    // n=500k the cluster alone would emit ~1.25e9 pairs per band, which
+    // is the exact blowup the guard exists to prevent; the guard-ON
+    // path runs for real with default parameters (maxBucket=10000,
+    // 16x-median floor) and must stay O(cluster) candidates.
+    val nClust = n / 10
+    // simhash path: member i flips only bit (i % 64) of the all-zeros
+    // center — pairwise hamming <= 2, every band bucket hot at once.
+    // Distinct signatures, so exact dedup could NOT collapse them.
+    // Banding is 4 x 16 bits (not the 8 x 8 default): at half a million
+    // docs an 8-bit band key has only 256 values, so EVERY bucket of a
+    // random corpus is ~2000 members and the quadratic candidate count
+    // is real corpus-wide work, not skew — the caller-re-shapes-bands
+    // case the guard's median floor deliberately refuses to cut. 16-bit
+    // keys are the right banding at this decade (the guard then has an
+    // actual skew signal to act on).
+    val simSig = spark.range(n).select(col("id").as("doc_id"),
+      expr(s"case when id < $nClust then " +
+        "concat(repeat('0', cast(pmod(id, 64) as int)), '1', " +
+        "repeat('0', cast(63 - pmod(id, 64) as int))) " +
+        "else lpad(bin(xxhash64(cast(id as string))), 64, '0') end")
+        .as("simhash"))
+      .cache()
+    simSig.count()
+    val simOff = simSig
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 3), b -> struct(b as band, " +
+          "substring(simhash, b * 16 + 1, 16) as key))")).as("bk"))
+      .groupBy(col("bk")).agg(count(lit(1)).as("bn"))
+      .agg(sum(expr("bn * (bn - 1) div 2"))).collect()(0).getLong(0)
+    val t9 = System.nanoTime()
+    val simOn = graft.dedup.Dedup.simhashPairs(simSig, maxHamming = 3,
+      bands = 4).count()
+    val simS = (System.nanoTime() - t9) / 1e9
+    println(f"simhashGuard: $n docs ($nClust%,d boilerplate) guard-off " +
+      f"candidates $simOff%,d (computed), guard-on pairs $simOn%,d in " +
+      f"$simS%.1fs (default maxBucket=10000, 16x-median floor)")
+    // minhash path: the cluster shares the ENTIRE signature, so all 4
+    // bands concentrate into the same mega-bucket simultaneously — the
+    // worst case for banded LSH (one hot band suffices elsewhere)
+    val mhSig = spark.range(n).select(col("id").as("doc_id"),
+      expr(s"case when id < $nClust then sequence(1001L, 1008L) " +
+        "else transform(sequence(1, 8), " +
+        "j -> xxhash64(concat(cast(id as string), '#', cast(j as string))) " +
+        "% 268435456 + 268435456) end").as("sig"))
+      .cache()
+    mhSig.count()
+    val mhOff = mhSig
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 3), b -> struct(b as band, " +
+          "element_at(sig, b * 2 + 1) as k0, element_at(sig, b * 2 + 2) as k1))"))
+        .as("bk"))
+      .groupBy(col("bk")).agg(count(lit(1)).as("bn"))
+      .agg(sum(expr("bn * (bn - 1) div 2"))).collect()(0).getLong(0)
+    val t10 = System.nanoTime()
+    val mhOn = graft.dedup.Dedup.lshCandidatePairs(mhSig, 8, 4).count()
+    val mhS = (System.nanoTime() - t10) / 1e9
+    println(f"minhashGuard: $n docs ($nClust%,d fully-shared signatures) " +
+      f"guard-off candidates $mhOff%,d (computed), guard-on pairs $mhOn%,d " +
+      f"in $mhS%.1fs")
     spark.stop()
   }
 }
