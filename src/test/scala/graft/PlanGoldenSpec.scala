@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Golden physical-plan snapshots for expensive contract queries —
+  * catches a silent Catalyst regression (a lost dynamic-pruning
+  * filter, a broadcast flipped to a shuffle, a surprise Exchange) on
+  * Spark version bumps, the way DedupBucketingSpec pins the bucketed
+  * jaccard plan.
+  *
+  * The golden is the plan TREE SKELETON (node names + shape) with
+  * session-varying identifiers masked; per-node details are pinned by
+  * targeted invariant asserts instead of full-text equality, so the
+  * snapshot survives cosmetic formatting changes but not structural
+  * ones. Each query is executed once BEFORE snapshotting a fresh copy:
+  * the snapshot then sees materialized shared caches in every run
+  * context (suite order cannot flip an inner AdaptiveSparkPlan between
+  * initial and final state).
+  *
+  * Regenerate after an intentional plan change: delete
+  * src/test/resources/plans/<name>.txt and re-run; the spec records
+  * the new actual on first run — review the diff like code.
+  */
+class PlanGoldenSpec extends SparkSpec {
+
+  private val plansDir = Paths.get("src", "test", "resources", "plans")
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def skeleton(plan: String): String =
+    plan.linesIterator
+      .dropWhile(!_.startsWith("== Physical Plan =="))
+      .drop(1)
+      .takeWhile(_.trim.nonEmpty)
+      .map(_.replaceAll("\\s*\\(\\d+\\)$", "")) // per-print node ids
+      .map(_.replaceAll("graft_(dedup|bm25)_[0-9a-f]+", "graft_$1_X"))
+      .mkString("\n") + "\n"
+
+  private def checkGolden(name: String, actual: String): Unit = {
+    val p = plansDir.resolve(s"$name.txt")
+    if (!Files.exists(p)) {
+      Files.createDirectories(plansDir)
+      Files.writeString(p, actual)
+      info(s"recorded new golden plan at $p — commit it")
+    } else {
+      val golden = Files.readString(p)
+      assert(actual == golden,
+        s"physical plan of $name drifted from the golden at $p — if the " +
+          s"change is intentional, delete the golden and re-run.\n" +
+          s"--- actual ---\n$actual")
+    }
+  }
+
+  private def snapshot(name: String): (String, String) = {
+    val dir = sf("sf0.01")
+    SparkEntry.queries(name)(spark, dir).collect() // materialize caches
+    val fresh = SparkEntry.queries(name)(spark, dir)
+    val plan = formatted(fresh)
+    (plan, skeleton(plan))
+  }
+
+  test("q_ivf_join: DPP on the cells scan, broadcast joins, tombstone filter") {
+    val (plan, skel) = snapshot("q_ivf_join")
+    // the IVF cells scan must be dynamically pruned to the probed cells
+    assert(plan.contains("dynamicpruningexpression"),
+      "the cells scan lost its dynamic partition pruning")
+    // executor-side tombstone resolution stays inside the scan filter
+    assert(plan.contains("tombstone_live"))
+    // the query-vector filter reaches the parquet scan
+    assert(plan.contains("LessThan(vec_id,20)"),
+      "the vec_id < 20 filter was not pushed to the scan")
+    // the routed join broadcasts; it must never cartesian the corpus
+    assert(!plan.contains("CartesianProduct"))
+    checkGolden("q_ivf_join", skel)
+  }
+
+  test("q_simhash_pairs: codegen verify kernel, broadcast median, no cartesian") {
+    val (plan, skel) = snapshot("q_simhash_pairs")
+    // exact verification runs through the single-pass codegen kernel
+    assert(plan.contains("bit_hamming"),
+      "simhash verification no longer uses the codegen bit_hamming kernel")
+    // the skew-floor median attaches via a broadcast nested-loop of a
+    // 1-row aggregate — never a real cartesian of corpus-sized frames
+    assert(plan.contains("BroadcastNestedLoopJoin Cross"))
+    assert(!plan.contains("CartesianProduct"))
+    checkGolden("q_simhash_pairs", skel)
+  }
+
+  test("q_bm25_search: cached postings reused, bounded top-k, no cartesian") {
+    val (plan, skel) = snapshot("q_bm25_search")
+    // the postings/stats frames come from the shared cache, not a
+    // recomputed corpus scan per query
+    assert(plan.contains("InMemoryTableScan"))
+    // the final top-10 is a TakeOrderedAndProject, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("CartesianProduct"))
+    checkGolden("q_bm25_search", skel)
+  }
+}
