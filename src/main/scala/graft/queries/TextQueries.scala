@@ -98,7 +98,8 @@ object TextQueries {
       timed("dedup_signatures") { sigCached(s, dir).count() },
       timed("dedup_jaccard_pairs") { jaccardPairsCached(s, dir).count() },
       timed("dedup_simhash64") { simhash64Cached(s, dir).count() },
-      timed("mock_embeddings") { mockEmbCached(s, dir).count() })
+      timed("mock_embeddings") { mockEmbCached(s, dir).count() },
+      timed("quality_weights") { qualityWeights(s, dir).count() })
   }
 
   /** Hybrid retrieval: BM25 top-20 and mock-embedding KNN top-20 fused
@@ -223,15 +224,23 @@ object TextQueries {
     * AND scoring are on the hash contract; the float log-odds and
     * spark.ml scorers are spec-verified (QualityClassifierSpec), the
     * same split as lm_coverage/perplexity. */
-  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val isPos = col("source").isin("src0", "src1", "src2", "src3", "src4")
-    val w = graft.text.QualityClassifier.fixedPointWeights(
-      graft.text.QualityClassifier.trainCounts(d, col("text"), isPos))
+  /** Fixed-point classifier weight table, trained once per data dir
+    * and shared by the classifier and gate rows (both train the SAME
+    * weights; at cluster scale this is the persisted weights table a
+    * scoring pass reads, not a retrain per query). ≤ 4096 rows. */
+  private def qualityWeights(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cached(s"qweights:$dir") {
+      val isPos = col("source").isin("src0", "src1", "src2", "src3", "src4")
+      graft.text.QualityClassifier.fixedPointWeights(
+        graft.text.QualityClassifier.trainCounts(docs(s, dir),
+          col("text"), isPos))
+    }
+
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame =
     graft.text.QualityClassifier
-      .scoreFixedPoint(d, col("doc_id"), col("text"), w)
+      .scoreFixedPoint(docs(s, dir), col("doc_id"), col("text"),
+        qualityWeights(s, dir))
       .orderBy(col("doc_id").asc).limit(200)
-  }
 
   /** The quality gate ACTION end-to-end on the contract: train the
     * fixed-point classifier, score the WHOLE corpus, keep the top
@@ -242,12 +251,9 @@ object TextQueries {
     * path, QualityClassifierSpec pins that the two agree away from
     * threshold ties). Output = top-200 kept docs by (score desc, id). */
   private def qualityGate(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val isPos = col("source").isin("src0", "src1", "src2", "src3", "src4")
-    val w = graft.text.QualityClassifier.fixedPointWeights(
-      graft.text.QualityClassifier.trainCounts(d, col("text"), isPos))
     val scored = graft.text.QualityClassifier
-      .scoreFixedPoint(d, col("doc_id"), col("text"), w)
+      .scoreFixedPoint(docs(s, dir), col("doc_id"), col("text"),
+        qualityWeights(s, dir))
     graft.text.QualityClassifier
       .keepTopFraction(scored, col("score_fp"), 0.25, exact = true)
       .orderBy(col("score_fp").desc, col("doc_id").asc).limit(200)

@@ -391,6 +391,16 @@ object VectorQueries {
   private[queries] val semCentroids: Array[Array[Float]] =
     Array.tabulate(4, 64) { (c, j) => (((c * 7 + j * 13 + 5) % 33) - 16) / 16.0f }
 
+  /** SemDeDup verified pairs (cluster blocking x banded LSH x exact
+    * cosine <= 0.75), persisted once per dir and shared by the pairs
+    * and groups rows — the same persisted-intermediate pattern as
+    * jaccardPairsCached on the text side. */
+  private def semPairsCached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cached(s"sempairs:$dir")(
+      graft.dedup.Dedup.semanticPairs(emb(s, dir), col("vec_id"),
+        col("embedding"), semCentroids, hyperplanes,
+        bands = 2, bitsPerBand = 8, maxDist = 0.75))
+
   /** SemDeDup semantic near-dup pairs end-to-end on the contract:
     * k-means-style cluster blocking (fixed centroids) composed with
     * banded hyperplane LSH, exact-cosine verified, top-10 by rounded
@@ -399,13 +409,22 @@ object VectorQueries {
     * sign-band keys, (cluster, band)-bucketed candidates, and the same
     * rounded verify. */
   private def semanticPairsQ(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.semanticPairs(emb(s, dir), col("vec_id"),
-        col("embedding"), semCentroids, hyperplanes,
-        bands = 2, bitsPerBand = 8, maxDist = 0.75)
+    semPairsCached(s, dir)
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
         round(col("cos_dist"), 6).as("dist"))
       .orderBy(col("dist").asc, col("vec_a").asc, col("vec_b").asc)
       .limit(10)
+
+  /** The SemDeDup ACTION: connected components over ALL verified
+    * semantic pairs assign every clustered vector its group key (the
+    * min reachable vec_id) — "keep one document per semantic
+    * near-dup group". The oracle replays the closure as a recursive
+    * CTE, the q_neardup_groups discipline on the embedding side. */
+  private def semanticGroups(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.connectedComponents(
+        semPairsCached(s, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("component"))
+      .orderBy(col("vec_id").asc)
 
   /** Embedding near-duplicates via random-hyperplane LSH: 2 bands of 8
     * sign bits each bucket the corpus; only bucket-mates are verified
@@ -604,7 +623,8 @@ object VectorQueries {
       timed("ivf_adc") { ivfAdcIndexPath(s, dir) },
       timed("ivf_delete") { ivfDeleteIndexPath(s, dir) },
       timed("ivf_vacuum") { ivfVacuumPath(s, dir) },
-      timed("fvecs") { fvecsFilePath(s, dir) })
+      timed("fvecs") { fvecsFilePath(s, dir) },
+      timed("semantic_pairs") { semPairsCached(s, dir).count() })
   }
 
   // ---- DuckDB oracle fragments ----
@@ -629,6 +649,7 @@ object VectorQueries {
     "q_weighted_ann" -> ((s, dir) => weightedAnn(s, dir)),
     "q_neardup_embedding" -> ((s, dir) => nearDupPairs(s, dir)),
     "q_semantic_pairs" -> ((s, dir) => semanticPairsQ(s, dir)),
+    "q_semantic_groups" -> ((s, dir) => semanticGroups(s, dir)),
     "q_ann_l2sq" -> ((s, dir) => annL2Sq(s, dir)),
     "q_ann_ef64" -> ((s, dir) => annL2SqEf64(s, dir)),
     "q_ann_filtered" -> ((s, dir) => annFiltered(s, dir)),
@@ -664,6 +685,42 @@ object VectorQueries {
     semCentroids.zipWithIndex.map { case (cv, i) =>
       s"($i, ${cv.map(f => "%.4f".format(f)).mkString("[", ", ", "]::DOUBLE[]")})"
     }.mkString(",\n    ")
+
+  /** Shared SemDeDup oracle CTE chain, ending in `sem` = the verified
+    * pair set (argmin-cos cluster assignment, sign bands, (cluster,
+    * band)-bucketed candidates, exact cosine <= 0.75 — exactly
+    * [[semPairsCached]]'s frame). Used by q_semantic_pairs and
+    * q_semantic_groups. */
+  private lazy val semCtesSql: String =
+    s"""cents(cid, cv) AS (VALUES $semCentValuesSql),
+       |assign AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, c.cid AS cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        (CASE WHEN list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+       |              OR list_sum(list_transform(c.cv, x -> x * x)) = 0 THEN 1.0
+       |         ELSE 1.0 - list_sum(list_transform(e.embedding, (x, i) -> CAST(x AS DOUBLE) * c.cv[i]))
+       |           / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |                  * list_sum(list_transform(c.cv, x -> x * x))) END) ASC,
+       |        c.cid ASC) AS rn
+       |    FROM embeddings e, cents c) WHERE rn = 1),
+       |bits AS (
+       |  SELECT e.vec_id, a.cluster, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1
+       |  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id),
+       |cand AS (
+       |  SELECT DISTINCT vec_a, vec_b FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |    FROM bits a JOIN bits b
+       |      ON a.cluster = b.cluster AND a.band0 = b.band0 AND a.vec_id < b.vec_id
+       |    UNION
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |    FROM bits a JOIN bits b
+       |      ON a.cluster = b.cluster AND a.band1 = b.band1 AND a.vec_id < b.vec_id)),
+       |sem AS (
+       |  SELECT vec_a, vec_b FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = vec_a
+       |  JOIN embeddings eb ON eb.vec_id = vec_b
+       |  WHERE $cosPairExpr <= 0.75)""".stripMargin
 
   private val cosPairExpr =
     """1.0 - list_sum(list_transform(ea.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
@@ -847,36 +904,26 @@ object VectorQueries {
     // unrounded <= 0.75 filter matches the Spark side's pre-round filter
     // (identical double arithmetic in identical order on both engines).
     "q_semantic_pairs" ->
-      s"""WITH cents(cid, cv) AS (VALUES $semCentValuesSql),
-         |assign AS (
-         |  SELECT vec_id, cluster FROM (
-         |    SELECT e.vec_id, c.cid AS cluster,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        (CASE WHEN list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
-         |              OR list_sum(list_transform(c.cv, x -> x * x)) = 0 THEN 1.0
-         |         ELSE 1.0 - list_sum(list_transform(e.embedding, (x, i) -> CAST(x AS DOUBLE) * c.cv[i]))
-         |           / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-         |                  * list_sum(list_transform(c.cv, x -> x * x))) END) ASC,
-         |        c.cid ASC) AS rn
-         |    FROM embeddings e, cents c) WHERE rn = 1),
-         |bits AS (
-         |  SELECT e.vec_id, a.cluster, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1
-         |  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id),
-         |cand AS (
-         |  SELECT DISTINCT vec_a, vec_b FROM (
-         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |    FROM bits a JOIN bits b
-         |      ON a.cluster = b.cluster AND a.band0 = b.band0 AND a.vec_id < b.vec_id
-         |    UNION
-         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |    FROM bits a JOIN bits b
-         |      ON a.cluster = b.cluster AND a.band1 = b.band1 AND a.vec_id < b.vec_id))
+      s"""WITH $semCtesSql
          |SELECT vec_a, vec_b, round($cosPairExpr, 6) AS dist
-         |FROM cand
+         |FROM sem
          |JOIN embeddings ea ON ea.vec_id = vec_a
          |JOIN embeddings eb ON eb.vec_id = vec_b
-         |WHERE $cosPairExpr <= 0.75
          |ORDER BY round($cosPairExpr, 6) ASC, vec_a ASC, vec_b ASC LIMIT 10""".stripMargin,
+    // the ACTION: min-reachable-id closure over the same verified
+    // pairs, replayed as a recursive CTE (q_neardup_groups discipline)
+    "q_semantic_groups" ->
+      s"""WITH RECURSIVE $semCtesSql,
+         |edges AS (
+         |  SELECT vec_a AS s, vec_b AS d FROM sem
+         |  UNION SELECT vec_b AS s, vec_a AS d FROM sem),
+         |verts AS (SELECT DISTINCT s AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT e.d AS id, reach.r AS r FROM reach JOIN edges e ON e.s = reach.id)
+         |SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id
+         |ORDER BY vec_id ASC""".stripMargin,
     "q_neardup_embedding" ->
       s"""WITH bits AS (
          |  SELECT vec_id, label, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1
