@@ -276,21 +276,64 @@ object Dedup {
     * graph — the cluster key for "keep one doc per near-dup group"
     * (keeper = the doc whose id equals its component).
     *
-    * Iterative min-label propagation: every round each vertex takes the
-    * min of its own label and its neighbors' labels (one shuffle per
-    * round), stopping at a fixpoint — rounds needed = the graph
-    * diameter, which for near-dup clusters (dense little cliques from
-    * banded LSH) is small. Each round's labels are locally checkpointed
-    * (eager, lineage-TRUNCATING — plain persist would let the plan grow
-    * by one join+agg per round) and the previous round unpersisted.
-    * (The alternating large-star/small-star variant from the public
-    * CC-in-MapReduce literature is the drop-in upgrade if pathological
-    * chain-shaped graphs ever matter.) */
+    * Two regimes, chosen by a COUNTED edge bound. The verified-pairs
+    * graph is orders of magnitude smaller than the corpus (it holds
+    * only near-duplicate ids, 16 bytes each), so up to
+    * `driverEdgeLimit` edges (default 4M ≈ 64 MB) the components are
+    * solved by a driver union-find with union-by-min + path
+    * compression — microseconds and zero shuffle rounds, against a
+    * distributed loop whose per-round fixed cost (a checkpoint and a
+    * convergence probe) dwarfs the data at this size. The collect is
+    * NOT unbounded: the edge count is measured first and the driver
+    * path taken only under the explicit bound.
+    *
+    * Above the bound: iterative min-label propagation with pointer
+    * jumping — every round each vertex takes the min of its own and
+    * its neighbors' labels (one shuffle), then shortcuts to its
+    * label's label (path compression), so chain-shaped graphs — the
+    * worst case for banded-LSH near-dup graphs whose clusters link
+    * through partial band overlaps — converge in roughly half the
+    * diameter instead of the full diameter. Each round's labels are
+    * locally checkpointed (eager, lineage-TRUNCATING — plain persist
+    * would let the plan grow by one join+agg per round) and the
+    * previous round unpersisted. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
+      bCol: String = "doc_b", maxIters: Int = 20,
+      driverEdgeLimit: Long = 4000000L): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
+    val edgeCount = edges.count() // one job; also materializes the persist
+    if (edgeCount <= driverEdgeLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      // union-by-min: the smaller id always becomes the root, so after
+      // full path compression every root IS its component's min id
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edges.select(col("src"), col("dst")).collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val out = new Array[(Long, Long)](parent.size())
+      val it = parent.keySet().iterator()
+      var i = 0
+      while (it.hasNext) { val id = it.next(); out(i) = (id, find(id)); i += 1 }
+      edges.unpersist()
+      return spark.createDataset(scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(out))
+        .toDF("doc_id", "component")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
     var iter = 0
@@ -306,11 +349,24 @@ object Dedup {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("component"),
           lit(null).cast("long").as("prev"))
-      val next = labels
+      val propagated = labels
         .select(col("id"), col("component"), col("component").as("prev"))
         .unionByName(msgs)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"), max(col("prev")).as("prev"))
+      // pointer jumping: adopt the label OF the labeled vertex (label
+      // values are always vertex ids, and that vertex's label is by
+      // construction a min over ids reachable from here transitively).
+      // The left join + coalesce keeps vertices whose label row is
+      // still in flight this round.
+      val next = propagated.as("a")
+        .join(propagated.select(col("id").as("__jid"),
+          col("component").as("__jc")).as("b"),
+          col("a.component") === col("__jid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.component"),
+            coalesce(col("__jc"), col("a.component"))).as("component"),
+          col("a.prev").as("prev"))
         .localCheckpoint() // eager: truncates the per-round lineage
       val changed = next.filter(col("component") =!= col("prev")).count()
       labels.unpersist()

@@ -376,7 +376,7 @@ object VectorQueries {
   /** 16 deterministic random-hyperplane planes (multiples of 1/8: exact
     * in float and double, so sign bits agree across engines). */
   private val numPlanes = 16
-  private[queries] val hyperplanes: Seq[Seq[Float]] =
+  private[graft] val hyperplanes: Seq[Seq[Float]] =
     (0 until numPlanes).map { i =>
       (0 until 64).map(j => (((i * 97 + j * 31 + 13) % 17) - 8) / 8.0f)
     }
@@ -388,7 +388,7 @@ object VectorQueries {
     * caller-supplied data in [[graft.dedup.Dedup.semanticPairs]]'
     * contract (train via k-means in production; embed as constants on
     * the oracle path, like the BPE merge table). */
-  private[queries] val semCentroids: Array[Array[Float]] =
+  private[graft] val semCentroids: Array[Array[Float]] =
     Array.tabulate(4, 64) { (c, j) => (((c * 7 + j * 13 + 5) % 33) - 16) / 16.0f }
 
   /** SemDeDup verified pairs (cluster blocking x banded LSH x exact

@@ -100,6 +100,28 @@ class DedupGuardSpec extends SparkSpec {
     assert(guarded == (1L until 24L).map(i => (0L, i)).toSet)
   }
 
+  test("connectedComponents: driver union-find and distributed loop agree") {
+    import spark.implicits._
+    // a chain (worst case for label propagation), a clique, an isolated
+    // pair, and self-crossing edges — components must be identical on
+    // the bounded driver path (default) and the distributed loop
+    // (forced via driverEdgeLimit = 0)
+    val pairs = ((1L to 30L).sliding(2).map(s => (s.head, s.last)).toSeq ++
+      Seq((100L, 101L), (100L, 102L), (101L, 102L), (200L, 201L),
+        (102L, 100L), (5L, 3L)))
+      .toDF("doc_a", "doc_b")
+    def comps(limit: Long) =
+      Dedup.connectedComponents(pairs, driverEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = comps(Long.MaxValue)
+    val dist = comps(0L)
+    assert(driver == dist)
+    // the chain collapses to min id 1, the clique to 100, the pair to 200
+    assert((1L to 30L).forall(i => driver(i) == 1L))
+    assert(Seq(100L, 101L, 102L).forall(i => driver(i) == 100L))
+    assert(driver(200L) == 200L && driver(201L) == 200L)
+  }
+
   test("contract call shapes see no guard effect at test scale (hashes stay stable)") {
     import spark.implicits._
     // the q_lsh_pairs shape on the real corpus: the default-on guard
