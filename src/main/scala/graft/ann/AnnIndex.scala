@@ -228,13 +228,7 @@ object AnnIndex {
     // into the new (winning) generation
     val merged = (TombstoneCache.getFresh(indexPath) ++ ids).distinct.sorted
     val next = TombstoneCache.nextGeneration(indexPath, fs)
-    val gen = new Path(indexPath, f"tombstones-g$next%012d.bin")
-    val out = new DataOutputStream(new BufferedOutputStream(fs.create(gen, false)))
-    try {
-      out.writeInt(TombstoneMagic)
-      out.writeInt(merged.length)
-      merged.foreach(out.writeLong)
-    } finally out.close()
+    TombstoneCache.writeGeneration(indexPath, fs, next, merged)
     // prune all but the newest two generations + any legacy files
     val gens = TombstoneCache.generationFiles(indexPath, fs)
     gens.sortBy(TombstoneCache.genOrder).dropRight(2)
@@ -639,6 +633,26 @@ object TombstoneCache {
     * cumulative merges, so the newest file IS the full set. */
   private[ann] def readPinned(p: Path,
       fs: org.apache.hadoop.fs.FileSystem): Array[Long] = readBin(p, fs)
+
+  /** Write a dead-id set as the numbered generation file
+    * `tombstones-g<gen>.bin` — the ONE place the on-disk tombstone
+    * format is produced (delete's merge write and IvfIndex's
+    * legacy-file migration both go through here). create(overwrite =
+    * false): an already-exists race surfaces as IOException for the
+    * caller to resolve. */
+  private[ann] def writeGeneration(indexPath: String,
+      fs: org.apache.hadoop.fs.FileSystem, gen: Long,
+      ids: Array[Long]): Path = {
+    val p = new Path(indexPath, f"tombstones-g$gen%012d.bin")
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(p, false)))
+    try {
+      out.writeInt(AnnIndex.TombstoneMagic)
+      out.writeInt(ids.length)
+      ids.foreach(out.writeLong)
+    } finally out.close()
+    p
+  }
 
   /** Fresh read that bypasses (and refreshes) the TTL cache — for WRITE
     * paths (delete merge, vacuum) where serving a <TTL-stale set would

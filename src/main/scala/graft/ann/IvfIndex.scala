@@ -376,23 +376,34 @@ object IvfIndex {
     // path: the pinned dead set becomes numbered generation 1, the
     // clock-named files go away, and the regular watermark machinery
     // takes over from here.
+    var deadSet = dead
     val tsGen =
       if (dead.isEmpty || tsGenListed >= 0) tsGenListed
       else {
-        val next = TombstoneCache.nextGeneration(indexPath, fs)
-        val gen = new Path(root, f"tombstones-g$next%012d.bin")
-        val out = new java.io.DataOutputStream(
-          new java.io.BufferedOutputStream(fs.create(gen, false)))
         try {
-          out.writeInt(AnnIndex.TombstoneMagic)
-          out.writeInt(dead.length)
-          dead.foreach(out.writeLong)
-        } finally out.close()
-        tsFiles.foreach(fs.delete(_, false))
-        TombstoneCache.invalidateListing(indexPath)
-        next
+          val next = TombstoneCache.nextGeneration(indexPath, fs)
+          TombstoneCache.writeGeneration(indexPath, fs, next, dead)
+          tsFiles.foreach(fs.delete(_, false))
+          TombstoneCache.invalidateListing(indexPath)
+          next
+        } catch {
+          case _: java.io.IOException =>
+            // a concurrent delete() migrated first (its write path
+            // merges the legacy ids, so its generation is a superset).
+            // Adopt ITS newest generation AND its pinned dead set from
+            // one fresh listing — stamping a generation whose ids are
+            // not all in this fold would leave rows filtered forever
+            // but never reclaimed.
+            val fresh = TombstoneCache.generationFiles(indexPath, fs)
+            deadSet =
+              if (fresh.isEmpty) Array.emptyLongArray
+              else TombstoneCache.readPinned(
+                fresh.maxBy(TombstoneCache.genOrder), fs)
+            fresh.flatMap(p => TombstoneCache.generationNumber(p.getName))
+              .foldLeft(-1L)(math.max)
+        }
       }
-    val hasFreshDeletes = dead.nonEmpty &&
+    val hasFreshDeletes = deadSet.nonEmpty &&
       tsGen > tsFoldedUpto(names, man.cellsDir)
     val foldable = hasBatches || hasFreshDeletes
     // retention: keep `current` AND `prevServing` — the generation
@@ -442,9 +453,9 @@ object IvfIndex {
     // drop tombstoned rows via a broadcast anti-join against the
     // driver-read set (this is the WRITE path — deterministic, no TTL;
     // deletes are rare events so the set broadcasts at any real size)
-    val live = if (dead.isEmpty) folded else {
+    val live = if (deadSet.isEmpty) folded else {
       import spark.implicits._
-      val deadDf = spark.createDataset(dead.toSeq).toDF("__dead_id")
+      val deadDf = spark.createDataset(deadSet.toSeq).toDF("__dead_id")
       folded.join(broadcast(deadDf),
         col(man.idCol).cast("long") === col("__dead_id"), "left_anti")
     }

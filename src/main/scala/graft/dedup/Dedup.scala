@@ -276,16 +276,23 @@ object Dedup {
     * graph — the cluster key for "keep one doc per near-dup group"
     * (keeper = the doc whose id equals its component).
     *
-    * Two regimes, chosen by a COUNTED edge bound. The verified-pairs
+    * Ids are cast to long up front, so BOTH regimes emit the same
+    * (doc_id: long, component: long) schema regardless of the input
+    * id type and of which regime the data size selects.
+    *
+    * Two regimes, chosen by a COUNTED pair bound. The verified-pairs
     * graph is orders of magnitude smaller than the corpus (it holds
-    * only near-duplicate ids, 16 bytes each), so up to
-    * `driverEdgeLimit` edges (default 4M ≈ 64 MB) the components are
-    * solved by a driver union-find with union-by-min + path
-    * compression — microseconds and zero shuffle rounds, against a
-    * distributed loop whose per-round fixed cost (a checkpoint and a
-    * convergence probe) dwarfs the data at this size. The collect is
-    * NOT unbounded: the edge count is measured first and the driver
-    * path taken only under the explicit bound.
+    * only near-duplicate ids), so up to `driverEdgeLimit` distinct
+    * undirected pairs (default 4M — 64 MB of raw ids; the transient
+    * collected Rows and the boxed parent map put the real driver
+    * footprint at a few hundred MB, still far under any realistic
+    * driver heap) the components are solved by a driver union-find
+    * with union-by-min + path compression — microseconds and zero
+    * shuffle rounds, against a distributed loop whose per-round fixed
+    * cost (a checkpoint and a convergence probe) dwarfs the data at
+    * this size. The collect is NOT unbounded: the pair count is
+    * measured first and the driver path taken only under the explicit
+    * bound.
     *
     * Above the bound: iterative min-label propagation with pointer
     * jumping — every round each vertex takes the min of its own and
@@ -300,15 +307,19 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 20,
       driverEdgeLimit: Long = 4000000L): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // long ids in both regimes: the driver path reads longs and the
+    // regimes must never emit size-dependent schemas
+    val und = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .distinct().persist()
-    val edgeCount = edges.count() // one job; also materializes the persist
-    if (edgeCount <= driverEdgeLimit) {
+    val pairCount = und.count() // one job; also materializes the persist
+    if (pairCount <= driverEdgeLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._
       // union-by-min: the smaller id always becomes the root, so after
-      // full path compression every root IS its component's min id
+      // full path compression every root IS its component's min id.
+      // Union-find is symmetric, so the UNDIRECTED pairs suffice —
+      // half the rows the distributed loop's edge frame carries.
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -317,7 +328,7 @@ object Dedup {
         while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
         r
       }
-      edges.select(col("src"), col("dst")).collect().foreach { row =>
+      und.collect().foreach { row =>
         val a = row.getLong(0); val b = row.getLong(1)
         parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
         val ra = find(a); val rb = find(b)
@@ -329,11 +340,14 @@ object Dedup {
       val it = parent.keySet().iterator()
       var i = 0
       while (it.hasNext) { val id = it.next(); out(i) = (id, find(id)); i += 1 }
-      edges.unpersist()
+      und.unpersist()
       return spark.createDataset(scala.collection.immutable.ArraySeq
           .unsafeWrapArray(out))
         .toDF("doc_id", "component")
     }
+    val edges = und
+      .unionByName(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
     var iter = 0
@@ -382,6 +396,7 @@ object Dedup {
           "be split - raise maxIters for chain-shaped duplicate graphs")
     }
     edges.unpersist()
+    und.unpersist()
     labels.select(col("id").as("doc_id"), col("component"))
   }
 

@@ -61,10 +61,21 @@ class JobRegistry(spark: SparkSession, registryPath: String) {
     spark.createDataset(jobs).toDF()
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // 2. commit by renames: previous state aside, new state in place
+    // 2. commit by renames: previous state aside, new state in place.
+    //    Hadoop rename reports failure by RETURNING FALSE, not
+    //    throwing — an unchecked failed rename here would either nest
+    //    tmp inside the still-present dst or let the final delete
+    //    destroy the only committed copy.
     if (fs.exists(aside)) fs.delete(aside, true)
-    if (fs.exists(dst)) fs.rename(dst, aside)
-    fs.rename(tmp, dst)
+    if (fs.exists(dst) && !fs.rename(dst, aside))
+      throw new java.io.IOException(
+        s"registry commit: failed to rename $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      // restore the committed state before failing loudly
+      if (fs.exists(aside)) fs.rename(aside, dst)
+      throw new java.io.IOException(
+        s"registry commit: failed to move $tmp into place")
+    }
     fs.delete(aside, true)
   }
 

@@ -114,6 +114,9 @@ class CollectionServer(spark: SparkSession, root: String,
           // a malformed row fails INSIDE the Spark job (FAILFAST
           // from_json) and surfaces wrapped in SparkException layers —
           // that is the client's bad input, not a server fault
+          log.warn(s"rejected malformed row data on " +
+            s"${ex.getRequestMethod} ${ex.getRequestURI}: " +
+            rootCause(e).toString)
           (400, errJson("malformed row data: " +
             rootCause(e).getMessage.linesIterator.take(1).mkString))
         case e: Exception =>
@@ -130,12 +133,15 @@ class CollectionServer(spark: SparkSession, root: String,
   }
 
   /** The failure is in the request's row data, not the server: walk
-    * the cause chain for Spark's JSON-parse failure markers (FAILFAST
-    * from_json wraps them in SparkException layers). */
+    * the cause chain for SPARK'S OWN record-parse failure markers
+    * (FAILFAST from_json wraps BadRecordException / MALFORMED_RECORD
+    * in SparkException layers). Deliberately narrow — a bare jackson
+    * JsonParseException elsewhere in a handler is a server-side fault
+    * (the request body itself was already parsed by readBody), and
+    * classifying it 400 would hide a real bug from the operator. */
   private def isClientDataError(e: Throwable): Boolean =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).exists { c =>
-      val cls = c.getClass.getName
-      cls.contains("BadRecordException") || cls.contains("JsonParse") ||
+      c.getClass.getName.contains("BadRecordException") ||
         Option(c.getMessage).exists(m =>
           m.contains("Malformed records are detected") ||
             m.contains("MALFORMED_RECORD"))

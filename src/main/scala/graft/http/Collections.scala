@@ -151,6 +151,10 @@ object Collections {
     if (!f.exists(rootPath)) Seq.empty
     else f.listStatus(rootPath).filter(_.isDirectory).toSeq
       .map(_.getPath.getName).sorted
+      // skip stray operator-created dirs (backups, dot-names): readSpec
+      // rejects invalid names, and one 'backup-2024' dir must not turn
+      // the whole listing into a 400
+      .filter(n => ValidName.pattern.matcher(n).matches())
       .flatMap(n => readSpec(spark, root, n))
   }
 
@@ -212,19 +216,39 @@ object Collections {
     // collection directory into existence
     if (readSpec(spark, root, name).isEmpty)
       throw new NoSuchElementException(s"collection '$name'")
+    // the token identifies THIS claimant: release deletes the lock only
+    // when it still carries our token, so a writer that overran the TTL
+    // (its lease broken and re-claimed by another process) cannot
+    // release the other process's live lease on its way out
+    val token = java.util.UUID.randomUUID().toString
     def claim(): Boolean =
       try {
         // overwrite = false: fails when another process holds the lease
         val out = f.create(lock, false)
-        try out.writeLong(System.currentTimeMillis()) finally out.close()
+        try out.writeBytes(token) finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+    def readToken(): Option[String] =
+      try {
+        val in = f.open(lock)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
     def breakIfStale(): Unit = {
       val st = try Some(f.getFileStatus(lock))
         catch { case _: java.io.FileNotFoundException => None }
       st.foreach { s =>
-        if (System.currentTimeMillis() - s.getModificationTime > LeaseTtlMs)
-          f.delete(lock, false)
+        if (System.currentTimeMillis() - s.getModificationTime > LeaseTtlMs) {
+          // break by RENAME to a unique debris name: of two processes
+          // racing to break the same stale lease exactly one rename
+          // succeeds (the loser's source is gone), so the loser can
+          // never delete the winner's freshly claimed lock — the
+          // delete-based break had exactly that TOCTOU
+          val debris = new Path(dir, s"_$kind.lock.broken-$token")
+          try { if (f.rename(lock, debris)) f.delete(debris, false) }
+          catch { case _: java.io.IOException => () }
+        }
       }
     }
     if (!claim()) {
@@ -233,7 +257,12 @@ object Collections {
         throw WriterConflict(s"collection '$name' is locked by another " +
           s"writer process ($kind lease held < ${LeaseTtlMs / 1000}s)")
     }
-    try body finally f.delete(lock, false)
+    try body finally {
+      if (readToken().forall(_ == token)) {
+        try f.delete(lock, false)
+        catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   /** Append JSON rows (reference insert_data, collection.rs:280-302:

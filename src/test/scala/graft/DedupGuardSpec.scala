@@ -120,6 +120,17 @@ class DedupGuardSpec extends SparkSpec {
     assert((1L to 30L).forall(i => driver(i) == 1L))
     assert(Seq(100L, 101L, 102L).forall(i => driver(i) == 100L))
     assert(driver(200L) == 200L && driver(201L) == 200L)
+    // int-typed id columns work in BOTH regimes and emit the same
+    // long schema (the up-front cast - regimes must never produce
+    // size-dependent schemas or a driver-path ClassCastException)
+    val intPairs = Seq((1, 2), (2, 3), (10, 11)).toDF("doc_a", "doc_b")
+    for (limit <- Seq(Long.MaxValue, 0L)) {
+      val cc = Dedup.connectedComponents(intPairs, driverEdgeLimit = limit)
+      assert(cc.schema.fields.map(_.dataType).forall(
+        _ == org.apache.spark.sql.types.LongType))
+      assert(cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    }
   }
 
   test("contract call shapes see no guard effect at test scale (hashes stay stable)") {

@@ -298,6 +298,24 @@ class HttpSpec extends SparkSpec {
     }
   }
 
+  test("a stray operator-created directory under the root does not break listing") {
+    val root = Files.createTempDirectory("graft_http_stray").toString
+    val srv = new CollectionServer(spark, root)
+    val port = srv.start()
+    try {
+      assert(req(port, "POST", "/collections", """{"name": "real"}""")._1 == 200)
+      // an invalid-named dir (backup tool, operator debris) must be
+      // skipped by list(), not turn every listing into a 400
+      assert(new java.io.File(root, "backup-2024.bak").mkdir())
+      val (st, listed) = req(port, "GET", "/collections")
+      assert(st == 200, listed)
+      assert(listed.asInstanceOf[JArray].arr.map(_ \ "name") ==
+        List(JString("real")))
+      // index drops scan the listing too
+      assert(req(port, "DELETE", "/index/nope")._1 == 404)
+    } finally srv.stop()
+  }
+
   test("a malformed row fails the Spark-side parse as a 400, not a 500") {
     withServer() { port =>
       assert(req(port, "POST", "/collections", """{"name": "mf"}""")._1 == 200)
