@@ -240,6 +240,24 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("cos_dist"))
   }
 
+  /** SemDeDup end-to-end ACTION: keep one row per semantic near-dup
+    * group (the member whose id is the group minimum) plus every
+    * unclustered row — [[semanticPairs]] composed with
+    * [[keepOnePerGroup]], the one-call "dedupe my corpus
+    * semantically" a pipeline author reaches for. All the scale
+    * properties of the parts apply: cluster-blocked banded candidates
+    * with the default-on mega-bucket guard, exact-cosine verification
+    * per distinct pair, and components solved by the bounded driver
+    * union-find or the distributed loop by measured size. */
+  def semanticDedup(df: DataFrame, idCol: Column, vecCol: Column,
+      centroids: Array[Array[Float]], planes: Seq[Seq[Float]],
+      bands: Int, bitsPerBand: Int, maxDist: Double,
+      maxBucket: Int = 10000, skewMult: Double = 16.0): DataFrame =
+    keepOnePerGroup(df, idCol,
+      semanticPairs(df, idCol, vecCol, centroids, planes, bands,
+        bitsPerBand, maxDist, maxBucket, skewMult)
+        .select(col("doc_a"), col("doc_b")))
+
   /** Attach est_jaccard = fraction of matching minhashes to id pairs. */
   def estimateJaccard(pairs: DataFrame, sig: DataFrame, numHashes: Int): DataFrame =
     pairs

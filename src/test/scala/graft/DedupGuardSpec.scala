@@ -133,6 +133,25 @@ class DedupGuardSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: regimes agree on random graphs (seeded)") {
+    import spark.implicits._
+    // randomized equivalence sweep over graphs with duplicate edges,
+    // reversed duplicates and self-loops — shapes the deterministic
+    // fixture does not cover
+    for (seed <- Seq(7L, 23L, 61L)) {
+      val rnd = new java.util.Random(seed)
+      val n = 40
+      val pairs = (Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        Seq((5L, 5L))) // self-loop
+        .toDF("doc_a", "doc_b")
+      def comps(limit: Long) =
+        Dedup.connectedComponents(pairs, driverEdgeLimit = limit)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comps(Long.MaxValue) == comps(0L),
+        s"regimes disagree for seed $seed")
+    }
+  }
+
   test("contract call shapes see no guard effect at test scale (hashes stay stable)") {
     import spark.implicits._
     // the q_lsh_pairs shape on the real corpus: the default-on guard

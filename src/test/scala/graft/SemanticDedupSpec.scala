@@ -51,6 +51,22 @@ class SemanticDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semanticDedup keeps the group minimum plus every unclustered row") {
+    val a = Array(10f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val b = Array(0f, 10f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val docs = Seq(
+      (1L, vec(a, 0.001f, 1)), (2L, vec(a, 0.002f, 2)),
+      (3L, Seq(5f, 0f, 4f, 4f, 0f, 0f, 3f, 0f)),
+      (11L, vec(b, 0.001f, 3)), (12L, vec(b, 0.002f, 4)),
+      (13L, Seq(0f, 5f, 0f, 4f, 4f, 0f, 0f, 3f))).toDF("doc_id", "v")
+    val kept = Dedup.semanticDedup(docs, col("doc_id"), col("v"),
+        Array(a, b), planes, bands = 2, bitsPerBand = 4, maxDist = 0.001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // groups {1,2} and {11,12} collapse to their minima; the angular
+    // outliers 3 and 13 never pair and survive untouched
+    assert(kept == Set(1L, 3L, 11L, 13L))
+  }
+
   test("composes with an IVF index's quantizer (shared coarse clustering)") {
     val pts = (0 until 4).flatMap { c =>
       val base = Array.tabulate(dim)(i => if (i == c * 2) 10f else 0f)
