@@ -89,6 +89,28 @@ class PlanGoldenSpec extends SparkSpec {
     checkGolden("q_simhash_pairs", skel)
   }
 
+  test("q_semantic_pairs: codegen centroid assignment, cached pair reuse, no cartesian") {
+    val (plan, skel) = snapshot("q_semantic_pairs")
+    // the verified-pairs cache feeds the row (assignment + banding +
+    // verification are the build; the query is rank-and-limit)
+    assert(plan.contains("InMemoryTableScan"))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("CartesianProduct"))
+    checkGolden("q_semantic_pairs", skel)
+  }
+
+  test("q_quality_gate: broadcast weight join, in-plan threshold, no corpus sort") {
+    val (plan, skel) = snapshot("q_quality_gate")
+    // the exact-percentile threshold attaches by a 1-row broadcast
+    // nested loop — the gate never sorts the corpus to find it
+    assert(plan.contains("BroadcastNestedLoopJoin Cross"))
+    // the ≤dim-row weight table broadcasts onto the exploded tokens
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("CartesianProduct"))
+    checkGolden("q_quality_gate", skel)
+  }
+
   test("q_bm25_search: cached postings reused, bounded top-k, no cartesian") {
     val (plan, skel) = snapshot("q_bm25_search")
     // the postings/stats frames come from the shared cache, not a
