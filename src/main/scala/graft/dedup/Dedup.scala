@@ -301,16 +301,16 @@ object Dedup {
     * Two regimes, chosen by a COUNTED pair bound. The verified-pairs
     * graph is orders of magnitude smaller than the corpus (it holds
     * only near-duplicate ids), so up to `driverEdgeLimit` distinct
-    * undirected pairs (default 4M — 64 MB of raw ids; the transient
-    * collected Rows and the boxed parent map put the real driver
-    * footprint at a few hundred MB, still far under any realistic
-    * driver heap) the components are solved by a driver union-find
-    * with union-by-min + path compression — microseconds and zero
-    * shuffle rounds, against a distributed loop whose per-round fixed
-    * cost (a checkpoint and a convergence probe) dwarfs the data at
-    * this size. The collect is NOT unbounded: the pair count is
-    * measured first and the driver path taken only under the explicit
-    * bound.
+    * undirected pairs (default 1M; ScaleProbe measures the regime's
+    * worst case AT the bound — collected Rows plus the boxed parent
+    * map — as a ~0.4 GB transient old-gen delta, bounded and far
+    * under a real driver heap) the components are solved by a driver
+    * union-find with union-by-min + path compression — milliseconds
+    * and zero shuffle rounds, against a distributed loop whose
+    * per-round fixed cost (a checkpoint and a convergence probe)
+    * dwarfs the data at this size. The collect is NOT unbounded: the
+    * pair count is measured first and the driver path taken only
+    * under the explicit bound.
     *
     * Above the bound: iterative min-label propagation with pointer
     * jumping — every round each vertex takes the min of its own and
@@ -324,7 +324,7 @@ object Dedup {
     * previous round unpersisted. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 20,
-      driverEdgeLimit: Long = 4000000L): DataFrame = {
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
     // long ids in both regimes: the driver path reads longs and the
     // regimes must never emit size-dependent schemas
     val und = pairs

@@ -232,6 +232,29 @@ object ScaleProbe {
     println(f"minhashGuard: $n docs ($nClust%,d fully-shared signatures) " +
       f"guard-off candidates $mhOff%,d (computed), guard-on pairs $mhOn%,d " +
       f"in $mhS%.1fs")
+    // connected components AT the driver-regime bound: a 1M-edge random
+    // graph over 500k vertices solved by the bounded union-find — wall
+    // time and driver old-gen high-water back the "bounded collect"
+    // sizing claim with a measured number (the regime's worst case, not
+    // its typical near-dup workload, which is orders smaller).
+    val ccEdges = 1000000L
+    val ccPairs = spark.range(ccEdges).select(
+      pmod(expr("xxhash64(concat('a', cast(id as string)))"), lit(500000L))
+        .as("doc_a"),
+      pmod(expr("xxhash64(concat('b', cast(id as string)))"), lit(500000L))
+        .as("doc_b"))
+      .cache()
+    ccPairs.count()
+    System.gc()
+    val t11 = System.nanoTime()
+    val (ccCount, ccBefore, ccPeak) = withOldGenPeak(
+      graft.dedup.Dedup.connectedComponents(ccPairs).count())
+    val ccS = (System.nanoTime() - t11) / 1e9
+    println(f"ccDriverBound: $ccEdges%,d edges / ~500k vertices -> " +
+      f"$ccCount%,d labeled in $ccS%.1fs; driver OLD-GEN " +
+      f"${ccBefore / 1e6}%.0f -> peak ${ccPeak / 1e6}%.0f MB " +
+      f"(delta ${(ccPeak - ccBefore) / 1e6}%.0f MB at the 1M-pair " +
+      "regime bound)")
     spark.stop()
   }
 }
