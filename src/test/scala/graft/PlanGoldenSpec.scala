@@ -111,6 +111,31 @@ class PlanGoldenSpec extends SparkSpec {
     checkGolden("q_quality_gate", skel)
   }
 
+  test("q_knn_l2sq: codegen distance inside a TakeOrderedAndProject, pruned scan") {
+    val (plan, skel) = snapshot("q_knn_l2sq")
+    // the exact top-k is a TakeOrderedAndProject over the codegen
+    // l2sq_dist kernel — no global sort, no extra shuffle
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("l2sq_dist"))
+    // the scan reads only the two needed columns
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      "column pruning regressed on the embeddings scan")
+    assert(!plan.contains("CartesianProduct"))
+    checkGolden("q_knn_l2sq", skel)
+  }
+
+  test("q_hybrid_rrf: rank windows over bounded top-N lists only") {
+    val (plan, skel) = snapshot("q_hybrid_rrf")
+    // both retrieval arms end in bounded top-N (TakeOrderedAndProject /
+    // WindowGroupLimit) BEFORE the rank windows fuse them — the
+    // unpartitioned windows are over <= N rows by construction
+    assert(plan.contains("TakeOrderedAndProject") ||
+      plan.contains("WindowGroupLimit"))
+    assert(plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"))
+    checkGolden("q_hybrid_rrf", skel)
+  }
+
   test("q_bm25_search: cached postings reused, bounded top-k, no cartesian") {
     val (plan, skel) = snapshot("q_bm25_search")
     // the postings/stats frames come from the shared cache, not a
