@@ -138,6 +138,18 @@ class QualityClassifierSpec extends SparkSpec {
     assert(exact == labels.filter(_._2).keySet)
   }
 
+  test("gate on an empty corpus returns empty, both percentile variants") {
+    import spark.implicits._
+    val scored = Seq.empty[(Long, Long)].toDF("doc_id", "score_fp")
+    // percentile over zero rows yields a null threshold; the strict >
+    // filter then keeps nothing — no crash, no spurious rows
+    assert(QualityClassifier
+      .keepTopFraction(scored, col("score_fp"), 0.25).count() == 0)
+    assert(QualityClassifier
+      .keepTopFraction(scored, col("score_fp"), 0.25, exact = true)
+      .count() == 0)
+  }
+
   test("spark.ml logistic regression reaches full accuracy on the planted corpus") {
     val docs = planted(80).toDF("doc_id", "text", "pos")
     val model = QualityClassifier.trainLogReg(docs, col("text"), col("pos"))
