@@ -489,6 +489,77 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Exact-substring deduplication — the ExactSubstr pass of the
+    * public dedup literature (Lee et al. 2022, arXiv:2107.06499,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * remove every token covered by a k-token run that occurs more
+    * than once corpus-wide (across documents OR repeated within one
+    * — the paper counts total occurrences). Unlike [[lineDedup]]'s
+    * fixed segmentation this catches duplicated spans at ANY offset:
+    * a token survives iff no duplicated k-gram window covers it, so
+    * maximal duplicated runs longer than k are cut whole.
+    *
+    * The suffix-array machinery of the paper collapses into three
+    * relational steps: (1) every k-gram start is marked duplicated
+    * when its hash occurs > 1 time corpus-wide; (2) token position p
+    * is covered iff some duplicated start s satisfies
+    * s <= p <= s+k-1, i.e. iff the RUNNING MAX of duplicated starts
+    * up to p is >= p-k+1 — one per-doc ordered window, with no
+    * per-start expansion (consecutive duplicated starts overlap
+    * k-fold; exploding each window would multiply rows by k);
+    * (3) survivors reassemble in order.
+    *
+    * Scale shape (the lineDedup discipline): grams shuffle once on a
+    * 16-byte hash key for the corpus-wide count (map-side combined);
+    * start positions join their counts through the hash, never gram
+    * text; the coverage window and the reassembly each group once per
+    * doc. Returns (doc_id, n_tokens, n_removed, text_clean). */
+  def substringDedup(docs: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 13): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val t = col("__t")
+    val gramArr = when(size(t) >= k,
+      transform(sequence(lit(1), size(t) - (k - 1)),
+        i => md5(array_join(slice(t, i, lit(k)), " ").cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+    val toks = docs.select(idCol.as("doc_id"), tokenize(textCol).as("__t"))
+    val starts = toks
+      .select(col("doc_id"), posexplode(gramArr).as(Seq("__s0", "__gh")))
+    val counts = starts.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__n"))
+    val dupStarts = starts.join(counts, "__gh")
+      .filter(col("__n") > 1)
+      .select(col("doc_id").as("__dsid"), col("__s0").as("__ds"))
+    val tokPos = toks
+      .select(col("doc_id"), posexplode(col("__t")).as(Seq("p", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val covered = tokPos
+      .join(dupStarts, col("doc_id") === col("__dsid") &&
+        col("p") === col("__ds"), "left")
+      .withColumn("__runmax", max(col("__ds")).over(w))
+      .withColumn("__cov",
+        col("__runmax").isNotNull && col("__runmax") >= col("p") - (k - 1))
+    val perDoc = covered.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__cov"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("__cov"),
+            struct(col("p"), col("tok"))))),
+          s => s.getField("tok")), " ").as("text_clean"))
+    // docs that tokenize to zero tokens produce no rows; join back so
+    // they survive as (0, 0, "") — the lineDedup contract
+    docs.select(idCol.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** 16-bit md5-derived SimHash, as a bit-string column. For each of the
     * 16 leading hex digits of each token's md5, vote +1 if the digit's
     * high bit (>= 8) is set else -1; the sign of each position's total

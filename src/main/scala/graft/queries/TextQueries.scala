@@ -395,6 +395,16 @@ object TextQueries {
         md5(col("text_clean").cast("binary")).as("clean_hash"))
       .orderBy(col("doc_id").asc).limit(200)
 
+  /** Exact-substring dedup (Lee et al. 2022 ExactSubstr): tokens
+    * covered by any corpus-wide duplicated 13-token run are removed,
+    * the survivors reassembled — the clean text is hash-compared so
+    * the oracle checks the cut byte-for-byte, not just the counts. */
+  private def substringDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(docs(s, dir), col("doc_id"), col("text"), k = 13)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("text_clean").cast("binary")).as("clean_hash"))
+      .orderBy(col("doc_id").asc).limit(200)
+
   /** 64-bit SimHash signatures, persisted once per dir (warmed in
     * [[prepare]] — at cluster scale a stored signature table, like the
     * MinHash ones). */
@@ -719,6 +729,7 @@ object TextQueries {
     "q_simhash" -> ((s, d) => simhash(s, d)),
     "q_simhash_pairs" -> ((s, d) => simhashPairsQ(s, d)),
     "q_line_dedup" -> ((s, d) => lineDedup(s, d)),
+    "q_substring_dedup" -> ((s, d) => substringDedup(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "q_packed_texts" -> ((s, d) => packedTexts(s, d)),
     "q_text_clean" -> ((s, d) => textClean(s, d)),
@@ -1196,6 +1207,36 @@ object TextQueries {
          |  FROM j GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(g.n_lines, 0) AS n_lines,
          |  coalesce(g.n_dup_lines, 0) AS n_dup_lines,
+         |  coalesce(g.clean_hash, md5('')) AS clean_hash
+         |FROM documents d LEFT JOIN g USING (doc_id)
+         |ORDER BY d.doc_id ASC LIMIT 200""".stripMargin,
+    // ExactSubstr replay: duplicated 13-gram starts, running-max
+    // coverage (covered iff max duplicated start <= p is >= p-12),
+    // ordered reassembly of survivors, clean text hash-pinned
+    "q_substring_dedup" ->
+      s"""WITH $toksCte,
+         |grams AS (
+         |  SELECT doc_id, i AS s0, md5(array_to_string(t[i+1 : i+13], ' ')) AS gh
+         |  FROM (SELECT doc_id, t, unnest(range(len(t) - 12)) AS i FROM toks)),
+         |cnt AS (SELECT gh, count(*) AS n FROM grams GROUP BY 1),
+         |ds AS (SELECT doc_id, s0 FROM grams JOIN cnt USING (gh) WHERE n > 1),
+         |tok AS (SELECT doc_id, i AS p, t[i+1] AS tok
+         |        FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM toks)),
+         |m AS (
+         |  SELECT tok.doc_id, p, tok.tok AS tok, max(ds.s0) OVER (
+         |      PARTITION BY tok.doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+         |  FROM tok LEFT JOIN ds ON ds.doc_id = tok.doc_id AND ds.s0 = tok.p),
+         |g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN runmax IS NOT NULL AND runmax >= p - 12
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |    md5(coalesce(string_agg(tok, ' ' ORDER BY p)
+         |      FILTER (WHERE runmax IS NULL OR runmax < p - 12), ''))
+         |      AS clean_hash
+         |  FROM m GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(g.n_tokens, 0) AS n_tokens,
+         |  coalesce(g.n_removed, 0) AS n_removed,
          |  coalesce(g.clean_hash, md5('')) AS clean_hash
          |FROM documents d LEFT JOIN g USING (doc_id)
          |ORDER BY d.doc_id ASC LIMIT 200""".stripMargin,

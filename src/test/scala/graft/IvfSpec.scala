@@ -571,6 +571,40 @@ class IvfSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, "")))
   }
 
+  test("substringDedup cuts maximal duplicated runs at any offset") {
+    import spark.implicits._
+    // k=3: docs 1 and 2 share the 5-token run "q w e r t" at DIFFERENT
+    // offsets (lineDedup's fixed chunks would miss the misalignment);
+    // every token of the run is covered by some duplicated 3-gram, so
+    // the maximal run is cut whole from both docs
+    val docs = Seq(
+      (1L, "q w e r t a b c"),
+      (2L, "x y q w e r t z"),
+      (3L, "m n o p")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, col("doc_id"), col("text"), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((8L, 5L, "a b c")))
+    assert(out(2L) == ((8L, 5L, "x y z")))
+    assert(out(3L) == ((4L, 0L, "m n o p")))
+  }
+
+  test("substringDedup: within-doc repeats cut, short docs untouched, empty kept") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b c" occurs twice WITHIN one doc (total occurrences > 1,
+      // the paper's counting) -> both occurrences cut
+      (1L, "a b c z a b c"),
+      (2L, "a b"), // shorter than k: no grams, nothing cut
+      (3L, "")).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, col("doc_id"), col("text"), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((7L, 6L, "z")))
+    assert(out(2L) == ((2L, 0L, "a b")))
+    assert(out(3L) == ((0L, 0L, "")))
+  }
+
   /** 16 clusters x 20 pts, 8-dim — the delete-family fixture. */
   private def clusterPts(seed: Int): Seq[(Long, Seq[Float])] = {
     val rnd = new java.util.Random(seed)
