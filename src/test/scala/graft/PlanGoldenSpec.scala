@@ -136,6 +136,22 @@ class PlanGoldenSpec extends SparkSpec {
     checkGolden("q_hybrid_rrf", skel)
   }
 
+  test("q_substring_dedup: broadcast coverage join, window+reassembly share one exchange") {
+    val (plan, skel) = snapshot("q_substring_dedup")
+    // the duplicated-starts side broadcasts onto the token rows — the
+    // coverage join must never shuffle the exploded corpus twice
+    assert(plan.contains("BroadcastHashJoin LeftOuter"))
+    assert(plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"))
+    // exactly three shuffles: gram-hash count, token rows by doc (the
+    // window AND the reassembly aggregate reuse this one), and the
+    // small documents side of the empty-doc restoration join
+    val shuffles = skel.linesIterator.count(_.endsWith("- Exchange"))
+    assert(shuffles == 3,
+      s"expected 3 shuffle exchanges, got $shuffles:\n$skel")
+    checkGolden("q_substring_dedup", skel)
+  }
+
   test("q_bm25_search: cached postings reused, bounded top-k, no cartesian") {
     val (plan, skel) = snapshot("q_bm25_search")
     // the postings/stats frames come from the shared cache, not a
