@@ -326,11 +326,28 @@ object Dedup {
       bCol: String = "doc_b", maxIters: Int = 20,
       driverEdgeLimit: Long = 1000000L): DataFrame = {
     // long ids in both regimes: the driver path reads longs and the
-    // regimes must never emit size-dependent schemas
+    // regimes must never emit size-dependent schemas. try_cast, not
+    // cast: under default ANSI a plain cast of a non-numeric id throws
+    // a raw NumberFormatException mid-job; try_cast yields NULL in both
+    // modes so the require below owns the diagnosis.
     val und = pairs
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .select(col(aCol).try_cast("long").as("src"),
+        col(bCol).try_cast("long").as("dst"))
       .distinct().persist()
-    val pairCount = und.count() // one job; also materializes the persist
+    // One job measures the pair count AND materializes the persist AND
+    // fails fast on non-castable ids: a string/UUID id column casts to
+    // NULL, which would NPE the driver regime and silently collapse
+    // every vertex into one null row in the distributed regime (after
+    // which keepOnePerGroup's anti-join matches nothing and dedup is a
+    // silent no-op). Callers with non-integral ids must map them to
+    // longs (e.g. xxhash64) before clustering.
+    val st = und.agg(count(lit(1)).as("n"),
+      count(when(col("src").isNull.or(col("dst").isNull), 1)).as("bad")).head()
+    val pairCount = st.getLong(0)
+    require(st.getLong(1) == 0L,
+      s"connectedComponents: ${st.getLong(1)} of $pairCount pairs have " +
+        s"ids that do not cast to long ($aCol/$bCol must be integral; " +
+        "hash string ids to longs, e.g. xxhash64, before clustering)")
     if (pairCount <= driverEdgeLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._

@@ -191,10 +191,15 @@ object Collections {
   case class WriterConflict(msg: String) extends RuntimeException(msg)
 
   /** Stale-lease threshold: a crashed writer's lease older than this is
-    * broken by the next claimant. Generous on purpose — an index build
-    * can legitimately hold the lease for minutes; at the default only a
-    * crash (not a slow build) ever looks stale. */
-  val LeaseTtlMs: Long = 10 * 60 * 1000L
+    * broken by the next claimant. Generous on purpose — and since r8 a
+    * live holder HEARTBEATS (refreshes the lock's mtime at TTL/4), so
+    * even an operation longer than the TTL never looks stale to another
+    * claimant; only a crashed writer (no heartbeat) ever ages past it. */
+  def LeaseTtlMs: Long = leaseTtlMsOverride.getOrElse(10 * 60 * 1000L)
+
+  /** Spec hook: shrink the TTL so heartbeat/stale paths run in test
+    * time. Production code never sets it. */
+  @volatile private[graft] var leaseTtlMsOverride: Option[Long] = None
 
   /** Storage-level writer lease, taken INSIDE the JVM-local lock: the
     * in-process ConcurrentHashMap monitor serializes threads of one
@@ -207,8 +212,8 @@ object Collections {
     * [[WriterConflict]] (HTTP 409) rather than blocking a request
     * thread; a lease older than [[LeaseTtlMs]] is treated as crash
     * debris, broken, and re-claimed once. */
-  private def withLease[T](spark: SparkSession, root: String, name: String,
-      kind: String)(body: => T): T = {
+  private[graft] def withLease[T](spark: SparkSession, root: String,
+      name: String, kind: String)(body: => T): T = {
     val f = fs(spark, root)
     val dir = new Path(colDir(root, name))
     val lock = new Path(dir, s"_$kind.lock")
@@ -257,8 +262,38 @@ object Collections {
         throw WriterConflict(s"collection '$name' is locked by another " +
           s"writer process ($kind lease held < ${LeaseTtlMs / 1000}s)")
     }
+    // heartbeat: refresh the lock's mtime while the body runs, so a
+    // legitimately-long operation (an index build past the TTL) never
+    // looks stale to another claimant — without it the TTL would bound
+    // worst-case build time, and a broken live lease would let a second
+    // server interleave shard builds on the same collection. The touch
+    // verifies ownership first so a lease that WAS broken (crash
+    // mis-diagnosis) is not resurrected by its overrun holder.
+    val hb = new Thread(() => {
+      var live = true
+      while (live) {
+        try Thread.sleep(math.max(LeaseTtlMs / 4, 20L))
+        catch { case _: InterruptedException => live = false }
+        if (live) {
+          try {
+            if (readToken().contains(token))
+              f.setTimes(lock, System.currentTimeMillis(), -1)
+          } catch { case _: java.io.IOException => () }
+        }
+      }
+    }, s"graft-lease-heartbeat-$name-$kind")
+    hb.setDaemon(true)
+    hb.start()
     try body finally {
-      if (readToken().forall(_ == token)) {
+      hb.interrupt()
+      hb.join(2000)
+      // delete only on POSITIVE ownership: readToken()==None means the
+      // lock is missing or mid-break (rename+delete leaves it briefly
+      // absent) — another process may claim in that window, and a
+      // forall-based release would delete ITS live lease. A transiently
+      // unreadable own lock is leaked until the TTL instead; strictly
+      // safer than deleting a foreign one.
+      if (readToken().contains(token)) {
         try f.delete(lock, false)
         catch { case _: java.io.IOException => () }
       }

@@ -152,6 +152,27 @@ class DedupGuardSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents fails fast on ids that do not cast to long") {
+    import spark.implicits._
+    // a string/UUID id column try_casts to NULL; without the up-front
+    // check the driver regime NPEs and the distributed regime silently
+    // collapses all vertices into one null row (dedup becomes a no-op).
+    // Both regimes must instead refuse with an actionable message.
+    val bad = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c"))
+      .toDF("doc_a", "doc_b")
+    for (limit <- Seq(Long.MaxValue, 0L)) {
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(bad, driverEdgeLimit = limit).collect()
+      }
+      assert(ex.getMessage.contains("cast to long"), ex.getMessage)
+    }
+    // numeric STRINGS are fine in both regimes (the cast succeeds)
+    val numeric = Seq(("1", "2"), ("2", "3")).toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(numeric)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("contract call shapes see no guard effect at test scale (hashes stay stable)") {
     import spark.implicits._
     // the q_lsh_pairs shape on the real corpus: the default-on guard

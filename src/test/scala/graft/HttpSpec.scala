@@ -352,6 +352,45 @@ class HttpSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("lease heartbeat keeps a longer-than-TTL holder alive; release is ownership-positive") {
+    val root = Files.createTempDirectory("graft_http_hb").toString
+    val srv = new CollectionServer(spark, root)
+    val port = srv.start()
+    try {
+      assert(req(port, "POST", "/collections", """{"name": "hb"}""")._1 == 200)
+      graft.http.Collections.leaseTtlMsOverride = Some(300L)
+      try {
+        val lock = new java.io.File(s"$root/hb/_spec.lock")
+        // 1) a body that runs 4x the TTL: the heartbeat must keep the
+        // lock fresh, so a concurrent claimant sees a LIVE lease (409
+        // path) the whole time instead of breaking it mid-build
+        @volatile var sawFresh = true
+        graft.http.Collections.withLease(spark, root, "hb", "spec") {
+          val deadline = System.currentTimeMillis() + 1200L
+          while (System.currentTimeMillis() < deadline) {
+            Thread.sleep(100L)
+            val age = System.currentTimeMillis() - lock.lastModified()
+            if (age > graft.http.Collections.LeaseTtlMs) sawFresh = false
+          }
+        }
+        assert(sawFresh, "lease went stale while its holder was alive")
+        assert(!lock.exists(), "lease not released after the body")
+        // 2) release must delete only a lock that still carries OUR
+        // token: simulate a broken-and-reclaimed lease by swapping the
+        // lock for a foreign one inside the body — it must survive
+        graft.http.Collections.withLease(spark, root, "hb", "spec") {
+          assert(lock.delete())
+          java.nio.file.Files.write(lock.toPath,
+            "foreign-token".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        assert(lock.exists(), "release deleted a foreign live lease")
+        assert(new String(java.nio.file.Files.readAllBytes(lock.toPath))
+          == "foreign-token")
+        lock.delete()
+      } finally graft.http.Collections.leaseTtlMsOverride = None
+    } finally srv.stop()
+  }
+
   test("request bodies over the cap get 413 before any parsing") {
     val root = Files.createTempDirectory("graft_http_cap").toString
     val srv = new CollectionServer(spark, root) {
