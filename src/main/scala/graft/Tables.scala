@@ -15,13 +15,16 @@ object Tables {
     if (name == "events") loadEvents(spark, s"$sfDir/events.parquet")
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The driver's events table stores TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects; read nanos as long and convert to a
-    * microsecond timestamp via integer division (a double division
-    * would lose precision at 1.7e18 ns). Tables written by Spark itself
-    * (e.g. the sf1 scale corpus from [[graft.tools.SynthData]]) carry a
-    * regular micros timestamp already — pass those through untouched,
-    * so the loader accepts both physical shapes. */
+  /** The events table has shipped in three physical shapes across
+    * driver fixture generations: TIMESTAMP(NANOS) (read as long via
+    * nanosAsLong, converted with integer division), naive
+    * TIMESTAMP(MICROS) (Spark reads TIMESTAMP_NTZ — the current
+    * fixtures and [[graft.tools.SynthData]] corpora), and
+    * UTC-adjusted micros (TIMESTAMP). ALL of them normalize to
+    * TimestampType here: Structured Streaming watermarks reject NTZ
+    * event time, and the session timezone is pinned UTC so the
+    * NTZ→LTZ cast preserves the wall clock (naive values mean UTC,
+    * matching how the DuckDB oracle computes `epoch()` on them). */
   def loadEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path)
@@ -31,6 +34,8 @@ object Tables {
         // (~1.7e18) exceeds double's 2^53 integer range - rows within
         // ulp (256ns) of a microsecond boundary would round wrong
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }

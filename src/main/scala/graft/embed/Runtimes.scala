@@ -56,15 +56,57 @@ object MockRuntime {
 }
 
 /** OpenAI-compatible embeddings/chat API runtime (reference
-  * openai_runtime; also serves Azure-style deployments via baseUrl).
-  * Builds real wire requests; requires network egress to function. */
+  * openai_runtime.rs). Serves three deployment shapes like the
+  * reference (`get_base_url`, openai_runtime.rs:262-280): the OpenAI
+  * API itself, Azure OpenAI deployments (detected by URL shape), and
+  * custom OpenAI-compatible endpoints. Azure deployments switch the
+  * auth header the way the reference does
+  * (openai_runtime.rs:213-241): an API key goes in `api-key`, an
+  * Entra (Azure AD) token in `Authorization: Bearer`; non-Azure
+  * endpoints always use `Authorization: Bearer <api_token>`. Builds
+  * real wire requests; requires network egress to function. */
 class OpenAiRuntime(baseUrl: String = "https://api.openai.com/v1",
-    apiToken: String = "", dimensions: Int = 1536) extends EmbeddingRuntime {
+    apiToken: String = "", dimensions: Int = 1536,
+    azureEntraToken: String = "") extends EmbeddingRuntime {
+  import OpenAiRuntime._
   override def name: String = "openai"
   override def models: Seq[String] =
     Seq("text-embedding-3-small", "text-embedding-3-large",
       "text-embedding-ada-002")
   override def dim(model: String): Int = dimensions
+
+  /** Azure vs OpenAI vs custom, from the base URL alone (reference
+    * AZURE_OPENAI_REGEX, openai_runtime.rs:73). */
+  private[graft] def deployment: Deployment =
+    if (AzureUrl.matcher(baseUrl).matches()) Deployment.Azure
+    else if (baseUrl.startsWith("https://api.openai.com")) Deployment.OpenAi
+    else Deployment.Custom
+
+  /** The one auth header this deployment sends. Azure prefers the API
+    * key (`api-key: <key>`) and falls back to the Entra token
+    * (`Authorization: Bearer <token>`); everything else requires the
+    * API token. Mirrors openai_runtime.rs:213-241 including its error
+    * messages' intent. */
+  private[graft] def authHeader: (String, String) = deployment match {
+    case Deployment.Azure =>
+      if (apiToken.nonEmpty) ("api-key", apiToken)
+      else if (azureEntraToken.nonEmpty)
+        ("Authorization", s"Bearer $azureEntraToken")
+      else throw new IllegalArgumentException(
+        "'api_token' or 'azure_entra_token' is required for Azure OpenAI runtime")
+    case _ =>
+      if (apiToken.isEmpty) throw new IllegalArgumentException(
+        "'api_token' is required for OpenAI runtime")
+      ("Authorization", s"Bearer $apiToken")
+  }
+
+  /** Azure deployment URLs already ARE the embeddings endpoint (the
+    * deployment regex pins the full path); OpenAI/custom bases get the
+    * standard path appended. */
+  private[graft] def embedUrl: String = deployment match {
+    case Deployment.Azure => baseUrl
+    case _ => s"$baseUrl/embeddings"
+  }
 
   private[graft] def embedRequestBody(model: String, texts: Seq[String]): String = {
     val inputs = texts.map(Json.quote).mkString("[", ",", "]")
@@ -76,18 +118,30 @@ class OpenAiRuntime(baseUrl: String = "https://api.openai.com/v1",
     s"""{"model":${Json.quote(model)},"messages":[{"role":"system","content":${Json.quote(systemPrompt)}},{"role":"user","content":${Json.quote(userPrompt)}}]}"""
 
   override def embedBatch(model: String, texts: Seq[String]): Seq[Array[Float]] =
-    Http.postJson(s"$baseUrl/embeddings", apiToken,
-      embedRequestBody(model, texts)) match {
-      case body =>
-        Json.extractFloatArrays(body, "embedding")
-    }
+    Json.extractFloatArrays(
+      Http.postJson(embedUrl, authHeader, embedRequestBody(model, texts)),
+      "embedding")
 
   override def complete(model: String, systemPrompt: String,
       userPrompt: String): String = {
-    val body = Http.postJson(s"$baseUrl/chat/completions", apiToken,
+    val body = Http.postJson(s"$baseUrl/chat/completions", authHeader,
       completionRequestBody(model, systemPrompt, userPrompt))
     Json.extractString(body, "content").getOrElse("")
   }
+}
+
+object OpenAiRuntime {
+  sealed trait Deployment
+  object Deployment {
+    case object OpenAi extends Deployment
+    case object Azure extends Deployment
+    case object Custom extends Deployment
+  }
+  /** Azure OpenAI deployment-URL shape (reference openai_runtime.rs:73):
+    * `https://<resource>.openai.azure.com/openai/deployments/<name>/embeddings?api-version=2023-05-15`. */
+  private[graft] val AzureUrl =
+    ("^https://[a-zA-Z0-9_\\-]+\\.openai\\.azure\\.com/openai/deployments/" +
+      "[a-zA-Z0-9_\\-]+/embeddings\\?api-version=2023-05-15$").r.pattern
 }
 
 /** Cohere embed API runtime (reference cohere_runtime). */
@@ -274,12 +328,15 @@ private[graft] object Json {
 }
 
 private[embed] object Http {
-  def postJson(url: String, token: String, body: String): String = {
+  def postJson(url: String, token: String, body: String): String =
+    postJson(url, ("Authorization", s"Bearer $token"), body)
+
+  def postJson(url: String, auth: (String, String), body: String): String = {
     val client = java.net.http.HttpClient.newHttpClient()
     val req = java.net.http.HttpRequest.newBuilder()
       .uri(java.net.URI.create(url))
       .header("Content-Type", "application/json")
-      .header("Authorization", s"Bearer $token")
+      .header(auth._1, auth._2)
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
       .build()
     val resp = client.send(req,

@@ -56,8 +56,13 @@ object AnnTopK {
       entries.remove(normalize(sourcePath))
     def lookup(paths: Seq[String]): Option[Entry] =
       paths.map(normalize).flatMap(entries.get).headOption
-    private def normalize(p: String): String =
-      p.stripPrefix("file:").stripSuffix("/")
+    private def normalize(p: String): String = {
+      val s = p.stripPrefix("file:").stripSuffix("/")
+      // a relative registration must match the absolute rootPaths the
+      // scan relation reports (schemes other than file: pass through)
+      if (s.startsWith("/") || s.contains(":")) s
+      else new java.io.File(s).getAbsolutePath
+    }
   }
 
   val EfConfKey = "graft.ann.ef"

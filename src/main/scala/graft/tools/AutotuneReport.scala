@@ -4,19 +4,23 @@ import org.apache.spark.sql.SparkSession
 import graft.ann.{Autotune, Metric}
 
 /** Prints the autotune grid (recall@10 / build / search per variant)
-  * over the sf0.1 embeddings — measured evidence for the ef/m
-  * trade-off documented in SURVEY.md. */
+  * over a scale factor's embeddings — measured evidence for the ef/m
+  * trade-off documented in SURVEY.md.
+  * Args: [sfDir=/root/testdata/sf0.1] [sampleSize=5000] [numQueries=10]. */
 object AutotuneReport {
   def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sampleSize = args.lift(1).map(_.toInt).getOrElse(5000)
+    val numQueries = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val work = java.nio.file.Files.createTempDirectory("tune").toString
     val report = Autotune.run(emb, "vec_id", "embedding", work,
       metric = Metric.L2Sq, k = 10, targetRecall = 0.99,
-      sampleSize = 5000, numQueries = 10)
+      sampleSize = sampleSize, numQueries = numQueries)
     println("| m | ef_construction | ef | recall@10 | build ms | search ms |")
     println("|---|---|---|---|---|---|")
     report.results.foreach { r =>

@@ -128,6 +128,53 @@ class EmbedSpec extends SparkSpec {
       """{"model":"embed-english-v3.0","texts":["x"],"input_type":"search_document"}""")
   }
 
+  test("openai deployment detection and auth headers match the reference") {
+    import OpenAiRuntime.Deployment
+    val azureUrl = "https://myres.openai.azure.com/openai/deployments/" +
+      "my-deploy/embeddings?api-version=2023-05-15"
+
+    // OpenAI API: Bearer api_token, /embeddings appended
+    val oa = new OpenAiRuntime(apiToken = "sk-1")
+    assert(oa.deployment == Deployment.OpenAi)
+    assert(oa.authHeader == ("Authorization", "Bearer sk-1"))
+    assert(oa.embedUrl == "https://api.openai.com/v1/embeddings")
+
+    // custom OpenAI-compatible endpoint: same auth, own base
+    val custom = new OpenAiRuntime("https://llm.example.com/v1", apiToken = "t")
+    assert(custom.deployment == Deployment.Custom)
+    assert(custom.authHeader == ("Authorization", "Bearer t"))
+    assert(custom.embedUrl == "https://llm.example.com/v1/embeddings")
+
+    // Azure + API key: `api-key` header (reference openai_runtime.rs:233),
+    // deployment URL used as-is (it already pins the embeddings path)
+    val azKey = new OpenAiRuntime(azureUrl, apiToken = "azkey")
+    assert(azKey.deployment == Deployment.Azure)
+    assert(azKey.authHeader == ("api-key", "azkey"))
+    assert(azKey.embedUrl == azureUrl)
+
+    // Azure + Entra token: Bearer (reference openai_runtime.rs:236-238);
+    // an api_token, when both are given, wins like the reference's
+    // `if let Some(key)` order
+    val azEntra = new OpenAiRuntime(azureUrl, azureEntraToken = "ent")
+    assert(azEntra.authHeader == ("Authorization", "Bearer ent"))
+    val azBoth = new OpenAiRuntime(azureUrl, apiToken = "k",
+      azureEntraToken = "ent")
+    assert(azBoth.authHeader == ("api-key", "k"))
+
+    // missing credentials fail with the reference's requirements
+    val azNone = intercept[IllegalArgumentException] {
+      new OpenAiRuntime(azureUrl).authHeader
+    }
+    assert(azNone.getMessage.contains("azure_entra_token"))
+    intercept[IllegalArgumentException] { new OpenAiRuntime().authHeader }
+
+    // a near-miss URL (wrong api-version) is NOT an Azure deployment —
+    // the reference regex pins the exact version string
+    val nearMiss = new OpenAiRuntime("https://myres.openai.azure.com/openai/" +
+      "deployments/my-deploy/embeddings?api-version=2024-01-01", apiToken = "k")
+    assert(nearMiss.deployment == Deployment.Custom)
+  }
+
   test("wire response parsing handles both array shapes and escapes") {
     // OpenAI shape: one "embedding" array per data object
     val openai = """{"data":[{"embedding":[0.1,0.2]},{"embedding":[0.3,0.4]}]}"""
