@@ -253,28 +253,29 @@ object SynthData {
 
   def embeddings(spark: SparkSession, n: Long): DataFrame = {
     val dim = 64
-    // 10 centroids, each dim a pure hash of (label, dim) — computed as
-    // a literal nested array (640 doubles) on the driver, broadcast by
-    // codegen. Same xxhash64 the executors use, via Spark's own impl.
-    def h(label: Int, d: Int): Double = {
-      val x = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(label.toLong * 64 + d,
-          org.apache.spark.sql.types.LongType, 42L)
-      math.floorMod(x, 1000000000L).toDouble / 1e9 * 2.0 - 1.0
-    }
-    val centroids = array((0 until 10).map { c =>
-      array((0 until dim).map(d => lit(h(c, d))): _*)
-    }: _*)
-    val label = pmod(xxhash64(col("id"), lit(171)), lit(10L)).cast("int")
-    val raw = zip_with(
-      element_at(centroids, label + 1),
-      transform(sequence(lit(0), lit(dim - 1)), d =>
-        unif(col("id") * 64 + d.cast("long"), 172) * 0.6 - 0.3),
-      (c, nz) => c + nz)
+    // Fixture geometry, measured (sf0.1): labels are METADATA, not
+    // geometric clusters — same-label and cross-label mean L2² are both
+    // ≈2.0, i.e. isotropic random unit vectors. Reproducing that
+    // matters at scale: clustered vectors turn every LSH bucket into a
+    // cluster-sized mega-bucket and candidate verification goes
+    // quadratic (the skew guard rightly ignores uniform growth — all
+    // buckets grow together). Near-dup signal comes from bounded
+    // GROUPS instead: ~2% of rows draw their vector seed from a small
+    // slot space (~4 rows/slot at any n) and each row adds a ±3%
+    // per-dim perturbation, giving cos > 0.999 within-group pairs and
+    // isotropic everything-else.
+    val slots = math.max(4L, n / 200L)
+    val u = unifId(173)
+    val vecSeed = when(u < 0.02,
+        pmod(xxhash64(col("id"), lit(174)), lit(slots)))
+      .otherwise(col("id") + lit(1000000000L))
+    val raw = transform(sequence(lit(0), lit(dim - 1)), d =>
+      unif(vecSeed * 64 + d.cast("long"), 172) * 2.0 - 1.0 +
+        (unif(col("id") * 64 + d.cast("long"), 175) * 0.06 - 0.03))
     val norm = sqrt(aggregate(raw, lit(0.0), (acc, x) => acc + x * x))
     spark.range(n).select(
       col("id").as("vec_id"),
       transform(raw, x => (x / norm).cast("float")).as("embedding"),
-      label.as("label"))
+      pmod(xxhash64(col("id"), lit(171)), lit(10L)).cast("int").as("label"))
   }
 }

@@ -21,7 +21,9 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = fail = 0
+import time
 for name, sql in sorted(oracle.items()):
+    t0 = time.time()
     try:
         spark_df = pd.concat([pd.read_parquet(f) for f in
                               sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))],
@@ -64,7 +66,7 @@ for name, sql in sorted(oracle.items()):
     if mismatch:
         print(f"FAIL {name}: {mismatch}"); fail += 1
     else:
-        print(f"OK   {name} ({len(s)} rows)"); ok += 1
+        print(f"OK   {name} ({len(s)} rows, {time.time()-t0:.1f}s)", flush=True); ok += 1
 
 print(f"\n{ok} ok, {fail} fail")
 sys.exit(1 if fail else 0)
