@@ -172,27 +172,37 @@ object Dedup {
   /** Random-hyperplane LSH candidate pairs over an embedding column:
     * `bands` sign-bit keys of `bitsPerBand` planes each; a candidate
     * pair shares at least one band (and every `blockCols` value, when
-    * metadata blocking composes with the LSH bucketing). The default-on
-    * mega-bucket star cap ([[pairsFromBuckets]]) applies — at corpus
-    * scale a popular sign pattern would otherwise emit bucket² pairs. */
+    * metadata blocking composes with the LSH bucketing). All
+    * `bands * bitsPerBand` sign bits come from ONE pass of the
+    * [[graft.functions.hyperplane_sig]] codegen kernel (a per-plane
+    * `inner_product >= 0` expression tree falls out of codegen past
+    * ~32 planes — measured 10x slower at the 64-plane contract
+    * geometry); band keys are then plain bit slices of the packed
+    * signature. The default-on mega-bucket star cap
+    * ([[pairsFromBuckets]]) applies — at corpus scale a popular sign
+    * pattern would otherwise emit bucket² pairs. */
   def hyperplanePairs(df: DataFrame, idCol: Column, vecCol: Column,
       planes: Seq[Seq[Float]], bands: Int, bitsPerBand: Int,
       maxBucket: Int = 10000, blockCols: Seq[Column] = Nil,
       skewMult: Double = 16.0): DataFrame = {
     require(planes.length >= bands * bitsPerBand,
       s"need ${bands * bitsPerBand} planes, got ${planes.length}")
+    require(bands * bitsPerBand <= 64,
+      s"at most 64 sign bits per signature, got ${bands * bitsPerBand}")
+    val sig = graft.functions.hyperplane_sig(vecCol,
+      planes.take(bands * bitsPerBand))
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
     val bandStructs = (0 until bands).map { b =>
-      val key = (0 until bitsPerBand).map { j =>
-        val p = planes(b * bitsPerBand + j)
-        when(graft.functions.inner_product(vecCol,
-          graft.functions.vecLit(p)) >= 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(b).as("band_id"), key.as("k0"))
+      struct(lit(b).as("band_id"),
+        shiftrightunsigned(col("__hp_sig"), b * bitsPerBand)
+          .bitwiseAND(lit(mask)).as("k0"))
     }
     val blockNames = blockCols.indices.map(i => s"blk$i")
     val banded = df
       .select((idCol.as("doc_id") +:
         blockCols.zip(blockNames).map { case (c, n) => c.as(n) }) :+
+        sig.as("__hp_sig"): _*)
+      .select((col("doc_id") +: blockNames.map(col)) :+
         explode(array(bandStructs: _*)).as("band"): _*)
       .select((col("doc_id") +: blockNames.map(col)) :+ col("band.*"): _*)
     pairsFromBuckets(banded, blockNames ++ Seq("band_id", "k0"), maxBucket,

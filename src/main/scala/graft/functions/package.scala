@@ -52,6 +52,20 @@ package object functions {
   def bit_hamming(a: Column, b: Column): Column =
     col(org.apache.spark.sql.graft.BitHamming(expr(a), expr(b)))
 
+  /** Up to 64 random-hyperplane sign bits of `vec` packed into a long
+    * (bit p set iff `dot(vec, planes(p)) >= 0`) — the one-pass codegen
+    * kernel behind [[graft.dedup.Dedup.hyperplanePairs]]' banding. All
+    * planes must share the vector's dimension. */
+  def hyperplane_sig(vec: Column, planes: Seq[Seq[Float]]): Column = {
+    require(planes.nonEmpty && planes.length <= 64,
+      s"need 1..64 planes, got ${planes.length}")
+    val dim = planes.head.length
+    require(planes.forall(_.length == dim),
+      "all planes must share one dimension")
+    col(org.apache.spark.sql.graft.HyperplaneSignature(expr(vec),
+      planes.flatten.toArray, dim))
+  }
+
   /** true iff `id` is not tombstoned in the index at `indexPath`
     * (executor-side resolution against the packed tombstone file — the
     * DataFrame filter the IVF probes apply). */

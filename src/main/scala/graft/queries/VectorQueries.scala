@@ -72,15 +72,20 @@ object VectorQueries {
 
   /** Embedding near-duplicate pairs, blocked by label AND a shared
     * hyperplane band: a candidate pair must agree on the metadata
-    * blocking key and at least one 8-bit LSH band, so every block is a
+    * blocking key and at least one 16-bit LSH band, so every block is a
     * (label, band) bucket. Candidate generation is equi-joins only —
     * the unbounded within-label all-pairs join this query used in
     * rounds 1-2 is retired (a label block grows with the corpus; a
-    * (label, band) bucket does not). */
+    * (label, band) bucket does not). Band geometry is the scale-sane
+    * 4 × 16-bit config (65536 buckets/band — see [[hyperplanes]]):
+    * the old 2 × 8-bit contract had 256 buckets/band, so bucket size
+    * grew linearly with ANY corpus and verification quadratically —
+    * the same fixed-bucket-count defect the SimHash contract shed in
+    * the sf1 decade. */
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val cand = graft.dedup.Dedup.hyperplanePairs(emb(s, dir),
         col("vec_id"), col("embedding"), hyperplanes,
-        bands = 2, bitsPerBand = 8, blockCols = Seq(col("label")))
+        bands = 4, bitsPerBand = 16, blockCols = Seq(col("label")))
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     verifiedPairs(emb(s, dir), cand)
   }
@@ -373,12 +378,26 @@ object VectorQueries {
         col("rank"))
   }
 
-  /** 16 deterministic random-hyperplane planes (multiples of 1/8: exact
-    * in float and double, so sign bits agree across engines). */
-  private val numPlanes = 16
+  /** 64 deterministic random-hyperplane planes (multiples of 1/8: exact
+    * in float and double, so sign bits agree across engines), enough
+    * for the scale-sane 4-band × 16-bit contract geometry. Components
+    * come from a splitmix64-style mix of (plane, dim) — the earlier
+    * linear-congruential generator `((i*97 + j*31 + 13) % 17 - 8)`
+    * repeats with period 17 in the plane index (17·97 ≡ 0 mod 17), so
+    * any widening past 16 planes silently reused planes and collapsed
+    * band entropy; a measured hazard, pinned in IntegrationSpec
+    * (distinctness + max pairwise |cos| ≤ 0.5 across all 64). */
+  private val numPlanes = 64
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
   private[graft] val hyperplanes: Seq[Seq[Float]] =
     (0 until numPlanes).map { i =>
-      (0 until 64).map(j => (((i * 97 + j * 31 + 13) % 17) - 8) / 8.0f)
+      (0 until 64).map(j =>
+        (((mix64(i * 64L + j) >>> 8) % 17).toInt - 8) / 8.0f)
     }
 
   /** Fixed 4-centroid coarse quantizer for the SemDeDup contract row.
@@ -399,7 +418,7 @@ object VectorQueries {
     graft.SharedState.cached(s"sempairs:$dir")(
       graft.dedup.Dedup.semanticPairs(emb(s, dir), col("vec_id"),
         col("embedding"), semCentroids, hyperplanes,
-        bands = 2, bitsPerBand = 8, maxDist = 0.75))
+        bands = 4, bitsPerBand = 16, maxDist = 0.75))
 
   /** SemDeDup semantic near-dup pairs end-to-end on the contract:
     * k-means-style cluster blocking (fixed centroids) composed with
@@ -426,16 +445,18 @@ object VectorQueries {
       .select(col("doc_id").as("vec_id"), col("component"))
       .orderBy(col("vec_id").asc)
 
-  /** Embedding near-duplicates via random-hyperplane LSH: 2 bands of 8
+  /** Embedding near-duplicates via random-hyperplane LSH: 4 bands of 16
     * sign bits each bucket the corpus; only bucket-mates are verified
     * with exact cosine distance. Candidate generation is equi-joins on
-    * 8-bit keys, never an all-pairs product, and the default-on
-    * mega-bucket star guard of [[graft.dedup.Dedup.pairsFromBuckets]]
-    * caps popular sign patterns without being asked. */
+    * 16-bit keys (65536 buckets/band — bucket size stays O(1) as the
+    * corpus grows; see [[hyperplanes]]), never an all-pairs product,
+    * and the default-on mega-bucket star guard of
+    * [[graft.dedup.Dedup.pairsFromBuckets]] caps popular sign patterns
+    * without being asked. */
   private def nearDupLsh(s: SparkSession, dir: String): DataFrame = {
     val cand = graft.dedup.Dedup.hyperplanePairs(emb(s, dir),
         col("vec_id"), col("embedding"), hyperplanes,
-        bands = 2, bitsPerBand = 8)
+        bands = 4, bitsPerBand = 16)
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     verifiedPairs(emb(s, dir), cand)
   }
@@ -672,10 +693,11 @@ object VectorQueries {
   )
 
   /** Band-key SQL for the hyperplane LSH oracle: sum of sign bits
-    * weighted by powers of two, same plane constants as [[hyperplanes]]. */
+    * weighted by powers of two, same plane constants as [[hyperplanes]]
+    * (16 bits per band — the 4 × 16-bit contract geometry). */
   private def bandSql(b: Int): String =
-    (0 until 8).map { j =>
-      val hp = hyperplanes(b * 8 + j)
+    (0 until 16).map { j =>
+      val hp = hyperplanes(b * 16 + j)
         .map(f => "%.3f".format(f)).mkString("[", ", ", "]::DOUBLE[]")
       s"(CASE WHEN list_sum(list_transform(embedding, (x, k) -> CAST(x AS DOUBLE) * ($hp)[k])) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
@@ -705,7 +727,8 @@ object VectorQueries {
        |        c.cid ASC) AS rn
        |    FROM embeddings e, cents c) WHERE rn = 1),
        |bits AS (
-       |  SELECT e.vec_id, a.cluster, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1
+       |  SELECT e.vec_id, a.cluster, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1,
+       |    ${bandSql(2)} AS band2, ${bandSql(3)} AS band3
        |  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id),
        |cand AS (
        |  SELECT DISTINCT vec_a, vec_b FROM (
@@ -715,7 +738,15 @@ object VectorQueries {
        |    UNION
        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
        |    FROM bits a JOIN bits b
-       |      ON a.cluster = b.cluster AND a.band1 = b.band1 AND a.vec_id < b.vec_id)),
+       |      ON a.cluster = b.cluster AND a.band1 = b.band1 AND a.vec_id < b.vec_id
+       |    UNION
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |    FROM bits a JOIN bits b
+       |      ON a.cluster = b.cluster AND a.band2 = b.band2 AND a.vec_id < b.vec_id
+       |    UNION
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |    FROM bits a JOIN bits b
+       |      ON a.cluster = b.cluster AND a.band3 = b.band3 AND a.vec_id < b.vec_id)),
        |sem AS (
        |  SELECT vec_a, vec_b FROM cand
        |  JOIN embeddings ea ON ea.vec_id = vec_a
@@ -774,7 +805,8 @@ object VectorQueries {
          |ORDER BY 0.7 * $l2sqSqlExpr + 0.3 * $cosSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_neardup_lsh" ->
       s"""WITH bits AS (
-         |  SELECT vec_id, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1
+         |  SELECT vec_id, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1,
+         |    ${bandSql(2)} AS band2, ${bandSql(3)} AS band3
          |  FROM embeddings),
          |cand AS (
          |  SELECT DISTINCT vec_a, vec_b FROM (
@@ -782,7 +814,13 @@ object VectorQueries {
          |    FROM bits a JOIN bits b ON a.band0 = b.band0 AND a.vec_id < b.vec_id
          |    UNION
          |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |    FROM bits a JOIN bits b ON a.band1 = b.band1 AND a.vec_id < b.vec_id))
+         |    FROM bits a JOIN bits b ON a.band1 = b.band1 AND a.vec_id < b.vec_id
+         |    UNION
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |    FROM bits a JOIN bits b ON a.band2 = b.band2 AND a.vec_id < b.vec_id
+         |    UNION
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |    FROM bits a JOIN bits b ON a.band3 = b.band3 AND a.vec_id < b.vec_id))
          |SELECT vec_a, vec_b, round($cosPairExpr, 6) AS dist
          |FROM cand
          |JOIN embeddings ea ON ea.vec_id = vec_a
@@ -926,7 +964,8 @@ object VectorQueries {
          |ORDER BY vec_id ASC""".stripMargin,
     "q_neardup_embedding" ->
       s"""WITH bits AS (
-         |  SELECT vec_id, label, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1
+         |  SELECT vec_id, label, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1,
+         |    ${bandSql(2)} AS band2, ${bandSql(3)} AS band3
          |  FROM embeddings),
          |cand AS (
          |  SELECT DISTINCT vec_a, vec_b FROM (
@@ -936,7 +975,15 @@ object VectorQueries {
          |    UNION
          |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |    FROM bits a JOIN bits b
-         |      ON a.label = b.label AND a.band1 = b.band1 AND a.vec_id < b.vec_id))
+         |      ON a.label = b.label AND a.band1 = b.band1 AND a.vec_id < b.vec_id
+         |    UNION
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |    FROM bits a JOIN bits b
+         |      ON a.label = b.label AND a.band2 = b.band2 AND a.vec_id < b.vec_id
+         |    UNION
+         |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |    FROM bits a JOIN bits b
+         |      ON a.label = b.label AND a.band3 = b.band3 AND a.vec_id < b.vec_id))
          |SELECT vec_a, vec_b, round($cosPairExpr, 6) AS dist
          |FROM cand
          |JOIN embeddings ea ON ea.vec_id = vec_a

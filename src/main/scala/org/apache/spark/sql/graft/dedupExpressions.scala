@@ -62,6 +62,34 @@ object DedupKernels {
     UTF8String.fromBytes(out)
   }
 
+  /** Packed sign bits of dot(vec, plane_p) over P <= 64 flattened
+    * planes: bit p is set iff the double-accumulated dot with plane p
+    * is >= 0 — accumulation order and the >= 0 threshold are identical
+    * to the per-plane `InnerProduct >= 0` expression tree this kernel
+    * replaced, so signatures match it bit-for-bit. Throws on dimension
+    * mismatch (caller error), like the distance kernels. */
+  def hyperplaneSig(vec: ArrayData, planes: Array[Float], dim: Int): Long = {
+    val n = vec.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"hyperplane_sig: expected $dim-dim vector, got $n")
+    val p = planes.length / dim
+    var sig = 0L
+    var i = 0
+    while (i < p) {
+      var acc = 0.0
+      val base = i * dim
+      var j = 0
+      while (j < dim) {
+        acc += vec.getFloat(j).toDouble * planes(base + j).toDouble
+        j += 1
+      }
+      if (acc >= 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
   /** Differing byte positions between equal-length ASCII strings
     * (codegen kernel for [[BitHamming]]; throws unchecked on length
     * mismatch — a mixed-width signature column is caller error). */
@@ -123,6 +151,36 @@ case class Simhash64(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graft.DedupKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `hyperplane_sig(vec)`: up to 64 random-hyperplane sign bits packed
+  * into a long — the single-pass codegen kernel behind
+  * [[graft.dedup.Dedup.hyperplanePairs]]'s banding. The planes ride
+  * into generated code as ONE reference object, not as P inlined
+  * literal-array dot products: the expression-tree form blew past
+  * Janino/JIT method limits at 64 planes and fell out of codegen
+  * (measured 34 s vs 3 s candidate generation on a 20k x 64-dim
+  * corpus). Band b's key is `(sig >>> b*bits) & (2^bits - 1)`, so the
+  * banding itself stays plain codegen'd bit arithmetic. A null vector
+  * yields a null signature and therefore no candidates (the old
+  * expression tree quietly CASE-defaulted null dots into bucket 0). */
+case class HyperplaneSignature(child: Expression, planes: Array[Float],
+    dim: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(v: Any): Any =
+    DedupKernels.hyperplaneSig(v.asInstanceOf[ArrayData], planes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.DedupKernels.hyperplaneSig($c, $ref, $dim)")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

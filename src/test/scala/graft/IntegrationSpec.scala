@@ -121,4 +121,30 @@ class IntegrationSpec extends SparkSpec {
       Knn.L2Sq, Some(col("doc_id")))
     assert(reranked.count() == 10)
   }
+
+  test("contract hyperplanes: 64 distinct near-orthogonal planes") {
+    // The 4 × 16-bit band geometry needs 64 INDEPENDENT planes. The
+    // retired linear-congruential generator repeated with period 17 in
+    // the plane index (17·97 ≡ 0 mod 17), so planes 17.. silently
+    // duplicated planes 0.. and band entropy collapsed — correlated
+    // bits mean far fewer than 2^16 effective buckets. Pin both the
+    // distinctness and a pairwise-independence bound for the mix64
+    // generator, plus the exactness contract the oracle depends on.
+    val planes = graft.queries.VectorQueries.hyperplanes
+    assert(planes.length == 64 && planes.forall(_.length == 64))
+    assert(planes.distinct.length == 64, "planes must be distinct")
+    for (p <- planes; x <- p)
+      assert(x * 8.0f == math.round(x * 8.0f).toFloat && x >= -1f && x <= 1f,
+        s"component $x is not an exact multiple of 1/8")
+    val maxAbsCos = (for {
+      a <- planes.indices; b <- planes.indices if a < b
+      pa = planes(a); pb = planes(b)
+    } yield {
+      val dot = pa.zip(pb).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(pa.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(pb.map(x => x.toDouble * x).sum)
+      math.abs(dot / (na * nb))
+    }).max
+    assert(maxAbsCos <= 0.5, f"max pairwise |cos| $maxAbsCos%.3f > 0.5")
+  }
 }
