@@ -272,6 +272,30 @@ object TextQueries {
     * third of docs gets two emails, one third two URLs (the second
     * containing an @ that must be consumed by the URL pass, pinning
     * redaction order), one third stays raw. */
+  /** PII redaction over doc_id-synthesized identifiers (the fixture
+    * corpus carries no real PII, so each residue class of doc_id % 5
+    * plants one category — phone with country code and parens, dotted
+    * IPv4, SSN shape, spaced card number, email). The DuckDB oracle
+    * replays the same augmentation and the same ordered regex chain. */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val last4 = (lit(1000) + id % 9000).cast("string")
+    val augmented = when(id % 5 === 0,
+        concat(col("text"), lit(" call +1 (415) 555-"), last4, lit(" ok")))
+      .when(id % 5 === 1,
+        concat(col("text"), lit(" host 10."), (id % 256).cast("string"),
+          lit(".0."), (id % 200).cast("string"), lit(" up")))
+      .when(id % 5 === 2,
+        concat(col("text"), lit(" ssn 123-45-"), last4, lit(" leaked")))
+      .when(id % 5 === 3,
+        concat(col("text"), lit(" card 4111 1111 1111 "), last4, lit(" paid")))
+      .otherwise(
+        concat(col("text"), lit(" mail u"), id.cast("string"),
+          lit("@pii.example.net now")))
+    TextOps.redactPii(docs(s, dir), col("doc_id"), augmented)
+      .orderBy(col("doc_id").asc).limit(200)
+  }
+
   private def textClean(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
     val augmented = when(col("doc_id") % 3 === 0,
@@ -743,6 +767,7 @@ object TextQueries {
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "q_packed_texts" -> ((s, d) => packedTexts(s, d)),
     "q_text_clean" -> ((s, d) => textClean(s, d)),
+    "q_pii_redact" -> ((s, d) => piiRedact(s, d)),
     "q_domain_stats" -> ((s, d) => domainStats(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
@@ -1168,6 +1193,32 @@ object TextQueries {
          |SELECT doc_id, trim(regexp_replace(t, '[ \\t\\n]+', ' ', 'g')) AS text_clean,
          |  CAST(n_urls AS INT) AS n_urls, CAST(n_emails AS INT) AS n_emails
          |FROM c3 ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // PII redaction: same augmented input, same regexes (all in the
+    // RE2 ∩ java.util.regex common subset), same most-specific-first
+    // order; counts measured on the same intermediates
+    "q_pii_redact" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' call +1 (415) 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ok'
+         |         WHEN doc_id % 5 = 1 THEN text || ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR) || ' up'
+         |         WHEN doc_id % 5 = 2 THEN text || ' ssn 123-45-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' leaked'
+         |         WHEN doc_id % 5 = 3 THEN text || ' card 4111 1111 1111 ' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' paid'
+         |         ELSE text || ' mail u' || CAST(doc_id AS VARCHAR) || '@pii.example.net now' END AS t
+         |  FROM documents),
+         |r1 AS (SELECT doc_id, len(regexp_extract_all(t, '${TextOps.ccRe}')) AS n_cc,
+         |         regexp_replace(t, '${TextOps.ccRe}', '<CC>', 'g') AS t FROM aug),
+         |r2 AS (SELECT doc_id, n_cc, len(regexp_extract_all(t, '${TextOps.ssnRe}')) AS n_ssn,
+         |         regexp_replace(t, '${TextOps.ssnRe}', '<SSN>', 'g') AS t FROM r1),
+         |r3 AS (SELECT doc_id, n_cc, n_ssn, len(regexp_extract_all(t, '${TextOps.ipv4Re}')) AS n_ip,
+         |         regexp_replace(t, '${TextOps.ipv4Re}', '<IP>', 'g') AS t FROM r2),
+         |r4 AS (SELECT doc_id, n_cc, n_ssn, n_ip, len(regexp_extract_all(t, '${TextOps.phoneRe}')) AS n_phone,
+         |         regexp_replace(t, '${TextOps.phoneRe}', '<PHONE>', 'g') AS t FROM r3),
+         |r5 AS (SELECT doc_id, n_cc, n_ssn, n_ip, n_phone, len(regexp_extract_all(t, '${TextOps.emailRe}')) AS n_email,
+         |         regexp_replace(t, '${TextOps.emailRe}', '<EMAIL>', 'g') AS t FROM r4)
+         |SELECT doc_id, t AS text_redacted, CAST(n_cc AS INT) AS n_cc,
+         |  CAST(n_ssn AS INT) AS n_ssn, CAST(n_ip AS INT) AS n_ip,
+         |  CAST(n_phone AS INT) AS n_phone, CAST(n_email AS INT) AS n_email
+         |FROM r5 ORDER BY doc_id ASC LIMIT 200""".stripMargin,
     // concat-and-chunk packing: global token offsets in doc-id order,
     // then 128-token sequence spans; the oracle's single ordered window
     // is the semantic spec the blocked prefix-sum must reproduce

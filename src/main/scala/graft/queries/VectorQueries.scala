@@ -692,15 +692,35 @@ object VectorQueries {
     "q_ivf_validate" -> ((s, dir) => ivfValidate(s, dir)),
   )
 
-  /** Band-key SQL for the hyperplane LSH oracle: sum of sign bits
-    * weighted by powers of two, same plane constants as [[hyperplanes]]
-    * (16 bits per band — the 4 × 16-bit contract geometry). */
-  private def bandSql(b: Int): String =
-    (0 until 16).map { j =>
-      val hp = hyperplanes(b * 16 + j)
-        .map(f => "%.3f".format(f)).mkString("[", ", ", "]::DOUBLE[]")
-      s"(CASE WHEN list_sum(list_transform(embedding, (x, k) -> CAST(x AS DOUBLE) * ($hp)[k])) >= 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString(" + ")
+  /** The [[hyperplanes]] as DuckDB VALUES rows (pid, pv). */
+  private def planesValuesSql: String =
+    hyperplanes.zipWithIndex.map { case (p, i) =>
+      s"($i, ${p.map(f => "%.3f".format(f)).mkString("[", ", ", "]::DOUBLE[]")})"
+    }.mkString(",\n    ")
+
+  /** Shared oracle CTE chain for the 4 × 16-bit hyperplane band keys,
+    * ending in `sigb(vec_id, band0..band3)`. The planes ride as a
+    * 64-row VALUES table JOINED against the corpus — never as inlined
+    * list literals inside the per-row lambda: DuckDB re-constructs a
+    * literal list inside `list_transform` once PER ELEMENT, which
+    * measured 24 s for 500 vectors (this chain: well under a second;
+    * the Spark side is the one-pass [[graft.functions.hyperplane_sig]]
+    * kernel either way). Key values are identical: bit j of band b is
+    * the sign of plane 16b+j's dot, weighted 2^j. */
+  private lazy val sigCtesSql: String = {
+    val bandCols = (0 until 4).map { b =>
+      s"CAST(sum(CASE WHEN pid // 16 = $b AND d >= 0 THEN (1 << (pid % 16)) ELSE 0 END) AS BIGINT) AS band$b"
+    }.mkString(",\n       |    ")
+    s"""planes(pid, pv) AS MATERIALIZED (VALUES $planesValuesSql),
+       |dots AS (
+       |  SELECT e.vec_id, p.pid,
+       |    list_sum(list_transform(e.embedding, (x, k) -> CAST(x AS DOUBLE) * p.pv[k])) AS d
+       |  FROM embeddings e CROSS JOIN planes p),
+       |sigb AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    $bandCols
+       |  FROM dots GROUP BY vec_id)""".stripMargin
+  }
 
   /** The [[semCentroids]] table as DuckDB VALUES rows (cid, cv). */
   private def semCentValuesSql: String =
@@ -726,10 +746,10 @@ object VectorQueries {
        |                  * list_sum(list_transform(c.cv, x -> x * x))) END) ASC,
        |        c.cid ASC) AS rn
        |    FROM embeddings e, cents c) WHERE rn = 1),
+       |$sigCtesSql,
        |bits AS (
-       |  SELECT e.vec_id, a.cluster, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1,
-       |    ${bandSql(2)} AS band2, ${bandSql(3)} AS band3
-       |  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id),
+       |  SELECT s.vec_id, a.cluster, s.band0, s.band1, s.band2, s.band3
+       |  FROM sigb s JOIN assign a ON a.vec_id = s.vec_id),
        |cand AS (
        |  SELECT DISTINCT vec_a, vec_b FROM (
        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -804,10 +824,8 @@ object VectorQueries {
          |FROM embeddings JOIN cand USING (vec_id), q
          |ORDER BY 0.7 * $l2sqSqlExpr + 0.3 * $cosSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
     "q_neardup_lsh" ->
-      s"""WITH bits AS (
-         |  SELECT vec_id, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1,
-         |    ${bandSql(2)} AS band2, ${bandSql(3)} AS band3
-         |  FROM embeddings),
+      s"""WITH $sigCtesSql,
+         |bits AS (SELECT * FROM sigb),
          |cand AS (
          |  SELECT DISTINCT vec_a, vec_b FROM (
          |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -963,10 +981,10 @@ object VectorQueries {
          |SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id
          |ORDER BY vec_id ASC""".stripMargin,
     "q_neardup_embedding" ->
-      s"""WITH bits AS (
-         |  SELECT vec_id, label, ${bandSql(0)} AS band0, ${bandSql(1)} AS band1,
-         |    ${bandSql(2)} AS band2, ${bandSql(3)} AS band3
-         |  FROM embeddings),
+      s"""WITH $sigCtesSql,
+         |bits AS (
+         |  SELECT s.vec_id, e.label, s.band0, s.band1, s.band2, s.band3
+         |  FROM sigb s JOIN embeddings e ON e.vec_id = s.vec_id),
          |cand AS (
          |  SELECT DISTINCT vec_a, vec_b FROM (
          |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

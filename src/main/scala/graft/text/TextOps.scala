@@ -209,6 +209,22 @@ object TextOps {
   /** URL pattern: scheme + non-space run. */
   val urlRe = "https?://[^ \\t\\n]+"
 
+  /** PII patterns shared by [[redactPii]] and its oracle. All are in
+    * the RE2 ∩ java.util.regex common subset (no lookaround, no
+    * backreferences, ASCII `\b` / `\d` only), so DuckDB replays them
+    * byte-identically. Heuristic by design — the goal is the redaction
+    * PASS every public pipeline ships (Dolma, ROOTS), not a validator. */
+  /** 16-digit card-shaped run in 4-digit groups (space/dash/none). */
+  val ccRe = "\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{4}\\b"
+  /** US SSN shape NNN-NN-NNNN. */
+  val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  /** Dotted-quad IPv4 (no octet range check — redaction, not parsing). */
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** Separator-delimited phone: optional +CC, (NNN) or NNN, NNN, NNNN.
+    * No leading `\b` — it cannot sit between ' ' and '+' (both
+    * non-word); the separator structure already anchors the left edge. */
+  val phoneRe = "(\\+\\d{1,2} )?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b"
+
   /** Text cleaning / PII scrubbing (the normalize-and-redact pass every
     * public pipeline runs before dedup and filtering — C4 and Dolma
     * both ship exactly this shape): URLs and email addresses are
@@ -232,6 +248,37 @@ object TextOps {
       collapsed.as("text_clean"),
       regexp_count(noCtl, lit(urlRe)).as("n_urls"),
       regexp_count(noUrl, lit(emailRe)).as("n_emails"))
+  }
+
+  /** PII redaction (the identifier-scrubbing pass corpus pipelines run
+    * alongside [[cleanText]] — Dolma and ROOTS both ship one): card
+    * numbers, SSNs, IPv4 addresses, phone numbers and email addresses
+    * are replaced with typed placeholder tokens, with per-category
+    * counts for downstream gating (e.g. drop docs with > k identifiers
+    * — documents dense in PII are usually scraped directories, not
+    * prose). Most-specific patterns run first so a 16-digit card run is
+    * never half-eaten as a phone number, and an address inside an
+    * already-redacted span cannot double-count.
+    *
+    * A narrow per-row transform — no shuffle, streams through a 100 TB
+    * scan at I/O speed, exactly like [[cleanText]].
+    *
+    * Returns (doc_id, text_redacted, n_cc, n_ssn, n_ip, n_phone,
+    * n_email). */
+  def redactPii(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val noCc = regexp_replace(textCol, ccRe, "<CC>")
+    val noSsn = regexp_replace(noCc, ssnRe, "<SSN>")
+    val noIp = regexp_replace(noSsn, ipv4Re, "<IP>")
+    val noPhone = regexp_replace(noIp, phoneRe, "<PHONE>")
+    val noEmail = regexp_replace(noPhone, emailRe, "<EMAIL>")
+    docs.select(
+      idCol.as("doc_id"),
+      noEmail.as("text_redacted"),
+      regexp_count(textCol, lit(ccRe)).as("n_cc"),
+      regexp_count(noCc, lit(ssnRe)).as("n_ssn"),
+      regexp_count(noSsn, lit(ipv4Re)).as("n_ip"),
+      regexp_count(noIp, lit(phoneRe)).as("n_phone"),
+      regexp_count(noPhone, lit(emailRe)).as("n_email"))
   }
 
   /** Sequence packing (the concat-and-chunk step that turns a tokenized

@@ -120,6 +120,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3) == (("nothing special", 0, 0)))
   }
 
+  test("redactPii: typed placeholders, per-category counts, specific-first order") {
+    val docs = Seq(
+      (1L, "call +1 (415) 555-0134 or 555.867.5309 today"),
+      (2L, "server 10.0.0.1 and 192.168.100.254 are up"),
+      (3L, "ssn 078-05-1120 leaked"),
+      (4L, "card 4111 1111 1111 1111 or 4111-1111-1111-1111 paid"),
+      (5L, "mail root@example.org now"),
+      (6L, "v1.2.3 released; build 1234 of 2024 is fine")
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPii(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getInt(6)))
+    assert(out(0) == (("call <PHONE> or <PHONE> today", 0, 0, 0, 2, 0)))
+    assert(out(1) == (("server <IP> and <IP> are up", 0, 0, 2, 0, 0)))
+    assert(out(2) == (("ssn <SSN> leaked", 0, 1, 0, 0, 0)))
+    // the card pass runs FIRST: neither 16-digit run survives to be
+    // half-eaten by the phone pattern
+    assert(out(3) == (("card <CC> or <CC> paid", 2, 0, 0, 0, 0)))
+    assert(out(4) == (("mail <EMAIL> now", 0, 0, 0, 0, 1)))
+    // version strings, short digit runs and years stay untouched
+    assert(out(5) == (("v1.2.3 released; build 1234 of 2024 is fine", 0, 0, 0, 0, 0)))
+  }
+
   test("packSequences: blocked prefix sum equals the sequential spec") {
     // 40 docs with varying token counts and sparse, unsorted ids —
     // blockSize 8 forces several blocks, some empty
