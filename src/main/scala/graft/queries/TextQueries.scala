@@ -296,6 +296,68 @@ object TextQueries {
       .orderBy(col("doc_id").asc).limit(200)
   }
 
+  /** HTML extraction over a synthesized page per document: title,
+    * style/script bodies, comments, a link, and (every third doc) a
+    * list with entities — the oracle replays the identical regex chain
+    * over the identical synthesized markup. */
+  private def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>p { color: red }</style>" +
+        "<script type=\"text/javascript\">var x = 1; if (x < 2) { x = 2; }" +
+        "</script></head><body><h1>Doc "), id,
+      lit("</h1><!-- hidden "), id, lit(" --><p>"), col("text"),
+      lit("</p><a href=\"http://ex.com/p/"), id, lit("\">more</a>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<ul><li>alpha &amp; beta</li><li>1 &lt; 2 &gt; 0</li></ul>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    TextOps.extractHtml(docs(s, dir), col("doc_id"), html)
+      .orderBy(col("doc_id").asc).limit(200)
+  }
+
+  /** URL normalization + blocklist over five synthesized URL shapes
+    * (case, www, default/explicit ports, tracking params, fragments,
+    * trailing slashes; host-level and domain-level blocklist hits). */
+  private def urlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    val url = when(id % 5 === 0,
+        concat(lit("HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&id="), ids,
+          lit("#frag")))
+      .when(id % 5 === 1,
+        concat(lit("http://blog.Spam-Domain.net/post/"), ids,
+          lit("?gclid=abc&x=1&b=2")))
+      .when(id % 5 === 2, concat(lit("https://sub.news.org/"), ids, lit("/")))
+      .when(id % 5 === 3, lit("http://example.com:8080/p?b=2&a=1&utm_medium=m"))
+      .otherwise(lit("https://cdn.example.com"))
+    TextOps.normalizeUrls(docs(s, dir), col("doc_id"), url,
+        Seq("spam-domain.net", "cdn.example.com"))
+      .orderBy(col("doc_id").asc).limit(200)
+  }
+
+  /** Gopher-rules gate over text augmented to trip each rule family:
+    * bullet lines, symbol runs, ellipsis lines, injected stopwords,
+    * numeric tokens (alpha-fraction), plus untouched docs. */
+  private def gopherGate(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val augmented = when(id % 7 === 0,
+        concat(col("text"),
+          lit("\n- bullet one\n- bullet two\n* bullet three")))
+      .when(id % 7 === 1, concat(col("text"), lit(" ### #### ## # #")))
+      .when(id % 7 === 2,
+        concat(col("text"),
+          lit("\nto be continued...\nand more…\nplain line")))
+      .when(id % 7 === 3,
+        concat(lit("the be to of and that have with "), col("text")))
+      .when(id % 7 === 4,
+        concat(col("text"), lit(" 12345 67890 11111 22222 33333 44444")))
+      .otherwise(col("text"))
+    TextOps.gopherGate(docs(s, dir), col("doc_id"), augmented)
+      .orderBy(col("doc_id").asc).limit(200)
+  }
+
   private def textClean(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
     val augmented = when(col("doc_id") % 3 === 0,
@@ -768,6 +830,9 @@ object TextQueries {
     "q_packed_texts" -> ((s, d) => packedTexts(s, d)),
     "q_text_clean" -> ((s, d) => textClean(s, d)),
     "q_pii_redact" -> ((s, d) => piiRedact(s, d)),
+    "q_html_extract" -> ((s, d) => htmlExtract(s, d)),
+    "q_url_normalize" -> ((s, d) => urlNormalize(s, d)),
+    "q_gopher_gate" -> ((s, d) => gopherGate(s, d)),
     "q_domain_stats" -> ((s, d) => domainStats(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
@@ -1219,6 +1284,113 @@ object TextQueries {
          |  CAST(n_ssn AS INT) AS n_ssn, CAST(n_ip AS INT) AS n_ip,
          |  CAST(n_phone AS INT) AS n_phone, CAST(n_email AS INT) AS n_email
          |FROM r5 ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // HTML extraction: the identical synthesized markup through the
+    // identical regex chain (comments -> script/style -> block tags ->
+    // tags -> entity decode, &amp; LAST); title off the comment-free
+    // form, tag/link counts off the script-free form
+    "q_html_extract" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         |    || '</title><style>p { color: red }</style><script type="text/javascript">var x = 1; if (x < 2) { x = 2; }</script></head><body><h1>Doc '
+         |    || CAST(doc_id AS VARCHAR) || '</h1><!-- hidden ' || CAST(doc_id AS VARCHAR)
+         |    || ' --><p>' || text || '</p><a href="http://ex.com/p/' || CAST(doc_id AS VARCHAR) || '">more</a>'
+         |    || CASE WHEN doc_id % 3 = 0 THEN '<ul><li>alpha &amp; beta</li><li>1 &lt; 2 &gt; 0</li></ul>' ELSE '' END
+         |    || '</body></html>' AS h
+         |  FROM documents),
+         |c1 AS (SELECT doc_id, regexp_replace(h, '${TextOps.htmlCommentRe}', ' ', 'g') AS h FROM aug),
+         |c2 AS (SELECT doc_id, h, regexp_replace(h, '${TextOps.htmlNonContentRe}', ' ', 'g') AS h2 FROM c1),
+         |c3 AS (SELECT doc_id, h, h2,
+         |         regexp_replace(regexp_replace(h2, '${TextOps.htmlBlockTagRe}', ' ', 'g'),
+         |           '${TextOps.htmlTagRe}', ' ', 'g') AS h3 FROM c2),
+         |c4 AS (SELECT doc_id, h, h2,
+         |         replace(replace(replace(replace(replace(replace(h3,
+         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+         |           '&nbsp;', ' '), '&amp;', '&') AS h4 FROM c3)
+         |SELECT doc_id,
+         |  trim(regexp_extract(h, '${TextOps.htmlTitleRe}', 1)) AS title,
+         |  trim(regexp_replace(h4, '[ \\t\\n\\r]+', ' ', 'g')) AS text_extracted,
+         |  CAST(len(regexp_extract_all(h2, '${TextOps.htmlTagRe}')) AS INT) AS n_tags,
+         |  CAST(len(regexp_extract_all(h2, '${TextOps.htmlAnchorRe}')) AS INT) AS n_links
+         |FROM c4 ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // URL normalization: identical synthesized URLs through identical
+    // regex/list canonicalization; blocklist hits on host OR domain
+    "q_url_normalize" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, CASE
+         |    WHEN doc_id % 5 = 0 THEN 'HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '#frag'
+         |    WHEN doc_id % 5 = 1 THEN 'http://blog.Spam-Domain.net/post/' || CAST(doc_id AS VARCHAR) || '?gclid=abc&x=1&b=2'
+         |    WHEN doc_id % 5 = 2 THEN 'https://sub.news.org/' || CAST(doc_id AS VARCHAR) || '/'
+         |    WHEN doc_id % 5 = 3 THEN 'http://example.com:8080/p?b=2&a=1&utm_medium=m'
+         |    ELSE 'https://cdn.example.com' END AS u
+         |  FROM documents),
+         |p AS (SELECT doc_id,
+         |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |  regexp_replace(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '') AS nw,
+         |  regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+         |  coalesce(regexp_extract(u, '\\?([^#]*)', 1), '') AS rawq
+         |  FROM aug),
+         |h AS (SELECT doc_id, scheme,
+         |  CASE WHEN scheme = 'http' THEN regexp_replace(nw, ':80$$', '')
+         |       WHEN scheme = 'https' THEN regexp_replace(nw, ':443$$', '')
+         |       ELSE nw END AS host, rawpath, rawq FROM p),
+         |n AS (SELECT doc_id, scheme, host,
+         |  CASE WHEN rawpath = '' THEN '/'
+         |       WHEN rawpath <> '/' THEN regexp_replace(rawpath, '/$$', '')
+         |       ELSE rawpath END AS pth,
+         |  array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+         |    x -> x <> '' AND NOT regexp_matches(x, '${TextOps.trackingParamRe}'))), '&') AS q,
+         |  regexp_replace(host, ':[0-9]+$$', '') AS barehost
+         |  FROM h),
+         |d AS (SELECT doc_id,
+         |  scheme || '://' || host || pth || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url_norm,
+         |  CASE WHEN regexp_matches(barehost, '[^.]+\\.[^.]+$$')
+         |       THEN regexp_extract(barehost, '([^.]+\\.[^.]+)$$', 1) ELSE barehost END AS dom,
+         |  barehost FROM n)
+         |SELECT doc_id, url_norm, dom AS domain,
+         |  CASE WHEN barehost IN ('spam-domain.net', 'cdn.example.com')
+         |        OR dom IN ('spam-domain.net', 'cdn.example.com') THEN 1 ELSE 0 END AS blocked
+         |FROM d ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // Gopher-rules gate: identical augmented text, identical token /
+    // line lists, rule bits on the UNROUNDED intermediates
+    "q_gopher_gate" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, CASE
+         |    WHEN doc_id % 7 = 0 THEN text || chr(10) || '- bullet one' || chr(10) || '- bullet two' || chr(10) || '* bullet three'
+         |    WHEN doc_id % 7 = 1 THEN text || ' ### #### ## # #'
+         |    WHEN doc_id % 7 = 2 THEN text || chr(10) || 'to be continued...' || chr(10) || 'and more…' || chr(10) || 'plain line'
+         |    WHEN doc_id % 7 = 3 THEN 'the be to of and that have with ' || text
+         |    WHEN doc_id % 7 = 4 THEN text || ' 12345 67890 11111 22222 33333 44444'
+         |    ELSE text END AS t
+         |  FROM documents),
+         |tok AS (SELECT doc_id, t,
+         |  list_filter(string_split_regex(lower(t), '[^a-z0-9]+'), x -> x <> '') AS w,
+         |  list_filter(string_split(t, chr(10)), l -> l <> '') AS ls FROM aug),
+         |m AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE) / greatest(len(w), 1) AS mean_len,
+         |  CAST(len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.')) + len(regexp_extract_all(t, '…')) AS DOUBLE) / greatest(len(w), 1) AS sym,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / greatest(len(w), 1) AS alpha,
+         |  CAST(len(list_filter(list_distinct(w), x -> x IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS INT) AS stop_hits,
+         |  CAST(len(list_filter(ls, l -> regexp_matches(l, '^[ \\t]*[-*] '))) AS DOUBLE) / greatest(len(ls), 1) AS bullet,
+         |  CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$$'))) AS DOUBLE) / greatest(len(ls), 1) AS ellipsis
+         |  FROM tok)
+         |SELECT doc_id, n_words, round(mean_len, 6) AS mean_word_len,
+         |  round(sym, 6) AS symbol_ratio, round(alpha, 6) AS alpha_frac,
+         |  stop_hits AS n_stop_hits, round(bullet, 6) AS bullet_frac,
+         |  round(ellipsis, 6) AS ellipsis_frac,
+         |  CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS r_words,
+         |  CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1 ELSE 0 END AS r_mean_len,
+         |  CASE WHEN sym <= 0.1 THEN 1 ELSE 0 END AS r_symbols,
+         |  CASE WHEN alpha >= 0.8 THEN 1 ELSE 0 END AS r_alpha,
+         |  CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stop,
+         |  CASE WHEN bullet <= 0.9 THEN 1 ELSE 0 END AS r_bullets,
+         |  CASE WHEN ellipsis <= 0.3 THEN 1 ELSE 0 END AS r_ellipsis,
+         |  CASE WHEN n_words >= 50 AND n_words <= 100000
+         |        AND mean_len >= 3.0 AND mean_len <= 10.0 AND sym <= 0.1
+         |        AND alpha >= 0.8 AND stop_hits >= 2 AND bullet <= 0.9
+         |        AND ellipsis <= 0.3 THEN 1 ELSE 0 END AS kept
+         |FROM m ORDER BY doc_id ASC LIMIT 200""".stripMargin,
     // concat-and-chunk packing: global token offsets in doc-id order,
     // then 128-token sequence spans; the oracle's single ordered window
     // is the semantic spec the blocked prefix-sum must reproduce

@@ -480,4 +480,178 @@ object TextOps {
           (acc, c) => acc + when(c > 1, c).otherwise(lit(0))), size(g3))
           .as("dup_3gram_frac"))
   }
+
+  /** HTML patterns shared by [[extractHtml]] and its oracle. All in the
+    * RE2 ∩ java.util.regex common subset ((?is) inline flags, lazy
+    * quantifiers — both engines support them; no lookaround). */
+  /** Comment block, dot-matches-newline. */
+  val htmlCommentRe = "(?s)<!--.*?-->"
+  /** Script/style element including its body (non-content). */
+  val htmlNonContentRe = "(?is)<(script|style)[^>]*>.*?</(script|style)>"
+  /** Block-level tags that imply a break between words. */
+  val htmlBlockTagRe = "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote)[^>]*>"
+  /** Any remaining tag. */
+  val htmlTagRe = "<[^>]*>"
+  /** Title element body (first match wins). */
+  val htmlTitleRe = "(?is)<title[^>]*>(.*?)</title>"
+  /** Anchor open tag (link counting). */
+  val htmlAnchorRe = "(?i)<a[ \\t][^>]*>"
+
+  /** HTML → text extraction (the WARC/WET step every web-scale corpus
+    * pipeline starts with — C4, CCNet, Dolma, RefinedWeb all consume
+    * markup-stripped text): comments and script/style bodies dropped,
+    * block-level tags become word breaks, remaining tags stripped, the
+    * five standard entities decoded (&amp; LAST so `&amp;lt;` decodes
+    * exactly once), whitespace collapsed. The title and the anchor
+    * count ride along for downstream gating (boilerplate pages are
+    * link-dense and text-sparse).
+    *
+    * Entity decoding is a fixed literal table, not a parser — the goal
+    * is the published pipelines' extraction pass, not an HTML5 DOM.
+    * A narrow per-row transform: no shuffle, streams through a 100 TB
+    * scan at I/O speed.
+    *
+    * Returns (doc_id, title, text_extracted, n_tags, n_links). */
+  def extractHtml(docs: DataFrame, idCol: Column, htmlCol: Column): DataFrame = {
+    val noComment = regexp_replace(htmlCol, htmlCommentRe, " ")
+    val noScript = regexp_replace(noComment, htmlNonContentRe, " ")
+    val broken = regexp_replace(noScript, htmlBlockTagRe, " ")
+    val noTags = regexp_replace(broken, htmlTagRe, " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    docs.select(
+      idCol.as("doc_id"),
+      trim(regexp_extract(noComment, htmlTitleRe, 1)).as("title"),
+      trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " ")).as("text_extracted"),
+      regexp_count(noScript, lit(htmlTagRe)).as("n_tags"),
+      regexp_count(noScript, lit(htmlAnchorRe)).as("n_links"))
+  }
+
+  /** Tracking query parameters dropped by [[normalizeUrls]] (the
+    * CCNet/C4-style URL canonicalization list). */
+  val trackingParamRe = "^(utm_[a-z]+|fbclid|gclid|msclkid|ref|ref_src)="
+
+  /** URL normalization + registered-domain extraction + blocklist flag
+    * (the URL-level dedup-and-filter key every web pipeline computes —
+    * CCNet dedups by normalized URL, C4/RefinedWeb gate on domain
+    * blocklists). Canonical form: scheme and host lowercased, one
+    * leading `www.` stripped, default ports dropped (`:80` on http,
+    * `:443` on https), empty path → `/` with a trailing slash trimmed
+    * off non-root paths, tracking parameters removed and the surviving
+    * query sorted for order independence, fragment dropped.
+    *
+    * Pure regex/array canonicalization — RE2-safe, oracle-replayable,
+    * and a narrow per-row transform. The blocklist arrives as a literal
+    * set matched against BOTH the full host and the registered domain
+    * (`cdn.example.com` blocks one host; `spam.net` blocks every
+    * subdomain) — at 100 TB the flag is an `isin` against a few
+    * thousand domains, never a shuffle.
+    *
+    * Returns (doc_id, url_norm, domain, blocked). */
+  def normalizeUrls(docs: DataFrame, idCol: Column, urlCol: Column,
+      blocklist: Seq[String]): DataFrame = {
+    val scheme = lower(regexp_extract(urlCol, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(urlCol, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noWww = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val rawPath = regexp_extract(urlCol, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/"))
+      .when(rawPath =!= "/", regexp_replace(rawPath, "/$", ""))
+      .otherwise(rawPath)
+    val rawQuery = regexp_extract(urlCol, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(rawQuery, "&"),
+      p => p =!= "" && !p.rlike(trackingParamRe)))
+    val query = array_join(kept, "&")
+    val norm = concat(scheme, lit("://"), host, path,
+      when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
+    val bareHost = regexp_replace(host, ":[0-9]+$", "")
+    val domain = when(bareHost.rlike("[^.]+\\.[^.]+$"),
+        regexp_extract(bareHost, "([^.]+\\.[^.]+)$", 1))
+      .otherwise(bareHost)
+    docs.select(
+      idCol.as("doc_id"),
+      norm.as("url_norm"),
+      domain.as("domain"),
+      (bareHost.isin(blocklist: _*) || domain.isin(blocklist: _*))
+        .cast("int").as("blocked"))
+  }
+
+  /** Stopword list for the Gopher "has common English words" rule
+    * (Rae et al. 2021, appendix A1.1: ≥ 2 distinct hits required). */
+  val gopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rules document gate (Rae et al. 2021, appendix A1.1 — the
+    * heuristic filter suite MassiveText introduced and Dolma/RefinedWeb
+    * reuse), over [[graft.functions.tokenize]] tokens and raw lines:
+    *
+    *   r_words        50 ≤ word count ≤ 100 000
+    *   r_mean_len     3 ≤ mean word length ≤ 10
+    *   r_symbols      (# + "...") per word ≤ 0.1
+    *   r_alpha        ≥ 80% of words contain an alphabetic character
+    *   r_stop         ≥ 2 distinct hits from [[gopherStop]]
+    *   r_bullets      ≤ 90% of lines start with a bullet (- or *)
+    *   r_ellipsis     ≤ 30% of lines end with "..." or "…"
+    *
+    * `kept` = all seven. Emitted per-rule so a pipeline can audit WHY a
+    * document fell (the published practice: Dolma ships per-rule
+    * attributes, not just the gate). Tokens are [[tokenize]]'d (lower
+    * alnum), so the symbol counts run on the RAW text. Narrow per-row
+    * transform — no shuffle, I/O-bound at 100 TB.
+    *
+    * Returns (doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+    * n_stop_hits, bullet_frac, ellipsis_frac, r_* bits, kept). */
+  def gopherGate(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val t = col("__t")
+    val lines = col("__lines")
+    val nWords = size(t).cast("long")
+    val den = greatest(size(t), lit(1)).cast("double")
+    val lineDen = greatest(size(lines), lit(1)).cast("double")
+    val meanLen = aggregate(transform(t, x => length(x)), lit(0),
+      (acc, x) => acc + x).cast("double") / den
+    val symbolRatio = (regexp_count(textCol, lit("#")) +
+      regexp_count(textCol, lit("\\.\\.\\.")) +
+      regexp_count(textCol, lit("…"))).cast("double") / den
+    val alphaFrac = size(filter(t, x => x.rlike("[a-z]"))).cast("double") / den
+    val stopHits = size(array_intersect(array_distinct(t),
+      array(gopherStop.map(lit): _*)))
+    val bulletFrac = size(filter(lines,
+      l => l.rlike("^[ \\t]*[-*] "))).cast("double") / lineDen
+    val ellipsisFrac = size(filter(lines,
+      l => l.rlike("(\\.\\.\\.|…)[ \\t]*$"))).cast("double") / lineDen
+    def bit(c: Column): Column = c.cast("int")
+    docs
+      .withColumn("__t", tokenize(textCol))
+      .withColumn("__lines", filter(split(textCol, "\n"), l => l =!= ""))
+      .withColumn("__mean_len", meanLen)
+      .withColumn("__sym", symbolRatio)
+      .withColumn("__alpha", alphaFrac)
+      .withColumn("__stop", stopHits)
+      .withColumn("__bullet", bulletFrac)
+      .withColumn("__ellipsis", ellipsisFrac)
+      .select(
+        idCol.as("doc_id"),
+        nWords.as("n_words"),
+        round(col("__mean_len"), 6).as("mean_word_len"),
+        round(col("__sym"), 6).as("symbol_ratio"),
+        round(col("__alpha"), 6).as("alpha_frac"),
+        col("__stop").as("n_stop_hits"),
+        round(col("__bullet"), 6).as("bullet_frac"),
+        round(col("__ellipsis"), 6).as("ellipsis_frac"),
+        bit(nWords >= 50 && nWords <= 100000L).as("r_words"),
+        bit(col("__mean_len") >= 3.0 && col("__mean_len") <= 10.0).as("r_mean_len"),
+        bit(col("__sym") <= 0.1).as("r_symbols"),
+        bit(col("__alpha") >= 0.8).as("r_alpha"),
+        bit(col("__stop") >= 2).as("r_stop"),
+        bit(col("__bullet") <= 0.9).as("r_bullets"),
+        bit(col("__ellipsis") <= 0.3).as("r_ellipsis"),
+        bit(nWords >= 50 && nWords <= 100000L &&
+          col("__mean_len") >= 3.0 && col("__mean_len") <= 10.0 &&
+          col("__sym") <= 0.1 && col("__alpha") >= 0.8 &&
+          col("__stop") >= 2 && col("__bullet") <= 0.9 &&
+          col("__ellipsis") <= 0.3).as("kept"))
+  }
 }

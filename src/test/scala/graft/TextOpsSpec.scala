@@ -237,4 +237,71 @@ class TextOpsSpec extends SparkSpec {
       s"in-domain ppl $fluent should be below garbage ppl $garbage")
     assert(fluent > 1.0) // smoothing keeps probabilities < 1
   }
+
+  test("extractHtml strips markup, decodes entities once, counts tags/links") {
+    val docs = Seq(
+      (1L, "<html><head><title> My Page </title><style>b {x}</style>" +
+        "<script>if (1 < 2) alert('hi');</script></head>" +
+        "<body><p>Hello<br>world</p><!-- secret --><a href=\"http://x\">l</a>" +
+        "<a  href=\"http://y\">m</a>&amp;lt; &lt;b&gt;</body></html>"),
+      (2L, "no markup at all"),
+      (3L, "<ul><li>one</li><li>two</li></ul>")
+    ).toDF("doc_id", "html")
+    val out = TextOps.extractHtml(docs, col("doc_id"), col("html"))
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getString(1) == "My Page")
+    // script body (incl. the raw '<') and comment are gone; title and
+    // anchor text remain (they are content); entities decode exactly
+    // once: &amp;lt; -> &lt; stays literal
+    assert(r1.getString(2) == "My Page Hello world l m &lt; <b>")
+    assert(r1.getInt(4) == 2, "two anchors")
+    val r2 = out(1)
+    assert(r2.getString(1) == "" && r2.getString(2) == "no markup at all"
+      && r2.getInt(3) == 0 && r2.getInt(4) == 0)
+    assert(out(2).getString(2) == "one two")
+  }
+
+  test("normalizeUrls canonicalizes and flags host- and domain-level blocks") {
+    val docs = Seq(
+      (1L, "HTTP://WWW.Ex.COM:80/a/b/?utm_source=z&b=2&a=1#f"),
+      (2L, "https://sub.spam.net/x"),
+      (3L, "https://cdn.ok.org"),
+      (4L, "http://ok.org:8080/p/")
+    ).toDF("doc_id", "url")
+    val out = TextOps.normalizeUrls(docs, col("doc_id"), col("url"),
+        Seq("spam.net", "cdn.ok.org"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getInt(3)))
+    assert(out(0) == (("http://ex.com/a/b?a=1&b=2", "ex.com", 0)))
+    assert(out(1) == (("https://sub.spam.net/x", "spam.net", 1)),
+      "domain-level block catches the subdomain")
+    assert(out(2) == (("https://cdn.ok.org/", "ok.org", 1)),
+      "host-level block catches the exact host; root path is /")
+    assert(out(3) == (("http://ok.org:8080/p", "ok.org", 0)),
+      "non-default port survives; trailing slash trimmed")
+  }
+
+  test("gopherGate: each rule trips on its own signal") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val stops = "the be to of and that have with"
+    val docs = Seq(
+      (1L, s"$stops $fifty"),                      // passes everything
+      (2L, "the be short"),                        // r_words fails (3 words)
+      (3L, s"$stops $fifty ### ### ### ### ### ### ### ###"), // symbols
+      (4L, s"$fifty alpha beta"),                  // no stopwords: r_stop fails
+      (5L, s"$stops $fifty\n- a\n- b\n- c"),       // bullets but under 90%? 3/4 lines
+      (6L, s"$stops $fifty\nmore...\ngone…")       // 2/3 ellipsis lines > 30%
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherGate(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    def bits(i: Int) = (8 to 14).map(out(i).getInt).mkString
+    def kept(i: Int) = out(i).getInt(15)
+    assert(bits(0) == "1111111" && kept(0) == 1)
+    assert(out(1).getLong(1) == 3L && bits(1).startsWith("0") && kept(1) == 0)
+    assert(bits(2)(2) == '0', "symbol rule fails")
+    assert(bits(3)(4) == '0', "stopword rule fails")
+    assert(bits(4)(5) == '1' && kept(4) == 1, "75% bullet lines still under 0.9")
+    assert(bits(5)(6) == '0' && kept(5) == 0, "ellipsis rule fails")
+  }
 }
