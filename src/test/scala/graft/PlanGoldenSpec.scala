@@ -152,6 +152,18 @@ class PlanGoldenSpec extends SparkSpec {
     checkGolden("q_substring_dedup", skel)
   }
 
+  test("q_gopher_gate: single narrow scan, no shuffle, pruned columns") {
+    val (plan, skel) = snapshot("q_gopher_gate")
+    // a per-row gate is one pruned scan + project + bounded top-k:
+    // any Exchange here means the narrow transform grew a shuffle
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!skel.linesIterator.exists(_.endsWith("- Exchange")),
+      s"per-row gate grew a shuffle:\n$skel")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "column pruning regressed on the documents scan")
+    checkGolden("q_gopher_gate", skel)
+  }
+
   test("q_bm25_search: cached postings reused, bounded top-k, no cartesian") {
     val (plan, skel) = snapshot("q_bm25_search")
     // the postings/stats frames come from the shared cache, not a
