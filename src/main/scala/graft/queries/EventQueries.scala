@@ -30,12 +30,53 @@ object EventQueries {
       .orderBy(col("user_id").asc)
       .limit(500)
 
+  /** Backward as-of join on the events table: every view event picks
+    * up the most recent click of the same user at-or-before its
+    * timestamp (ties: greatest event_id). The oracle is an INDEPENDENT
+    * formulation — a LATERAL top-1 subquery — so the window-over-union
+    * plan is checked against the declarative spec of the semantics,
+    * not a replay of its own trick. */
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val clicks = e.filter(col("event_type") === "click")
+    graft.operators.AsOfJoin.asofBackward(
+        views, col("user_id"), col("ts_us"),
+        clicks, col("user_id"), unix_micros(col("ts")),
+        payload = Seq(
+          "click_id" -> col("event_id"),
+          "click_ts_us" -> unix_micros(col("ts")),
+          "click_value" -> col("value")),
+        rightTie = col("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("ts_us") - col("click_ts_us"), lit(-1L)).as("lag_us"),
+        round(coalesce(col("click_value"), lit(-1.0)), 6).as("click_value"))
+      .orderBy(col("event_id").asc).limit(500)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window" -> ((s, d) => eventsWindow(s, d)),
     "q_user_sessions" -> ((s, d) => userSessions(s, d)),
+    "q_asof_join" -> ((s, d) => asofJoin(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us,
+        |  coalesce(c.cid, -1) AS click_id,
+        |  coalesce(epoch_us(v.ts) - c.rts, -1) AS lag_us,
+        |  round(coalesce(c.cv, -1.0), 6) AS click_value
+        |FROM events v LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS cid, epoch_us(c.ts) AS rts, c.value AS cv
+        |  FROM events c
+        |  WHERE c.user_id = v.user_id AND c.event_type = 'click'
+        |    AND epoch_us(c.ts) <= epoch_us(v.ts)
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE
+        |WHERE v.event_type = 'view'
+        |ORDER BY v.event_id ASC LIMIT 500""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |  event_type, CAST(count(*) AS BIGINT) AS n_events,

@@ -358,6 +358,33 @@ object TextQueries {
       .orderBy(col("doc_id").asc).limit(200)
   }
 
+  /** C4 line/doc cleaning over text augmented to trip each rule: good
+    * sentence lines, a code line (brace), lorem-ipsum boilerplate, a
+    * javascript line among good ones, and untouched docs (whose plain
+    * word-run lines carry no terminal punctuation). */
+  private def c4Clean(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val five = "One good line ends here. A second sentence follows now. " +
+      "Then a third one lands. Afterwards a fourth arrives. Finally a fifth closes."
+    val augmented = when(id % 6 === 0,
+        concat(col("text"), lit("\n" + five.replace(". ", ".\n"))))
+      .when(id % 6 === 1,
+        concat(col("text"), lit("\nvar x = {1};\n" + five.replace(". ", ".\n"))))
+      .when(id % 6 === 2,
+        concat(col("text"), lit("\nLorem Ipsum dolor sit amet.\n"
+          + five.replace(". ", ".\n"))))
+      .when(id % 6 === 3,
+        concat(col("text"),
+          lit("\nplease enable javascript to view this page.\n"
+            + five.replace(". ", ".\n"))))
+      .when(id % 6 === 4, concat(col("text"), lit("\nShort one.")))
+      .otherwise(col("text"))
+    TextOps.c4Clean(docs(s, dir), col("doc_id"), augmented)
+      .withColumn("c4_md5", md5(col("text_c4").cast("binary")))
+      .drop("text_c4")
+      .orderBy(col("doc_id").asc).limit(200)
+  }
+
   private def textClean(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
     val augmented = when(col("doc_id") % 3 === 0,
@@ -833,6 +860,7 @@ object TextQueries {
     "q_html_extract" -> ((s, d) => htmlExtract(s, d)),
     "q_url_normalize" -> ((s, d) => urlNormalize(s, d)),
     "q_gopher_gate" -> ((s, d) => gopherGate(s, d)),
+    "q_c4_clean" -> ((s, d) => c4Clean(s, d)),
     "q_domain_stats" -> ((s, d) => domainStats(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
@@ -1351,6 +1379,49 @@ object TextQueries {
          |  CASE WHEN barehost IN ('spam-domain.net', 'cdn.example.com')
          |        OR dom IN ('spam-domain.net', 'cdn.example.com') THEN 1 ELSE 0 END AS blocked
          |FROM d ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // C4 line/doc cleaning: identical augmented text (the five-line
+    // block is interpolated from the SAME Scala constant the query
+    // uses), identical line rules; the terminal-punct regex is
+    // TextOps.c4TerminalRe with the quote SQL-doubled
+    "q_c4_clean" -> {
+      val five = ("One good line ends here. A second sentence follows now. " +
+        "Then a third one lands. Afterwards a fourth arrives. " +
+        "Finally a fifth closes.").replace(". ", ".\n")
+      def sqlLines(block: String): String =
+        block.split("\n").map(l => s"'$l'").mkString(" || chr(10) || ")
+      s"""WITH aug AS (
+         |  SELECT doc_id, CASE
+         |    WHEN doc_id % 6 = 0 THEN text || chr(10) || ${sqlLines(five)}
+         |    WHEN doc_id % 6 = 1 THEN text || chr(10) || 'var x = {1};' || chr(10) || ${sqlLines(five)}
+         |    WHEN doc_id % 6 = 2 THEN text || chr(10) || 'Lorem Ipsum dolor sit amet.' || chr(10) || ${sqlLines(five)}
+         |    WHEN doc_id % 6 = 3 THEN text || chr(10) || 'please enable javascript to view this page.' || chr(10) || ${sqlLines(five)}
+         |    WHEN doc_id % 6 = 4 THEN text || chr(10) || 'Short one.'
+         |    ELSE text END AS t
+         |  FROM documents),
+         |ln AS (SELECT doc_id, t,
+         |  list_filter(string_split(t, chr(10)), l -> l <> '') AS lines FROM aug),
+         |kp AS (SELECT doc_id, t, lines,
+         |  coalesce(array_to_string(
+         |    list_filter(lines, l -> regexp_matches(trim(l), '[.!?]["'']?$$')
+         |      AND len(list_filter(string_split_regex(trim(l), '[ \\t]+'), w -> w <> '')) >= 3
+         |      AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS joined,
+         |  len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?]["'']?$$')
+         |      AND len(list_filter(string_split_regex(trim(l), '[ \\t]+'), w -> w <> '')) >= 3
+         |      AND NOT contains(lower(l), 'javascript'))) AS nk FROM ln),
+         |m AS (SELECT doc_id,
+         |  CAST(len(lines) AS INT) AS n_lines,
+         |  CAST(nk AS INT) AS n_kept,
+         |  CAST(len(regexp_extract_all(joined, '[.!?]')) AS INT) AS n_sentences,
+         |  CASE WHEN contains(t, '{') THEN 1 ELSE 0 END AS has_brace,
+         |  CASE WHEN contains(lower(t), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem,
+         |  md5(joined) AS c4_md5
+         |  FROM kp)
+         |SELECT doc_id, n_lines, n_kept, n_sentences, has_brace, has_lorem,
+         |  CASE WHEN has_brace = 0 AND has_lorem = 0 AND n_sentences >= 5
+         |       THEN 1 ELSE 0 END AS kept,
+         |  c4_md5
+         |FROM m ORDER BY doc_id ASC LIMIT 200""".stripMargin
+    },
     // Gopher-rules gate: identical augmented text, identical token /
     // line lists, rule bits on the UNROUNDED intermediates
     "q_gopher_gate" ->

@@ -579,6 +579,58 @@ object TextOps {
         .cast("int").as("blocked"))
   }
 
+  /** Line-qualifying regex for [[c4Clean]]: trimmed line ends in a
+    * terminal punctuation mark (optionally quoted). Shared with the
+    * oracle; RE2 ∩ java.util.regex safe. */
+  val c4TerminalRe = "[.!?][\"']?$"
+
+  /** C4-style line-and-document cleaning (Raffel et al. 2020 §2.2 —
+    * the rule suite the C4 corpus ships and later pipelines reuse):
+    *
+    *   line kept     iff it ends in terminal punctuation ([[c4TerminalRe]]
+    *                 on the trimmed line), has ≥ 3 words, and does not
+    *                 mention "javascript" (case-insensitive)
+    *   doc kept      iff the raw text has no "{" (code page), no
+    *                 "lorem ipsum" (boilerplate), and the kept lines
+    *                 carry ≥ 5 terminal punctuation marks (the
+    *                 ≥-5-sentences page gate)
+    *
+    * Complements [[gopherGate]] (token-statistics rules) with C4's
+    * line-shape rules; like it, every intermediate is emitted so a
+    * pipeline can audit WHY a page fell. Narrow per-row transform —
+    * no shuffle, streams through a 100 TB scan at I/O speed.
+    *
+    * Returns (doc_id, n_lines, n_kept, n_sentences, has_brace,
+    * has_lorem, kept, text_c4). */
+  def c4Clean(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val lines = col("__lines")
+    val keptLines = col("__kept")
+    val joined = col("__joined")
+    val nSent = col("__nsent")
+    val hasBrace = col("__brace")
+    val hasLorem = col("__lorem")
+    val lineOk = (l: Column) =>
+      trim(l).rlike(c4TerminalRe) &&
+        size(filter(split(trim(l), "[ \\t]+"), w => w =!= "")) >= 3 &&
+        !contains(lower(l), lit("javascript"))
+    docs
+      .withColumn("__lines", filter(split(textCol, "\n"), l => l =!= ""))
+      .withColumn("__kept", filter(lines, lineOk))
+      .withColumn("__joined", array_join(keptLines, "\n"))
+      .withColumn("__nsent", regexp_count(joined, lit("[.!?]")))
+      .withColumn("__brace", contains(textCol, lit("{")))
+      .withColumn("__lorem", contains(lower(textCol), lit("lorem ipsum")))
+      .select(
+        idCol.as("doc_id"),
+        size(lines).as("n_lines"),
+        size(keptLines).as("n_kept"),
+        nSent.as("n_sentences"),
+        hasBrace.cast("int").as("has_brace"),
+        hasLorem.cast("int").as("has_lorem"),
+        (!hasBrace && !hasLorem && nSent >= 5).cast("int").as("kept"),
+        joined.as("text_c4"))
+  }
+
   /** Stopword list for the Gopher "has common English words" rule
     * (Rae et al. 2021, appendix A1.1: ≥ 2 distinct hits required). */
   val gopherStop: Seq[String] =

@@ -282,6 +282,28 @@ class TextOpsSpec extends SparkSpec {
       "non-default port survives; trailing slash trimmed")
   }
 
+  test("c4Clean: line rules and document gates") {
+    val five = "Aa bb cc one. Bb cc dd two. Cc dd ee three. Dd ee ff four. Ee ff gg five."
+      .replace(". ", ".\n")
+    val docs = Seq(
+      (1L, five),                                     // 5 good lines: kept
+      (2L, s"$five\nno punctuation line here"),       // unpunctuated line dropped
+      (3L, s"$five\nplease use javascript now."),     // js line dropped, doc kept
+      (4L, s"$five\nvar x = {1};"),                   // brace: doc dropped
+      (5L, s"$five\nlorem ipsum dolor sit."),         // lorem: doc dropped
+      (6L, "Too. Few. Sentences here now.")           // < 5 sentences: dropped
+    ).toDF("doc_id", "text")
+    val out = TextOps.c4Clean(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(6)))
+    assert(out(0) == ((5, 5, 5, 1)))
+    assert(out(1) == ((6, 5, 5, 1)), "bad line dropped, doc survives")
+    assert(out(2) == ((6, 5, 5, 1)), "javascript line dropped, doc survives")
+    assert(out(3) == ((6, 5, 5, 0)), "brace kills the doc")
+    assert(out(4) == ((6, 6, 6, 0)), "lorem kills the doc despite good lines")
+    assert(out(5) == ((1, 1, 3, 0)), "one kept line, 3 sentences < 5")
+  }
+
   test("gopherGate: each rule trips on its own signal") {
     val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
     val stops = "the be to of and that have with"
