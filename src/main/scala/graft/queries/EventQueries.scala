@@ -57,13 +57,48 @@ object EventQueries {
       .orderBy(col("event_id").asc).limit(500)
   }
 
+  /** Bucketized interval join on the events table: every click lands
+    * in the 24-hour blame window [ts, ts+24h] of each same-user
+    * error. Bucket width = the window span, so each interval explodes
+    * into at most 2 buckets. The oracle is the INDEPENDENT naive
+    * formulation (join + BETWEEN) — the bucketed equi-join plan is
+    * checked against the declarative semantics. */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("eid"), col("user_id"),
+        unix_micros(col("ts")).as("s_us"))
+      .withColumn("e_us", col("s_us") + lit(86400000000L))
+    graft.operators.RangeJoin.intervalJoin(
+        clicks, col("user_id"), col("ts_us"),
+        errors, col("user_id"), col("s_us"), col("e_us"),
+        payload = Seq("err_id" -> col("eid"), "win_start_us" -> col("s_us")),
+        bucketWidthUs = 86400000000L)
+      .select(col("event_id"), col("user_id"), col("err_id"),
+        (col("ts_us") - col("win_start_us")).as("offset_us"))
+      .orderBy(col("event_id").asc, col("err_id").asc).limit(500)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window" -> ((s, d) => eventsWindow(s, d)),
     "q_user_sessions" -> ((s, d) => userSessions(s, d)),
     "q_asof_join" -> ((s, d) => asofJoin(s, d)),
+    "q_range_join" -> ((s, d) => rangeJoin(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_range_join" ->
+      """SELECT c.event_id, c.user_id, r.event_id AS err_id,
+        |  epoch_us(c.ts) - epoch_us(r.ts) AS offset_us
+        |FROM events c JOIN events r
+        |  ON c.user_id = r.user_id AND r.event_type = 'error'
+        |  AND epoch_us(c.ts) >= epoch_us(r.ts)
+        |  AND epoch_us(c.ts) <= epoch_us(r.ts) + 86400000000
+        |WHERE c.event_type = 'click'
+        |ORDER BY c.event_id ASC, err_id ASC LIMIT 500""".stripMargin,
     "q_asof_join" ->
       """SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us,
         |  coalesce(c.cid, -1) AS click_id,

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** Bucketized interval join: inclusive bounds, multi-bucket intervals,
+  * overlap multiplicity, degenerate intervals, and the equi-join plan. */
+class RangeJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val points = Seq(
+    (1L, 10L, 100L),
+    (2L, 10L, 150L),
+    (3L, 10L, 250L),
+    (4L, 20L, 100L)
+  ).toDF("id", "k", "ts")
+
+  private def run(right: org.apache.spark.sql.DataFrame, w: Long = 100L) =
+    RangeJoin.intervalJoin(
+        points, col("k"), col("ts"),
+        right, col("k"), col("s"), col("e"),
+        payload = Seq("iv" -> col("iv")), bucketWidthUs = w)
+      .orderBy("id", "iv")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+
+  test("inclusive bounds on both ends; key must match") {
+    val iv = Seq((100L, 10L, 100L, 150L), (200L, 30L, 0L, 1000L))
+      .toDF("iv", "k", "s", "e")
+    assert(run(iv).toSeq == Seq((1L, 100L), (2L, 100L)),
+      "ts == start and ts == end both match; key 20/30 rows do not")
+  }
+
+  test("an interval spanning many buckets still matches every point in it") {
+    // [95, 260] spans buckets 0,1,2 at width 100
+    val iv = Seq((100L, 10L, 95L, 260L)).toDF("iv", "k", "s", "e")
+    assert(run(iv).toSeq == Seq((1L, 100L), (2L, 100L), (3L, 100L)))
+  }
+
+  test("overlapping intervals yield one row per match; empty intervals drop") {
+    val iv = Seq(
+      (100L, 10L, 90L, 160L),
+      (101L, 10L, 140L, 200L),
+      (102L, 10L, 300L, 200L) // end < start: filtered out, never explodes
+    ).toDF("iv", "k", "s", "e")
+    assert(run(iv).toSeq == Seq((1L, 100L), (2L, 100L), (2L, 101L)))
+  }
+
+  test("plan is a pure equi-join on (key, bucket): no cartesian, no range join") {
+    val iv = Seq((100L, 10L, 90L, 160L)).toDF("iv", "k", "s", "e")
+    val df = RangeJoin.intervalJoin(points, col("k"), col("ts"),
+      iv, col("k"), col("s"), col("e"),
+      payload = Seq("iv" -> col("iv")), bucketWidthUs = 100L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range predicate leaked out of the equi-join keys:\n$plan")
+  }
+}
