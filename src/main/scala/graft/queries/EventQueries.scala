@@ -82,14 +82,47 @@ object EventQueries {
       .orderBy(col("event_id").asc, col("err_id").asc).limit(500)
   }
 
+  /** Gap sessionization through Spark's native session_window (30-min
+    * inactivity gap). The oracle replays the gap semantics
+    * independently — lag/cumsum session assignment — pinning Spark's
+    * merge rule: a gap of EXACTLY 30 min starts a new session
+    * (touching [t, t+gap) windows do not overlap). */
+  private def sessionize(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionWindows(events(s, dir))
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"),
+        round(col("total_value"), 6).as("total_value"))
+      .orderBy(col("user_id").asc, col("session_start_us").asc)
+      .limit(500)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window" -> ((s, d) => eventsWindow(s, d)),
     "q_user_sessions" -> ((s, d) => userSessions(s, d)),
     "q_asof_join" -> ((s, d) => asofJoin(s, d)),
     "q_range_join" -> ((s, d) => rangeJoin(s, d)),
+    "q_sessionize" -> ((s, d) => sessionize(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
+        |s AS (SELECT user_id, tsu, value,
+        |  CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) IS NULL
+        |        OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) >= 1800000000
+        |       THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |g AS (SELECT user_id, tsu, value,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY tsu
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, min(tsu) AS session_start_us,
+        |  max(tsu) + 1800000000 AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 6) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id ASC, session_start_us ASC LIMIT 500""".stripMargin,
     "q_range_join" ->
       """SELECT c.event_id, c.user_id, r.event_id AS err_id,
         |  epoch_us(c.ts) - epoch_us(r.ts) AS offset_us

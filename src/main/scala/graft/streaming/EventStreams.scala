@@ -32,6 +32,29 @@ object EventStreams {
         col("n_events"), col("total_value"))
   }
 
+  /** Gap-based sessionization through Spark's native `session_window`:
+    * per-user sessions close after `gap` of inactivity; each session
+    * reports its span and aggregates. Works on batch or streaming
+    * inputs — on streams the watermark bounds session state and
+    * sessions emit once closed (append mode), the classic
+    * sessionization deployment. Scale shape: one shuffle on
+    * (user, merged-window), which IS the minimum for gap sessions;
+    * nothing driver-side, nothing quadratic. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Per-user running session state via mapGroupsWithState: event count
     * and cumulative value per user (custom keyed state — the
     * KeyValueGroupedDataset path). */
@@ -90,6 +113,25 @@ object EventStreams {
       .format("memory")
       .queryName(sinkName)
       .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming sessionization to a memory sink: append mode (a session
+    * emits once the watermark passes its end — the production
+    * deployment shape), one file per micro-batch so the watermark
+    * actually advances across a static corpus. Emitted sessions are
+    * FINAL: any event that could still merge into a session lies
+    * below the watermark that closed it, so every emitted row must
+    * equal its batch counterpart exactly (StreamingSpec pins it). */
+  def streamSessionsToMemory(spark: SparkSession, srcPath: String,
+      schema: StructType, sinkName: String): StreamingQuery = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcPath)
+    sessionWindows(src).writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
   }

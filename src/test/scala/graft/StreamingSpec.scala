@@ -47,6 +47,33 @@ class StreamingSpec extends SparkSpec {
       == streamed.count())
   }
 
+  test("session windows: every closed streaming session equals its batch row") {
+    val work = Files.createTempDirectory("eventssw").toString
+    val Array(minTs, maxTs) = events
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = minTs + (maxTs - minTs) / 2
+    // two files in time order -> two micro-batches, so the watermark
+    // computed from batch 1 closes its sessions during batch 2
+    events.filter(unix_micros(col("ts")) < mid)
+      .coalesce(1).write.parquet(s"$work/src")
+    events.filter(unix_micros(col("ts")) >= mid)
+      .coalesce(1).write.mode("append").parquet(s"$work/src")
+    val q = EventStreams.streamSessionsToMemory(spark, s"$work/src",
+      events.schema, "sw_sink")
+    q.awaitTermination()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events"),
+        round(col("total_value"), 6))
+      .collect().map(_.toSeq).toSet
+    val streamed = norm(spark.table("sw_sink"))
+    val batch = norm(EventStreams.sessionWindows(events))
+    assert(streamed.size > 10, s"watermark never closed sessions: ${streamed.size}")
+    assert(streamed.subsetOf(batch),
+      s"${(streamed -- batch).take(3)} emitted by the stream but absent in batch")
+  }
+
   test("mapGroupsWithState user summaries match a batch groupBy") {
     val got = EventStreams.userSessions(spark, events)
       .collect().map(s => (s.user_id, s.n_events,
