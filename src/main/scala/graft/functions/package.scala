@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, Simhash64, BitHamming, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ByteHistogram, DecodeImageStats, ResampleImageStats, FrameSampleHashes, Pcm16Stats, WavMeta, GifFrames}
+import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, Simhash64, BitHamming, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ImageDhash, ByteHistogram, DecodeImageStats, ResampleImageStats, FrameSampleHashes, Pcm16Stats, WavMeta, GifFrames}
 import org.apache.spark.sql.{functions => F}
 
 /** Column-level API for the engine's scalar functions, mirroring the
@@ -146,6 +146,10 @@ package object functions {
   def resample_image_stats(c: Column, outW: Int, outH: Int): Column =
     col(ResampleImageStats(expr(c), outW, outH))
 
+  /** `image_dhash`: 64-bit perceptual difference hash (16 hex chars)
+    * from a real pixel decode — the image near-dup key. */
+  def image_dhash(c: Column): Column = col(ImageDhash(expr(c)))
+
   /** `byte_histogram`: normalized byte histogram feature vector —
     * deterministic surrogate for decoded-pixel statistics. */
   def byte_histogram(c: Column, bins: Int = 16): Column =
@@ -222,6 +226,7 @@ package object functions {
       "i8_decode" -> (es => I8Decode(es.head)),
       "image_meta" -> (es => ImageMeta(es.head)),
       "decode_image_stats" -> (es => DecodeImageStats(es.head)),
+      "image_dhash" -> (es => ImageDhash(es.head)),
       "resample_image_stats" -> (es => ResampleImageStats(es.head,
         intLit(es(1), "outW"), intLit(es(2), "outH"))),
       "byte_histogram" -> (es => ByteHistogram(es.head,

@@ -654,6 +654,19 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Perceptual image hash end-to-end: decode every gradient PNG and
+    * emit its 64-bit dHash (9x8 nearest-neighbor grayscale grid,
+    * horizontal gradient sign bits, hex) — the image near-dup key, fed
+    * by the SAME real decode as q_media_decode. The oracle recomputes
+    * all 64 bits from doc_id in closed form: gray(x, y) =
+    * ((d + sx) % 256 + (3d + 5y) % 256 + 7d % 256) div 3 with
+    * sx = (x * imgW) div 9 — bit-exact nibble-hex replay. */
+  private def mediaPhash(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(mediaTablePath(s, dir))
+      .select(col("doc_id"),
+        graft.functions.image_dhash(col("img")).as("dhash"))
+      .orderBy(col("doc_id").asc)
+
   /** Synthesized PCM16 WAV corpus, one deterministic mono square-ish
     * wave per doc: 64 frames at 8000 Hz alternating +a1, -a2 with
     * a1 = 1000 + d % 500 and a2 = d % 499 — so peak = a1 (a1 >= 1000 >
@@ -867,6 +880,7 @@ object TextQueries {
     "q_media_stats" -> ((s, d) => mediaStats(s, d)),
     "q_media_decode" -> ((s, d) => mediaDecode(s, d)),
     "q_media_resize" -> ((s, d) => mediaResize(s, d)),
+    "q_media_phash" -> ((s, d) => mediaPhash(s, d)),
     "q_media_wav" -> ((s, d) => mediaWav(s, d)),
     "q_media_mp4" -> ((s, d) => mediaMp4(s, d)),
     "q_media_mp3" -> ((s, d) => mediaMp3(s, d)),
@@ -1628,6 +1642,29 @@ object TextQueries {
          |  round(CAST((7 * doc_id) % 256 AS DOUBLE), 6) AS mean_b
          |FROM documents
          |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // dHash replay: 64 bits from the gradient construction, bit i
+    // (row-major, i = y*8 + x) compares gray at grid columns x+1 and x
+    // with sx = (x * imgW) div 9; nibbles hex-encode MSB-first
+    "q_media_phash" ->
+      s"""WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200),
+         |pos AS (SELECT doc_id, unnest(range(64)) AS i FROM d),
+         |b AS (SELECT doc_id, i,
+         |  CASE WHEN
+         |    ((doc_id + ((((i % 8) + 1) * $imgW) // 9)) % 256
+         |      + (3 * doc_id + 5 * (i // 8)) % 256 + (7 * doc_id) % 256) // 3
+         |    >
+         |    ((doc_id + (((i % 8) * $imgW) // 9)) % 256
+         |      + (3 * doc_id + 5 * (i // 8)) % 256 + (7 * doc_id) % 256) // 3
+         |  THEN 1 ELSE 0 END AS bit FROM pos),
+         |nib AS (SELECT doc_id, i // 4 AS n,
+         |  sum(bit * CASE i % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2
+         |            ELSE 1 END) AS v
+         |  FROM b GROUP BY doc_id, i // 4),
+         |hx AS (SELECT doc_id,
+         |  string_agg(substr('0123456789abcdef', CAST(v AS INT) + 1, 1),
+         |    '' ORDER BY n) AS dhash
+         |  FROM nib GROUP BY doc_id)
+         |SELECT doc_id, dhash FROM hx ORDER BY doc_id ASC""".stripMargin,
     // WAV corpus construction: 64 mono frames alternating +a1, -a2
     // with a1 = 1000 + d % 500, a2 = d % 499 -> peak = a1,
     // rms = sqrt((a1^2 + a2^2) / 2), all closed-form in doc_id

@@ -87,6 +87,51 @@ object MediaKernels {
     InternalRow(outW, outH, sr / n, sg / n, sb / n)
   }
 
+  /** 64-bit difference hash (dHash) as a 16-char lowercase hex string
+    * — the standard perceptual near-dup key for images (the image
+    * analog of SimHash; near-identical images differ in a few bits,
+    * so the text pipeline's banded-hamming machinery applies
+    * unchanged). Nearest-neighbor 9x8 grayscale grid (same `x*w/out`
+    * sampling as [[resampleImageStats]]; gray = (r+g+b)/3 integer),
+    * bit (x, y) set iff gray(x+1, y) > gray(x, y), bits packed
+    * MSB-first in row-major order, nibble-hex encoded. Null for
+    * payloads no installed reader accepts. */
+  def imageDhashHex(b: Array[Byte]): UTF8String = {
+    val img = decode(b)
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val gw = 9
+    val gh = 8
+    val g = Array.ofDim[Int](gh, gw)
+    var y = 0
+    while (y < gh) {
+      val sy = (y.toLong * h / gh).toInt
+      var x = 0
+      while (x < gw) {
+        val p = img.getRGB((x.toLong * w / gw).toInt, sy)
+        g(y)(x) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new java.lang.StringBuilder(16)
+    var buf = 0
+    var nb = 0
+    y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw - 1) {
+        buf = (buf << 1) | (if (g(y)(x + 1) > g(y)(x)) 1 else 0)
+        nb += 1
+        if (nb == 4) { sb.append(Character.forDigit(buf, 16)); buf = 0; nb = 0 }
+        x += 1
+      }
+      y += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Deterministic PNG encoder (test/data-generation helper): pixel
     * (x, y) takes the packed 0xRRGGBB value of `rgb(x, y)`. */
   def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
@@ -727,6 +772,26 @@ case class ResampleImageStats(child: Expression, outW: Int, outH: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
       |${ev.value} = org.apache.spark.sql.graft.MediaKernels.resampleImageStats($c, $outW, $outH);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `image_dhash(binary)` -> 16-hex-char 64-bit difference hash from a
+  * REAL pixel decode ([[MediaKernels.imageDhashHex]]); null for
+  * payloads no installed reader accepts. */
+case class ImageDhash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_dhash"
+  override def nullSafeEval(v: Any): Any =
+    MediaKernels.imageDhashHex(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = org.apache.spark.sql.graft.MediaKernels.imageDhashHex($c);
       |${ev.isNull} = ${ev.value} == null;
       |""".stripMargin)
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -121,6 +121,31 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(st.getDouble(4) - 7.0) < 1e-9)
   }
 
+  test("image_dhash: gradient direction sets bits; near-identical images nearly collide") {
+    import org.apache.spark.sql.graft.MediaKernels
+    // strictly increasing horizontal gradient -> every comparison true
+    val up = MediaKernels.encodePng(9, 8, (x, _) => (x * 20) << 16)
+    // constant image -> no comparison true
+    val flat = MediaKernels.encodePng(9, 8, (_, _) => 0x808080)
+    // one flipped cell changes a handful of bits, not the whole hash
+    val dent = MediaKernels.encodePng(9, 8, (x, y) =>
+      if (x == 4 && y == 2) 0 else (x * 20) << 16)
+    val df = Seq((1L, up), (2L, flat), (3L, dent),
+      (4L, "not an image".getBytes)).toDF("id", "img")
+    val out = df.select(col("id"),
+        graft.functions.image_dhash(col("img")).as("h"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "ffffffffffffffff")
+    assert(out(1).getString(1) == "0000000000000000")
+    val hamming = out(0).getString(1).zip(out(2).getString(1)).map {
+      case (a, b) => Integer.bitCount(
+        Integer.parseInt(a.toString, 16) ^ Integer.parseInt(b.toString, 16))
+    }.sum
+    assert(hamming >= 1 && hamming <= 4,
+      s"a one-cell dent should flip 1-4 bits, got $hamming")
+    assert(out(3).isNullAt(1), "undecodable payload must be null")
+  }
+
   test("pcm16_stats computes peak and rms of a square wave") {
     val n = 100
     val b = ByteBuffer.allocate(2 * n).order(ByteOrder.LITTLE_ENDIAN)
