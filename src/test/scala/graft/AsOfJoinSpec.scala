@@ -64,6 +64,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
   }
 
+  test("seeded-random equivalence with the brute-force definition") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // few keys + coarse timestamps force heavy key and ts collisions
+      val lRows = Seq.tabulate(150)(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(40).toLong))
+      val rRows = Seq.tabulate(80)(i =>
+        (1000L + i, rnd.nextInt(5).toLong, rnd.nextInt(40).toLong))
+      val tol = if (seed % 2 == 0) Some(7L) else None
+      val out = AsOfJoin.asofBackward(
+          lRows.toDF("id", "k", "ts"), col("k"), col("ts"),
+          rRows.toDF("rid", "k", "ts"), col("k"), col("ts"),
+          payload = Seq("rid" -> col("rid")), rightTie = col("rid"),
+          toleranceUs = tol)
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+        .toMap
+      val expected = lRows.map { case (id, k, ts) =>
+        val cands = rRows.filter(r => r._2 == k && r._3 <= ts &&
+          tol.forall(t => ts - r._3 <= t))
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(r => (r._3, r._1))._1))
+      }.toMap
+      assert(out == expected, s"seed $seed (tol=$tol) diverged")
+    }
+  }
+
   test("payload rides as one struct: a match never mixes right rows") {
     // two right rows where the later one carries a NULL payload value;
     // independent per-column lasts would resurrect the older value

@@ -47,6 +47,33 @@ class RangeJoinSpec extends SparkSpec {
     assert(run(iv).toSeq == Seq((1L, 100L), (2L, 100L), (2L, 101L)))
   }
 
+  test("seeded-random equivalence with the brute-force definition") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val pts = Seq.tabulate(150)(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(60).toLong))
+      // spans 0..25 across bucket width 10: 1-4 buckets per interval,
+      // some degenerate (end < start)
+      val ivs = Seq.tabulate(60) { i =>
+        val s = rnd.nextInt(60).toLong
+        (1000L + i, rnd.nextInt(5).toLong, s, s + rnd.nextInt(26) - 3L)
+      }
+      val out = RangeJoin.intervalJoin(
+          pts.toDF("id", "k", "ts"), col("k"), col("ts"),
+          ivs.toDF("iv", "k", "s", "e"), col("k"), col("s"), col("e"),
+          payload = Seq("iv" -> col("iv")), bucketWidthUs = 10L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3)))
+        .sorted.toSeq
+      val expected = (for {
+        (id, pk, ts) <- pts
+        (iv, ik, s, e) <- ivs
+        if pk == ik && ts >= s && ts <= e
+      } yield (id, iv)).sorted
+      assert(out == expected, s"seed $seed diverged")
+    }
+  }
+
   test("plan is a pure equi-join on (key, bucket): no cartesian, no range join") {
     val iv = Seq((100L, 10L, 90L, 160L)).toDF("iv", "k", "s", "e")
     val df = RangeJoin.intervalJoin(points, col("k"), col("ts"),
