@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EmbedQueries, EventQueries, HttpQueries, PqQueries, TextQueries, VectorQueries}
+import graft.queries.{EmbedQueries, EventQueries, HttpQueries, OpsQueries, PqQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,11 +21,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.queries ++ TextQueries.queries ++ PqQueries.queries ++
-      EmbedQueries.queries ++ EventQueries.queries ++ HttpQueries.queries
+      EmbedQueries.queries ++ EventQueries.queries ++ HttpQueries.queries ++
+      OpsQueries.queries
 
   def oracleSql: Map[String, String] =
     VectorQueries.oracleSql ++ TextQueries.oracleSql ++ PqQueries.oracleSql ++
-      EmbedQueries.oracleSql ++ EventQueries.oracleSql ++ HttpQueries.oracleSql
+      EmbedQueries.oracleSql ++ EventQueries.oracleSql ++ HttpQueries.oracleSql ++
+      OpsQueries.oracleSql
 
   /** Build the one-time index/file artifacts the queries probe,
     * returning (artifact, build seconds) — lets the bench report build

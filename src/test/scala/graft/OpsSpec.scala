@@ -47,6 +47,35 @@ class OpsSpec extends SparkSpec {
     assert(AsyncTasks.status(id).get.status == AsyncTasks.Status.Canceled)
   }
 
+  test("profile: one-pass per-column stats with nulls, distincts, timestamps") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("prof").toString
+    Seq(
+      (1L, Some("a"), Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+      (2L, Some("a"), None),
+      (2L, None, Some(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+    ).toDF("id", "s", "t").write.parquet(s"$work/p")
+    val df = spark.read.parquet(s"$work/p")
+    val out = graft.ops.Profile.profile(df, Seq("id", "s", "t"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out(0) == (("id", 3L, 0L, 2L, "1")))
+    assert(out(1) == (("s", 3L, 1L, 1L, "a")))
+    assert(out(2)._1 == "t" && out(2)._3 == 1L && out(2)._4 == 2L)
+    assert(out(2)._5 == "1704067200000000", "timestamps profile as epoch micros")
+    // one aggregation pass: the corpus is scanned exactly once no
+    // matter how many columns are profiled
+    val plan = graft.ops.Profile.profile(df, Seq("id", "s", "t"))
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single scan, got $scans:\n$plan")
+    // approx mode still produces sane counts without the Expand
+    val approx = graft.ops.Profile.profile(df, Seq("id"),
+      exactDistinct = false).collect()(0)
+    assert(approx.getLong(3) >= 1L)
+  }
+
   test("masked explain equalizes plans that differ only in literals/ids") {
     val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
     def plan(shift: Float): String = MaskedExplain.explain(
