@@ -385,6 +385,16 @@ object TextQueries {
       .orderBy(col("doc_id").asc).limit(200)
   }
 
+  /** Exact budget mixing: 10 docs from src0, 7 from src1, up to 1000
+    * from src2 (more than exists at sf0.01 — keeps the whole source),
+    * zero from src3, every other source dropped. Same budgets at
+    * every sf: growing the corpus swaps members in rank order only. */
+  private def mixBudget(s: SparkSession, dir: String): DataFrame =
+    TextOps.mixToBudget(docs(s, dir), col("doc_id"), col("source"),
+        Map("src0" -> 10L, "src1" -> 7L, "src2" -> 1000L, "src3" -> 0L))
+      .select(col("doc_id"), col("source"), col("mix_rank"))
+      .orderBy(col("source").asc, col("mix_rank").asc).limit(500)
+
   private def textClean(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
     val augmented = when(col("doc_id") % 3 === 0,
@@ -874,6 +884,7 @@ object TextQueries {
     "q_url_normalize" -> ((s, d) => urlNormalize(s, d)),
     "q_gopher_gate" -> ((s, d) => gopherGate(s, d)),
     "q_c4_clean" -> ((s, d) => c4Clean(s, d)),
+    "q_mix_budget" -> ((s, d) => mixBudget(s, d)),
     "q_domain_stats" -> ((s, d) => domainStats(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
@@ -1393,6 +1404,19 @@ object TextQueries {
          |  CASE WHEN barehost IN ('spam-domain.net', 'cdn.example.com')
          |        OR dom IN ('spam-domain.net', 'cdn.example.com') THEN 1 ELSE 0 END AS blocked
          |FROM d ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // budget mixing: identical md5(id:salt) rank within each source,
+    // identical id tiebreak; budgets as a VALUES table
+    "q_mix_budget" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft'), doc_id) AS rk
+        |  FROM documents),
+        |b(source, budget) AS (VALUES
+        |  ('src0', 10), ('src1', 7), ('src2', 1000), ('src3', 0))
+        |SELECT r.doc_id, r.source AS source, CAST(rk AS BIGINT) AS mix_rank
+        |FROM r JOIN b ON r.source = b.source
+        |WHERE rk <= budget
+        |ORDER BY r.source ASC, mix_rank ASC LIMIT 500""".stripMargin,
     // C4 line/doc cleaning: identical augmented text (the five-line
     // block is interpolated from the SAME Scala constant the query
     // uses), identical line rules; the terminal-punct regex is

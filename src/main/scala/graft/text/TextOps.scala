@@ -171,6 +171,40 @@ object TextOps {
     docs.filter(bucket < (rateCol * 10000).cast("long"))
   }
 
+  /** Exact per-source budget mixing (the mixture-scheduling step: a
+    * training run wants EXACTLY n_k documents from source k, not a
+    * probabilistic ~rate fraction — [[sampleStratified]] is the rate
+    * form, this is the count form): within each source, rows rank by
+    * md5(id:salt) with the id as tiebreak, and the `budgets(source)`
+    * lowest-ranked rows are kept. The ranking is a pure function of
+    * (id, salt), so reruns, engines, and cluster layouts pick the
+    * identical set, and growing a source's corpus only ever swaps
+    * members in rank order — never reshuffles the kept set wholesale.
+    *
+    * Scale shape: ONE shuffle on the source key feeding a rank window
+    * — per-source partitions are the classic window skew, bounded
+    * here by the number of sources times the biggest source (the same
+    * shape any per-domain cap pays; AQE splits oversized partitions).
+    * Sources absent from `budgets` are dropped (budget 0).
+    *
+    * Returns the kept rows with their (source, rank). */
+  def mixToBudget(docs: DataFrame, idCol: Column, sourceCol: Column,
+      budgets: Map[String, Long], salt: String = "graft"): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val rankKey = md5(concat(idCol.cast("string"), lit(":" + salt))
+      .cast("binary"))
+    val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (s, n)) =>
+      when(sourceCol === s, lit(n)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(rankKey.asc, idCol.asc)
+    docs
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= budgetCol)
+      .withColumn("mix_rank", col("__rank").cast("long"))
+      .drop("__rank")
+  }
+
   /** Per-source (domain) corpus report — the statistic behind domain
     * filtering and mixture weighting in public pipelines (C4's
     * blocklists, RefinedWeb/Dolma per-domain caps): for each source,

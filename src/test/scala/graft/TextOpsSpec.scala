@@ -282,6 +282,26 @@ class TextOpsSpec extends SparkSpec {
       "non-default port survives; trailing slash trimmed")
   }
 
+  test("mixToBudget keeps exactly the budgeted count, rank-stable under growth") {
+    val docs = (1L to 30L).map(i =>
+      (i, if (i <= 20) "a" else "b")).toDF("doc_id", "source")
+    val out = TextOps.mixToBudget(docs, col("doc_id"), col("source"),
+        Map("a" -> 5L, "b" -> 100L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.count(_._2 == "a") == 5, "exactly the budget from source a")
+    assert(out.count(_._2 == "b") == 10, "short source keeps everything")
+    // growing source a only ADDS members in rank order: the kept set at
+    // budget 5 is a subset of the kept set at budget 9
+    val bigger = TextOps.mixToBudget(docs, col("doc_id"), col("source"),
+        Map("a" -> 9L, "b" -> 100L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.subsetOf(bigger), "budget growth must be rank-monotone")
+    // absent source drops
+    val none = TextOps.mixToBudget(docs, col("doc_id"), col("source"),
+      Map("a" -> 5L)).collect()
+    assert(none.forall(_.getString(1) == "a"))
+  }
+
   test("c4Clean: line rules and document gates") {
     val five = "Aa bb cc one. Bb cc dd two. Cc dd ee three. Dd ee ff four. Ee ff gg five."
       .replace(". ", ".\n")
