@@ -42,6 +42,18 @@ package object functions {
   /** Plain tokenizer (lowercase, non-alphanumerics to spaces, split). */
   def tokenize(c: Column): Column = col(Tokenize(expr(c)))
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonicalization
+    * step before hashing/dedup/tokenization; codegen'd, shuffle-free. */
+  def unicode_normalize(c: Column, form: String = "NFC"): Column =
+    col(org.apache.spark.sql.graft.UnicodeNormalize(expr(c), form))
+
+  /** Membership probe of a driver-built Spark bloom sketch
+    * (`df.stat.bloomFilter`); false ⇒ guaranteed absent. The routing
+    * prefilter behind [[graft.dedup.Dedup.incrementalDedup]]. */
+  def bloom_sketch_contains(c: Column,
+      filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    col(org.apache.spark.sql.graft.BloomSketchContains(expr(c), filter))
+
   /** 64-bit SimHash signature (64-char bit string) of a shingle array —
     * the single-pass codegen kernel behind [[graft.dedup.Dedup.simhash64Of]]. */
   def simhash64(c: Column): Column =

@@ -395,6 +395,51 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("mix_rank"))
       .orderBy(col("source").asc, col("mix_rank").asc).limit(500)
 
+  /** Unicode canonicalization over per-doc_id synthesized decomposed /
+    * precomposed sequences (the corpus text itself is ASCII, so the
+    * interesting codepoints are planted the same way textClean plants
+    * PII): %4==0 gets combining-acute sequences (NFC composes them),
+    * %4==1 combining ring/diaeresis, %4==2 already-precomposed accents
+    * (pins idempotence), %4==3 untouched ASCII. */
+  private def unicodeNorm(s: SparkSession, dir: String): DataFrame = {
+    val aug = when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" cafe\u0301 resume\u0301")))
+      .when(col("doc_id") % 4 === 1,
+        concat(col("text"), lit(" A\u030Angstro\u0308m")))
+      .when(col("doc_id") % 4 === 2,
+        concat(col("text"), lit(" caf\u00e9 d\u00e9j\u00e0")))
+      .otherwise(col("text"))
+    val norm = graft.functions.unicode_normalize(aug)
+    docs(s, dir).select(col("doc_id"),
+        length(aug).cast("long").as("n_raw"),
+        length(norm).cast("long").as("n_norm"),
+        md5(norm.cast("binary")).as("norm_md5"))
+      .orderBy(col("doc_id").asc).limit(200)
+  }
+
+  /** Overlapping 32/24 token-window chunking (embedding fan-out). */
+  private def chunkDocsQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocs(docs(s, dir), col("doc_id"), col("text"), 32, 24)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc).limit(500)
+
+  /** Incremental dedup of the %7!=0 slice against the %7==0 "prior
+    * corpus" slice (bloom-routed, exact via anti-join). The corpus has
+    * no exact duplicate texts, so cross-slice dups are planted the
+    * textClean way: every %5==0 doc's text collapses to one of three
+    * boilerplate variants, which occur in both slices. */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(lit("boilerplate notice "), (col("doc_id") % 3).cast("string")))
+        .otherwise(col("text")))
+    Dedup.incrementalDedup(
+        d.filter(col("doc_id") % 7 =!= 0), d.filter(col("doc_id") % 7 === 0),
+        col("doc_id"), col("text"), col("text"))
+      .orderBy(col("doc_id").asc).limit(300)
+  }
+
   private def textClean(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
     val augmented = when(col("doc_id") % 3 === 0,
@@ -879,6 +924,9 @@ object TextQueries {
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "q_packed_texts" -> ((s, d) => packedTexts(s, d)),
     "q_text_clean" -> ((s, d) => textClean(s, d)),
+    "q_unicode_norm" -> ((s, d) => unicodeNorm(s, d)),
+    "q_chunk_docs" -> ((s, d) => chunkDocsQ(s, d)),
+    "q_dedup_incremental" -> ((s, d) => dedupIncremental(s, d)),
     "q_pii_redact" -> ((s, d) => piiRedact(s, d)),
     "q_html_extract" -> ((s, d) => htmlExtract(s, d)),
     "q_url_normalize" -> ((s, d) => urlNormalize(s, d)),
@@ -1226,6 +1274,48 @@ object TextQueries {
          |  greatest(st, st + n - 1) // 128 AS last_seq,
          |  greatest(st, st + n - 1) // 128 - st // 128 + 1 AS n_seqs
          |FROM s ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // Unicode NFC: identical synthesized decomposed/precomposed tails
+    // (combining chars via chr()), DuckDB's nfc_normalize vs the
+    // codegen java.text.Normalizer kernel; both lengths count
+    // codepoints, both md5s hash UTF-8 bytes
+    "q_unicode_norm" ->
+      """WITH aug AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 4 = 0 THEN text || ' cafe' || chr(769) || ' resume' || chr(769)
+        |    WHEN doc_id % 4 = 1 THEN text || ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+        |    WHEN doc_id % 4 = 2 THEN text || ' caf' || chr(233) || ' d' || chr(233) || 'j' || chr(224)
+        |    ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_norm,
+        |  md5(nfc_normalize(t)) AS norm_md5
+        |FROM aug ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // token-window chunking: same tokenization, same ceil-window count,
+    // DuckDB 1-based inclusive list slice == Spark slice(start, length);
+    // array_to_string([]) is NULL in DuckDB where Spark joins to ''
+    "q_chunk_docs" ->
+      s"""WITH $toksCte,
+         |c AS (SELECT doc_id, t,
+         |  unnest(range(CASE WHEN len(t) <= 32 THEN 1
+         |    ELSE (len(t) - 32 + 23) // 24 + 1 END)) AS chunk_id
+         |  FROM toks)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(len(t[(chunk_id*24+1):(chunk_id*24+32)]) AS BIGINT) AS n_tokens,
+         |  md5(coalesce(array_to_string(t[(chunk_id*24+1):(chunk_id*24+32)], ' '), '')) AS chunk_md5
+         |FROM c ORDER BY doc_id ASC, chunk_id ASC LIMIT 500""".stripMargin,
+    // incremental dedup: the bloom sketch is routing only, so the
+    // oracle is the plain exact anti-join semantics
+    "q_dedup_incremental" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN 'boilerplate notice ' || CAST(doc_id % 3 AS VARCHAR)
+        |       ELSE text END AS text FROM documents),
+        |p AS (SELECT DISTINCT md5(text) AS content_hash
+        |  FROM aug WHERE doc_id % 7 = 0),
+        |n AS (SELECT doc_id, md5(text) AS content_hash
+        |  FROM aug WHERE doc_id % 7 <> 0)
+        |SELECT n.doc_id, n.content_hash FROM n
+        |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.content_hash = n.content_hash)
+        |ORDER BY doc_id ASC LIMIT 300""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash,
         |  CAST(count(*) AS BIGINT) AS dup_count, min(doc_id) AS keeper

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
 import graft.functions.tokenize
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -203,6 +204,40 @@ object TextOps {
       .filter(col("__rank") <= budgetCol)
       .withColumn("mix_rank", col("__rank").cast("long"))
       .drop("__rank")
+  }
+
+  /** Overlapping token-window document chunking — the fan-out step in
+    * front of an embedding/RAG pipeline (documents are embedded as
+    * fixed-size windows, not whole): tokens are cut into windows of
+    * `size` tokens starting every `stride` tokens, so consecutive
+    * chunks share `size - stride` tokens of context. A document with
+    * n ≤ size tokens yields exactly one chunk; otherwise
+    * ⌈(n − size) / stride⌉ + 1 chunks, the last one ending at the
+    * document's final token (short by up to stride−1 only when the
+    * text runs out).
+    *
+    * Scale shape: tokenize → sequence → explode is entirely narrow —
+    * a per-row fan-out with no shuffle, streaming through a 100 TB
+    * scan; output order inside a partition follows input order, so
+    * downstream per-doc grouping is a cheap local sort.
+    *
+    * Returns (doc_id, chunk_id, n_tokens, chunk_text). */
+  def chunkDocs(docs: DataFrame, idCol: Column, textCol: Column,
+      size: Int = 64, stride: Int = 48): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    val n = F.size(col("__t")).cast("long")
+    val nChunks = when(n <= size, lit(1L))
+      .otherwise(floor((n - size + stride - 1) / stride).cast("long") + 1)
+    docs
+      .select(idCol.as("doc_id"), tokenize(textCol).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        F.size(slice(col("__t"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(size))).cast("long").as("n_tokens"),
+        array_join(slice(col("__t"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(size)), " ").as("chunk_text"))
   }
 
   /** Per-source (domain) corpus report — the statistic behind domain

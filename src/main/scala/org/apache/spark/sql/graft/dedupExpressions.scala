@@ -185,3 +185,31 @@ case class HyperplaneSignature(child: Expression, planes: Array[Float],
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** `bloom_sketch_contains(s)`: membership probe of a driver-built
+  * [[org.apache.spark.util.sketch.BloomFilter]] (the sketch
+  * `DataFrameStatFunctions.bloomFilter` returns). The filter rides
+  * into generated code as one reference object, so the probe stays
+  * inside whole-stage codegen — this is the prefilter that lets
+  * [[graft.dedup.Dedup.incrementalDedup]] route only might-be-duplicate
+  * rows into the anti-join shuffle. No false negatives: a `false`
+  * probe is a guaranteed-new row. */
+case class BloomSketchContains(child: Expression,
+    filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_sketch_contains"
+
+  override def nullSafeEval(v: Any): Any =
+    filter.mightContainString(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", filter,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainString($c.toString())")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

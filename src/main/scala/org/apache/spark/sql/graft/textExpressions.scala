@@ -27,6 +27,14 @@ object TextKernels {
   def bpeCount(s: UTF8String, t: graft.text.BpeTokenizer): Long =
     t.countBytes(s.getBytes).toLong
 
+  def unicodeNormalize(s: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val str = s.toString
+    // Already-normalized text (the overwhelming majority of a crawled
+    // corpus) takes the allocation-free quick-check path.
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
+
   def bpeTokens(s: UTF8String, t: graft.text.BpeTokenizer): ArrayData =
     new GenericArrayData(
       t.encodeIds(s.getBytes).map(id => UTF8String.fromString(t.vocabHex(id)): Any))
@@ -90,6 +98,36 @@ case class Tokenize(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.graft.TextKernels.tokenize($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `unicode_normalize(text, form)`: Unicode normalization (NFC/NFD/
+  * NFKC/NFKD) — the canonicalization step a crawl pipeline runs before
+  * hashing, deduplication, or tokenization (the same logical text can
+  * arrive composed or decomposed depending on the source encoder, and
+  * every downstream hash key disagrees until the forms are unified).
+  * Narrow, codegen'd, shuffle-free; the kernel short-circuits
+  * already-normalized input (the common case) without allocating. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(Set("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"unknown normalization form '$form' (want NFC/NFD/NFKC/NFKD)")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.unicodeNormalize(v.asInstanceOf[UTF8String], f)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("form", f, "java.text.Normalizer.Form")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.TextKernels.unicodeNormalize($c, $fRef)")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

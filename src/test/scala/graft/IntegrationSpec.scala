@@ -147,4 +147,32 @@ class IntegrationSpec extends SparkSpec {
     }).max
     assert(maxAbsCos <= 0.5, f"max pairwise |cos| $maxAbsCos%.3f > 0.5")
   }
+
+  test("incrementalDedup == plain anti-join; bloom-negatives skip the join") {
+    import spark.implicits._
+    // controlled fixture: dups planted across the snapshot boundary
+    val prior = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha"), (11L, "delta"), (12L, "beta"),
+      (13L, "epsilon"), (14L, "alpha")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(batch, prior,
+        col("doc_id"), col("text"), col("text"))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(11L, 13L))
+    // corpus-scale equivalence witness: bloom-routed == plain anti-join
+    val corpPrior = docs.filter(col("doc_id") % 7 === 0)
+    val corpBatch = docs.filter(col("doc_id") % 7 =!= 0)
+    val routed = Dedup.incrementalDedup(corpBatch, corpPrior,
+      col("doc_id"), col("text"), col("text"))
+    val want = corpBatch.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("content_hash"))
+      .join(corpPrior.select(md5(col("text").cast("binary")).as("content_hash")),
+        Seq("content_hash"), "left_anti")
+    assert(routed.count() == want.count())
+    assert(routed.join(want, Seq("doc_id"), "left_anti").count() == 0)
+    // a disjoint prior keeps everything (no false negatives by design)
+    val disjoint = Seq("zzz unique prior text").toDF("text")
+    val all = Dedup.incrementalDedup(batch, disjoint,
+      col("doc_id"), col("text"), col("text"))
+    assert(all.count() == batch.count())
+  }
 }

@@ -346,4 +346,62 @@ class TextOpsSpec extends SparkSpec {
     assert(bits(4)(5) == '1' && kept(4) == 1, "75% bullet lines still under 0.9")
     assert(bits(5)(6) == '0' && kept(5) == 0, "ellipsis rule fails")
   }
+
+  test("chunkDocs: windows cover every token, overlap by size - stride") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "short doc"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(docs, col("doc_id"), col("text"), size = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // 100 tokens, size 32, stride 24 -> ceil(68/24)+1 = 4 chunks
+    assert(d1.length == 4)
+    val chunks = d1.map(_.getString(3).split(" ").toSeq)
+    // full coverage in order: chunk i starts at token i*24
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      assert(c.head == s"t${i * 24 + 1}", s"chunk $i start")
+    }
+    assert(chunks.take(3).forall(_.length == 32))
+    assert(chunks(3).length == 100 - 3 * 24, "last chunk ends at the final token")
+    // consecutive overlap is exactly size - stride tokens
+    chunks.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.takeRight(8) == b.take(8))
+    }
+    // short and empty docs yield exactly one chunk
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getLong(2) == 2L)
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.length == 1 && d3(0).getLong(2) == 0L && d3(0).getString(3) == "")
+  }
+
+  test("chunkDocs plan is narrow (no exchange)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextOps.chunkDocs(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("unicode_normalize: NFC composes, idempotent, NFKC folds compat") {
+    val rows = Seq(
+      (1L, "cafe\u0301"),       // decomposed -> composed
+      (2L, "caf\u00e9"),        // already NFC: unchanged
+      (3L, "A\u030angstro\u0308m"), // ring + diaeresis compose
+      (4L, "\ufb01ne")          // fi ligature: NFC keeps, NFKC folds
+    ).toDF("id", "s")
+    val out = rows.select(col("id"),
+        graft.functions.unicode_normalize(col("s")).as("nfc"),
+        graft.functions.unicode_normalize(col("s"), "NFKC").as("nfkc"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "caf\u00e9")
+    assert(out(1).getString(1) == "caf\u00e9")
+    assert(out(2).getString(1) == "\u00c5ngstr\u00f6m")
+    assert(out(3).getString(1) == "\ufb01ne")
+    assert(out(3).getString(2) == "fine", "NFKC folds the ligature")
+    // null in, null out
+    val n = Seq((1L, null: String)).toDF("id", "s")
+      .select(graft.functions.unicode_normalize(col("s"))).collect()
+    assert(n(0).isNullAt(0))
+    intercept[IllegalArgumentException] {
+      graft.functions.unicode_normalize(col("s"), "NFX")
+    }
+  }
 }
