@@ -54,6 +54,17 @@ package object functions {
       filter: org.apache.spark.util.sketch.BloomFilter): Column =
     col(org.apache.spark.sql.graft.BloomSketchContains(expr(c), filter))
 
+  /** Element-wise vector sum aggregate (per-group embedding centroids;
+    * buffer = one double[dim] per group, partial sums combine
+    * map-side). Accepts float or double arrays; accumulates in double. */
+  def vec_sum(c: Column): Column =
+    col(org.apache.spark.sql.graft.VectorSum(
+      expr(c.cast("array<double>"))).toAggregateExpression())
+
+  /** Element-wise vector mean: [[vec_sum]] / count of non-null vectors. */
+  def vec_avg(c: Column): Column =
+    F.transform(vec_sum(c), x => x / F.count(c))
+
   /** 64-bit SimHash signature (64-char bit string) of a shingle array —
     * the single-pass codegen kernel behind [[graft.dedup.Dedup.simhash64Of]]. */
   def simhash64(c: Column): Column =

@@ -660,7 +660,49 @@ object VectorQueries {
       |           * list_sum(list_transform(qv, x -> x * x)))
       |END)""".stripMargin
 
+  /** Embeddings on an exact 1/16384 grid: float inputs widen to double
+    * exactly and every partial sum is EXACT in double, so vec_sum's
+    * merge order cannot move a bit — the determinism discipline that
+    * lets a distributed float aggregate face a serial DuckDB oracle. */
+  private val gridVec =
+    transform(col("embedding"), e => round(e.cast("double") * 16384, 0) / 16384)
+
+  private val gridVecSql =
+    "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 16384, 0) / 16384)"
+
+  /** Per-label embedding centroids via the vec_sum/vec_avg custom
+    * aggregate (one double[dim] buffer per group; map-side combine).
+    * Emitted exploded as (label, dim_i, m) scalars — the compare
+    * harness sorts output columns, so contract rows stay scalar. */
+  private def embedCentroid(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("label"), gridVec.as("v"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.vec_avg(col("v")).as("c"))
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("c")).as(Seq("i", "m")))
+      .select(col("label"), col("n_vecs"),
+        (col("i") + 1).cast("long").as("dim_i"), round(col("m"), 6).as("m"))
+      .orderBy(col("label").asc, col("dim_i").asc)
+
+  /** Distance-to-own-centroid outliers: centroids (10 rows) broadcast
+    * back onto the corpus, l2sq via an ordered zip_with fold. */
+  private def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val g = emb(s, dir).select(col("label"), col("vec_id"), gridVec.as("v"))
+    val cents = g.groupBy(col("label"))
+      .agg(graft.functions.vec_avg(col("v")).as("c"))
+    val dist = aggregate(
+      zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    g.join(broadcast(cents), "label")
+      .select(col("label"), col("vec_id"), round(dist, 6).as("dist"))
+      .orderBy(col("dist").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_centroid" -> ((s, dir) => embedCentroid(s, dir)),
+    "q_embed_outliers" -> ((s, dir) => embedOutliers(s, dir)),
     "q_knn_l2sq" -> ((s, dir) => knnL2Sq(s, dir)),
     "q_knn_cos" -> ((s, dir) => knnCos(s, dir)),
     "q_knn_hamming" -> ((s, dir) => knnHamming(s, dir)),
@@ -844,6 +886,26 @@ object VectorQueries {
          |JOIN embeddings ea ON ea.vec_id = vec_a
          |JOIN embeddings eb ON eb.vec_id = vec_b
          |ORDER BY round($cosPairExpr, 6) ASC, vec_a ASC, vec_b ASC LIMIT 10""".stripMargin,
+    // centroid aggregate: same 1/16384 grid quantization (sums exact in
+    // double, so engine-internal aggregation order is irrelevant),
+    // element-wise mean replayed via zipped unnest + sum/count
+    "q_embed_centroid" ->
+      s"""WITH g AS (SELECT label, vec_id, $gridVecSql AS v FROM embeddings),
+         |e AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM g),
+         |a AS (SELECT label, i, sum(x) / count(*) AS m FROM e GROUP BY label, i),
+         |c AS (SELECT label, count(*) AS n_vecs FROM g GROUP BY label)
+         |SELECT a.label, c.n_vecs, a.i AS dim_i, round(m, 6) AS m
+         |FROM a JOIN c ON a.label = c.label
+         |ORDER BY a.label ASC, dim_i ASC""".stripMargin,
+    "q_embed_outliers" ->
+      s"""WITH g AS (SELECT label, vec_id, $gridVecSql AS v FROM embeddings),
+         |e AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM g),
+         |a AS (SELECT label, i, sum(x) / count(*) AS m FROM e GROUP BY label, i),
+         |cl AS (SELECT label, list(m ORDER BY i) AS c FROM a GROUP BY label)
+         |SELECT g.label, g.vec_id,
+         |  round(list_sum(list_transform(g.v, (x, i) -> (x - cl.c[i]) * (x - cl.c[i]))), 6) AS dist
+         |FROM g JOIN cl ON g.label = cl.label
+         |ORDER BY dist DESC, vec_id ASC LIMIT 20""".stripMargin,
     "q_knn_l2sq" ->
       s"""WITH q AS (SELECT $qVecSql AS qv)
          |SELECT vec_id, round($l2sqSqlExpr, 6) AS dist
