@@ -65,6 +65,12 @@ package object functions {
   def vec_avg(c: Column): Column =
     F.transform(vec_sum(c), x => x / F.count(c))
 
+  /** Argmin-l2sq centroid assignment over DOUBLE vectors (k-means
+    * assignment step; ties keep the lowest centroid id). The float
+    * sibling [[nearest_centroid]] serves the PQ/IVF path. */
+  def nearest_centroid_d(c: Column, centroids: Array[Array[Double]]): Column =
+    col(org.apache.spark.sql.graft.NearestCentroidD(expr(c), centroids))
+
   /** 64-bit SimHash signature (64-char bit string) of a shingle array —
     * the single-pass codegen kernel behind [[graft.dedup.Dedup.simhash64Of]]. */
   def simhash64(c: Column): Column =

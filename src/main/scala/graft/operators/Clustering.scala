@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{nearest_centroid_d, vec_sum}
+
+/** Distributed Lloyd's k-means over embedding columns, Spark-first:
+  * no MLlib, just the engine's own primitives — assignment is the
+  * codegen [[graft.functions.nearest_centroid_d]] argmin riding the
+  * scan (centroids are one reference object, k·dim doubles), the
+  * update is ONE `groupBy(cid).agg(vec_sum, count)` whose result is k
+  * rows collected to the driver. Per iteration: one job, one shuffle
+  * of k·partitions partial-sum arrays — never the vectors.
+  *
+  * Everything is deterministic and engine-replayable:
+  * - seeding: the k rows with the smallest (md5(id:salt), id) — a
+  *   pure function of the data, no RNG;
+  * - assignment ties break to the lowest centroid id (strict `<`);
+  * - an emptied cluster keeps its previous centroid;
+  * - callers wanting BIT-exact cross-engine replay feed vectors on an
+  *   exact binary grid (see the contract query's 1/16384 quantization)
+  *   so every partial sum is exact and merge order cannot matter.
+  *
+  * At 100 TB: cache/checkpoint `docs` before calling — each iteration
+  * re-scans it (iters + 1 scans total); the driver holds only k·dim
+  * doubles. Reference context: the engine's PQ/IVF trainers
+  * (graft.pq.Pq) are the float k-means path tuned for codebooks; this
+  * is the general clustering operator a data pipeline calls directly. */
+object Clustering {
+
+  /** The k seed centroids: rows with smallest (md5(id:salt), id).
+    * `vecCol` must be array<double>. */
+  def seedCentroids(docs: DataFrame, idCol: Column, vecCol: Column,
+      k: Int, salt: String = "kmeans"): Array[Array[Double]] = {
+    require(k > 0, "k must be positive")
+    val rows = docs
+      .select(vecCol.as("v"),
+        md5(concat(idCol.cast("string"), lit(":" + salt)).cast("binary"))
+          .as("h"),
+        idCol.as("i"))
+      .orderBy(col("h").asc, col("i").asc)
+      .limit(k)
+      .collect()
+    require(rows.length == k, s"need at least $k rows to seed $k clusters")
+    rows.map(_.getSeq[Double](0).toArray)
+  }
+
+  /** `iters` Lloyd iterations from the deterministic seeds; returns
+    * (assignments `(id, cid)`, final centroids). */
+  def kmeans(docs: DataFrame, idCol: Column, vecCol: Column, k: Int,
+      iters: Int, salt: String = "kmeans")
+      : (DataFrame, Array[Array[Double]]) = {
+    require(iters >= 0, "iters must be non-negative")
+    var cents = seedCentroids(docs, idCol, vecCol, k, salt)
+    val base = docs.select(idCol.as("id"), vecCol.as("v"))
+    for (_ <- 1 to iters) {
+      val upd = base
+        .select(nearest_centroid_d(col("v"), cents).as("cid"), col("v"))
+        .groupBy(col("cid"))
+        .agg(vec_sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // emptied cluster keeps its centroid
+      upd.foreach { r =>
+        val n = r.getLong(2)
+        next(r.getInt(0)) = r.getSeq[Double](1).map(_ / n).toArray
+      }
+      cents = next
+    }
+    (base.select(col("id"), nearest_centroid_d(col("v"), cents).as("cid")),
+      cents)
+  }
+}

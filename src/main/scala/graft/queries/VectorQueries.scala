@@ -700,9 +700,21 @@ object VectorQueries {
       .limit(20)
   }
 
+  /** Distributed k-means (k=4, 2 Lloyd iterations) over the grid-
+    * quantized embeddings — deterministic seeds, exact partial sums,
+    * lowest-cid tie-break; the oracle unrolls both iterations. */
+  private def kmeansQ(s: SparkSession, dir: String): DataFrame = {
+    val g = emb(s, dir).select(col("vec_id"), gridVec.as("v"))
+    val (assign, _) = graft.operators.Clustering.kmeans(
+      g, col("vec_id"), col("v"), k = 4, iters = 2)
+    assign.select(col("id").as("vec_id"), col("cid"))
+      .orderBy(col("vec_id").asc).limit(300)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_centroid" -> ((s, dir) => embedCentroid(s, dir)),
     "q_embed_outliers" -> ((s, dir) => embedOutliers(s, dir)),
+    "q_kmeans" -> ((s, dir) => kmeansQ(s, dir)),
     "q_knn_l2sq" -> ((s, dir) => knnL2Sq(s, dir)),
     "q_knn_cos" -> ((s, dir) => knnCos(s, dir)),
     "q_knn_hamming" -> ((s, dir) => knnHamming(s, dir)),
@@ -897,6 +909,39 @@ object VectorQueries {
          |SELECT a.label, c.n_vecs, a.i AS dim_i, round(m, 6) AS m
          |FROM a JOIN c ON a.label = c.label
          |ORDER BY a.label ASC, dim_i ASC""".stripMargin,
+    // k-means: both Lloyd iterations unrolled — seeds are the 4 rows
+    // with smallest (md5, id); assignment = row_number over (dist,
+    // cid); update = per-dim sum/count; an emptied cluster keeps its
+    // centroid (coalesce). All arithmetic is exact-grid/double, so
+    // the argmin compares identical bits on both engines.
+    "q_kmeans" -> {
+      val distTo = "list_sum(list_transform(g.v, (x, i) -> (x - c.v[i]) * (x - c.v[i])))"
+      def assign(from: String): String =
+        s"""(SELECT vec_id, v, cid FROM (
+           |  SELECT g.vec_id, g.v, c.cid,
+           |    row_number() OVER (PARTITION BY g.vec_id
+           |      ORDER BY $distTo, c.cid) AS rn
+           |  FROM g CROSS JOIN $from c) WHERE rn = 1)""".stripMargin
+      def update(from: String, prev: String): String =
+        s"""(SELECT p.cid, coalesce(u.v, p.v) AS v FROM $prev p LEFT JOIN (
+           |  SELECT cid, list(m ORDER BY i) AS v FROM (
+           |    SELECT cid, i, sum(x) / count(*) AS m FROM (
+           |      SELECT cid, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i
+           |      FROM $from)
+           |    GROUP BY cid, i) GROUP BY cid) u ON u.cid = p.cid)""".stripMargin
+      s"""WITH g AS (SELECT vec_id, $gridVecSql AS v FROM embeddings),
+         |c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, v FROM (
+         |  SELECT v, row_number() OVER (ORDER BY
+         |    md5(CAST(vec_id AS VARCHAR) || ':kmeans'), vec_id) AS rn FROM g)
+         |  WHERE rn <= 4),
+         |a1 AS ${assign("c0")},
+         |c1 AS ${update("a1", "c0")},
+         |a2 AS ${assign("c1")},
+         |c2 AS ${update("a2", "c1")},
+         |a3 AS ${assign("c2")}
+         |SELECT vec_id, cid FROM a3
+         |ORDER BY vec_id ASC LIMIT 300""".stripMargin
+    },
     "q_embed_outliers" ->
       s"""WITH g AS (SELECT label, vec_id, $gridVecSql AS v FROM embeddings),
          |e AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM g),

@@ -3,6 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -91,4 +92,59 @@ case class VectorSum(child: Expression,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): VectorSum =
     copy(child = c)
+}
+
+/** `nearest_centroid_d(vec)`: argmin-l2sq centroid assignment over
+  * DOUBLE vectors/centroids — the double-typed sibling of
+  * [[NearestCentroid]] (which serves the float PQ/IVF path). K-means
+  * rides this variant so the assignment arithmetic is bit-replayable
+  * by a SQL oracle: grid-quantized inputs + exact-rational centroids
+  * stay in double end-to-end, no float round-trips to mimic. Strict
+  * less-than keeps the FIRST (lowest-index) centroid on ties. */
+case class NearestCentroidD(child: Expression,
+    centroids: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(centroids.nonEmpty &&
+    centroids.forall(_.length == centroids(0).length),
+    "expected equally sized centroid arrays")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid_d"
+
+  override def nullSafeEval(v: Any): Any =
+    AggKernels.nearestCentroidD(v.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.AggKernels.nearestCentroidD($c, $cents)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Static kernels invoked from codegen (must be stable public methods). */
+object AggKernels {
+  def nearestCentroidD(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    val n = v.numElements()
+    require(cents(0).length == n,
+      s"expected equally sized arrays but got dimensions ${cents(0).length} and $n")
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x = v.getDouble(i) - ct(i)
+        d += x * x
+        i += 1
+      }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Clustering
+
+/** Distributed Lloyd's k-means over the engine's own primitives
+  * (nearest_centroid_d assignment + vec_sum update). */
+class ClusteringSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("kmeans recovers well-separated clusters") {
+    val pts = Seq.tabulate(30) { i =>
+      val c = i % 3
+      (i.toLong, Seq(c * 10.0 + (i % 5) * 0.25, c * -5.0 + (i % 7) * 0.25))
+    }
+    val df = pts.toDF("id", "v").repartition(5)
+    val (assign, cents) = Clustering.kmeans(df, col("id"), col("v"), 3, 5)
+    val m = assign.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val labels = (0 until 3).map(c =>
+      m.collect { case (id, l) if id % 3 == c => l }.toSet)
+    assert(labels.forall(_.size == 1), s"each true cluster uniform: $labels")
+    assert(labels.flatten.toSet.size == 3, "three distinct labels")
+    assert(cents.length == 3 && cents.forall(_.length == 2))
+  }
+
+  test("assignments and centroids are partition-independent on grid input") {
+    val pts = Seq.tabulate(40) { i =>
+      (i.toLong, Seq((i % 11) * 0.25, (i % 7) * 0.5, (i % 5) * 1.0))
+    }
+    def run(parts: Int) = {
+      val df = pts.toDF("id", "v").repartition(parts)
+      val (a, c) = Clustering.kmeans(df, col("id"), col("v"), 4, 3)
+      (a.orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq,
+        c.map(_.toSeq).toSeq)
+    }
+    val (a3, c3) = run(3)
+    val (a8, c8) = run(8)
+    assert(a3 == a8, "assignments identical across partitionings")
+    assert(c3 == c8, "centroids bit-identical (exact grid sums)")
+  }
+
+  test("an emptied cluster keeps its previous centroid") {
+    // two far groups, k=3: one seed starts inside a group and loses
+    // all members to a closer centroid after the first update
+    val pts = Seq((0L, Seq(0.0)), (1L, Seq(0.25)), (2L, Seq(0.5)),
+      (3L, Seq(100.0)), (4L, Seq(100.25)))
+    val df = pts.toDF("id", "v")
+    val seeds = Clustering.seedCentroids(df, col("id"), col("v"), 3)
+    val (_, cents) = Clustering.kmeans(df, col("id"), col("v"), 3, 4)
+    assert(cents.length == 3)
+    // every final centroid is finite and dimension-1
+    assert(cents.forall(c => c.length == 1 && !c(0).isNaN))
+    assert(seeds.length == 3)
+  }
+
+  test("seeding is a pure function of (id, salt)") {
+    val df = Seq((5L, Seq(1.0)), (1L, Seq(2.0)), (9L, Seq(3.0)))
+      .toDF("id", "v")
+    val s1 = Clustering.seedCentroids(df, col("id"), col("v"), 2)
+    val s2 = Clustering.seedCentroids(df.repartition(3), col("id"), col("v"), 2)
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+    val other = Clustering.seedCentroids(df, col("id"), col("v"), 2, salt = "x")
+    assert(s1.map(_.toSeq).toSeq != other.map(_.toSeq).toSeq ||
+      s1.length == other.length)
+  }
+}
