@@ -77,6 +77,18 @@ class PlanGoldenSpec extends SparkSpec {
     checkGolden("q_ivf_join", skel)
   }
 
+  test("q_dedup_incremental: bloom probe rides the scan, anti-join on candidates only") {
+    val (plan, skel) = snapshot("q_dedup_incremental")
+    // both branches filter through the codegen bloom probe - the
+    // routing that keeps bloom-negative rows out of the shuffle
+    assert(plan.contains("bloom_sketch_contains"),
+      "the bloom prefilter fell out of the plan")
+    // the exactness join is an anti join, never a cartesian
+    assert(plan.contains("LeftAnti"), "lost the exactness anti-join")
+    assert(!plan.contains("CartesianProduct"))
+    checkGolden("q_dedup_incremental", skel)
+  }
+
   test("q_simhash_pairs: codegen verify kernel, broadcast median, no cartesian") {
     val (plan, skel) = snapshot("q_simhash_pairs")
     // exact verification runs through the single-pass codegen kernel
