@@ -264,7 +264,18 @@ package object functions {
         FrameSampleHashes(es.head, intLit(es(1), "frames"))),
       "pcm16_stats" -> (es => Pcm16Stats(es.head)),
       "wav_meta" -> (es => WavMeta(es.head)),
-      "gif_frames" -> (es => GifFrames(es.head, intLit(es(1), "k"))))
+      "gif_frames" -> (es => GifFrames(es.head, intLit(es(1), "k"))),
+      "unicode_normalize" -> (es =>
+        org.apache.spark.sql.graft.UnicodeNormalize(es.head,
+          if (es.length > 1) es(1) match {
+            case Literal(f: org.apache.spark.unsafe.types.UTF8String, _) =>
+              f.toString
+            case other => throw new IllegalArgumentException(
+              s"form must be a string literal, got $other")
+          } else "NFC")),
+      // aggregate: the analyzer wraps a bare AggregateFunction result
+      "vec_sum" -> (es => org.apache.spark.sql.graft.VectorSum(
+        Cast(es.head, ArrayType(org.apache.spark.sql.types.DoubleType)))))
   }
 
   /** Register the engine's scalar functions with the session's SQL

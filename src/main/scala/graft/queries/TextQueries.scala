@@ -440,6 +440,12 @@ object TextQueries {
       .orderBy(col("doc_id").asc).limit(300)
   }
 
+  /** Top-3 TF-IDF keywords per document (BM25 idf, 6dp-rounded score
+    * ranked with term tie-break). */
+  private def tfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfKeywords(docs(s, dir), col("doc_id"), col("text"), k = 3)
+      .orderBy(col("doc_id").asc, col("rank").asc).limit(600)
+
   private def textClean(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("string")
     val augmented = when(col("doc_id") % 3 === 0,
@@ -927,6 +933,7 @@ object TextQueries {
     "q_unicode_norm" -> ((s, d) => unicodeNorm(s, d)),
     "q_chunk_docs" -> ((s, d) => chunkDocsQ(s, d)),
     "q_dedup_incremental" -> ((s, d) => dedupIncremental(s, d)),
+    "q_tfidf_keywords" -> ((s, d) => tfidfKeywords(s, d)),
     "q_pii_redact" -> ((s, d) => piiRedact(s, d)),
     "q_html_extract" -> ((s, d) => htmlExtract(s, d)),
     "q_url_normalize" -> ((s, d) => urlNormalize(s, d)),
@@ -1302,6 +1309,23 @@ object TextQueries {
          |  CAST(len(t[(chunk_id*24+1):(chunk_id*24+32)]) AS BIGINT) AS n_tokens,
          |  md5(coalesce(array_to_string(t[(chunk_id*24+1):(chunk_id*24+32)], ' '), '')) AS chunk_md5
          |FROM c ORDER BY doc_id ASC, chunk_id ASC LIMIT 500""".stripMargin,
+    // TF-IDF keywords: same tokenization, same BM25 idf smoothing,
+    // score rounded to 6dp BEFORE ranking (absorbs ln() last-ulp
+    // library differences), term tie-break
+    "q_tfidf_keywords" ->
+      s"""WITH $toksCte,
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |  SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |sc AS (SELECT doc_id, term,
+         |  round(tf * ln((n - df + 0.5) / (df + 0.5) + 1.0), 6) AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+         |r AS (SELECT doc_id, term, score, CAST(row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
+         |  FROM sc)
+         |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
+         |ORDER BY doc_id ASC, rank ASC LIMIT 600""".stripMargin,
     // incremental dedup: the bloom sketch is routing only, so the
     // oracle is the plain exact anti-join semantics
     "q_dedup_incremental" ->

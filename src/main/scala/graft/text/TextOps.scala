@@ -240,6 +240,42 @@ object TextOps {
           lit(size)), " ").as("chunk_text"))
   }
 
+  /** Top-k TF-IDF keywords per document — the lightweight keyword /
+    * topic-tag extraction step of a corpus pipeline (faceting, domain
+    * labeling, weak supervision). IDF is the engine's BM25 idf
+    * ([[graft.bm25.Bm25.idf]] — same smoothing, one formula across the
+    * retrieval and tagging surfaces); score = tf · idf rounded to 6dp
+    * BEFORE ranking so the rank order is reproducible across engines
+    * (ln is not correctly-rounded; the rounding absorbs last-ulp
+    * library differences). Ties break on the term.
+    *
+    * Scale shape: tf is one combiner-friendly groupBy on (doc, term);
+    * document frequency reuses that frame with a groupBy on term; the
+    * idf join shuffles on the term key (vocabulary-sized, not
+    * corpus-sized); the top-k rank windows on doc_id. `docCount < 0`
+    * counts the corpus (one scan) — pass the known count to skip it.
+    *
+    * Returns (doc_id, rank, term, score). */
+  def tfidfKeywords(docs: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 3, docCount: Long = -1L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val n = if (docCount >= 0) docCount else docs.count()
+    val tf = docs
+      .select(idCol.as("doc_id"), explode(tokenize(textCol)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        round(col("tf") * graft.bm25.Bm25.idf(lit(n.toDouble), col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+  }
+
   /** Per-source (domain) corpus report — the statistic behind domain
     * filtering and mixture weighting in public pipelines (C4's
     * blocklists, RefinedWeb/Dolma per-domain caps): for each source,

@@ -32,4 +32,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getSeq[String](1) == Seq("hello", "world"))
     assert(row.getBoolean(2))
   }
+
+  test("SQL surface: unicode_normalize scalar and vec_sum aggregate") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    Bridge.registerInjectedFunctions(ext, spark)
+    val r1 = spark.sql(
+      "SELECT unicode_normalize('cafe\u0301') AS nfc, " +
+        "unicode_normalize('\ufb01ne', 'NFKC') AS folded")
+      .collect()(0)
+    assert(r1.getString(0) == "caf\u00e9")
+    assert(r1.getString(1) == "fine")
+    val r2 = spark.sql(
+      """SELECT g, vec_sum(v) AS s FROM VALUES
+        |  (1, array(1.0D, 2.0D)), (1, array(3.0D, 4.0D)),
+        |  (2, array(0.5D, 0.5D)) AS t(g, v)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(r2(0).getSeq[Double](1) == Seq(4.0, 6.0))
+    assert(r2(1).getSeq[Double](1) == Seq(0.5, 0.5))
+  }
 }

@@ -404,4 +404,23 @@ class TextOpsSpec extends SparkSpec {
       graft.functions.unicode_normalize(col("s"), "NFX")
     }
   }
+
+  test("tfidfKeywords ranks rare terms above common ones, term tie-break") {
+    val docs = Seq(
+      (1L, "common zebra common common"),   // zebra unique -> top keyword
+      (2L, "common yak common"),
+      (3L, "common common apple banana")    // tie on tf*idf -> term order
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfKeywords(docs, col("doc_id"), col("text"), k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out(0) == ((1L, 1, "zebra")), s"got ${out.toSeq}")
+    assert(out(2) == ((2L, 1, "yak")))
+    // doc 3: apple and banana tie exactly; term breaks the tie
+    assert(out(4) == ((3L, 1, "apple")) && out(5) == ((3L, 2, "banana")))
+    // scores are deterministic: idf of a unique term > idf of 'common'
+    val byDoc = TextOps.tfidfKeywords(docs, col("doc_id"), col("text"), k = 3)
+      .collect().map(r => (r.getString(2), r.getDouble(3))).toMap
+    assert(byDoc("zebra") > byDoc("common"))
+  }
 }
