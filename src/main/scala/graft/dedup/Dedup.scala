@@ -61,8 +61,11 @@ object Dedup {
       md5(priorTextCol.cast("binary")).as("content_hash"))
     val n = if (expectedItems >= 0) expectedItems else priorH.count()
     val bloom = priorH.stat.bloomFilter("content_hash", math.max(n, 1L), fpp)
-    val maybeDup = graft.functions.bloom_sketch_contains(
-      col("content_hash"), bloom)
+    // null text -> null hash: a null key never matches an anti-join,
+    // so those rows are KEPT — coalesce routes them past the bloom
+    // (a bare null probe would silently drop them from both branches)
+    val maybeDup = coalesce(graft.functions.bloom_sketch_contains(
+      col("content_hash"), bloom), lit(false))
     newH.filter(!maybeDup).unionByName(
       newH.filter(maybeDup)
         .join(priorH, Seq("content_hash"), "left_anti")

@@ -29,11 +29,12 @@ import graft.functions.{nearest_centroid_d, vec_sum}
 object Clustering {
 
   /** The k seed centroids: rows with smallest (md5(id:salt), id).
-    * `vecCol` must be array<double>. */
+    * `vecCol` must be array<double>; null vectors are ignored. */
   def seedCentroids(docs: DataFrame, idCol: Column, vecCol: Column,
       k: Int, salt: String = "kmeans"): Array[Array[Double]] = {
     require(k > 0, "k must be positive")
     val rows = docs
+      .filter(vecCol.isNotNull)
       .select(vecCol.as("v"),
         md5(concat(idCol.cast("string"), lit(":" + salt)).cast("binary"))
           .as("h"),
@@ -46,13 +47,16 @@ object Clustering {
   }
 
   /** `iters` Lloyd iterations from the deterministic seeds; returns
-    * (assignments `(id, cid)`, final centroids). */
+    * (assignments `(id, cid)`, final centroids). Null vectors are
+    * ignored, like every SQL aggregate — they take no part in seeding,
+    * updates, or the returned assignments. */
   def kmeans(docs: DataFrame, idCol: Column, vecCol: Column, k: Int,
       iters: Int, salt: String = "kmeans")
       : (DataFrame, Array[Array[Double]]) = {
     require(iters >= 0, "iters must be non-negative")
     var cents = seedCentroids(docs, idCol, vecCol, k, salt)
     val base = docs.select(idCol.as("id"), vecCol.as("v"))
+      .filter(col("v").isNotNull)
     for (_ <- 1 to iters) {
       val upd = base
         .select(nearest_centroid_d(col("v"), cents).as("cid"), col("v"))

@@ -233,11 +233,15 @@ object TextOps {
       .select(idCol.as("doc_id"), tokenize(textCol).as("__t"))
       .select(col("doc_id"), col("__t"),
         explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      // bind the slice once per output row (same evaluate-once concern
+      // as Dedup.bindOnce — two inline slices would copy the sub-array
+      // twice)
       .select(col("doc_id"), col("chunk_id"),
-        F.size(slice(col("__t"), (col("chunk_id") * stride + 1).cast("int"),
-          lit(size))).cast("long").as("n_tokens"),
-        array_join(slice(col("__t"), (col("chunk_id") * stride + 1).cast("int"),
-          lit(size)), " ").as("chunk_text"))
+        slice(col("__t"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(size)).as("__chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        F.size(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
   /** Top-k TF-IDF keywords per document — the lightweight keyword /

@@ -69,9 +69,14 @@ case class VectorSum(child: Expression,
     if (buf == null) null
     else new GenericArrayData(buf.map(x => x: Any))
 
+  // one marker byte ahead of the data so a dim-0 buffer (a group of
+  // empty vectors — a real, non-null sum) never aliases the null
+  // sentinel: without it the result would depend on whether the
+  // physical agg path happened to serialize the buffer
   override def serialize(buf: Array[Double]): Array[Byte] = {
     if (buf == null) return Array.emptyByteArray
-    val bb = java.nio.ByteBuffer.allocate(buf.length * java.lang.Double.BYTES)
+    val bb = java.nio.ByteBuffer.allocate(1 + buf.length * java.lang.Double.BYTES)
+    bb.put(1: Byte)
     var i = 0
     while (i < buf.length) { bb.putDouble(buf(i)); i += 1 }
     bb.array()
@@ -79,8 +84,8 @@ case class VectorSum(child: Expression,
 
   override def deserialize(bytes: Array[Byte]): Array[Double] = {
     if (bytes.isEmpty) return null
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val out = new Array[Double](bytes.length / java.lang.Double.BYTES)
+    val bb = java.nio.ByteBuffer.wrap(bytes, 1, bytes.length - 1)
+    val out = new Array[Double]((bytes.length - 1) / java.lang.Double.BYTES)
     var i = 0
     while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
     out

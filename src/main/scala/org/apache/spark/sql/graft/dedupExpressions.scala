@@ -201,13 +201,17 @@ case class BloomSketchContains(child: Expression,
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_sketch_contains"
 
+  // probe the UTF-8 bytes directly: putString hashes the string's
+  // UTF-8 encoding, so mightContainBinary(getBytes) is equivalent and
+  // skips the per-row UTF8String -> String -> byte[] round-trip on
+  // what is by design a full-scan hot path
   override def nullSafeEval(v: Any): Any =
-    filter.mightContainString(v.asInstanceOf[UTF8String].toString)
+    filter.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bloom", filter,
       "org.apache.spark.util.sketch.BloomFilter")
-    defineCodeGen(ctx, ev, c => s"$ref.mightContainString($c.toString())")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -41,17 +41,28 @@ class ClusteringSpec extends SparkSpec {
   }
 
   test("an emptied cluster keeps its previous centroid") {
-    // two far groups, k=3: one seed starts inside a group and loses
-    // all members to a closer centroid after the first update
-    val pts = Seq((0L, Seq(0.0)), (1L, Seq(0.25)), (2L, Seq(0.5)),
-      (3L, Seq(100.0)), (4L, Seq(100.25)))
+    // two duplicate points: both their seeds are [7.0], the tie breaks
+    // to the lower cid, so the higher duplicate seed's cluster empties
+    // GUARANTEED on iteration 1 — and its centroid must stay [7.0]
+    // (a reset-to-origin bug would leave [0.0], a NaN bug NaN)
+    val pts = Seq((0L, Seq(7.0)), (1L, Seq(7.0)), (2L, Seq(50.0)))
     val df = pts.toDF("id", "v")
     val seeds = Clustering.seedCentroids(df, col("id"), col("v"), 3)
-    val (_, cents) = Clustering.kmeans(df, col("id"), col("v"), 3, 4)
-    assert(cents.length == 3)
-    // every final centroid is finite and dimension-1
-    assert(cents.forall(c => c.length == 1 && !c(0).isNaN))
-    assert(seeds.length == 3)
+    val (assign, cents) = Clustering.kmeans(df, col("id"), col("v"), 3, 2)
+    // only 2 of the 3 clusters can have members
+    assert(assign.select("cid").distinct().count() == 2)
+    // every centroid — including the emptied duplicate's — equals its
+    // seed (members of [7.0] average to [7.0], [50.0] to itself)
+    assert(cents.map(_.toSeq).toSeq == seeds.map(_.toSeq).toSeq)
+  }
+
+  test("kmeans ignores null vectors") {
+    val df = Seq((0L, Seq(1.0)), (1L, null: Seq[Double]), (2L, Seq(5.0)))
+      .toDF("id", "v")
+    val (assign, cents) = Clustering.kmeans(df, col("id"), col("v"), 2, 2)
+    val rows = assign.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 2L), "null row dropped")
+    assert(cents.flatten.forall(x => !x.isNaN))
   }
 
   test("seeding is a pure function of (id, salt)") {
@@ -60,8 +71,10 @@ class ClusteringSpec extends SparkSpec {
     val s1 = Clustering.seedCentroids(df, col("id"), col("v"), 2)
     val s2 = Clustering.seedCentroids(df.repartition(3), col("id"), col("v"), 2)
     assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq)
+    // a different salt reorders the md5 ranks: with 3 candidate rows
+    // and k=2 the selected/ordered pair must actually move
     val other = Clustering.seedCentroids(df, col("id"), col("v"), 2, salt = "x")
-    assert(s1.map(_.toSeq).toSeq != other.map(_.toSeq).toSeq ||
-      s1.length == other.length)
+    assert(s1.map(_.toSeq).toSeq != other.map(_.toSeq).toSeq,
+      "salt must change the seed selection/order for this fixture")
   }
 }

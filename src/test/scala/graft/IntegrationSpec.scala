@@ -169,6 +169,15 @@ class IntegrationSpec extends SparkSpec {
         Seq("content_hash"), "left_anti")
     assert(routed.count() == want.count())
     assert(routed.join(want, Seq("doc_id"), "left_anti").count() == 0)
+    // a null-text batch row is KEPT: a null key never matches an
+    // anti-join, and the bloom routing must not silently swallow it
+    val withNull = Seq((20L, null: String), (21L, "alpha"))
+      .toDF("doc_id", "text")
+    val keptNull = Dedup.incrementalDedup(withNull, prior,
+        col("doc_id"), col("text"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(keptNull.map(_.getLong(0)).toSeq == Seq(20L),
+      "null-text row kept, duplicate dropped")
     // a disjoint prior keeps everything (no false negatives by design)
     val disjoint = Seq("zzz unique prior text").toDF("text")
     val all = Dedup.incrementalDedup(batch, disjoint,

@@ -42,6 +42,15 @@ class VecAggSpec extends SparkSpec {
     assert(out(1).isNullAt(1))
   }
 
+  test("a group of empty vectors sums to an empty array, not null") {
+    // repartition forces the serialize/deserialize path between the
+    // partial and final aggregation — a dim-0 buffer must survive it
+    val df = Seq((1, Seq.empty[Double]), (1, Seq.empty[Double]))
+      .toDF("g", "v").repartition(4)
+    val out = df.groupBy("g").agg(vec_sum(col("v")).as("s")).collect()
+    assert(!out(0).isNullAt(1) && out(0).getSeq[Double](1).isEmpty)
+  }
+
   test("dimension mismatch fails instead of silently truncating") {
     val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(1.0))).toDF("g", "v")
     val e = intercept[Exception] {
