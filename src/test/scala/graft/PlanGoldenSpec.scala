@@ -89,6 +89,17 @@ class PlanGoldenSpec extends SparkSpec {
     checkGolden("q_dedup_incremental", skel)
   }
 
+  test("q_tfidf_keywords: combiner tf, term-keyed idf join, bounded rank window") {
+    val (plan, skel) = snapshot("q_tfidf_keywords")
+    // tf and df aggregate with map-side partials
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "tf/df lost their partial aggregation")
+    // per-doc top-k through a rank window, never a corpus sort+limit
+    assert(plan.contains("row_number"))
+    assert(!plan.contains("CartesianProduct"))
+    checkGolden("q_tfidf_keywords", skel)
+  }
+
   test("q_simhash_pairs: codegen verify kernel, broadcast median, no cartesian") {
     val (plan, skel) = snapshot("q_simhash_pairs")
     // exact verification runs through the single-pass codegen kernel
