@@ -34,5 +34,6 @@ object SparkEntry {
     * cost separately from steady-state query cost. */
   def prepare(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
     VectorQueries.prepare(spark, sfDir) ++ TextQueries.prepare(spark, sfDir) ++
-      EmbedQueries.prepare(spark, sfDir) ++ HttpQueries.prepare(spark, sfDir)
+      EmbedQueries.prepare(spark, sfDir) ++ HttpQueries.prepare(spark, sfDir) ++
+      EventQueries.prepare(spark, sfDir)
 }
