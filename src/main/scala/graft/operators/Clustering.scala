@@ -43,7 +43,15 @@ object Clustering {
       .limit(k)
       .collect()
     require(rows.length == k, s"need at least $k rows to seed $k clusters")
-    rows.map(_.getSeq[Double](0).toArray)
+    rows.map { r =>
+      // row-level null vectors were filtered above; element-level nulls
+      // would otherwise surface as an opaque NPE on unboxing — fail
+      // with the same clear error nearest_centroid_d raises
+      val v = r.getSeq[Any](0)
+      require(v.forall(_ != null),
+        "seedCentroids: null vector element in a seed row")
+      v.map(_.asInstanceOf[Double]).toArray
+    }
   }
 
   /** `iters` Lloyd iterations from the deterministic seeds; returns

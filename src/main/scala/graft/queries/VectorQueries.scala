@@ -677,7 +677,9 @@ object VectorQueries {
   private def embedCentroid(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("label"), gridVec.as("v"))
       .groupBy(col("label"))
-      .agg(count(lit(1)).as("n_vecs"),
+      // count(v), not count(*): the reported group size must always
+      // match vec_avg's divisor, even on data with null vectors
+      .agg(count(col("v")).as("n_vecs"),
         graft.functions.vec_avg(col("v")).as("c"))
       .select(col("label"), col("n_vecs"),
         posexplode(col("c")).as(Seq("i", "m")))
@@ -905,7 +907,7 @@ object VectorQueries {
       s"""WITH g AS (SELECT label, vec_id, $gridVecSql AS v FROM embeddings),
          |e AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM g),
          |a AS (SELECT label, i, sum(x) / count(*) AS m FROM e GROUP BY label, i),
-         |c AS (SELECT label, count(*) AS n_vecs FROM g GROUP BY label)
+         |c AS (SELECT label, count(v) AS n_vecs FROM g GROUP BY label)
          |SELECT a.label, c.n_vecs, a.i AS dim_i, round(m, 6) AS m
          |FROM a JOIN c ON a.label = c.label
          |ORDER BY a.label ASC, dim_i ASC""".stripMargin,

@@ -182,28 +182,62 @@ object TextOps {
     * identical set, and growing a source's corpus only ever swaps
     * members in rank order — never reshuffles the kept set wholesale.
     *
-    * Scale shape: ONE shuffle on the source key feeding a rank window
-    * — per-source partitions are the classic window skew, bounded
-    * here by the number of sources times the biggest source (the same
-    * shape any per-domain cap pays; AQE splits oversized partitions).
-    * Sources absent from `budgets` are dropped (budget 0).
+    * Scale shape: a training mixture has a HANDFUL of sources, so a
+    * rank window partitioned on the source alone would pour every row
+    * of a source through one reducer's sort (~corpus/k rows on a
+    * single task at any cluster size). Instead the rank is computed
+    * in two bounded phases keyed by `block` = the first
+    * `blockHexChars` hex chars of the md5 rank key — a PREFIX of the
+    * sort key, so block order is consistent with rank order, and
+    * uniformly distributed by construction (md5): (1) per-(source,
+    * block) row totals roll into an exclusive running prefix over a
+    * tiny #sources·16^blockHexChars-row frame (the same per-block
+    * totals discipline as [[packSequences]]); (2) rows rank LOCALLY
+    * within their (source, block) window — ~sourceRows/4096 per task
+    * at the default — and add their block's prefix. Blocks whose
+    * prefix already meets the budget are filtered BEFORE the rank
+    * window, so only ~budget rows (plus one straddling block per
+    * source) are ever sorted, regardless of corpus size. Sources
+    * absent from `budgets` are dropped (budget 0).
     *
     * Returns the kept rows with their (source, rank). */
   def mixToBudget(docs: DataFrame, idCol: Column, sourceCol: Column,
-      budgets: Map[String, Long], salt: String = "graft"): DataFrame = {
+      budgets: Map[String, Long], salt: String = "graft",
+      blockHexChars: Int = 3): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    require(blockHexChars >= 1 && blockHexChars <= 8,
+      "blockHexChars must be in [1, 8]")
+    import org.apache.spark.sql.expressions.Window
     val rankKey = md5(concat(idCol.cast("string"), lit(":" + salt))
       .cast("binary"))
     val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (s, n)) =>
       when(sourceCol === s, lit(n)).otherwise(acc)
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(sourceCol).orderBy(rankKey.asc, idCol.asc)
-    docs
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= budgetCol)
-      .withColumn("mix_rank", col("__rank").cast("long"))
-      .drop("__rank")
+    val base = docs
+      .withColumn("__src", sourceCol)
+      .withColumn("__budget", budgetCol)
+      .withColumn("__rk", rankKey)
+      .withColumn("__blk", substring(col("__rk"), 1, blockHexChars))
+    // exclusive prefix over per-(source, block) totals: the one
+    // per-source-partitioned window, on a frame of at most
+    // #sources·16^blockHexChars rows — never corpus-sized
+    val wPrefix = Window.partitionBy(col("__src")).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = base.groupBy(col("__src"), col("__blk"))
+      .agg(count(lit(1)).as("__tot"))
+      .withColumn("__prefix", coalesce(sum(col("__tot")).over(wPrefix), lit(0L)))
+      .select(col("__src"), col("__blk"), col("__prefix"))
+    // local rank within (source, block): block is a prefix of the md5
+    // sort key, so prefix + local rank IS the global per-source rank
+    val wLocal = Window.partitionBy(col("__src"), col("__blk"))
+      .orderBy(col("__rk").asc, idCol.asc)
+    base
+      .join(broadcast(prefixes), Seq("__src", "__blk"))
+      .filter(col("__prefix") < col("__budget"))
+      .withColumn("__lrank", row_number().over(wLocal))
+      .withColumn("mix_rank", col("__prefix") + col("__lrank").cast("long"))
+      .filter(col("mix_rank") <= col("__budget"))
+      .drop("__src", "__blk", "__rk", "__budget", "__prefix", "__lrank")
   }
 
   /** Overlapping token-window document chunking — the fan-out step in
@@ -255,9 +289,19 @@ object TextOps {
     *
     * Scale shape: tf is one combiner-friendly groupBy on (doc, term);
     * document frequency reuses that frame with a groupBy on term; the
-    * idf join shuffles on the term key (vocabulary-sized, not
-    * corpus-sized); the top-k rank windows on doc_id. `docCount < 0`
-    * counts the corpus (one scan) — pass the known count to skip it.
+    * idf join BROADCASTS dfreq (vocabulary-sized — and the term key is
+    * skewed by construction: a shuffled join would pour ~nDocs "the"
+    * rows through one reducer, so the broadcast removes the hot-term
+    * hazard outright, not just AQE-mitigates it); the top-k rank
+    * windows on doc_id. `docCount < 0` counts the corpus (one scan) —
+    * pass the known count to skip it.
+    *
+    * Determinism note: the 6dp pre-round absorbs last-ulp ln()
+    * differences except when the true score sits within ~1 ulp of a
+    * 0.5e-6 rounding boundary — the guarantee is probabilistic (and
+    * has held bit-exact across JVM/DuckDB at every tested sf), not
+    * absolute; a harness wanting an absolute guarantee should compare
+    * (score, term) with a tolerance.
     *
     * Returns (doc_id, rank, term, score). */
   def tfidfKeywords(docs: DataFrame, idCol: Column, textCol: Column,
@@ -272,7 +316,7 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(dfreq, "term")
+    tf.join(broadcast(dfreq), "term")
       .withColumn("score",
         round(col("tf") * graft.bm25.Bm25.idf(lit(n.toDouble), col("df")), 6))
       .withColumn("rank", row_number().over(w))

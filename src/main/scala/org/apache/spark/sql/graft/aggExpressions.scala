@@ -135,6 +135,15 @@ object AggKernels {
     val n = v.numElements()
     require(cents(0).length == n,
       s"expected equally sized arrays but got dimensions ${cents(0).length} and $n")
+    // a null slot would read as an arbitrary value (typically 0.0) and
+    // silently misassign — throw like vec_sum does (hoisted out of the
+    // k×n distance loop)
+    var j = 0
+    while (j < n) {
+      if (v.isNullAt(j)) throw new IllegalArgumentException(
+        "nearest_centroid_d: null vector element")
+      j += 1
+    }
     var best = 0
     var bd = Double.MaxValue
     var c = 0

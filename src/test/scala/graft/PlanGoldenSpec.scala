@@ -89,15 +89,41 @@ class PlanGoldenSpec extends SparkSpec {
     checkGolden("q_dedup_incremental", skel)
   }
 
-  test("q_tfidf_keywords: combiner tf, term-keyed idf join, bounded rank window") {
+  test("q_tfidf_keywords: combiner tf, broadcast idf join, bounded rank window") {
     val (plan, skel) = snapshot("q_tfidf_keywords")
     // tf and df aggregate with map-side partials
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       "tf/df lost their partial aggregation")
+    // the vocabulary-sized dfreq frame BROADCASTS onto tf — a shuffled
+    // term-keyed join would pour every "the" row through one reducer
+    assert(plan.contains("BroadcastHashJoin"),
+      "the idf join lost its broadcast (hot-term skew hazard)")
     // per-doc top-k through a rank window, never a corpus sort+limit
     assert(plan.contains("row_number"))
     assert(!plan.contains("CartesianProduct"))
     checkGolden("q_tfidf_keywords", skel)
+  }
+
+  test("q_mix_budget: blocked two-phase rank, no per-source corpus window") {
+    val (plan, skel) = snapshot("q_mix_budget")
+    // the corpus-side rank window must partition on (source, block) —
+    // a window partitioned on the source alone is the single-reducer-
+    // per-source sort this operator exists to avoid
+    assert(plan.contains("__blk"),
+      "the rank window lost its block key — per-source single-task sort")
+    // every row_number window must include __blk in its partition spec
+    // (the only source-partitioned window left is the SUM over the
+    // tiny per-block totals frame, never a row_number over the corpus)
+    val rowNumSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(rowNumSpecs.nonEmpty, "lost the rank window entirely")
+    assert(rowNumSpecs.forall(_.contains("__blk")),
+      s"a row_number window ranks without the block key: $rowNumSpecs")
+    // the per-block prefix frame broadcasts back onto the corpus
+    assert(plan.contains("BroadcastHashJoin"),
+      "the block-prefix join lost its broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    checkGolden("q_mix_budget", skel)
   }
 
   test("q_simhash_pairs: codegen verify kernel, broadcast median, no cartesian") {
