@@ -325,6 +325,21 @@ object AnnIndex {
     hits.orderBy(col("dist").asc, col("id").asc).limit(k)
   }
 
+  /** [[topK]] with the search breadth DERIVED from a recall target via
+    * the index's `autotune_results` artifact ([[Autotune.runAndCreate]]
+    * exports it; [[Autotune.efForTarget]] resolves the cheapest
+    * measured variant meeting the target) instead of a caller-pinned
+    * constant — a fixed ef silently decays as the corpus grows
+    * (measured: ef=64 → recall 0.795 at 200k vectors). `fallbackEf`
+    * applies only when the index has no artifact or no measured
+    * variant met the target. */
+  def topKAtRecall(spark: SparkSession, indexPath: String,
+      query: Array[Float], k: Int, targetRecall: Double,
+      fallbackEf: Int = 64): DataFrame =
+    topK(spark, indexPath, query, k,
+      Autotune.efForTarget(spark, indexPath, targetRecall)
+        .getOrElse(fallbackEf))
+
   /** Batch KNN join: top-k index neighbors for EVERY row of a query
     * DataFrame in ONE job — the throughput shape of batch scoring
     * (embed-then-retrieve pipelines, recall evaluation, k-NN

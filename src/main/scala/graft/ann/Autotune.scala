@@ -163,20 +163,58 @@ object Autotune {
   }
 
   /** Run the grid and, like the reference's `--create-index`, build the
-    * full-table index with the winning variant. Returns the report and
-    * the built manifest (None when no variant met the target). */
+    * full-table index with the winning variant. The measured grid is
+    * exported alongside the index as `<indexPath>/autotune_results`
+    * parquet (the durable analog of the reference's exported results
+    * table, index_autotune/cli.rs `--export`) so search-time ef can be
+    * DERIVED from a recall target via [[efForTarget]] instead of
+    * pinned — fixed HNSW parameters decay with corpus size (measured:
+    * ef=64 → recall 0.795 at 200k vectors where 0.97+ at ≤20k).
+    * Returns the report and the built manifest (None when no variant
+    * met the target). */
   def runAndCreate(df: DataFrame, idCol: String, vecCol: String,
       workDir: String, indexPath: String, metric: Metric = Metric.L2Sq,
       k: Int = 10, targetRecall: Double = 0.99, sampleSize: Int = 10000,
       numQueries: Int = 10, numShards: Int = 0,
       variants: Seq[Variant] = presets): (Report, Option[AnnIndex.Manifest]) = {
+    val spark = df.sparkSession
     val report = run(df, idCol, vecCol, workDir, metric, k, targetRecall,
       sampleSize, numQueries, variants)
     val manifest = report.best.map { v =>
-      AnnIndex.build(df, idCol, vecCol, indexPath,
+      val m = AnnIndex.build(df, idCol, vecCol, indexPath,
         AnnIndex.Params(metric, v.m, v.efConstruction, numShards))
+      import spark.implicits._
+      report.results
+        .map(r => (r.variant.m, r.variant.efConstruction, r.variant.ef,
+          r.recall, r.buildMillis, r.searchMillis))
+        .toDF("m", "ef_construction", "ef", "recall", "build_ms",
+          "search_ms")
+        .repartition(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$indexPath/autotune_results")
+      m
     }
     (report, manifest)
+  }
+
+  /** Search-time ef for a requested recall target, derived from the
+    * `autotune_results` artifact [[runAndCreate]] exports next to the
+    * index — the Spark analog of the reference's cost-estimation +
+    * autotune pairing (lantern_cli/src/index_autotune/mod.rs:161-186:
+    * cheapest variant meeting the target wins). Returns None when no
+    * artifact exists or no measured variant met the target (callers
+    * fall back to an explicit ef, surfacing the gap instead of
+    * silently under-recalling). */
+  def efForTarget(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetRecall: Double): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/autotune_results")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    spark.read.parquet(p.toString)
+      .filter(col("recall") >= targetRecall)
+      .orderBy(col("m").asc, col("ef_construction").asc, col("ef").asc)
+      .limit(1).collect()
+      .headOption.map(_.getAs[Int]("ef"))
   }
 
   /** IVF parity of [[runAndCreate]] (reference `--create-index` +

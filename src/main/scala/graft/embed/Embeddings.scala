@@ -70,6 +70,26 @@ object Embeddings {
       .start()
   }
 
+  /** Incremental completion of newly arriving rows — the streaming
+    * sibling of [[streamEmbed]] for completion-type daemon jobs
+    * (reference add_completion_job, lantern_extras/src/daemon.rs:175-233):
+    * same file source / checkpoint / AvailableNow discipline, with
+    * [[completeColumn]] as the transform. */
+  def streamComplete(spark: SparkSession, srcPath: String, dstPath: String,
+      checkpointPath: String, schema: StructType, promptCol: String,
+      outCol: String, runtime: EmbeddingRuntime, model: String,
+      systemPrompt: String = ""): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(srcPath)
+    val withOut = completeColumn(src, promptCol, outCol, runtime, model,
+      systemPrompt)
+    withOut.writeStream
+      .format("parquet")
+      .option("path", dstPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Throughput measurement (reference MeasureModelSpeed,
     * lantern_cli embeddings/measure_speed.rs): embeddings per second
     * over the given texts. */

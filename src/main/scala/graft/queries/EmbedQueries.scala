@@ -61,6 +61,34 @@ object EmbedQueries {
       s"$work/dst"
     })
 
+  /** Completion-type daemon job end-to-end (reference
+    * add_completion_job, lantern_extras/src/daemon.rs:175-233): the
+    * same first 100 docs flow through a registered completion job +
+    * Structured Streaming (AvailableNow) into parquet, so the oracle
+    * is the batch completion of the same rows — the q_embed_stream
+    * discipline for the second job type. */
+  private val completionRuns = new scala.collection.concurrent.TrieMap[String, String]()
+  private def completionStreamPath(s: SparkSession, dir: String): String =
+    completionRuns.getOrElseUpdate(dir, {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_completion_stream").toString
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id").asc).limit(100)
+        .write.parquet(s"$work/src")
+      val reg = new graft.embed.JobRegistry(s, s"$work/registry")
+      val id = reg.addCompletionJob(s"$work/src", "text", "completion",
+        s"$work/dst", "mock", "mock-complete", systemPrompt = "Be brief.")
+      reg.runStreaming(id, s"$work/ckpt")
+      require(reg.getJobStatus(id).contains("completed"),
+        s"streaming completion job ended ${reg.getJobStatus(id)}")
+      s"$work/dst"
+    })
+
+  private def completionStream(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(completionStreamPath(s, dir))
+      .select(col("doc_id"), col("completion"))
+      .orderBy(col("doc_id").asc)
+
   private def embedStream(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(embedStreamPath(s, dir))
       .select(col("doc_id") +:
@@ -74,13 +102,17 @@ object EmbedQueries {
   def prepare(s: SparkSession, dir: String): Seq[(String, Double)] = {
     val t0 = System.nanoTime()
     embedStreamPath(s, dir)
-    Seq(("embed_stream", (System.nanoTime() - t0) / 1e9))
+    val t1 = System.nanoTime()
+    completionStreamPath(s, dir)
+    Seq(("embed_stream", (t1 - t0) / 1e9),
+      ("completion_stream", (System.nanoTime() - t1) / 1e9))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_mock" -> ((s, d) => embedMock(s, d)),
     "q_completion_mock" -> ((s, d) => completionMock(s, d)),
     "q_embed_stream" -> ((s, d) => embedStream(s, d)),
+    "q_completion_stream" -> ((s, d) => completionStream(s, d)),
   )
 
   private def eSql(j: Int): String =
@@ -98,5 +130,10 @@ object EmbedQueries {
     "q_embed_stream" ->
       s"""SELECT doc_id, ${(0 until Dim).map(eSql).mkString(", ")}
          |FROM documents ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // same discipline for the completion job type: the streamed rows
+    // are the batch completion of the same first 100 docs
+    "q_completion_stream" ->
+      """SELECT doc_id, 'MOCK[mock-complete]: ' || substr(text, 1, 32) AS completion
+        |FROM documents ORDER BY doc_id ASC LIMIT 100""".stripMargin,
   )
 }

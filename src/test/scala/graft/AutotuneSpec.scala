@@ -85,6 +85,28 @@ class AutotuneSpec extends SparkSpec {
       emb.count())
   }
 
+  test("runAndCreate exports the grid; efForTarget resolves the cheapest qualifying ef") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val work = Files.createTempDirectory("autotune_ef").toString
+    val (report, manifest) = Autotune.runAndCreate(emb, "vec_id", "embedding",
+      s"$work/grid", s"$work/index", metric = Metric.L2Sq, k = 5,
+      targetRecall = 0.6, sampleSize = 100, numQueries = 3, numShards = 2,
+      variants = Autotune.presets.take(3))
+    assert(manifest.nonEmpty)
+    // the artifact holds one row per measured variant
+    val rows = spark.read.parquet(s"$work/index/autotune_results").collect()
+    assert(rows.length == 3)
+    // derived ef = the cheapest (preset-order) variant meeting the
+    // target — identical to find_best_variant over the report
+    val expected = report.results.find(_.recall >= 0.6).get.variant.ef
+    assert(Autotune.efForTarget(spark, s"$work/index", 0.6)
+      .contains(expected))
+    // unattainable target -> None (caller falls back explicitly)
+    assert(Autotune.efForTarget(spark, s"$work/index", 1.01).isEmpty)
+    // no artifact -> None
+    assert(Autotune.efForTarget(spark, s"$work/nowhere", 0.5).isEmpty)
+  }
+
   test("runIvfAndCreate builds the winner's IVF index; it answers probes exactly") {
     import graft.ann.Autotune.IvfVariant
     import graft.ann.IvfIndex

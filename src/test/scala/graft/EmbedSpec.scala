@@ -67,6 +67,84 @@ class EmbedSpec extends SparkSpec {
     assert(reg.getJobStatus(ok).contains(JobRegistry.Status.Enabled))
   }
 
+  test("completion job type: batch run writes the completed column") {
+    val work = Files.createTempDirectory("jobs_completion").toString
+    Seq((1L, "what is spark?"), (2L, "what is scala?")).toDF("id", "prompt")
+      .write.parquet(s"$work/src")
+    val reg = new JobRegistry(spark, s"$work/registry")
+    val id = reg.addCompletionJob(s"$work/src", "prompt", "answer",
+      s"$work/dst", "mock", "mock-complete", systemPrompt = "Be brief.")
+    // the job row carries its type + prompt through the registry
+    val row = reg.getJobs.filter(col("job_id") === id).collect()(0)
+    assert(row.getAs[String]("job_type") == JobRegistry.JobType.Completion)
+    assert(row.getAs[String]("system_prompt") == "Be brief.")
+    assert(reg.runPending() == Seq(id))
+    assert(reg.getJobStatus(id).contains(JobRegistry.Status.Completed))
+    val out = spark.read.parquet(s"$work/dst").orderBy("id").collect()
+    assert(out.map(_.getAs[String]("answer")).toSeq == Seq(
+      "MOCK[mock-complete]: what is spark?",
+      "MOCK[mock-complete]: what is scala?"))
+  }
+
+  test("autotune job type: batch run builds the winning index + artifact") {
+    val work = Files.createTempDirectory("jobs_autotune").toString
+    spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .write.parquet(s"$work/src")
+    val reg = new JobRegistry(spark, s"$work/registry")
+    val id = reg.addAutotuneJob(s"$work/src", "vec_id", "embedding",
+      s"$work/index", metric = "l2sq", k = 5, targetRecall = 0.6,
+      sampleSize = 100)
+    // autotune jobs are batch-only, like the reference daemon's
+    intercept[IllegalArgumentException] {
+      reg.runStreaming(id, s"$work/ckpt")
+    }
+    assert(reg.getJobStatus(id).contains(JobRegistry.Status.Enabled))
+    reg.runPending()
+    assert(reg.getJobStatus(id).contains(JobRegistry.Status.Completed),
+      reg.getJobFailures(id).toString)
+    val man = graft.ann.AnnIndex.readManifest(s"$work/index")
+    assert(man.count == spark.read.parquet(s"$work/src").count())
+    // the measured grid is exported for recall-target ef derivation
+    assert(graft.ann.Autotune.efForTarget(spark, s"$work/index", 0.6).nonEmpty)
+    // a bad metric fails at enqueue, not at run
+    intercept[IllegalArgumentException] {
+      reg.addAutotuneJob(s"$work/src", "vec_id", "embedding",
+        s"$work/index2", metric = "nope")
+    }
+  }
+
+  test("pre-job-type registries read back as embedding jobs") {
+    val work = Files.createTempDirectory("jobs_compat").toString
+    Seq((1L, "one")).toDF("id", "t").write.parquet(s"$work/src")
+    // write a registry in the old 10-column schema directly
+    Seq((1L, s"$work/src", "t", "vec", s"$work/dst", "mock", "mock-embed",
+        JobRegistry.Status.Enabled, "", 0L))
+      .toDF("job_id", "src_path", "text_col", "out_col", "dst_path",
+        "runtime", "model", "status", "error", "created_at")
+      .repartition(1).write.parquet(s"$work/registry")
+    val reg = new JobRegistry(spark, s"$work/registry")
+    val row = reg.getJobs.collect()(0)
+    assert(row.getAs[String]("job_type") == JobRegistry.JobType.Embedding)
+    assert(reg.runPending() == Seq(1L))
+    assert(reg.getJobStatus(1L).contains(JobRegistry.Status.Completed))
+    assert(spark.read.parquet(s"$work/dst").count() == 1)
+  }
+
+  test("streamComplete drains a completion backlog through a checkpoint") {
+    val work = Files.createTempDirectory("stream_complete").toString
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "prompt")
+      .write.parquet(s"$work/src")
+    val schema = spark.read.parquet(s"$work/src").schema
+    Embeddings.streamComplete(spark, s"$work/src", s"$work/dst",
+        s"$work/ckpt", schema, "prompt", "answer", Runtimes.mock(),
+        "mock-complete")
+      .awaitTermination()
+    val out = spark.read.parquet(s"$work/dst").orderBy("id").collect()
+    assert(out.map(_.getAs[String]("answer")).toSeq == Seq(
+      "MOCK[mock-complete]: alpha", "MOCK[mock-complete]: beta"))
+  }
+
   test("registry survives a writer crash in every rename window") {
     val work = Files.createTempDirectory("jobs_crash").toString
     val path = s"$work/registry"
