@@ -195,9 +195,20 @@ object VectorQueries {
   private def annTunedIndexPath(s: SparkSession, dir: String): String =
     annTunedIndexes.getOrElseUpdate(dir, {
       val work = java.nio.file.Files.createTempDirectory("graft_ann_tuned").toString
+      // the grid MUST measure at serve scale: a sub-corpus sample
+      // re-introduces the very decay the artifact exists to prevent
+      // (measured here: a 10k-sample grid derives an ef that misses
+      // 0.9 on the 20k decade corpus). sample = the full corpus at
+      // every contract sf (capped to bound the grid's driver-local
+      // ground truth; a 100 TB deployment tunes on a representative
+      // shard of its serving-index size instead). With sample = all,
+      // the winning grid index is bit-identical to the final build
+      // (same rows, same hash-sharded deterministic construction), so
+      // the exported recall is measured on the index being served.
+      val sample = math.min(emb(s, dir).count(), 250000L).toInt
       val (report, manifest) = graft.ann.Autotune.runAndCreate(
         emb(s, dir), "vec_id", "embedding", s"$work/grid", s"$work/index",
-        Metric.L2Sq, k = 10, targetRecall = 0.9, sampleSize = 10000,
+        Metric.L2Sq, k = 10, targetRecall = 0.9, sampleSize = sample,
         numQueries = 10, numShards = 4)
       require(manifest.nonEmpty,
         s"no autotune variant met the 0.9 recall target: ${report.results}")
