@@ -228,24 +228,32 @@ object VectorQueries {
   private def annTargetRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = annTunedIndexPath(s, dir)
-    // fallbackEf = -1: the artifact MUST exist here (runAndCreate just
-    // exported it); a silent fallback would un-test the derivation
+    // no silent fallback: the artifact MUST exist here (runAndCreate
+    // just exported it) — a fallback ef would un-test the derivation
     val ef = graft.ann.Autotune.efForTarget(s, path, 0.9).getOrElse(
       throw new IllegalStateException("autotune_results artifact missing"))
-    val probes = emb(s, dir).select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id").asc).limit(10).collect()
-      .map(_.getSeq[Float](1))
+    // two distributed jobs, no per-probe driver loop: the ten probes
+    // batch through the index in ONE topKJoin (executor-cached shard
+    // graphs), and the exact truth is one broadcast-probes pass whose
+    // rank<=k filter runs as a WindowGroupLimit per-partition top-k
+    val probesDf = emb(s, dir)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      .orderBy(col("probe_id").asc).limit(10)
+    val approx = AnnIndex.topKJoin(probesDf, "probe_id", "pv", path, 10, ef)
+      .select(col("query_id").as("probe_id"), col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val exact = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(probesDf))
+      .withColumn("dist",
+        graft.functions.l2sq_dist(col("embedding"), col("pv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("probe_id"), col("vec_id").as("id"))
+    val hits = approx.join(exact, Seq("probe_id", "id")).count()
     val effK = math.min(10L, AnnIndex.readManifest(path).count).toDouble
-    val hits = probes.map { q =>
-      val approx = AnnIndex.topKAtRecall(s, path, q.toArray, 10,
-          targetRecall = 0.9)
-        .select("id").collect().map(_.getLong(0)).toSet
-      val exact = Knn.knn(emb(s, dir), col("embedding"), vecLit(q), 10,
-          Knn.L2Sq, Some(col("vec_id")))
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      (approx & exact).size
-    }.sum
-    val recall = hits / (effK * probes.length)
+    val recall = hits / (effK * 10)
     Seq(Tuple1(recall >= 0.9)).toDF("ok")
   }
 
