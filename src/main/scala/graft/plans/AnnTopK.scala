@@ -27,8 +27,10 @@ import graft.ann.{AnnIndex, HammingView, Metric}
   * at most `max(k, ef)` candidate rows — so column output and exact
   * ordering of the candidate set are preserved; like the reference
   * (`xs_recheckorderby=false`), the overall result is approximate with
-  * the index's recall. Candidate breadth: `graft.ann.ef` conf
-  * (default 64, reference options.h:22-25).
+  * the index's recall. Candidate breadth: derived from
+  * `graft.ann.targetRecall` via the index's autotune_results artifact
+  * when set ([[AnnTopK.TargetRecallConfKey]]), else the pinned
+  * `graft.ann.ef` conf (default 64, reference options.h:22-25).
   *
   * A `WHERE` between the sort and the scan composes with the index the
   * way the reference composes quals with the index scan
@@ -67,9 +69,41 @@ object AnnTopK {
 
   val EfConfKey = "graft.ann.ef"
 
+  /** Recall target for DERIVED search breadth: when set (e.g. "0.9")
+    * and the matched index carries an `autotune_results` artifact
+    * ([[graft.ann.Autotune.runAndCreate]] exports it), ef resolves to
+    * the cheapest measured variant meeting the target — the Spark
+    * analog of the reference's cost-estimation + autotune pairing
+    * (lantern_cli/src/index_autotune/mod.rs:161-186) — instead of the
+    * pinned [[EfConfKey]] (which silently decays as the corpus grows:
+    * ef=64 measured recall 0.795 at 200k vectors). Falls back to
+    * [[EfConfKey]]/64 when no artifact exists or no variant
+    * qualifies. */
+  val TargetRecallConfKey = "graft.ann.targetRecall"
+
   /** Candidate over-fetch multiplier when a Filter sits between the
     * distance sort and the indexed scan (default 4). */
   val FilterOverfetchKey = "graft.ann.filterOverfetch"
+
+  /** Derived-ef cache: the autotune_results artifact is immutable once
+    * exported, so each (index, target) resolves at most once per JVM
+    * (the lookup is a driver-side parquet read — never pay it per
+    * optimizer invocation). */
+  private val derivedEf = TrieMap[(String, Double), Option[Int]]()
+
+  /** The ef the rewrite will use for `indexPath` under the session's
+    * conf: artifact-derived for [[TargetRecallConfKey]] when possible,
+    * else [[EfConfKey]], else 64. */
+  private[graft] def resolveEf(spark: SparkSession, indexPath: String): Int = {
+    val target = spark.conf.getOption(TargetRecallConfKey)
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+    target
+      .flatMap(t => derivedEf.getOrElseUpdate((indexPath, t),
+        graft.ann.Autotune.efForTarget(spark, indexPath, t)))
+      .orElse(spark.conf.getOption(EfConfKey)
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption))
+      .getOrElse(64)
+  }
 
   /** Install the rule once per session. */
   def install(spark: SparkSession): Unit = {
@@ -233,9 +267,7 @@ object AnnTopK {
           }
           idKey <- longJoinKey(idAttr)
         } yield {
-          val ef = spark.conf.getOption(EfConfKey)
-            .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-            .getOrElse(64)
+          val ef = resolveEf(spark, entry.indexPath)
           // a WHERE between the sort and the scan drops an unknown share
           // of the index's candidates (the index ranks the unfiltered
           // corpus - reference behavior: scan returns candidates,

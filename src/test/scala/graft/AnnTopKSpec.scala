@@ -49,6 +49,44 @@ class AnnTopKSpec extends SparkSpec {
     }
   }
 
+  test("targetRecall conf derives ef from the autotune artifact, with fallback") {
+    AnnTopK.install(spark)
+    val work = Files.createTempDirectory("anntopk_tuned").toString
+    val (report, manifest) = graft.ann.Autotune.runAndCreate(
+      emb, "vec_id", "embedding", s"$work/grid", s"$work/index",
+      Metric.L2Sq, k = 5, targetRecall = 0.6,
+      sampleSize = emb.count().toInt, numQueries = 3, numShards = 2,
+      variants = graft.ann.Autotune.presets.take(3))
+    assert(manifest.nonEmpty)
+    try {
+      // derived: the cheapest measured variant meeting the target
+      spark.conf.set(AnnTopK.TargetRecallConfKey, "0.6")
+      val expected = report.results.find(_.recall >= 0.6).get.variant.ef
+      assert(AnnTopK.resolveEf(spark, s"$work/index") == expected)
+      // unattainable target -> falls back to the pinned ef conf
+      spark.conf.set(AnnTopK.TargetRecallConfKey, "1.01")
+      spark.conf.set(AnnTopK.EfConfKey, "123")
+      assert(AnnTopK.resolveEf(spark, s"$work/index") == 123)
+      // no artifact at all -> same fallback chain
+      assert(AnnTopK.resolveEf(spark, s"$work/nowhere") == 123)
+      spark.conf.unset(AnnTopK.EfConfKey)
+      assert(AnnTopK.resolveEf(spark, s"$work/nowhere") == 64)
+      // and the rewrite still fires + stays correct under the derived ef
+      spark.conf.set(AnnTopK.TargetRecallConfKey, "0.6")
+      AnnTopK.IndexCatalog.register(srcPath,
+        AnnTopK.Entry(s"$work/index", "vec_id", "embedding", Metric.L2Sq))
+      val df = topkDf
+      assert(df.queryExecution.optimizedPlan.collect {
+        case j: Join => j
+      }.nonEmpty, "expected the ANN semi-join rewrite under targetRecall")
+      assert(df.collect().length == 10)
+    } finally {
+      AnnTopK.IndexCatalog.unregister(srcPath)
+      spark.conf.unset(AnnTopK.TargetRecallConfKey)
+      spark.conf.unset(AnnTopK.EfConfKey)
+    }
+  }
+
   test("rewrite fires under a filter and matches the exact filtered top-k") {
     setup()
     try {
