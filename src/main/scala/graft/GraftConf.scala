@@ -13,6 +13,11 @@ object GraftConf {
   val MaxK = "graft.knn.maxK"
   /** `lantern_hnsw.ef`: ANN search breadth (default 64, max 400). */
   val AnnEf = graft.plans.AnnTopK.EfConfKey // "graft.ann.ef"
+  /** Recall target for DERIVED ANN search breadth: when set, the
+    * rewrite resolves ef from the matched index's autotune_results
+    * artifact (cheapest measured variant meeting the target) instead
+    * of [[AnnEf]] — fixed ef decays as the corpus grows. */
+  val AnnTargetRecall = graft.plans.AnnTopK.TargetRecallConfKey
   /** Candidate over-fetch multiplier when the ANN rewrite runs under a
     * WHERE (default 4). */
   val AnnFilterOverfetch = graft.plans.AnnTopK.FilterOverfetchKey
