@@ -342,6 +342,32 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** Containment verification (Broder 1997's containment coefficient,
+    * the companion measure to resemblance/Jaccard): c(A→B) =
+    * |A∩B| / |A| per direction. One-sided overlap catches the
+    * subset/quote-inclusion duplication Jaccard under-scores — a
+    * short document fully quoted inside a long one has containment
+    * ~1.0 in the short→long direction while |A∩B|/|A∪B| is dragged
+    * toward 0 by the long document's size, so a Jaccard-thresholded
+    * dedup pass keeps both copies. Emits BOTH directions per pair
+    * (containment is asymmetric); a doc with no shingles yields null
+    * for its direction (0/0 is undefined, not a similarity).
+    *
+    * Scale shape: identical to [[jaccardVerify]] — the bounded
+    * candidate-pair frame joins the doc_id-bucketed shingle table
+    * twice, exchange-free on the corpus sides. */
+  def containmentVerify(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    def c(side: Column): Column =
+      when(size(side) === 0, lit(null))
+        .otherwise(round(inter / size(side).cast("double"), 6))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        c(col("sh_a")).as("containment_a"), c(col("sh_b")).as("containment_b"))
+  }
+
   /** Connected components over verified near-duplicate pairs: each doc
     * gets `component` = the smallest doc id reachable through the pair
     * graph — the cluster key for "keep one doc per near-dup group"

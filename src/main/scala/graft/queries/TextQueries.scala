@@ -550,6 +550,16 @@ object TextQueries {
     jaccardPairsCached(s, dir)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
+  /** Containment-verified LSH candidates (Broder's one-sided
+    * coefficient, both directions per pair) — flags the quote-
+    * inclusion/subset duplication a Jaccard threshold under-scores;
+    * same bounded candidate frame and doc_id-bucketed shingle joins
+    * as q_jaccard_pairs. */
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentVerify(shingledCached(s, dir),
+        Dedup.lshCandidatePairs(sigCached(s, dir), 8, 4))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
   /** Near-duplicate clusters: LSH candidates verified by exact Jaccard
     * (>= 0.6) become edges; connected components assign every clustered
     * doc its group key (min reachable doc_id) — the "keep one doc per
@@ -922,6 +932,7 @@ object TextQueries {
     "q_minhash" -> ((s, d) => minhash(s, d)),
     "q_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
     "q_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
+    "q_containment_pairs" -> ((s, d) => containmentPairs(s, d)),
     "q_neardup_groups" -> ((s, d) => nearDupGroups(s, d)),
     "q_simhash" -> ((s, d) => simhash(s, d)),
     "q_simhash_pairs" -> ((s, d) => simhashPairsQ(s, d)),
@@ -1364,6 +1375,19 @@ object TextQueries {
          |SELECT doc_a, doc_b,
          |  round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
          |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 6) AS jaccard
+         |FROM pairs
+         |JOIN sh sa ON sa.doc_id = pairs.doc_a
+         |JOIN sh sb ON sb.doc_id = pairs.doc_b
+         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    // containment: same candidate pairs, one-sided |A∩B|/|A| per
+    // direction (the shingle lists are already distinct)
+    "q_containment_pairs" ->
+      s"""WITH $toksCte, $shinglesCte, $lshPairsCte
+         |SELECT doc_a, doc_b,
+         |  round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(sa.s) AS DOUBLE), 6) AS containment_a,
+         |  round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(sb.s) AS DOUBLE), 6) AS containment_b
          |FROM pairs
          |JOIN sh sa ON sa.doc_id = pairs.doc_a
          |JOIN sh sb ON sb.doc_id = pairs.doc_b

@@ -186,6 +186,19 @@ object VectorQueries {
     Seq(Tuple1(recall >= 0.9)).toDF("ok")
   }
 
+  /** MMR diversified top-5 over the exact 20 nearest neighbors
+    * (λ=0.7): the re-ranking step between a similarity search and a
+    * RAG/labeling consumer — plain top-k returns near-duplicate
+    * neighbors, MMR's greedy trade of relevance against redundancy
+    * makes the 5 results cover the neighborhood. The oracle unrolls
+    * all five greedy selections (the q_kmeans discipline): every
+    * score is double arithmetic in the same operation order on both
+    * engines, so the argmax compares identical bits. */
+  private def mmrRerank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mmr.diversifiedTopK(emb(s, dir), col("vec_id"),
+        col("embedding"), qVec.toArray, k = 5, lambda = 0.7, candN = 20)
+      .select(col("rank"), col("id").as("vec_id"), col("dist"), col("score"))
+
   /** Autotune-tuned index: the full grid (measured recall per variant)
     * + the winning full-table build + the `autotune_results` artifact,
     * once per dir — the pairing the reference ships as
@@ -802,6 +815,7 @@ object VectorQueries {
     "q_ann_l2sq" -> ((s, dir) => annL2Sq(s, dir)),
     "q_ann_ef64" -> ((s, dir) => annL2SqEf64(s, dir)),
     "q_ann_target_recall" -> ((s, dir) => annTargetRecall(s, dir)),
+    "q_mmr_rerank" -> ((s, dir) => mmrRerank(s, dir)),
     "q_ann_filtered" -> ((s, dir) => annFiltered(s, dir)),
     "q_ann_hamming_rewrite" -> ((s, dir) => annHammingRewrite(s, dir)),
     "q_ann_delete" -> ((s, dir) => annDelete(s, dir)),
@@ -1070,6 +1084,43 @@ object VectorQueries {
     // autotune-derived ef must meet the 0.9 target it was derived for
     "q_ann_target_recall" ->
       "SELECT TRUE AS ok",
+    // MMR: all five greedy selections unrolled; (1.0 - 0.7) — not a
+    // 0.3 literal — so the diversity weight is the IDENTICAL double
+    // the Scala `1 - lambda` computes
+    "q_mmr_rerank" -> {
+      def dd(s: String): String =
+        s"list_sum(list_transform(c.v, (x, i) -> (x - $s.v[i]) * (x - $s.v[i])))"
+      val steps = (2 to 5).map { n =>
+        val prev = (1 until n).map(i => s"s$i")
+        val minD =
+          if (prev.size == 1) dd(prev.head)
+          else s"least(${prev.map(dd).mkString(", ")})"
+        val notPrev = prev.map(p => s"c.vec_id <> $p.vec_id").mkString(" AND ")
+        s"""s$n AS (
+           |  SELECT c.vec_id, c.v, c.dq,
+           |    -0.7 * c.dq + (1.0 - 0.7) * $minD AS sc
+           |  FROM cand c, ${prev.mkString(", ")}
+           |  WHERE $notPrev
+           |  ORDER BY sc DESC, c.vec_id ASC LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val ranks = (2 to 5).map(n =>
+        s"UNION ALL SELECT $n, vec_id, round(dq, 6), round(sc, 6) FROM s$n")
+        .mkString("\n")
+      s"""WITH q AS (SELECT $qVecSql AS qv),
+         |cand AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |    $l2sqSqlExpr AS dq
+         |  FROM embeddings, q
+         |  ORDER BY $l2sqSqlExpr ASC, vec_id ASC LIMIT 20),
+         |s1 AS (
+         |  SELECT vec_id, v, dq, -0.7 * dq + (1.0 - 0.7) * 0.0 AS sc
+         |  FROM cand ORDER BY dq ASC, vec_id ASC LIMIT 1),
+         |$steps
+         |SELECT * FROM (
+         |  SELECT 1 AS rank, vec_id, round(dq, 6) AS dist, round(sc, 6) AS score FROM s1
+         |  $ranks)
+         |ORDER BY rank ASC""".stripMargin
+    },
     // post-delete ranking = exact rows 4..13 (the top-3 are tombstoned)
     "q_ann_delete" ->
       s"""WITH q AS (SELECT $qVecSql AS qv)

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Mmr
+import graft.dedup.Dedup
+
+/** MMR diversified retrieval + containment verification — the two
+  * redundancy-aware operators (greedy relevance/diversity trade;
+  * one-sided overlap). */
+class MmrSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Two tight clusters near the query plus a far singleton: plain
+    * top-k drowns in the nearer cluster, MMR must cover both. */
+  private def clustered = Seq(
+    (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.01f, 0.0f)), (3L, Seq(0.0f, 0.01f)),
+    (4L, Seq(1.0f, 1.0f)), (5L, Seq(1.01f, 1.0f)),
+    (6L, Seq(5.0f, 5.0f))
+  ).toDF("id", "v")
+
+  test("diversified top-k covers clusters plain top-k drowns in") {
+    val q = Array(0.0f, 0.0f)
+    // plain top-3: all three from the near cluster
+    val plain = operators.Knn.knn(clustered, col("v"),
+        graft.functions.vecLit(q.toSeq), 3, operators.Knn.L2Sq,
+        Some(col("id")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L, 2L, 3L))
+    // MMR top-3 at a diversity-leaning lambda (0.5 is degenerate when
+    // the best pick sits exactly AT the query: -0.5·dq and +0.5·dist
+    // cancel for every candidate): the second cluster must appear
+    val mmr = Mmr.diversifiedTopK(clustered, col("id"), col("v"), q,
+        k = 3, lambda = 0.3, candN = 6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(mmr.contains(1L), "the most relevant doc is always first")
+    assert((mmr & Set(4L, 5L, 6L)).nonEmpty,
+      s"MMR must escape the near cluster, got $mmr")
+  }
+
+  test("lambda = 1 reduces to plain relevance top-k; ranks are selection order") {
+    val q = Array(0.0f, 0.0f)
+    val out = Mmr.diversifiedTopK(clustered, col("id"), col("v"), q,
+      k = 4, lambda = 1.0, candN = 6).collect()
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4))
+    // with no diversity term the selection IS the distance order
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L, 4L))
+    // scores are -dist under lambda=1 (rounded)
+    val r = out.head
+    assert(r.getAs[Double]("score") == -r.getAs[Double]("dist"))
+  }
+
+  test("fewer candidates than k returns what exists, deterministically") {
+    val q = Array(0.0f, 0.0f)
+    val tiny = clustered.filter(col("id") <= 2)
+    val a = Mmr.diversifiedTopK(tiny, col("id"), col("v"), q,
+      k = 2, candN = 2).collect()
+    assert(a.length == 2)
+    val b = Mmr.diversifiedTopK(tiny, col("id"), col("v"), q,
+      k = 2, candN = 2).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("containment catches subset duplication Jaccard under-scores") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val sh = Dedup.shingled(docs, col("doc_id"), col("text"))
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val row = Dedup.containmentVerify(sh, pairs).collect()(0)
+    val ca = row.getAs[Double]("containment_a")
+    val cb = row.getAs[Double]("containment_b")
+    val jac = Dedup.jaccardVerify(sh, pairs).collect()(0).getAs[Double]("jaccard")
+    assert(ca == 1.0, s"short doc fully contained, got $ca")
+    assert(cb < 0.1, s"long doc barely covered, got $cb")
+    assert(jac < 0.1, s"Jaccard is dragged down by the long doc, got $jac")
+  }
+
+  test("containment of an empty shingle set is null, not a division error") {
+    // Dedup.shingled never emits empty sets (it filters them), but the
+    // verifier is a public surface any shingle frame can feed
+    val sh = Seq((1L, Seq.empty[String]), (2L, Seq("x y z", "y z w")))
+      .toDF("doc_id", "sh")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val row = Dedup.containmentVerify(sh, pairs).collect()(0)
+    assert(row.isNullAt(row.fieldIndex("containment_a")))
+    assert(row.getAs[Double]("containment_b") == 0.0)
+  }
+}
