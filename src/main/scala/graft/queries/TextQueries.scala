@@ -774,17 +774,27 @@ object TextQueries {
     * 90000, moov AFTER mdat (the non-faststart layout). Every file
     * carries a `free` box to skip and an mdat in the LARGESIZE form,
     * so only a real box walker parses the corpus. duration ticks =
-    * 600 + d % 9999, video track (160 + d%32*8) x (90 + d%18*8). */
+    * 600 + d % 9999, video track (160 + d%32*8) x (90 + d%18*8).
+    * The video track's sample table holds 24 + d % 48 samples: even
+    * docs in stsz's UNIFORM form (every sample 500 + d % 250 bytes),
+    * odd docs in the per-sample TABLE form (sample i is
+    * 500 + (d + i) % 250 bytes) — both physical stsz layouts are in
+    * the corpus, and stts is always two run-length entries. */
   private def mp4TablePath(s: SparkSession, dir: String): String =
     synthTablePath(s, dir, "mp4", "mp4") { d =>
       val v = (d % 2).toInt
+      val n = (24 + d % 48).toInt
+      val sizes =
+        if (v == 0) Seq.fill(n)((500 + d % 250).toInt)
+        else (0 until n).map(i => (500 + (d + i) % 250).toInt)
       org.apache.spark.sql.graft.MediaKernels.encodeMp4(
         version = v,
         timescale = if (v == 0) 600 else 90000,
         durationTicks = 600 + d % 9999,
         width = (160 + (d % 32) * 8).toInt,
         height = (90 + (d % 18) * 8).toInt,
-        moovFirst = v == 0)
+        moovFirst = v == 0,
+        sampleSizes = sizes)
     }
 
   /** Real video-container metadata end-to-end: ISO-BMFF box walk over
@@ -800,7 +810,11 @@ object TextQueries {
         m.getField("timescale").as("timescale"),
         round(m.getField("duration_ms"), 6).as("duration_ms"),
         m.getField("width").as("w"),
-        m.getField("height").as("h"))
+        m.getField("height").as("h"),
+        m.getField("n_samples").as("n_samples"),
+        m.getField("total_sample_bytes").as("total_bytes"),
+        round(m.getField("total_sample_bytes").cast("double") /
+          m.getField("n_samples"), 6).as("avg_bytes"))
       .orderBy(col("doc_id").asc)
   }
 
@@ -1841,14 +1855,28 @@ object TextQueries {
     // MP4 corpus construction: ticks = 600 + d % 9999 at timescale
     // 600 (even d, mvhd v0) / 90000 (odd d, v1 + moov-after-mdat),
     // two tracks, video track (160 + d%32*8) x (90 + d%18*8)
+    // sample table: 24 + d % 48 samples; even docs uniform stsz
+    // (500 + d % 250 each), odd docs per-sample table 500 + (d+i) % 250
     "q_media_mp4" ->
-      """SELECT doc_id, 'isom' AS brand, CAST(2 AS INT) AS n_tracks,
+      """WITH smp AS (
+        |  SELECT doc_id, unnest(range(24 + doc_id % 48)) AS i FROM documents),
+        |tb AS (
+        |  SELECT doc_id, CAST(sum(500 + (doc_id + i) % 250) AS BIGINT) AS tbl_bytes
+        |  FROM smp GROUP BY doc_id)
+        |SELECT doc_id, 'isom' AS brand, CAST(2 AS INT) AS n_tracks,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 90000 END AS INT) AS timescale,
         |  round((600 + doc_id % 9999) * 1000.0
         |    / CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 90000 END, 6) AS duration_ms,
         |  CAST(160 + (doc_id % 32) * 8 AS INT) AS w,
-        |  CAST(90 + (doc_id % 18) * 8 AS INT) AS h
-        |FROM documents
+        |  CAST(90 + (doc_id % 18) * 8 AS INT) AS h,
+        |  CAST(24 + doc_id % 48 AS INT) AS n_samples,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN (24 + doc_id % 48) * (500 + doc_id % 250)
+        |       ELSE tbl_bytes END AS BIGINT) AS total_bytes,
+        |  round(CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN (24 + doc_id % 48) * (500 + doc_id % 250)
+        |       ELSE tbl_bytes END AS DOUBLE) / (24 + doc_id % 48), 6) AS avg_bytes
+        |FROM documents JOIN tb USING (doc_id)
         |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
     // MP3 corpus construction: 5 + d % 7 MPEG-1 L3 frames at 44100 Hz,
     // frame i at [128,160,192,224][(d + i) % 4] kbps (VBR mean below)

@@ -406,14 +406,18 @@ object MediaKernels {
   @inline private def beLong(b: Array[Byte], o: Int): Long =
     ((beInt(b, o) & 0xffffffffL) << 32) | (beInt(b, o + 4) & 0xffffffffL)
 
-  /** Result shape of [[mp4Meta]]. */
+  /** Result shape of [[mp4Meta]]. `n_samples`/`total_sample_bytes`
+    * come from the first track carrying a sample table (0 when the
+    * container has none). */
   val Mp4MetaType: StructType = StructType(Seq(
     StructField("brand", StringType),
     StructField("n_tracks", IntegerType),
     StructField("timescale", IntegerType),
     StructField("duration_ms", DoubleType),
     StructField("width", IntegerType),
-    StructField("height", IntegerType)))
+    StructField("height", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("total_sample_bytes", LongType)))
 
   /** REAL MP4/ISO-BMFF container walk (public ISO/IEC 14496-12 box
     * grammar): top-level (size, type) boxes — compact, `largesize`
@@ -424,8 +428,15 @@ object MediaKernels {
     * (`moov` after `mdat` is common in non-faststart files) and
     * unknown boxes (`free`, `udta`, ...) are skipped by size, so only
     * a real walker — not a fixed-offset reader — survives the corpus.
-    * Frame DECODE of the tracks needs a video codec and stays out of
-    * scope; this is the metadata-extraction half of video ingest.
+    * The first track carrying a sample table is walked four levels
+    * down (`trak/mdia/minf/stbl`) for the FRAME-SAMPLE metadata of
+    * video ingest: `stts` (decoding deltas — sample count = the sum
+    * over its run-length entries) and `stsz` in BOTH physical forms
+    * (uniform `sample_size` > 0, or 0 followed by the per-sample size
+    * table); when both boxes appear their sample counts must agree or
+    * the container reads as malformed. Frame DECODE of the tracks
+    * needs a video codec and stays out of scope; this is the
+    * metadata-extraction half of video ingest.
     * Returns null unless `ftyp` and a sane `mvhd` are found. */
   def mp4Meta(b: Array[Byte]): InternalRow = {
     var brand: String = null
@@ -434,6 +445,8 @@ object MediaKernels {
     var nTracks = 0
     var w = 0
     var h = 0
+    var nSamples = -1L
+    var sampleBytes = -1L
 
     // walk boxes in [from, to); returns false on malformed structure
     def walk(from: Long, to: Long)(f: (String, Long, Long) => Boolean): Boolean = {
@@ -489,26 +502,95 @@ object MediaKernels {
                 }
               case "trak" =>
                 nTracks += 1
-                walk(co, ce) { (t3, to3, te3) =>
-                  if (t3 != "tkhd" || w != 0) true
-                  // length-check BEFORE the version read: a zero-
-                  // payload tkhd at the buffer end must yield null,
-                  // not an index exception out of codegen
-                  else if (te3 - to3 < 1) false
-                  else {
-                    val ver = b(to3.toInt) & 0xff
-                    // offset of width within the payload, past
-                    // ver/flags + times/ids/reserved/duration +
-                    // layer/group/volume/reserved + matrix
-                    val wOff = if (ver == 1) 4 + 84 else 4 + 72
-                    if (te3 - to3 < wOff + 8) false
-                    else {
-                      val tw = beInt(b, to3.toInt + wOff) >>> 16
-                      val th = beInt(b, to3.toInt + wOff + 4) >>> 16
-                      if (tw > 0 && th > 0) { w = tw; h = th }
-                      true
+                // per-track sample-table accumulators; commit to the
+                // outer fields only for the FIRST table-bearing track
+                var stts = -1L
+                var stszN = -1L
+                var stszBytes = -1L
+                def stbl(so: Long, se: Long): Boolean =
+                  walk(so, se) { (t6, o6, e6) =>
+                    t6 match {
+                      case "stts" =>
+                        if (e6 - o6 < 8) false
+                        else {
+                          val entries = beInt(b, o6.toInt + 4)
+                          if (entries < 0 || e6 - o6 < 8 + 8L * entries) false
+                          else {
+                            var tot = 0L
+                            var i = 0
+                            while (i < entries) {
+                              tot += beInt(b, o6.toInt + 8 + 8 * i) & 0xffffffffL
+                              i += 1
+                            }
+                            stts = tot
+                            true
+                          }
+                        }
+                      case "stsz" =>
+                        if (e6 - o6 < 12) false
+                        else {
+                          val uniform = beInt(b, o6.toInt + 4) & 0xffffffffL
+                          val count = beInt(b, o6.toInt + 8) & 0xffffffffL
+                          if (uniform > 0) {
+                            stszN = count
+                            stszBytes = uniform * count
+                            true
+                          } else if (e6 - o6 < 12 + 4L * count) false
+                          else {
+                            var tot = 0L
+                            var i = 0
+                            while (i < count) {
+                              tot += beInt(b, o6.toInt + 12 + 4 * i) & 0xffffffffL
+                              i += 1
+                            }
+                            stszN = count
+                            stszBytes = tot
+                            true
+                          }
+                        }
+                      case _ => true
                     }
                   }
+                val trakOk = walk(co, ce) { (t3, to3, te3) =>
+                  t3 match {
+                    case "tkhd" if w == 0 =>
+                      // length-check BEFORE the version read: a zero-
+                      // payload tkhd at the buffer end must yield null,
+                      // not an index exception out of codegen
+                      if (te3 - to3 < 1) false
+                      else {
+                        val ver = b(to3.toInt) & 0xff
+                        // offset of width within the payload, past
+                        // ver/flags + times/ids/reserved/duration +
+                        // layer/group/volume/reserved + matrix
+                        val wOff = if (ver == 1) 4 + 84 else 4 + 72
+                        if (te3 - to3 < wOff + 8) false
+                        else {
+                          val tw = beInt(b, to3.toInt + wOff) >>> 16
+                          val th = beInt(b, to3.toInt + wOff + 4) >>> 16
+                          if (tw > 0 && th > 0) { w = tw; h = th }
+                          true
+                        }
+                      }
+                    case "mdia" =>
+                      walk(to3, te3) { (t4, o4, e4) =>
+                        if (t4 != "minf") true
+                        else walk(o4, e4) { (t5, o5, e5) =>
+                          if (t5 != "stbl") true else stbl(o5, e5)
+                        }
+                      }
+                    case _ => true
+                  }
+                }
+                if (!trakOk) false
+                // counts from the two boxes must agree when both exist
+                else if (stts >= 0 && stszN >= 0 && stts != stszN) false
+                else {
+                  if (nSamples < 0 && (stts >= 0 || stszN >= 0)) {
+                    nSamples = if (stszN >= 0) stszN else stts
+                    sampleBytes = math.max(stszBytes, 0L)
+                  }
+                  true
                 }
               case _ => true
             }
@@ -518,7 +600,8 @@ object MediaKernels {
     }
     if (!ok || brand == null || durTicks < 0 || timescale <= 0) return null
     InternalRow(UTF8String.fromString(brand), nTracks, timescale,
-      durTicks * 1000.0 / timescale, w, h)
+      durTicks * 1000.0 / timescale, w, h,
+      math.max(nSamples, 0L).toInt, math.max(sampleBytes, 0L))
   }
 
   /** Result shape of [[mp3Meta]]. */
@@ -581,11 +664,16 @@ object MediaKernels {
 
   /** Minimal but grammar-correct ISO-BMFF encoder for the synthesized
     * corpus: ftyp + free + (mdat with a LARGESIZE header) + moov
-    * {mvhd v0|v1, video trak {tkhd w x h, mdia{mdhd}}, audio trak
-    * {tkhd 0 x 0, mdia{mdhd}}}; `moovFirst = false` moves moov after
-    * mdat (the non-faststart layout). */
+    * {mvhd v0|v1, video trak {tkhd w x h, mdia{mdhd [, minf{stbl}]}},
+    * audio trak {tkhd 0 x 0, mdia{mdhd}}}; `moovFirst = false` moves
+    * moov after mdat (the non-faststart layout). `sampleSizes`
+    * non-empty adds the video track's sample table: an stts split
+    * into TWO run-length entries when possible (a one-entry reader
+    * under-counts) and an stsz in the uniform form when every size is
+    * equal, the per-sample table form otherwise. */
   def encodeMp4(version: Int, timescale: Int, durationTicks: Long,
-      width: Int, height: Int, moovFirst: Boolean): Array[Byte] = {
+      width: Int, height: Int, moovFirst: Boolean,
+      sampleSizes: Seq[Int] = Nil): Array[Byte] = {
     import java.nio.ByteBuffer
     def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
       val n = payloads.map(_.length).sum
@@ -632,8 +720,37 @@ object MediaKernels {
         .putInt(durationTicks.toInt).putShort(0x55c4.toShort).putShort(0)
       box("mdhd", buf.array())
     }
+    val videoMdia: Array[Byte] =
+      if (sampleSizes.isEmpty) box("mdia", mdhd)
+      else {
+        val n = sampleSizes.length
+        val stts = {
+          // two run-length entries when possible: (n/2 @ delta 100,
+          // n - n/2 @ delta 200)
+          val n1 = n / 2
+          val entries =
+            if (n1 > 0 && n - n1 > 0) Seq((n1, 100), (n - n1, 200))
+            else Seq((n, 100))
+          val buf = ByteBuffer.allocate(8 + 8 * entries.length)
+          buf.putInt(0).putInt(entries.length)
+          entries.foreach { case (c, d) => buf.putInt(c).putInt(d) }
+          box("stts", buf.array())
+        }
+        val stsz =
+          if (sampleSizes.distinct.length == 1) {
+            val buf = ByteBuffer.allocate(12)
+            buf.putInt(0).putInt(sampleSizes.head).putInt(n)
+            box("stsz", buf.array())
+          } else {
+            val buf = ByteBuffer.allocate(12 + 4 * n)
+            buf.putInt(0).putInt(0).putInt(n)
+            sampleSizes.foreach(buf.putInt)
+            box("stsz", buf.array())
+          }
+        box("mdia", mdhd, box("minf", box("stbl", stts, stsz)))
+      }
     val moov = box("moov", mvhd,
-      box("trak", tkhd(1, width, height), box("mdia", mdhd)),
+      box("trak", tkhd(1, width, height), videoMdia),
       box("trak", tkhd(2, 0, 0), box("mdia", mdhd)))
     val ftyp = box("ftyp", {
       val buf = ByteBuffer.allocate(8)

@@ -267,6 +267,47 @@ class MultimodalSpec extends SparkSpec {
     assert(evilRow.isNullAt(0))
   }
 
+  test("mp4_meta reads the sample table: stts run-lengths, both stsz forms") {
+    import org.apache.spark.sql.graft.MediaKernels
+    // uniform stsz (every sample 600 bytes) + per-sample table form
+    val uni = MediaKernels.encodeMp4(0, 600, 1234L, 320, 180,
+      moovFirst = true, sampleSizes = Seq.fill(7)(600))
+    val tbl = MediaKernels.encodeMp4(1, 90000, 5678L, 640, 360,
+      moovFirst = false, sampleSizes = (1 to 5).map(_ * 100))
+    val none = MediaKernels.encodeMp4(0, 600, 9L, 160, 90, moovFirst = true)
+    val rows = Seq((0L, uni), (1L, tbl), (2L, none)).toDF("id", "mp4")
+      .select(col("id"), graft.functions.mp4_meta(col("mp4")).as("m"))
+      .orderBy("id").collect()
+    val mu = rows(0).getStruct(1)
+    assert(mu.getInt(6) == 7, "uniform stsz sample count")
+    assert(mu.getLong(7) == 7L * 600, "uniform stsz total bytes")
+    val mt = rows(1).getStruct(1)
+    assert(mt.getInt(6) == 5, "table stsz sample count")
+    assert(mt.getLong(7) == (1 to 5).map(_ * 100L).sum,
+      "per-sample table total (a uniform-only reader gets this wrong)")
+    val mn = rows(2).getStruct(1)
+    assert(mn.getInt(6) == 0 && mn.getLong(7) == 0L,
+      "no sample table -> zero counts, container still parses")
+
+    // a container whose stts and stsz sample counts disagree is
+    // malformed -> null (catches a reader trusting only one box)
+    def patchInt(b: Array[Byte], at: Int, v: Int): Array[Byte] = {
+      val c = b.clone()
+      java.nio.ByteBuffer.wrap(c, at, 4).putInt(v)
+      c
+    }
+    // find stsz, corrupt its sample_count field (offset +8 ver/flags
+    // +4 uniform size -> +16 from the box header start)
+    val idx = {
+      val pat = "stsz".getBytes
+      (0 until uni.length - 4).find(i => pat.indices.forall(j => uni(i + j) == pat(j))).get
+    }
+    val evil = patchInt(uni, idx + 4 + 8, 9) // count 9 vs stts total 7
+    val evilRow = Seq(Tuple1(evil)).toDF("mp4")
+      .select(graft.functions.mp4_meta(col("mp4")).as("m")).collect()(0)
+    assert(evilRow.isNullAt(0), "stts/stsz count mismatch must read as malformed")
+  }
+
   test("mp3_meta walks VBR frames behind an ID3v2 tag; malformed -> null") {
     import org.apache.spark.sql.graft.MediaKernels
     val good = MediaKernels.encodeMp3(44100,

@@ -302,6 +302,39 @@ class TextOpsSpec extends SparkSpec {
     assert(none.forall(_.getString(1) == "a"))
   }
 
+  test("mixToBudget blocked rank == the naive window shape on random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      val srcs = 1 + rnd.nextInt(4)
+      val n = 50 + rnd.nextInt(200)
+      val docs = (1 to n).map(i =>
+          (rnd.nextInt(100000).toLong * 1000 + i, s"s${rnd.nextInt(srcs)}"))
+        .toDF("doc_id", "source")
+      val budgets = (0 until srcs).map(k => s"s$k" -> rnd.nextInt(40).toLong).toMap
+      val salt = s"salt$round"
+      val hexChars = 1 + rnd.nextInt(4)
+      val blocked = TextOps.mixToBudget(docs, col("doc_id"), col("source"),
+          budgets, salt, blockHexChars = hexChars)
+        .select("doc_id", "source", "mix_rank")
+        .collect().map(_.toSeq).toSet
+      // the pre-rewrite reference shape, inline
+      val rk = md5(concat(col("doc_id").cast("string"), lit(":" + salt))
+        .cast("binary"))
+      val bCol = budgets.foldLeft(lit(0L)) { case (a, (s2, b)) =>
+        when(col("source") === s2, lit(b)).otherwise(a)
+      }
+      val w = Window.partitionBy(col("source")).orderBy(rk.asc, col("doc_id").asc)
+      val naive = docs
+        .withColumn("mix_rank", row_number().over(w).cast("long"))
+        .filter(col("mix_rank") <= bCol)
+        .select("doc_id", "source", "mix_rank")
+        .collect().map(_.toSeq).toSet
+      assert(blocked == naive,
+        s"round $round (srcs=$srcs n=$n hex=$hexChars) diverged")
+    }
+  }
+
   test("c4Clean: line rules and document gates") {
     val five = "Aa bb cc one. Bb cc dd two. Cc dd ee three. Dd ee ff four. Ee ff gg five."
       .replace(". ", ".\n")
