@@ -186,6 +186,25 @@ object VectorQueries {
     Seq(Tuple1(recall >= 0.9)).toDF("ok")
   }
 
+  /** k-NN weak labeling through the production path: the 20 query
+    * vectors batch through the shared index in one topKJoin, the
+    * labels frame (reference rows only — vec_id >= 20, which is also
+    * how self-matches drop out) joins on, and the majority vote picks
+    * each query's label with the deterministic tie chain. Exhaustive
+    * ef + overfetch = |queries| makes the reference-restricted top-5
+    * exact, so the oracle is the windowed cross-distance SQL with the
+    * vote replayed. */
+  private def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val path = annIndexPath(s, dir)
+    graft.operators.Classify.classifyAnn(
+        emb(s, dir).filter(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding")),
+        col("vec_id"), col("embedding"), path,
+        emb(s, dir).filter(col("vec_id") >= 20), col("vec_id"), col("label"),
+        k = 5, ef = exhaustiveEf(path), overfetch = 20)
+      .orderBy(col("query_id").asc)
+  }
+
   /** MMR diversified top-5 over the exact 20 nearest neighbors
     * (λ=0.7): the re-ranking step between a similarity search and a
     * RAG/labeling consumer — plain top-k returns near-duplicate
@@ -816,6 +835,7 @@ object VectorQueries {
     "q_ann_ef64" -> ((s, dir) => annL2SqEf64(s, dir)),
     "q_ann_target_recall" -> ((s, dir) => annTargetRecall(s, dir)),
     "q_mmr_rerank" -> ((s, dir) => mmrRerank(s, dir)),
+    "q_knn_classify" -> ((s, dir) => knnClassify(s, dir)),
     "q_ann_filtered" -> ((s, dir) => annFiltered(s, dir)),
     "q_ann_hamming_rewrite" -> ((s, dir) => annHammingRewrite(s, dir)),
     "q_ann_delete" -> ((s, dir) => annDelete(s, dir)),
@@ -1084,6 +1104,35 @@ object VectorQueries {
     // autotune-derived ef must meet the 0.9 target it was derived for
     "q_ann_target_recall" ->
       "SELECT TRUE AS ok",
+    // weak labeling: top-5 among the reference rows (vec_id >= 20),
+    // majority vote with the (votes desc, best rank asc, label asc)
+    // tie chain replayed
+    "q_knn_classify" ->
+      """WITH qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 20),
+        |d AS (
+        |  SELECT qs.query_id, e.vec_id AS id, e.label,
+        |    list_sum(list_transform(e.embedding,
+        |      (x, i) -> (CAST(x AS DOUBLE) - CAST(qv[i] AS DOUBLE))
+        |        * (CAST(x AS DOUBLE) - CAST(qv[i] AS DOUBLE)))) AS dist
+        |  FROM qs, embeddings e WHERE e.vec_id >= 20),
+        |r AS (
+        |  SELECT query_id, id, label, dist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist ASC, id ASC) AS rk
+        |  FROM d),
+        |v AS (
+        |  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes,
+        |    min(rk) AS best
+        |  FROM r WHERE rk <= 5 GROUP BY query_id, label),
+        |s AS (
+        |  SELECT query_id, label, votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, best ASC, label ASC) AS sel
+        |  FROM v)
+        |SELECT query_id, label, votes, round(votes / 5.0, 6) AS confidence
+        |FROM s WHERE sel = 1 ORDER BY query_id ASC""".stripMargin,
     // MMR: all five greedy selections unrolled; (1.0 - 0.7) — not a
     // 0.3 literal — so the diversity weight is the IDENTICAL double
     // the Scala `1 - lambda` computes

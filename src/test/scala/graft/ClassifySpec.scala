@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Classify
+import graft.ann.{AnnIndex, Metric}
+
+/** k-NN weak labeling: vote determinism, exact path, exact == ANN at
+  * exhaustive breadth. */
+class ClassifySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("vote picks the majority with the votes/best-rank/label tie chain") {
+    // query 1: labels b,b,a,a,c — b and a tie on votes, b has the
+    // nearer best neighbor; query 2: a clean majority
+    val nb = Seq(
+      (1L, 10L, 1.0, "b"), (1L, 11L, 2.0, "b"), (1L, 12L, 3.0, "a"),
+      (1L, 13L, 4.0, "a"), (1L, 14L, 5.0, "c"),
+      (2L, 10L, 1.0, "x"), (2L, 11L, 2.0, "x"), (2L, 12L, 3.0, "x"),
+      (2L, 13L, 4.0, "y"), (2L, 14L, 5.0, "y")
+    ).toDF("query_id", "id", "dist", "label")
+    val out = Classify.vote(nb, 5).orderBy("query_id").collect()
+    assert(out(0).getString(1) == "b" && out(0).getLong(2) == 2L)
+    assert(out(0).getDouble(3) == 0.4)
+    assert(out(1).getString(1) == "x" && out(1).getLong(2) == 3L)
+    assert(out(1).getDouble(3) == 0.6)
+    // equal votes AND equal best rank cannot happen (ranks are
+    // distinct); equal votes with a farther best loses even for a
+    // lexicographically smaller label
+    val tie = Seq(
+      (3L, 1L, 1.0, "z"), (3L, 2L, 2.0, "a")
+    ).toDF("query_id", "id", "dist", "label")
+    assert(Classify.vote(tie, 2).collect()(0).getString(1) == "z")
+  }
+
+  test("vote only counts the k nearest even when the frame holds more") {
+    val nb = Seq(
+      (1L, 10L, 1.0, "a"), (1L, 11L, 2.0, "b"), (1L, 12L, 3.0, "b")
+    ).toDF("query_id", "id", "dist", "label")
+    // k=1: only the nearest (a) votes
+    assert(Classify.vote(nb, 1).collect()(0).getString(1) == "a")
+  }
+
+  test("classifyExact == classifyAnn at exhaustive ef over a real slice") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val ref = emb.filter(col("vec_id") >= 10)
+    val exact = Classify.classifyExact(queries, col("vec_id"),
+        col("embedding"), ref, col("vec_id"), col("embedding"),
+        col("label"), k = 5)
+      .orderBy("query_id").collect().map(_.toSeq).toSeq
+    val dir = Files.createTempDirectory("classify_ann").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dir,
+      AnnIndex.Params(Metric.L2Sq, numShards = 2))
+    val n = AnnIndex.readManifest(dir).count.toInt
+    val ann = Classify.classifyAnn(queries, col("vec_id"),
+        col("embedding"), dir, ref, col("vec_id"), col("label"),
+        k = 5, ef = n, overfetch = 10)
+      .orderBy("query_id").collect().map(_.toSeq).toSeq
+    assert(exact == ann,
+      "index-backed classification must match the exact path at exhaustive ef")
+    assert(exact.length == 10)
+  }
+}
