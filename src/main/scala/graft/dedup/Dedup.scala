@@ -342,6 +342,32 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** Corpus snapshot diff — the dataset-versioning primitive (what
+    * changed between two crawls / two pipeline runs, the input to
+    * incremental re-embedding and changelog audits): per-document
+    * status `added` (id only in `after`), `removed` (only in
+    * `before`), `changed` (both, content hash differs), `unchanged`.
+    * Content identity is the same 16-byte md5 the exact-dedup family
+    * keys on, so "changed" means byte-level text change.
+    *
+    * Scale shape: each side reduces to (id, hash) in-scan, then ONE
+    * full-outer hash join on the id key — no corpus text ever
+    * shuffles (hashes do); bucketed/co-partitioned snapshot tables
+    * join exchange-free. */
+  def snapshotDiff(before: DataFrame, beforeId: Column, beforeText: Column,
+      after: DataFrame, afterId: Column, afterText: Column): DataFrame = {
+    val b = before.select(beforeId.as("doc_id"),
+      md5(beforeText.cast("binary")).as("__hb"))
+    val a = after.select(afterId.as("doc_id"),
+      md5(afterText.cast("binary")).as("__ha"))
+    b.join(a, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__hb").isNull, "added")
+          .when(col("__ha").isNull, "removed")
+          .when(col("__ha") === col("__hb"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Containment verification (Broder 1997's containment coefficient,
     * the companion measure to resemblance/Jaccard): c(A→B) =
     * |A∩B| / |A| per direction. One-sided overlap catches the

@@ -260,6 +260,18 @@ object TextQueries {
       .select(col("doc_id"), col("score_fp"))
   }
 
+  /** Curriculum binning end-to-end: the whole corpus scored by the
+    * shared fixed-point classifier, quartile thresholds from the
+    * exact interpolated percentile (contract path; approx is the
+    * 100 TB default), tier = 1 + #thresholds strictly below. */
+  private def qualityTiers(s: SparkSession, dir: String): DataFrame =
+    graft.text.QualityClassifier.tierByQuantile(
+        graft.text.QualityClassifier.scoreFixedPoint(docs(s, dir),
+          col("doc_id"), col("text"), qualityWeights(s, dir)),
+        col("score_fp"), nTiers = 4, exact = true)
+      .select(col("doc_id"), col("score_fp"), col("tier"))
+      .orderBy(col("doc_id").asc).limit(200)
+
   /** Per-source domain report (the domain-filtering statistic). */
   private def domainStats(s: SparkSession, dir: String): DataFrame =
     TextOps.domainStats(docs(s, dir), col("doc_id"), col("source"),
@@ -438,6 +450,23 @@ object TextQueries {
         d.filter(col("doc_id") % 7 =!= 0), d.filter(col("doc_id") % 7 === 0),
         col("doc_id"), col("text"), col("text"))
       .orderBy(col("doc_id").asc).limit(300)
+  }
+
+  /** Snapshot diff between the corpus and a deterministically mutated
+    * "next crawl": docs with id % 11 == 0 are dropped (removed), the
+    * survivors with id % 7 == 0 get edited text (changed), and each
+    * id % 13 == 0 doc reappears under id + 10000000 (added). */
+  private def snapshotDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val before = docs(s, dir)
+    val after = before.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(before.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    Dedup.snapshotDiff(before, col("doc_id"), col("text"),
+        after, col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc).limit(400)
   }
 
   /** Top-3 TF-IDF keywords per document (BM25 idf, 6dp-rounded score
@@ -958,6 +987,7 @@ object TextQueries {
     "q_unicode_norm" -> ((s, d) => unicodeNorm(s, d)),
     "q_chunk_docs" -> ((s, d) => chunkDocsQ(s, d)),
     "q_dedup_incremental" -> ((s, d) => dedupIncremental(s, d)),
+    "q_snapshot_diff" -> ((s, d) => snapshotDiffQ(s, d)),
     "q_tfidf_keywords" -> ((s, d) => tfidfKeywords(s, d)),
     "q_pii_redact" -> ((s, d) => piiRedact(s, d)),
     "q_html_extract" -> ((s, d) => htmlExtract(s, d)),
@@ -983,6 +1013,7 @@ object TextQueries {
     "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "q_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
     "q_quality_gate" -> ((s, d) => qualityGate(s, d)),
+    "q_quality_tiers" -> ((s, d) => qualityTiers(s, d)),
   )
 
   // ---- DuckDB oracles ----
@@ -1351,6 +1382,20 @@ object TextQueries {
          |  FROM sc)
          |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
          |ORDER BY doc_id ASC, rank ASC LIMIT 600""".stripMargin,
+    // snapshot diff: the mutation is closed-form in doc_id, so the
+    // statuses replay without computing a single hash (removal wins
+    // over change: a dropped doc's edit never lands)
+    "q_snapshot_diff" ->
+      """SELECT doc_id, status FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'removed'
+        |         WHEN doc_id % 7 = 0 THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, 'added' AS status
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |ORDER BY doc_id ASC LIMIT 400""".stripMargin,
     // incremental dedup: the bloom sketch is routing only, so the
     // oracle is the plain exact anti-join semantics
     "q_dedup_incremental" ->
@@ -2044,6 +2089,40 @@ object TextQueries {
          |SELECT doc_id, score_fp FROM scored, thr
          |WHERE score_fp > t
          |ORDER BY score_fp DESC, doc_id ASC LIMIT 200""".stripMargin,
+    // curriculum tiers: same corpus-wide score chain as the gate,
+    // exact quartile thresholds, threshold ties sink to the lower tier
+    "q_quality_tiers" ->
+      s"""WITH $toksCte,
+         |btok AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(unnest(t)), 1, 15))::BIGINT % 4096 AS bucket
+         |  FROM toks),
+         |lab AS (
+         |  SELECT doc_id,
+         |    source IN ('src0','src1','src2','src3','src4') AS pos
+         |  FROM documents),
+         |counts AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+         |  FROM btok JOIN lab USING (doc_id) GROUP BY bucket),
+         |w AS (SELECT bucket, (cp + 1) * 1000000 // (cp + cn + 2) AS weight
+         |      FROM counts),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS w_sum,
+         |    CAST(count(*) AS BIGINT) AS n_scored
+         |  FROM btok JOIN w USING (bucket) GROUP BY doc_id),
+         |scored AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(s.w_sum, 0) // greatest(COALESCE(s.n_scored, 0), 1)
+         |      AS score_fp
+         |  FROM documents d LEFT JOIN agg s USING (doc_id)),
+         |th AS (SELECT quantile_cont(score_fp, [0.25, 0.5, 0.75]) AS t
+         |       FROM scored)
+         |SELECT doc_id, score_fp,
+         |  CAST(1 + len(list_filter(t, x -> score_fp > x)) AS INT) AS tier
+         |FROM scored, th
+         |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT % 10000

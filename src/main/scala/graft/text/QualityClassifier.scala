@@ -152,6 +152,32 @@ object QualityClassifier {
       .drop("__thr")
   }
 
+  /** Curriculum tiers: each document gets its quantile bucket
+    * `1..nTiers` of the score column — the difficulty/quality binning
+    * a curriculum schedule or quality-stratified mixture reads. The
+    * `nTiers - 1` thresholds come from ONE tiny aggregate over the
+    * score column (percentile_approx by default; `exact = true` is
+    * the contract path — over integer scores every interpolation step
+    * is exact in double, the [[keepTopFraction]] discipline), attach
+    * back by a 1-row broadcast cross join, and
+    * `tier = 1 + #thresholds strictly below the score` (threshold
+    * ties sink to the LOWER tier). At 100 TB: a scan, a tiny agg, a
+    * scan with a broadcast map — no corpus sort, no ntile window
+    * (which would move the corpus through one unpartitioned sort). */
+  def tierByQuantile(scored: DataFrame, scoreCol: Column, nTiers: Int,
+      exact: Boolean = false): DataFrame = {
+    require(nTiers >= 2, s"need at least 2 tiers, got $nTiers")
+    val fracs = array((1 until nTiers).map(j => lit(j.toDouble / nTiers)): _*)
+    val thr = scored.agg(
+      (if (exact) percentile(scoreCol, fracs)
+       else percentile_approx(scoreCol, fracs, lit(10000)))
+        .as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("tier", (lit(1) + aggregate(col("__thr"), lit(0),
+        (acc, th) => acc + when(scoreCol > th, 1).otherwise(0))).cast("int"))
+      .drop("__thr")
+  }
+
   /** spark.ml path: HashingTF + LogisticRegression over the same
     * tokenization. Returns (model, scored docs with `probability` /
     * `prediction`). Discriminative weights beat the generative counts

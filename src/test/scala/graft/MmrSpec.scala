@@ -76,6 +76,17 @@ class MmrSpec extends SparkSpec {
     assert(jac < 0.1, s"Jaccard is dragged down by the long doc, got $jac")
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val before = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("doc_id", "text")
+    val after = Seq((2L, "bb"), (3L, "cc edited"), (4L, "dd")).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(before, col("doc_id"), col("text"),
+        after, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+  }
+
   test("containment of an empty shingle set is null, not a division error") {
     // Dedup.shingled never emits empty sets (it filters them), but the
     // verifier is a public surface any shingle frame can feed

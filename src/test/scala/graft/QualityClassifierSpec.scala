@@ -138,6 +138,33 @@ class QualityClassifierSpec extends SparkSpec {
     assert(exact == labels.filter(_._2).keySet)
   }
 
+  test("tierByQuantile bins into quantile buckets; threshold ties sink lower") {
+    import spark.implicits._
+    // scores 1..8: exact quartile thresholds (2.75, 4.5, 6.25) ->
+    // tiers {1,2}->1, {3,4}->2, {5,6}->3, {7,8}->4
+    val scored = (1L to 8L).map(i => (i, i)).toDF("doc_id", "score_fp")
+    val tiers = QualityClassifier
+      .tierByQuantile(scored, col("score_fp"), 4, exact = true)
+      .orderBy("doc_id").collect().map(_.getAs[Int]("tier")).toSeq
+    assert(tiers == Seq(1, 1, 2, 2, 3, 3, 4, 4))
+    // a score exactly AT a threshold sinks to the lower tier: with
+    // scores 1,1,1,3 and 2 tiers the median is 1.0 — the three 1s are
+    // NOT strictly above it
+    val tied = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 3L))
+      .toDF("doc_id", "score_fp")
+    val t2 = QualityClassifier
+      .tierByQuantile(tied, col("score_fp"), 2, exact = true)
+      .orderBy("doc_id").collect().map(_.getAs[Int]("tier")).toSeq
+    assert(t2 == Seq(1, 1, 1, 2))
+    // exact and approx agree away from interpolation ties
+    val big = (1L to 100L).map(i => (i, i * 10)).toDF("doc_id", "score_fp")
+    val e = QualityClassifier.tierByQuantile(big, col("score_fp"), 5,
+      exact = true).orderBy("doc_id").collect().map(_.getAs[Int]("tier")).toSeq
+    val a = QualityClassifier.tierByQuantile(big, col("score_fp"), 5)
+      .orderBy("doc_id").collect().map(_.getAs[Int]("tier")).toSeq
+    assert(e == a)
+  }
+
   test("gate on an empty corpus returns empty, both percentile variants") {
     import spark.implicits._
     val scored = Seq.empty[(Long, Long)].toDF("doc_id", "score_fp")
