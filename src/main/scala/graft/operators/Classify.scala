@@ -62,6 +62,41 @@ object Classify {
     vote(nb, k)
   }
 
+  /** Hard-negative mining — the contrastive-training companion of
+    * classification: for each labeled anchor, the k NEAREST reference
+    * rows whose label DIFFERS (the negatives that sit closest to the
+    * decision boundary, which is what makes them "hard"). Exact path:
+    * the bounded anchor set broadcasts over the reference scan, the
+    * label-mismatch filter applies BEFORE the per-anchor rank window
+    * (so no overfetch reasoning is needed — the top-k is exact by
+    * construction), and the window executes as WindowGroupLimit.
+    * Returns (query_id, rank, id, dist, label). For corpus-scale
+    * anchor sets, run [[AnnIndex.topKJoin]] with a generous overfetch
+    * and apply the same filter + re-rank — approximate when more
+    * same-label rows precede the k-th negative than the overfetch
+    * covers (spec pins exact == ANN at exhaustive breadth on the
+    * fixture). */
+  def hardNegativesExact(anchors: DataFrame, aIdCol: Column,
+      aVecCol: Column, aLabelCol: Column, ref: DataFrame, refIdCol: Column,
+      refVecCol: Column, refLabelCol: Column, k: Int,
+      metric: Knn.Metric = Knn.L2Sq): DataFrame = {
+    require(k > 0, "k must be positive")
+    val a = anchors.select(aIdCol.as("query_id"), aVecCol.as("__qv"),
+      aLabelCol.as("__qlbl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("id").asc)
+    ref
+      .select(refIdCol.as("id"), refVecCol.as("__rv"),
+        refLabelCol.as("label"))
+      .crossJoin(broadcast(a))
+      .filter(col("label") =!= col("__qlbl"))
+      .withColumn("dist", metric.dist(col("__rv"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("dist"),
+        col("label"))
+  }
+
   /** Index-backed classification at corpus scale: every query probes
     * the shard graphs in ONE [[AnnIndex.topKJoin]] job, the `labels`
     * frame (id → label) joins on, and [[vote]] ranks the survivors.

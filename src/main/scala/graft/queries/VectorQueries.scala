@@ -205,6 +205,21 @@ object VectorQueries {
       .orderBy(col("query_id").asc)
   }
 
+  /** Hard-negative mining for the 20 labeled anchors: the 3 nearest
+    * reference rows (vec_id >= 20) per anchor whose label differs —
+    * the contrastive-training negatives closest to the decision
+    * boundary. Exact path (label filter precedes the rank window);
+    * dist rounds 6dp for output. */
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classify.hardNegativesExact(
+        emb(s, dir).filter(col("vec_id") < 20),
+        col("vec_id"), col("embedding"), col("label"),
+        emb(s, dir).filter(col("vec_id") >= 20),
+        col("vec_id"), col("embedding"), col("label"), k = 3)
+      .select(col("query_id"), col("rank"), col("id"),
+        round(col("dist"), 6).as("dist"), col("label"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+
   /** MMR diversified top-5 over the exact 20 nearest neighbors
     * (λ=0.7): the re-ranking step between a similarity search and a
     * RAG/labeling consumer — plain top-k returns near-duplicate
@@ -836,6 +851,7 @@ object VectorQueries {
     "q_ann_target_recall" -> ((s, dir) => annTargetRecall(s, dir)),
     "q_mmr_rerank" -> ((s, dir) => mmrRerank(s, dir)),
     "q_knn_classify" -> ((s, dir) => knnClassify(s, dir)),
+    "q_hard_negatives" -> ((s, dir) => hardNegatives(s, dir)),
     "q_ann_filtered" -> ((s, dir) => annFiltered(s, dir)),
     "q_ann_hamming_rewrite" -> ((s, dir) => annHammingRewrite(s, dir)),
     "q_ann_delete" -> ((s, dir) => annDelete(s, dir)),
@@ -1133,6 +1149,26 @@ object VectorQueries {
         |  FROM v)
         |SELECT query_id, label, votes, round(votes / 5.0, 6) AS confidence
         |FROM s WHERE sel = 1 ORDER BY query_id ASC""".stripMargin,
+    // hard negatives: label-mismatch filter BEFORE the rank window
+    "q_hard_negatives" ->
+      """WITH qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, label AS qlbl
+        |  FROM embeddings WHERE vec_id < 20),
+        |d AS (
+        |  SELECT qs.query_id, e.vec_id AS id, e.label,
+        |    list_sum(list_transform(e.embedding,
+        |      (x, i) -> (CAST(x AS DOUBLE) - CAST(qv[i] AS DOUBLE))
+        |        * (CAST(x AS DOUBLE) - CAST(qv[i] AS DOUBLE)))) AS dist
+        |  FROM qs, embeddings e
+        |  WHERE e.vec_id >= 20 AND e.label <> qs.qlbl),
+        |r AS (
+        |  SELECT query_id, id, label, dist,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist ASC, id ASC) AS INT) AS rank
+        |  FROM d)
+        |SELECT query_id, rank, id, round(dist, 6) AS dist, label
+        |FROM r WHERE rank <= 3
+        |ORDER BY query_id ASC, rank ASC""".stripMargin,
     // MMR: all five greedy selections unrolled; (1.0 - 0.7) — not a
     // 0.3 literal — so the diversity weight is the IDENTICAL double
     // the Scala `1 - lambda` computes

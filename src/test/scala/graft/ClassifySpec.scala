@@ -42,6 +42,24 @@ class ClassifySpec extends SparkSpec {
     assert(Classify.vote(nb, 1).collect()(0).getString(1) == "a")
   }
 
+  test("hard negatives: nearest different-label rows, exact by construction") {
+    // anchor label a at origin; same-label rows nearer than the
+    // different-label ones must NOT appear
+    val anchors = Seq((1L, Seq(0.0f, 0.0f), "a")).toDF("id", "v", "lbl")
+    val ref = Seq(
+      (10L, Seq(0.1f, 0.0f), "a"), (11L, Seq(0.2f, 0.0f), "a"),
+      (12L, Seq(1.0f, 0.0f), "b"), (13L, Seq(2.0f, 0.0f), "c"),
+      (14L, Seq(3.0f, 0.0f), "b")
+    ).toDF("id", "v", "lbl")
+    val out = graft.operators.Classify.hardNegativesExact(
+        anchors, col("id"), col("v"), col("lbl"),
+        ref, col("id"), col("v"), col("lbl"), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(12L, 13L),
+      "the two nearest DIFFERENT-label rows, same-label ones skipped")
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+  }
+
   test("classifyExact == classifyAnn at exhaustive ef over a real slice") {
     val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
