@@ -96,6 +96,7 @@ object TextQueries {
       timed("bm25_postings_stemmed") { postStemmedCached(s, dir).count() },
       timed("dedup_shingles") { shingledCached(s, dir).count() },
       timed("dedup_signatures") { sigCached(s, dir).count() },
+      timed("dedup_lsh_candidates") { lshCandidatesCached(s, dir).count() },
       timed("dedup_jaccard_pairs") { jaccardPairsCached(s, dir).count() },
       timed("dedup_simhash64") { simhash64Cached(s, dir).count() },
       timed("mock_embeddings") { mockEmbCached(s, dir).count() },
@@ -562,18 +563,24 @@ object TextQueries {
           .as("signature"))
       .orderBy(col("doc_id").asc).limit(100)
 
-  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = sigCached(s, dir)
-    Dedup.estimateJaccard(Dedup.lshCandidatePairs(sig, 8, 4), sig, 8)
+  /** Banded LSH candidate pairs, persisted once per dir and shared by
+    * every verifier that reads them (estimate / Jaccard / containment)
+    * — at cluster scale the stored candidate table a dedup pipeline
+    * writes once and verifies many ways. */
+  private def lshCandidatesCached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cached(s"lshcands:$dir")(
+      Dedup.lshCandidatePairs(sigCached(s, dir), 8, 4))
+
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.estimateJaccard(lshCandidatesCached(s, dir), sigCached(s, dir), 8)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
-  }
 
   /** Jaccard-verified LSH candidate pairs, persisted once per dir and
     * shared by q_jaccard_pairs and q_neardup_groups. */
   private def jaccardPairsCached(s: SparkSession, dir: String): DataFrame =
     graft.SharedState.cached(s"jacpairs:$dir")(
       Dedup.jaccardVerify(shingledCached(s, dir),
-        Dedup.lshCandidatePairs(sigCached(s, dir), 8, 4)))
+        lshCandidatesCached(s, dir)))
 
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairsCached(s, dir)
@@ -586,7 +593,7 @@ object TextQueries {
     * as q_jaccard_pairs. */
   private def containmentPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentVerify(shingledCached(s, dir),
-        Dedup.lshCandidatePairs(sigCached(s, dir), 8, 4))
+        lshCandidatesCached(s, dir))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   /** Near-duplicate clusters: LSH candidates verified by exact Jaccard
