@@ -453,6 +453,12 @@ object TextQueries {
       .orderBy(col("doc_id").asc).limit(300)
   }
 
+  /** Winnowing fingerprints (MOSS): 5-gram hashes, window 4, rightmost
+    * min per window, consecutive picks collapsed. */
+  private def winnowQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnow(docs(s, dir), col("doc_id"), col("text"), k = 5, w = 4)
+      .orderBy(col("doc_id").asc, col("fp_pos").asc).limit(500)
+
   /** Snapshot diff between the corpus and a deterministically mutated
     * "next crawl": docs with id % 11 == 0 are dropped (removed), the
     * survivors with id % 7 == 0 get edited text (changed), and each
@@ -995,6 +1001,7 @@ object TextQueries {
     "q_chunk_docs" -> ((s, d) => chunkDocsQ(s, d)),
     "q_dedup_incremental" -> ((s, d) => dedupIncremental(s, d)),
     "q_snapshot_diff" -> ((s, d) => snapshotDiffQ(s, d)),
+    "q_winnow" -> ((s, d) => winnowQ(s, d)),
     "q_tfidf_keywords" -> ((s, d) => tfidfKeywords(s, d)),
     "q_pii_redact" -> ((s, d) => piiRedact(s, d)),
     "q_html_extract" -> ((s, d) => htmlExtract(s, d)),
@@ -1389,6 +1396,39 @@ object TextQueries {
          |  FROM sc)
          |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
          |ORDER BY doc_id ASC, rank ASC LIMIT 600""".stripMargin,
+    // winnowing: positional 5-gram hashes, window-4 rightmost-min
+    // picks, duplicates collapsed; the rightmost tie index replays as
+    // len(win) - list_position(list_reverse(win), min). DuckDB cannot
+    // list_distinct a STRUCT list, so the (pos, hash) pick encodes as
+    // pos * 2^28 + hash (the hash is a 28-bit md5 prefix) and decodes
+    // after the unnest — the encoding is a bijection, so distinctness
+    // over encodings IS distinctness over picks
+    "q_winnow" ->
+      s"""WITH $toksCte,
+         |hs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 5 THEN
+         |      list_transform(range(len(t) - 4),
+         |        i -> ('0x' || substr(md5(array_to_string(t[(i+1):(i+5)], ' ')), 1, 7))::BIGINT)
+         |    ELSE [] END AS h
+         |  FROM toks),
+         |p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(h) >= 4 THEN
+         |      list_distinct(list_transform(range(len(h) - 3),
+         |        j -> (j + len(h[(j+1):(j+4)])
+         |            - list_position(list_reverse(h[(j+1):(j+4)]),
+         |                            list_min(h[(j+1):(j+4)]))) * 268435456
+         |          + list_min(h[(j+1):(j+4)])))
+         |    WHEN len(h) > 0 THEN
+         |      [(len(h) - list_position(list_reverse(h), list_min(h))) * 268435456
+         |        + list_min(h)]
+         |    ELSE [] END AS fps
+         |  FROM hs)
+         |SELECT doc_id, CAST(enc // 268435456 AS INT) AS fp_pos,
+         |  enc % 268435456 AS fp_hash
+         |FROM (SELECT doc_id, unnest(fps) AS enc FROM p)
+         |ORDER BY doc_id ASC, fp_pos ASC LIMIT 500""".stripMargin,
     // snapshot diff: the mutation is closed-form in doc_id, so the
     // statuses replay without computing a single hash (removal wins
     // over change: a dropped doc's edit never lands)

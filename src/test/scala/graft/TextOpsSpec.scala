@@ -335,6 +335,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("winnow: shared >= w+k-1 token runs share a fingerprint; short-doc rules") {
+    // k=5, w=4 -> the published guarantee kicks in at 8 shared tokens
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"red green blue $shared yellow purple"),
+      (3L, "only four tokens here"),          // < k grams -> none
+      (4L, "exactly five tokens right here"), // 1 gram -> single pick
+      (5L, "totally unrelated content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val fp = TextOps.winnow(docs, col("doc_id"), col("text"), k = 5, w = 4)
+    val byDoc = fp.collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(2)).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "an 8-token shared run must share at least one fingerprint")
+    assert((byDoc(1L) & byDoc(5L)).isEmpty,
+      "unrelated docs share nothing")
+    assert(!byDoc.contains(3L), "fewer than k tokens -> no grams, no picks")
+    assert(byDoc(4L).size == 1, "one gram -> the single global pick")
+    // positions point INTO the doc: every pos is a valid gram index
+    val pos = fp.filter(col("doc_id") === 1).collect().map(_.getInt(1))
+    assert(pos.forall(p => p >= 0 && p <= 10), s"bad positions: ${pos.toSeq}")
+    // deterministic across runs
+    val again = TextOps.winnow(docs, col("doc_id"), col("text"), k = 5, w = 4)
+    assert(fp.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+  }
+
   test("c4Clean: line rules and document gates") {
     val five = "Aa bb cc one. Bb cc dd two. Cc dd ee three. Dd ee ff four. Ee ff gg five."
       .replace(". ", ".\n")
