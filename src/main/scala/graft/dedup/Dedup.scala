@@ -342,6 +342,32 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** Winnowing near-dup pairs: candidates share at least one
+    * fingerprint bucket (through the default-on mega-bucket guard —
+    * a boilerplate run's fingerprint would otherwise emit bucket²
+    * pairs), then verification counts the DISTINCT shared
+    * fingerprints per pair by joining the per-doc fingerprint sets
+    * back (the [[jaccardVerify]] discipline). Input is
+    * [[graft.text.TextOps.winnow]]'s (doc_id, fp_pos, fp_hash) frame.
+    * Returns (doc_a, doc_b, n_shared) with n_shared >= `minShared`. */
+  def winnowPairs(fp: DataFrame, minShared: Int = 2,
+      maxBucket: Int = 10000, skewMult: Double = 16.0): DataFrame = {
+    require(minShared >= 1, "minShared must be positive")
+    val keyed = fp.select(col("doc_id"), col("fp_hash")).distinct()
+    val cands = pairsFromBuckets(keyed.withColumnRenamed("fp_hash", "__k"),
+      Seq("__k"), maxBucket, skewMult)
+    val sets = keyed.groupBy(col("doc_id"))
+      .agg(collect_set(col("fp_hash")).as("__fs"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("__fs").as("__fa")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("__fs").as("__fb")),
+        "doc_b")
+      .withColumn("n_shared", size(array_intersect(col("__fa"), col("__fb"))))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"))
+  }
+
   /** Corpus snapshot diff — the dataset-versioning primitive (what
     * changed between two crawls / two pipeline runs, the input to
     * incremental re-embedding and changelog audits): per-document

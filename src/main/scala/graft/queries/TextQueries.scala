@@ -459,6 +459,38 @@ object TextQueries {
     TextOps.winnow(docs(s, dir), col("doc_id"), col("text"), k = 5, w = 4)
       .orderBy(col("doc_id").asc, col("fp_pos").asc).limit(500)
 
+  /** The three planted 20-token runs for q_winnow_pairs (20 tokens =
+    * 16 grams at k=5 — winnowing's expected pick density 2/(w+1)
+    * yields ~6 distinct fingerprints per run, comfortably over the
+    * minShared=2 verification bar; the picks depend only on the run
+    * TEXT, so the planted sharing is identical at every sf). */
+  private val winnowRuns = Seq(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon",
+    "zero one two three four five six seven eight nine " +
+      "ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen",
+    "red orange yellow green blue indigo violet cyan magenta teal " +
+      "maroon olive navy coral amber jade ruby pearl onyx quartz")
+
+  /** Winnowing near-dup pairs over the corpus with bounded planted
+    * duplication: docs with doc_id < 30 get one of three shared
+    * 20-token runs appended (group = doc_id % 3, ≤ 10 docs each, so
+    * the planted pair count is CONSTANT in sf); pairs must share ≥ 2
+    * distinct fingerprints, which random 28-bit collisions essentially
+    * never produce. */
+  private def winnowPairsQ(s: SparkSession, dir: String): DataFrame = {
+    val aug = when(col("doc_id") < 30,
+        concat(col("text"), lit(" "),
+          when(col("doc_id") % 3 === 0, lit(winnowRuns(0)))
+            .when(col("doc_id") % 3 === 1, lit(winnowRuns(1)))
+            .otherwise(lit(winnowRuns(2)))))
+      .otherwise(col("text"))
+    Dedup.winnowPairs(
+        TextOps.winnow(docs(s, dir), col("doc_id"), aug, k = 5, w = 4),
+        minShared = 2)
+      .orderBy(col("doc_a").asc, col("doc_b").asc).limit(300)
+  }
+
   /** Snapshot diff between the corpus and a deterministically mutated
     * "next crawl": docs with id % 11 == 0 are dropped (removed), the
     * survivors with id % 7 == 0 get edited text (changed), and each
@@ -1002,6 +1034,7 @@ object TextQueries {
     "q_dedup_incremental" -> ((s, d) => dedupIncremental(s, d)),
     "q_snapshot_diff" -> ((s, d) => snapshotDiffQ(s, d)),
     "q_winnow" -> ((s, d) => winnowQ(s, d)),
+    "q_winnow_pairs" -> ((s, d) => winnowPairsQ(s, d)),
     "q_tfidf_keywords" -> ((s, d) => tfidfKeywords(s, d)),
     "q_pii_redact" -> ((s, d) => piiRedact(s, d)),
     "q_html_extract" -> ((s, d) => htmlExtract(s, d)),
@@ -1429,6 +1462,57 @@ object TextQueries {
          |  enc % 268435456 AS fp_hash
          |FROM (SELECT doc_id, unnest(fps) AS enc FROM p)
          |ORDER BY doc_id ASC, fp_pos ASC LIMIT 500""".stripMargin,
+    // winnow pairs: same augmentation, same winnow chain, candidate
+    // bucket join + distinct-shared-fingerprint count (>= 2)
+    "q_winnow_pairs" -> {
+      val runsCase = s"""CASE doc_id % 3
+         |      WHEN 0 THEN '${winnowRuns(0)}'
+         |      WHEN 1 THEN '${winnowRuns(1)}'
+         |      ELSE '${winnowRuns(2)}' END""".stripMargin
+      s"""WITH aug AS (
+         |  SELECT doc_id, CASE WHEN doc_id < 30
+         |    THEN text || ' ' || $runsCase
+         |    ELSE text END AS text
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+         |  FROM aug),
+         |hs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 5 THEN
+         |      list_transform(range(len(t) - 4),
+         |        i -> ('0x' || substr(md5(array_to_string(t[(i+1):(i+5)], ' ')), 1, 7))::BIGINT)
+         |    ELSE [] END AS h
+         |  FROM toks),
+         |p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(h) >= 4 THEN
+         |      list_distinct(list_transform(range(len(h) - 3),
+         |        j -> (j + len(h[(j+1):(j+4)])
+         |            - list_position(list_reverse(h[(j+1):(j+4)]),
+         |                            list_min(h[(j+1):(j+4)]))) * 268435456
+         |          + list_min(h[(j+1):(j+4)])))
+         |    WHEN len(h) > 0 THEN
+         |      [(len(h) - list_position(list_reverse(h), list_min(h))) * 268435456
+         |        + list_min(h)]
+         |    ELSE [] END AS fps
+         |  FROM hs),
+         |fp AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, enc % 268435456 AS fh
+         |  FROM (SELECT doc_id, unnest(fps) AS enc FROM p)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id),
+         |fs AS (SELECT doc_id, list(DISTINCT fh) AS s FROM fp GROUP BY doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(fa.s, fb.s)) AS INT) AS n_shared
+         |FROM cand
+         |JOIN fs fa ON fa.doc_id = cand.doc_a
+         |JOIN fs fb ON fb.doc_id = cand.doc_b
+         |WHERE len(list_intersect(fa.s, fb.s)) >= 2
+         |ORDER BY doc_a ASC, doc_b ASC LIMIT 300""".stripMargin
+    },
     // snapshot diff: the mutation is closed-form in doc_id, so the
     // statuses replay without computing a single hash (removal wins
     // over change: a dropped doc's edit never lands)

@@ -363,6 +363,29 @@ class TextOpsSpec extends SparkSpec {
     assert(fp.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
   }
 
+  test("winnowPairs counts distinct shared fingerprints per candidate pair") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, s"one two three $run"),
+      (2L, s"red green blue $run yellow"),
+      (3L, "nothing in common with anything else here at all today friend")
+    ).toDF("doc_id", "text")
+    val fp = TextOps.winnow(docs, col("doc_id"), col("text"), k = 5, w = 4)
+    val pairs = graft.dedup.Dedup.winnowPairs(fp, minShared = 2).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    // the shared count is the intersection of the docs' DISTINCT
+    // fingerprint sets — recompute it independently
+    val sets = fp.collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(2)).toSet }
+    assert(pairs(0).getInt(2) == (sets(1L) & sets(2L)).size)
+    assert(pairs(0).getInt(2) >= 2)
+    // minShared above the overlap -> no pairs
+    assert(graft.dedup.Dedup.winnowPairs(fp,
+      minShared = (sets(1L) & sets(2L)).size + 1).count() == 0)
+  }
+
   test("c4Clean: line rules and document gates") {
     val five = "Aa bb cc one. Bb cc dd two. Cc dd ee three. Dd ee ff four. Ee ff gg five."
       .replace(". ", ".\n")
