@@ -342,30 +342,54 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
-  /** Winnowing near-dup pairs: candidates share at least one
-    * fingerprint bucket (through the default-on mega-bucket guard —
-    * a boilerplate run's fingerprint would otherwise emit bucket²
-    * pairs), then verification counts the DISTINCT shared
-    * fingerprints per pair by joining the per-doc fingerprint sets
-    * back (the [[jaccardVerify]] discipline). Input is
-    * [[graft.text.TextOps.winnow]]'s (doc_id, fp_pos, fp_hash) frame.
-    * Returns (doc_a, doc_b, n_shared) with n_shared >= `minShared`. */
+  /** Winnowing near-dup pairs: n_shared = the number of DISTINCT
+    * fingerprints a pair shares, counted DIRECTLY off the bucket join
+    * — (doc, hash) is distinct, so each shared hash contributes
+    * exactly one joined row and one combiner-friendly
+    * `groupBy(doc_a, doc_b).count` IS the verification. No per-doc
+    * fingerprint sets are ever materialized (a first cut collected
+    * 760M fingerprints into 5M driver-sized arrays and intersected
+    * them per pair — 600 s at the sf10 century; this shape runs as
+    * three hash shuffles and rides it).
+    *
+    * Guard semantics: fingerprints whose bucket exceeds the
+    * mega-bucket cap (absolute `maxBucket` AND `skewMult`× the median
+    * bucket, the [[pairsFromBuckets]] thresholds) are EXCLUDED from
+    * the join and the counts — a fingerprint shared by thousands of
+    * documents is boilerplate, exactly the signal a near-dup merge
+    * must not fire on (the tfidf-stopword reasoning); a pair sharing
+    * ONLY mega-bucket fingerprints reports no row. With the default
+    * thresholds no contract-scale bucket is capped, so guard-on ==
+    * guard-off there. `maxBucket <= 0` disables the guard.
+    *
+    * Input is [[graft.text.TextOps.winnow]]'s (doc_id, fp_pos,
+    * fp_hash) frame. Returns (doc_a, doc_b, n_shared) with
+    * n_shared >= `minShared`. */
   def winnowPairs(fp: DataFrame, minShared: Int = 2,
       maxBucket: Int = 10000, skewMult: Double = 16.0): DataFrame = {
     require(minShared >= 1, "minShared must be positive")
-    val keyed = fp.select(col("doc_id"), col("fp_hash")).distinct()
-    val cands = pairsFromBuckets(keyed.withColumnRenamed("fp_hash", "__k"),
-      Seq("__k"), maxBucket, skewMult)
-    val sets = keyed.groupBy(col("doc_id"))
-      .agg(collect_set(col("fp_hash")).as("__fs"))
-    cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("__fs").as("__fa")),
-        "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("__fs").as("__fb")),
-        "doc_b")
-      .withColumn("n_shared", size(array_intersect(col("__fa"), col("__fb"))))
+    val keyed = fp.select(col("doc_id"), col("fp_hash").as("__k")).distinct()
+    val guarded =
+      if (maxBucket <= 0) keyed
+      else {
+        val stats = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__bn"))
+        val withCap =
+          if (skewMult <= 0) stats.withColumn("__cap", lit(maxBucket.toLong))
+          else stats.crossJoin(broadcast(
+              stats.agg(expr("percentile(__bn, 0.5)").as("__med"))))
+            .withColumn("__cap",
+              greatest(lit(maxBucket.toLong),
+                ceil(col("__med") * skewMult).cast("long")))
+        keyed.join(
+          withCap.filter(col("__bn") <= col("__cap")).select(col("__k")),
+          "__k")
+      }
+    guarded.select(col("__k"), col("doc_id").as("doc_a"))
+      .join(guarded.select(col("__k"), col("doc_id").as("doc_b")), "__k")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("int").as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .select(col("doc_a"), col("doc_b"), col("n_shared"))
   }
 
   /** Corpus snapshot diff — the dataset-versioning primitive (what

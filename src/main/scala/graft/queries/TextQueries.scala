@@ -98,6 +98,8 @@ object TextQueries {
       timed("dedup_signatures") { sigCached(s, dir).count() },
       timed("dedup_lsh_candidates") { lshCandidatesCached(s, dir).count() },
       timed("dedup_jaccard_pairs") { jaccardPairsCached(s, dir).count() },
+      timed("winnow_fingerprints") { winnowCached(s, dir).count() },
+      timed("winnow_pairs") { winnowPairsCached(s, dir).count() },
       timed("dedup_simhash64") { simhash64Cached(s, dir).count() },
       timed("mock_embeddings") { mockEmbCached(s, dir).count() },
       timed("quality_weights") { qualityWeights(s, dir).count() })
@@ -453,10 +455,20 @@ object TextQueries {
       .orderBy(col("doc_id").asc).limit(300)
   }
 
+  /** The winnowing fingerprint table over the augmented corpus,
+    * persisted once per dir and shared by q_winnow and q_winnow_pairs
+    * (warmed in [[prepare]] — at cluster scale THE stored fingerprint
+    * table, like the MinHash signature tables; the positional md5
+    * pass over every gram is a one-time artifact cost, never a
+    * steady-state query cost). */
+  private def winnowCached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cached(s"winnow:$dir")(
+      TextOps.winnow(docs(s, dir), col("doc_id"), winnowAug, k = 5, w = 4))
+
   /** Winnowing fingerprints (MOSS): 5-gram hashes, window 4, rightmost
     * min per window, consecutive picks collapsed. */
   private def winnowQ(s: SparkSession, dir: String): DataFrame =
-    TextOps.winnow(docs(s, dir), col("doc_id"), col("text"), k = 5, w = 4)
+    winnowCached(s, dir)
       .orderBy(col("doc_id").asc, col("fp_pos").asc).limit(500)
 
   /** The three planted 20-token runs for q_winnow_pairs (20 tokens =
@@ -472,24 +484,30 @@ object TextQueries {
     "red orange yellow green blue indigo violet cyan magenta teal " +
       "maroon olive navy coral amber jade ruby pearl onyx quartz")
 
-  /** Winnowing near-dup pairs over the corpus with bounded planted
-    * duplication: docs with doc_id < 30 get one of three shared
-    * 20-token runs appended (group = doc_id % 3, ≤ 10 docs each, so
-    * the planted pair count is CONSTANT in sf); pairs must share ≥ 2
-    * distinct fingerprints, which random 28-bit collisions essentially
-    * never produce. */
-  private def winnowPairsQ(s: SparkSession, dir: String): DataFrame = {
-    val aug = when(col("doc_id") < 30,
-        concat(col("text"), lit(" "),
-          when(col("doc_id") % 3 === 0, lit(winnowRuns(0)))
-            .when(col("doc_id") % 3 === 1, lit(winnowRuns(1)))
-            .otherwise(lit(winnowRuns(2)))))
+  /** The bounded planted duplication both winnow rows read: docs with
+    * doc_id < 30 get one of three shared 20-token runs appended
+    * (group = doc_id % 3, ≤ 10 docs each, so the planted pair count
+    * is CONSTANT in sf). */
+  private def winnowAug: org.apache.spark.sql.Column =
+    when(col("doc_id") < 30,
+      concat(col("text"), lit(" "),
+        when(col("doc_id") % 3 === 0, lit(winnowRuns(0)))
+          .when(col("doc_id") % 3 === 1, lit(winnowRuns(1)))
+          .otherwise(lit(winnowRuns(2)))))
       .otherwise(col("text"))
-    Dedup.winnowPairs(
-        TextOps.winnow(docs(s, dir), col("doc_id"), aug, k = 5, w = 4),
-        minShared = 2)
+
+  /** Verified winnow pairs, persisted once per dir (the pairs table a
+    * dedup pipeline materializes from the fingerprint table). */
+  private def winnowPairsCached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cached(s"winnowpairs:$dir")(
+      Dedup.winnowPairs(winnowCached(s, dir), minShared = 2))
+
+  /** Winnowing near-dup pairs: pairs must share ≥ 2 distinct
+    * fingerprints, which random 28-bit collisions essentially never
+    * produce. */
+  private def winnowPairsQ(s: SparkSession, dir: String): DataFrame =
+    winnowPairsCached(s, dir)
       .orderBy(col("doc_a").asc, col("doc_b").asc).limit(300)
-  }
 
   /** Snapshot diff between the corpus and a deterministically mutated
     * "next crawl": docs with id % 11 == 0 are dropped (removed), the
@@ -1437,7 +1455,18 @@ object TextQueries {
     // after the unnest — the encoding is a bijection, so distinctness
     // over encodings IS distinctness over picks
     "q_winnow" ->
-      s"""WITH $toksCte,
+      s"""WITH aug AS (
+         |  SELECT doc_id, CASE WHEN doc_id < 30
+         |    THEN text || ' ' || CASE doc_id % 3
+         |      WHEN 0 THEN '${winnowRuns(0)}'
+         |      WHEN 1 THEN '${winnowRuns(1)}'
+         |      ELSE '${winnowRuns(2)}' END
+         |    ELSE text END AS text
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+         |  FROM aug),
          |hs AS (
          |  SELECT doc_id,
          |    CASE WHEN len(t) >= 5 THEN
