@@ -200,9 +200,14 @@ object Autotune {
   /** Search-time ef for a requested recall target, derived from the
     * `autotune_results` artifact [[runAndCreate]] exports next to the
     * index — the Spark analog of the reference's cost-estimation +
-    * autotune pairing (lantern_cli/src/index_autotune/mod.rs:161-186:
-    * cheapest variant meeting the target wins). Returns None when no
-    * artifact exists or no measured variant met the target (callers
+    * autotune pairing (lantern_cli/src/index_autotune/mod.rs:161-186).
+    * Only rows measured at the SERVED index's build parameters count:
+    * the artifact holds one row per grid variant, but a recall
+    * measured on an (m, efConstruction) the index was not built with
+    * says nothing about the served graph — so the rows filter to the
+    * manifest's (m, efConstruction) first, then the smallest
+    * qualifying ef wins. Returns None when no artifact/manifest
+    * exists or no variant of the BUILT graph met the target (callers
     * fall back to an explicit ef, surfacing the gap instead of
     * silently under-recalling). */
   def efForTarget(spark: org.apache.spark.sql.SparkSession,
@@ -210,9 +215,14 @@ object Autotune {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/autotune_results")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return None
+    val man =
+      try AnnIndex.readManifest(indexPath)
+      catch { case _: Exception => return None }
     spark.read.parquet(p.toString)
-      .filter(col("recall") >= targetRecall)
-      .orderBy(col("m").asc, col("ef_construction").asc, col("ef").asc)
+      .filter(col("m") === man.m &&
+        col("ef_construction") === man.efConstruction &&
+        col("recall") >= targetRecall)
+      .orderBy(col("ef").asc)
       .limit(1).collect()
       .headOption.map(_.getAs[Int]("ef"))
   }

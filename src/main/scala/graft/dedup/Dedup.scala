@@ -181,6 +181,24 @@ object Dedup {
     * (the planted-mega-cluster specs pin exactly this). `maxBucket <= 0`
     * disables the guard entirely; `skewMult <= 0` keeps the absolute
     * threshold only (specs use it to force capping on tiny fixtures). */
+  /** The per-bucket cap every mega-bucket guard shares: the ABSOLUTE
+    * `maxBucket` floor raised to `skewMult`× the MEDIAN bucket size
+    * (exact percentile over the bucket-stats frame — a handful of
+    * rows per key domain — attached by a 1-row broadcast cross join;
+    * median, not mean: mega-buckets inflate the mean until the guard
+    * self-disables). Input must carry a `__bn` count column; returns
+    * it with `__cap` added. Used by [[pairsFromBuckets]] and
+    * [[winnowPairs]] so the two guards can never drift. */
+  private def withBucketCap(stats: DataFrame, maxBucket: Int,
+      skewMult: Double): DataFrame =
+    if (skewMult <= 0) stats.withColumn("__cap", lit(maxBucket.toLong))
+    else stats.crossJoin(broadcast(
+        stats.agg(expr("percentile(__bn, 0.5)").as("__med"))))
+      .withColumn("__cap",
+        greatest(lit(maxBucket.toLong),
+          ceil(col("__med") * skewMult).cast("long")))
+      .drop("__med")
+
   private[graft] def pairsFromBuckets(bucketed: DataFrame, keys: Seq[String],
       maxBucket: Int, skewMult: Double = 16.0): DataFrame = {
     val keyCols = keys.map(col)
@@ -193,15 +211,7 @@ object Dedup {
     else {
       val stats = bucketed.groupBy(keyCols: _*)
         .agg(count(lit(1)).as("__bn"), min(col("doc_id")).as("__min"))
-      val withCap =
-        if (skewMult <= 0) stats.withColumn("__cap", lit(maxBucket.toLong))
-        else stats.crossJoin(broadcast(
-            stats.agg(expr("percentile(__bn, 0.5)").as("__med"))))
-          .withColumn("__cap",
-            greatest(lit(maxBucket.toLong),
-              ceil(col("__med") * skewMult).cast("long")))
-          .drop("__med")
-      val withN = bucketed.join(withCap, keys)
+      val withN = bucketed.join(withBucketCap(stats, maxBucket, skewMult), keys)
       val smallPairs = allPairs(withN.filter(col("__bn") <= col("__cap"))
         .select((col("doc_id") +: keyCols): _*))
       // the star center is the bucket's minimum doc id
@@ -373,15 +383,9 @@ object Dedup {
       if (maxBucket <= 0) keyed
       else {
         val stats = keyed.groupBy(col("__k")).agg(count(lit(1)).as("__bn"))
-        val withCap =
-          if (skewMult <= 0) stats.withColumn("__cap", lit(maxBucket.toLong))
-          else stats.crossJoin(broadcast(
-              stats.agg(expr("percentile(__bn, 0.5)").as("__med"))))
-            .withColumn("__cap",
-              greatest(lit(maxBucket.toLong),
-                ceil(col("__med") * skewMult).cast("long")))
         keyed.join(
-          withCap.filter(col("__bn") <= col("__cap")).select(col("__k")),
+          withBucketCap(stats, maxBucket, skewMult)
+            .filter(col("__bn") <= col("__cap")).select(col("__k")),
           "__k")
       }
     guarded.select(col("__k"), col("doc_id").as("doc_a"))
@@ -406,15 +410,21 @@ object Dedup {
     * join exchange-free. */
   def snapshotDiff(before: DataFrame, beforeId: Column, beforeText: Column,
       after: DataFrame, afterId: Column, afterText: Column): DataFrame = {
+    // presence is a literal flag per side, NEVER inferred from hash
+    // nullness: a document whose text is null (an extraction failure)
+    // still EXISTS in its snapshot — hash-as-presence would misreport
+    // it added/removed and an incremental pipeline keyed on the diff
+    // would re-ingest or drop it
     val b = before.select(beforeId.as("doc_id"),
-      md5(beforeText.cast("binary")).as("__hb"))
+      md5(beforeText.cast("binary")).as("__hb"), lit(1).as("__pb"))
     val a = after.select(afterId.as("doc_id"),
-      md5(afterText.cast("binary")).as("__ha"))
+      md5(afterText.cast("binary")).as("__ha"), lit(1).as("__pa"))
     b.join(a, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("__hb").isNull, "added")
-          .when(col("__ha").isNull, "removed")
-          .when(col("__ha") === col("__hb"), "unchanged")
+        when(col("__pb").isNull, "added")
+          .when(col("__pa").isNull, "removed")
+          // null-safe equality: two null texts are the same content
+          .when(col("__ha") <=> col("__hb"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

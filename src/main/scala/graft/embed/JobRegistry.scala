@@ -126,7 +126,14 @@ class JobRegistry(spark: SparkSession, registryPath: String) {
     * lantern_cli/src/daemon/autotune_jobs.rs: table + column + metric +
     * target recall + k + sample size; `create_index` always on — the
     * job's purpose is the built index). `dstPath` receives the winning
-    * index; the grid's throwaway variants go to `<dstPath>_work`. */
+    * index; the grid's throwaway variants go to `<dstPath>_work`.
+    *
+    * `sampleSize` caveat (the reference defaults to 10k and so does
+    * this): grid recalls are measured on SAMPLE-sized indexes, and a
+    * fixed ef's recall decays as the index grows — for the exported
+    * artifact to carry a recall guarantee about the SERVED index, set
+    * `sampleSize` to the serving corpus size (or a representative
+    * shard of it), the way the contract's tuned index does. */
   def addAutotuneJob(srcPath: String, idCol: String, vecCol: String,
       dstPath: String, metric: String = "l2sq", k: Int = 10,
       targetRecall: Double = 0.99, sampleSize: Int = 10000): Long = {
@@ -180,10 +187,12 @@ class JobRegistry(spark: SparkSession, registryPath: String) {
           Embeddings.streamComplete(spark, job.src_path, job.dst_path,
             checkpoint, schema, job.text_col, job.out_col,
             Runtimes.forName(job.runtime), job.model, job.system_prompt)
-        case _ =>
+        case JobType.Embedding =>
           Embeddings.streamEmbed(spark, job.src_path, job.dst_path,
             checkpoint, schema, job.text_col, job.out_col,
             Runtimes.forName(job.runtime), job.model, batchSize)
+        case other =>
+          throw new IllegalArgumentException(s"unknown job type '$other'")
       }
       q.awaitTermination()
       setStatus(jobId, Status.Completed)
@@ -222,23 +231,33 @@ class JobRegistry(spark: SparkSession, registryPath: String) {
       val p = job.params.split(";").filter(_.contains("="))
         .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
       val src = spark.read.parquet(job.src_path)
+      // numShards = 4 matches the grid's own per-variant builds, so
+      // the winning full build shares the grid geometry (shard count
+      // changes graph composition; a mismatched final build would
+      // weaken what the exported recalls say about it)
       val (report, manifest) = graft.ann.Autotune.runAndCreate(
         src, job.out_col, job.text_col, s"${job.dst_path}_work",
         job.dst_path,
         metric = graft.ann.Metric.fromName(p.getOrElse("metric", "l2sq")),
         k = p.getOrElse("k", "10").toInt,
         targetRecall = p.getOrElse("target_recall", "0.99").toDouble,
-        sampleSize = p.getOrElse("sample_size", "10000").toInt)
+        sampleSize = p.getOrElse("sample_size", "10000").toInt,
+        numShards = 4)
       if (manifest.isEmpty) throw new IllegalStateException(
         "no autotune variant met the recall target: " +
           report.results.map(r =>
             s"m=${r.variant.m}/efc=${r.variant.efConstruction}/" +
               s"ef=${r.variant.ef}→${r.recall}").mkString(", "))
-    case _ =>
+    case JobType.Embedding =>
       val src = spark.read.parquet(job.src_path)
       Embeddings.embedColumn(src, job.text_col, job.out_col,
           Runtimes.forName(job.runtime), job.model, batchSize)
         .write.mode(SaveMode.Overwrite).parquet(job.dst_path)
+    case other =>
+      // a registry row from a newer version (or a corrupted one) must
+      // fail loudly, not silently run as an embedding job and mark
+      // itself Completed over the wrong output
+      throw new IllegalArgumentException(s"unknown job type '$other'")
   }
 }
 

@@ -44,10 +44,14 @@ object Mmr {
       case Metric.Cos => Knn.Cos
       case Metric.Hamming => Knn.Hamming
     }
-    // distributed candidate stage: exact top-candN with id tiebreak
+    // distributed candidate stage: exact top-candN with id tiebreak.
+    // Null-vector rows are filtered up front: Knn.knn orders them
+    // LAST rather than dropping them, and a null candidate would NPE
+    // the driver-side greedy (or rank as distance 0)
     val cands: Array[(Long, Array[Float], Double)] =
-      Knn.knn(df.select(idCol.as("id"), vecCol.as("v")), col("v"), qLit,
-          candN, knnMetric, Some(col("id")))
+      Knn.knn(df.select(idCol.as("id"), vecCol.as("v"))
+            .filter(col("v").isNotNull),
+          col("v"), qLit, candN, knnMetric, Some(col("id")))
         .select(col("id"), col("v"), col("dist"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))

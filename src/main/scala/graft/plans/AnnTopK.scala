@@ -86,10 +86,13 @@ object AnnTopK {
   val FilterOverfetchKey = "graft.ann.filterOverfetch"
 
   /** Derived-ef cache: the autotune_results artifact is immutable once
-    * exported, so each (index, target) resolves at most once per JVM
-    * (the lookup is a driver-side parquet read — never pay it per
-    * optimizer invocation). */
-  private val derivedEf = TrieMap[(String, Double), Option[Int]]()
+    * exported, so each successfully resolved (index, target) is
+    * cached for the JVM (the lookup is a driver-side parquet read —
+    * never pay it per optimizer invocation). A MISS is deliberately
+    * NOT cached: an artifact exported after the first query (or after
+    * a re-autotune of the same path) must take effect on the next
+    * resolution, not be pinned to the fallback forever. */
+  private val derivedEf = TrieMap[(String, Double), Int]()
 
   /** The ef the rewrite will use for `indexPath` under the session's
     * conf: artifact-derived for [[TargetRecallConfKey]] when possible,
@@ -97,9 +100,15 @@ object AnnTopK {
   private[graft] def resolveEf(spark: SparkSession, indexPath: String): Int = {
     val target = spark.conf.getOption(TargetRecallConfKey)
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
-    target
-      .flatMap(t => derivedEf.getOrElseUpdate((indexPath, t),
-        graft.ann.Autotune.efForTarget(spark, indexPath, t)))
+    val derived = target.flatMap { t =>
+      val key = (indexPath, t)
+      derivedEf.get(key).orElse {
+        val r = graft.ann.Autotune.efForTarget(spark, indexPath, t)
+        r.foreach(derivedEf.put(key, _))
+        r
+      }
+    }
+    derived
       .orElse(spark.conf.getOption(EfConfKey)
         .flatMap(v => scala.util.Try(v.trim.toInt).toOption))
       .getOrElse(64)

@@ -345,12 +345,18 @@ object TextOps {
     *
     * Scale shape: tf is one combiner-friendly groupBy on (doc, term);
     * document frequency reuses that frame with a groupBy on term; the
-    * idf join BROADCASTS dfreq (vocabulary-sized — and the term key is
-    * skewed by construction: a shuffled join would pour ~nDocs "the"
-    * rows through one reducer, so the broadcast removes the hot-term
-    * hazard outright, not just AQE-mitigates it); the top-k rank
-    * windows on doc_id. `docCount < 0` counts the corpus (one scan) —
-    * pass the known count to skip it.
+    * idf join BROADCASTS dfreq by default (vocabulary-sized — and the
+    * term key is skewed by construction: a shuffled join would pour
+    * ~nDocs "the" rows through one reducer, so the broadcast removes
+    * the hot-term hazard outright, not just AQE-mitigates it). The
+    * broadcast is bounded by the DISTINCT-TERM count, not the corpus:
+    * on a web-scale corpus whose raw vocabulary (typos, URLs,
+    * numbers) exceeds Spark's broadcast limits, pass
+    * `broadcastDfreq = false` to fall back to the shuffled join under
+    * AQE skew splitting — or prune low-df terms first, which shrinks
+    * the vocabulary by orders of magnitude and keeps the broadcast.
+    * The top-k rank windows on doc_id. `docCount < 0` counts the
+    * corpus (one scan) — pass the known count to skip it.
     *
     * Determinism note: the 6dp pre-round absorbs last-ulp ln()
     * differences except when the true score sits within ~1 ulp of a
@@ -361,7 +367,8 @@ object TextOps {
     *
     * Returns (doc_id, rank, term, score). */
   def tfidfKeywords(docs: DataFrame, idCol: Column, textCol: Column,
-      k: Int = 3, docCount: Long = -1L): DataFrame = {
+      k: Int = 3, docCount: Long = -1L,
+      broadcastDfreq: Boolean = true): DataFrame = {
     require(k > 0, "k must be positive")
     val n = if (docCount >= 0) docCount else docs.count()
     val tf = docs
@@ -372,7 +379,7 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(dfreq), "term")
+    tf.join(if (broadcastDfreq) broadcast(dfreq) else dfreq, "term")
       .withColumn("score",
         round(col("tf") * graft.bm25.Bm25.idf(lit(n.toDouble), col("df")), 6))
       .withColumn("rank", row_number().over(w))

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * two select the IDENTICAL kept set (the block key is a prefix of
   * the sort key, so the rewrite is bit-equivalent by construction).
   *
-  * `MixProbe [n=1000000] [sources=5] [threads=32]`
+  * Args are bare positional integers:
+  * `MixProbe [n] [sources] [threads]` (defaults 1000000 5 32).
   */
 object MixProbe {
   def main(args: Array[String]): Unit = {

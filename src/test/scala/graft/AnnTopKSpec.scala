@@ -71,6 +71,21 @@ class AnnTopKSpec extends SparkSpec {
       assert(AnnTopK.resolveEf(spark, s"$work/nowhere") == 123)
       spark.conf.unset(AnnTopK.EfConfKey)
       assert(AnnTopK.resolveEf(spark, s"$work/nowhere") == 64)
+      // a MISS is not cached: resolve against a path BEFORE its
+      // artifact exists (fallback), export the artifact, resolve
+      // again — the derived ef must now take effect
+      spark.conf.set(AnnTopK.TargetRecallConfKey, "0.6")
+      assert(AnnTopK.resolveEf(spark, s"$work/late") == 64,
+        "no artifact yet -> fallback")
+      val (lateReport, lateMan) = graft.ann.Autotune.runAndCreate(
+        emb, "vec_id", "embedding", s"$work/lategrid", s"$work/late",
+        Metric.L2Sq, k = 5, targetRecall = 0.6,
+        sampleSize = emb.count().toInt, numQueries = 3, numShards = 2,
+        variants = graft.ann.Autotune.presets.take(2))
+      assert(lateMan.nonEmpty)
+      assert(AnnTopK.resolveEf(spark, s"$work/late") ==
+        lateReport.results.find(_.recall >= 0.6).get.variant.ef,
+        "an artifact exported after a miss must take effect")
       // and the rewrite still fires + stays correct under the derived ef
       spark.conf.set(AnnTopK.TargetRecallConfKey, "0.6")
       AnnTopK.IndexCatalog.register(srcPath,

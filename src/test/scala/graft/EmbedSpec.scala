@@ -114,6 +114,25 @@ class EmbedSpec extends SparkSpec {
     }
   }
 
+  test("an unknown job type fails the job instead of running as an embed") {
+    val work = Files.createTempDirectory("jobs_unknown").toString
+    Seq((1L, "one")).toDF("id", "t").write.parquet(s"$work/src")
+    // a registry row from a "newer version" with a job type this
+    // version does not know
+    Seq((1L, s"$work/src", "t", "vec", s"$work/dst", "mock", "mock-embed",
+        JobRegistry.Status.Enabled, "", 0L, "mystery", "", ""))
+      .toDF("job_id", "src_path", "text_col", "out_col", "dst_path",
+        "runtime", "model", "status", "error", "created_at",
+        "job_type", "system_prompt", "params")
+      .repartition(1).write.parquet(s"$work/registry")
+    val reg = new JobRegistry(spark, s"$work/registry")
+    reg.runPending()
+    assert(reg.getJobStatus(1L).contains(JobRegistry.Status.Failed))
+    assert(reg.getJobFailures(1L).exists(_.contains("unknown job type")))
+    // and nothing was written to the destination
+    assert(!new java.io.File(s"$work/dst").exists())
+  }
+
   test("pre-job-type registries read back as embedding jobs") {
     val work = Files.createTempDirectory("jobs_compat").toString
     Seq((1L, "one")).toDF("id", "t").write.parquet(s"$work/src")

@@ -87,6 +87,21 @@ class MmrSpec extends SparkSpec {
       (3L, "changed"), (4L, "added")))
   }
 
+  test("snapshotDiff: null text is a present document, not an absence") {
+    // id 5 has null text in BOTH snapshots (same content -> unchanged);
+    // id 6 goes null -> real (changed); id 7 real -> null (changed)
+    val before = Seq((5L, null: String), (6L, null: String), (7L, "x"))
+      .toDF("doc_id", "text")
+    val after = Seq((5L, null: String), (6L, "y"), (7L, null: String))
+      .toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(before, col("doc_id"), col("text"),
+        after, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((5L, "unchanged"), (6L, "changed"), (7L, "changed")),
+      s"null text must never read as added/removed, got $out")
+  }
+
   test("containment of an empty shingle set is null, not a division error") {
     // Dedup.shingled never emits empty sets (it filters them), but the
     // verifier is a public surface any shingle frame can feed
