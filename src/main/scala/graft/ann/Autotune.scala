@@ -23,35 +23,59 @@ object Autotune {
     Variant(6, 64, 32), Variant(8, 96, 48), Variant(12, 128, 64),
     Variant(16, 128, 64), Variant(24, 160, 96), Variant(32, 200, 128))
 
+  /** Search-time efs measured on EVERY built (m, efConstruction)
+    * variant. ef is a search knob, not a build knob (the reference
+    * sweeps it independently of the build grid,
+    * lantern_cli/src/index_autotune/mod.rs:329-346): re-searching a
+    * built graph costs milliseconds against the seconds-to-minutes its
+    * build cost, and a grid with ONE ef per build gives
+    * [[efForTarget]]'s "smallest qualifying ef on the served graph"
+    * nothing to choose among — a 0.8 target would pay the 0.99
+    * winner's breadth. */
+  val defaultEfSweep: Seq[Int] = Seq(32, 48, 64, 96, 128, 192)
+
   case class Result(variant: Variant, recall: Double,
       buildMillis: Long, searchMillis: Long)
 
   case class Report(best: Option[Variant], results: Seq[Result])
 
-  /** Run the grid. `workDir` receives one throwaway index per variant. */
+  /** Run the grid: one throwaway index per (m, efConstruction) variant
+    * in `workDir`, each searched at every ef in
+    * `(efSweep :+ variant.ef).distinct.sorted` — so the exported grid
+    * carries a whole recall-vs-ef frontier per graph, not one point.
+    * Results are ordered build-major (preset order — the reference's
+    * cheapest-first), ef ascending within a build; `best` is the first
+    * result meeting the target in that order (find_best_variant,
+    * mod.rs:161-186). `buildMillis` is the graph's one-time build cost,
+    * repeated on each of its ef rows; `searchMillis` is per (graph,
+    * ef). */
   def run(df: DataFrame, idCol: String, vecCol: String, workDir: String,
       metric: Metric = Metric.L2Sq, k: Int = 10, targetRecall: Double = 0.99,
       sampleSize: Int = 10000, numQueries: Int = 10,
-      variants: Seq[Variant] = presets): Report = {
+      variants: Seq[Variant] = presets,
+      efSweep: Seq[Int] = defaultEfSweep): Report = {
     val spark = df.sparkSession
     val st = sampleTruth(df, idCol, vecCol, metric, k, sampleSize, numQueries)
     try {
-      val results = variants.zipWithIndex.map { case (v, i) =>
+      val results = variants.zipWithIndex.flatMap { case (v, i) =>
         val dir = s"$workDir/variant_$i"
         val t0 = System.nanoTime()
         AnnIndex.build(st.sample, idCol, vecCol, dir,
           AnnIndex.Params(metric, v.m, v.efConstruction, numShards = 4))
         val builtMs = (System.nanoTime() - t0) / 1000000
-        val t1 = System.nanoTime()
-        val hits = st.queries.zip(st.truth).map { case (q, exact) =>
-          val approx = AnnIndex.topK(spark, dir, q, k, v.ef)
-            .collect().map(idOf).toSet
-          exact.intersect(approx).size
-        }.sum
-        val searchMs = (System.nanoTime() - t1) / 1000000
-        Result(v, hits.toDouble / st.denom, builtMs, searchMs)
+        (efSweep :+ v.ef).distinct.sorted.map { ef =>
+          val t1 = System.nanoTime()
+          val hits = st.queries.zip(st.truth).map { case (q, exact) =>
+            val approx = AnnIndex.topK(spark, dir, q, k, ef)
+              .collect().map(idOf).toSet
+            exact.intersect(approx).size
+          }.sum
+          val searchMs = (System.nanoTime() - t1) / 1000000
+          Result(Variant(v.m, v.efConstruction, ef),
+            hits.toDouble / st.denom, builtMs, searchMs)
+        }
       }
-      // cheapest (preset order) variant meeting the target
+      // cheapest (build-major, ef-ascending) result meeting the target
       val best = results.find(_.recall >= targetRecall).map(_.variant)
       Report(best, results)
     } finally st.sample.unpersist()
@@ -176,10 +200,11 @@ object Autotune {
       workDir: String, indexPath: String, metric: Metric = Metric.L2Sq,
       k: Int = 10, targetRecall: Double = 0.99, sampleSize: Int = 10000,
       numQueries: Int = 10, numShards: Int = 0,
-      variants: Seq[Variant] = presets): (Report, Option[AnnIndex.Manifest]) = {
+      variants: Seq[Variant] = presets,
+      efSweep: Seq[Int] = defaultEfSweep): (Report, Option[AnnIndex.Manifest]) = {
     val spark = df.sparkSession
     val report = run(df, idCol, vecCol, workDir, metric, k, targetRecall,
-      sampleSize, numQueries, variants)
+      sampleSize, numQueries, variants, efSweep)
     val manifest = report.best.map { v =>
       val m = AnnIndex.build(df, idCol, vecCol, indexPath,
         AnnIndex.Params(metric, v.m, v.efConstruction, numShards))
@@ -210,6 +235,27 @@ object Autotune {
     * exists or no variant of the BUILT graph met the target (callers
     * fall back to an explicit ef, surfacing the gap instead of
     * silently under-recalling). */
+  /** Cache-invalidation fingerprint for a derived-ef consumer: the
+    * `autotune_results` artifact's modification time (a re-autotune of
+    * the same path overwrites the directory — SaveMode.Overwrite in
+    * [[runAndCreate]] — bumping it) paired with the index manifest's
+    * row count (an append/stream-append grows the index WITHOUT
+    * re-measuring recall — the manifest count moves, so a cached ef
+    * measured on the smaller graph stops matching). None when either
+    * the artifact or a readable manifest is missing — exactly the
+    * cases [[efForTarget]] returns None for, so callers treat None as
+    * "nothing to cache". */
+  def artifactFingerprint(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/autotune_results")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      if (!fs.exists(p)) None
+      else Some((fs.getFileStatus(p).getModificationTime,
+        AnnIndex.readManifest(indexPath).count))
+    } catch { case _: Exception => None }
+  }
+
   def efForTarget(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, targetRecall: Double): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/autotune_results")

@@ -85,14 +85,20 @@ object AnnTopK {
     * distance sort and the indexed scan (default 4). */
   val FilterOverfetchKey = "graft.ann.filterOverfetch"
 
-  /** Derived-ef cache: the autotune_results artifact is immutable once
-    * exported, so each successfully resolved (index, target) is
-    * cached for the JVM (the lookup is a driver-side parquet read —
-    * never pay it per optimizer invocation). A MISS is deliberately
-    * NOT cached: an artifact exported after the first query (or after
-    * a re-autotune of the same path) must take effect on the next
-    * resolution, not be pinned to the fallback forever. */
-  private val derivedEf = TrieMap[(String, Double), Int]()
+  /** Derived-ef cache, keyed by (index, target) and GUARDED by the
+    * artifact fingerprint (autotune_results mtime + manifest count,
+    * [[graft.ann.Autotune.artifactFingerprint]]): a re-autotune of the
+    * same indexPath overwrites the artifact, and an append grows the
+    * index without re-measuring recall — both move the fingerprint, so
+    * a hit measured on the previous graph is dropped and re-derived
+    * instead of silently serving an ef tuned for a smaller or
+    * different index (the exact under-recall this feature exists to
+    * prevent). The fingerprint probe is two driver FS stats per
+    * resolution — cheap against the parquet read it gates. A MISS is
+    * deliberately NOT cached: an artifact exported after the first
+    * query must take effect on the next resolution, not be pinned to
+    * the fallback forever. */
+  private val derivedEf = TrieMap[(String, Double), ((Long, Long), Int)]()
 
   /** The ef the rewrite will use for `indexPath` under the session's
     * conf: artifact-derived for [[TargetRecallConfKey]] when possible,
@@ -101,11 +107,15 @@ object AnnTopK {
     val target = spark.conf.getOption(TargetRecallConfKey)
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
     val derived = target.flatMap { t =>
-      val key = (indexPath, t)
-      derivedEf.get(key).orElse {
-        val r = graft.ann.Autotune.efForTarget(spark, indexPath, t)
-        r.foreach(derivedEf.put(key, _))
-        r
+      graft.ann.Autotune.artifactFingerprint(spark, indexPath).flatMap { fp =>
+        val key = (indexPath, t)
+        derivedEf.get(key) match {
+          case Some((cachedFp, ef)) if cachedFp == fp => Some(ef)
+          case _ =>
+            val r = graft.ann.Autotune.efForTarget(spark, indexPath, t)
+            r.foreach(ef => derivedEf.put(key, (fp, ef)))
+            r
+        }
       }
     }
     derived

@@ -102,6 +102,53 @@ class AnnTopKSpec extends SparkSpec {
     }
   }
 
+  test("derived-ef cache invalidates on re-autotune and on append") {
+    // ADVICE r11: a JVM-lifetime (path, target) -> ef cache kept
+    // serving an ef measured on a smaller/different graph after a
+    // re-autotune (artifact overwritten in place) or an append (index
+    // grows, recall not re-measured). The cache is now guarded by the
+    // artifact fingerprint (autotune_results mtime + manifest count).
+    val small = emb.filter(col("vec_id") < 200)
+    val work = Files.createTempDirectory("anntopk_inval").toString
+    val idx = s"$work/index"
+    AnnIndex.build(small, "vec_id", "embedding", idx,
+      AnnIndex.Params(Metric.L2Sq, m = 16, efConstruction = 128,
+        numShards = 2))
+    import spark.implicits._
+    // absolute mtime control: invalidation must be attributable to
+    // exactly one fingerprint component per step below
+    def writeArtifact(rows: Seq[(Int, Int, Int, Double)],
+        mtime: Long): Unit = {
+      rows.map { case (m, efc, ef, r) => (m, efc, ef, r, 1L, 1L) }
+        .toDF("m", "ef_construction", "ef", "recall", "build_ms",
+          "search_ms")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$idx/autotune_results")
+      assert(new java.io.File(s"$idx/autotune_results")
+        .setLastModified(mtime))
+    }
+    val t0 = 1700000000000L
+    try {
+      spark.conf.set(AnnTopK.TargetRecallConfKey, "0.9")
+      writeArtifact(Seq((16, 128, 48, 0.95)), t0)
+      assert(AnnTopK.resolveEf(spark, idx) == 48)
+      // re-autotune overwrites the artifact (count unchanged): the
+      // cached 48 must drop on the mtime component alone
+      writeArtifact(Seq((16, 128, 48, 0.85), (16, 128, 96, 0.95)),
+        t0 + 5000)
+      assert(AnnTopK.resolveEf(spark, idx) == 96,
+        "a re-autotuned artifact must invalidate the cached ef")
+      // append grows the index (manifest count moves); the artifact is
+      // rewritten with the ORIGINAL frontier but the SAME mtime as the
+      // cached entry saw — only the count component can invalidate here
+      AnnIndex.append(emb.filter(col("vec_id") >= 200 &&
+        col("vec_id") < 300), "vec_id", "embedding", idx)
+      writeArtifact(Seq((16, 128, 48, 0.95)), t0 + 5000)
+      assert(AnnTopK.resolveEf(spark, idx) == 48,
+        "an append must invalidate the cached ef via the manifest count")
+    } finally spark.conf.unset(AnnTopK.TargetRecallConfKey)
+  }
+
   test("rewrite fires under a filter and matches the exact filtered top-k") {
     setup()
     try {

@@ -14,11 +14,21 @@ class AutotuneSpec extends SparkSpec {
       metric = Metric.L2Sq, k = 10, targetRecall = 0.95,
       sampleSize = 500, numQueries = 5,
       variants = Autotune.presets.take(4))
-    assert(report.results.length == 4)
+    // 4 builds x the 6-ef sweep: the grid is a recall-vs-ef frontier
+    // per graph, not one point per build
+    assert(report.results.length == 4 * Autotune.defaultEfSweep.length)
     assert(report.best.nonEmpty,
       s"no variant met target; recalls = ${report.results.map(_.recall)}")
     // results are measured, not copied: every recall is in [0,1]
     assert(report.results.forall(r => r.recall >= 0.0 && r.recall <= 1.0))
+    // every build carries the full ef sweep, ascending within the build
+    Autotune.presets.take(4).foreach { v =>
+      val efs = report.results.collect {
+        case r if r.variant.m == v.m &&
+          r.variant.efConstruction == v.efConstruction => r.variant.ef
+      }
+      assert(efs == Autotune.defaultEfSweep.sorted, s"efs for $v: $efs")
+    }
     // the chosen variant is the first (cheapest) one meeting the target
     val first = report.results.find(_.recall >= 0.95).get.variant
     assert(report.best.get == first)
@@ -93,9 +103,15 @@ class AutotuneSpec extends SparkSpec {
       targetRecall = 0.6, sampleSize = 100, numQueries = 3, numShards = 2,
       variants = Autotune.presets.take(3))
     assert(manifest.nonEmpty)
-    // the artifact holds one row per measured variant
+    // the artifact holds one row per measured (build, ef) point — the
+    // full sweep for every build, >= 4 ef rows per variant
     val rows = spark.read.parquet(s"$work/index/autotune_results").collect()
-    assert(rows.length == 3)
+    assert(rows.length == 3 * Autotune.defaultEfSweep.length)
+    Autotune.presets.take(3).foreach { v =>
+      val n = rows.count(r => r.getAs[Int]("m") == v.m &&
+        r.getAs[Int]("ef_construction") == v.efConstruction)
+      assert(n >= 4, s"variant $v has only $n ef rows")
+    }
     // derived ef = the cheapest (preset-order) variant meeting the
     // target — identical to find_best_variant over the report
     val expected = report.results.find(_.recall >= 0.6).get.variant.ef
@@ -105,6 +121,38 @@ class AutotuneSpec extends SparkSpec {
     assert(Autotune.efForTarget(spark, s"$work/index", 1.01).isEmpty)
     // no artifact -> None
     assert(Autotune.efForTarget(spark, s"$work/nowhere", 0.5).isEmpty)
+  }
+
+  test("a mid-range target resolves to a CHEAPER ef than the 0.99 winner's") {
+    // selection logic in isolation: a hand-written artifact with a
+    // known recall-vs-ef frontier on the served (m, efC) — the
+    // measured-grid equivalent is covered by the end-to-end tests
+    // above; this pins that efForTarget actually CHOOSES among the
+    // swept efs instead of always paying the strictest target's cost
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val work = Files.createTempDirectory("autotune_choose").toString
+    graft.ann.AnnIndex.build(emb, "vec_id", "embedding", s"$work/index",
+      graft.ann.AnnIndex.Params(Metric.L2Sq, m = 16, efConstruction = 128,
+        numShards = 2))
+    import spark.implicits._
+    Seq(
+      // served build: frontier 0.82 @ 32 -> 0.93 @ 64 -> 0.995 @ 128
+      (16, 128, 32, 0.82, 10L, 1L),
+      (16, 128, 64, 0.93, 10L, 1L),
+      (16, 128, 128, 0.995, 10L, 1L),
+      // another build's rows must NOT leak into the served selection
+      (8, 96, 16, 0.99, 5L, 1L))
+      .toDF("m", "ef_construction", "ef", "recall", "build_ms", "search_ms")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$work/index/autotune_results")
+    val ef08 = Autotune.efForTarget(spark, s"$work/index", 0.8)
+    val ef099 = Autotune.efForTarget(spark, s"$work/index", 0.99)
+    assert(ef08.contains(32), s"0.8 target -> $ef08")
+    assert(ef099.contains(128), s"0.99 target -> $ef099")
+    assert(ef08.get < ef099.get,
+      "the mid-range target must resolve to a cheaper search breadth")
+    // mid frontier point: 0.9 picks the middle ef, not either extreme
+    assert(Autotune.efForTarget(spark, s"$work/index", 0.9).contains(64))
   }
 
   test("runIvfAndCreate builds the winner's IVF index; it answers probes exactly") {
