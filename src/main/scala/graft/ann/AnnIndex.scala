@@ -337,8 +337,7 @@ object AnnIndex {
       query: Array[Float], k: Int, targetRecall: Double,
       fallbackEf: Int = 64): DataFrame =
     topK(spark, indexPath, query, k,
-      Autotune.efForTarget(spark, indexPath, targetRecall)
-        .getOrElse(fallbackEf))
+      Autotune.probeEf(spark, indexPath, fallbackEf, Some(targetRecall)))
 
   /** Batch KNN join: top-k index neighbors for EVERY row of a query
     * DataFrame in ONE job — the throughput shape of batch scoring
@@ -350,11 +349,16 @@ object AnnIndex {
     * lifetime and the driver never sees more than the final
     * (queries x k) rows. Returns (query_id, id, dist, rank). */
   def topKJoin(queries: DataFrame, idCol: String, vecCol: String,
-      indexPath: String, k: Int, ef: Int = 64): DataFrame = {
+      indexPath: String, k: Int, ef: Int = 64,
+      targetRecall: Option[Double] = None): DataFrame = {
     val man = readManifest(indexPath)
     val spark = queries.sparkSession
     val shardPaths = man.shards.map(s => s"$indexPath/$s")
     val idxPath = indexPath
+    // recall-target serving (the sf10 lesson: a pinned ef decays as
+    // the corpus grows) — derived from the index's autotune artifact
+    // when resolvable, the explicit ef otherwise
+    val effEf = Autotune.probeEf(spark, indexPath, ef, targetRecall)
     import spark.implicits._
     queries.select(col(idCol).cast("long"), col(vecCol))
       // null vectors have no neighbors; null (or uncastable) ids would
@@ -368,7 +372,7 @@ object AnnIndex {
           val graphs = shardPaths.map(ShardCache.get)
           rows.flatMap { case (qid, qv) =>
             val q = qv.toArray
-            graphs.flatMap(_.search(q, k, math.max(ef, k), skip))
+            graphs.flatMap(_.search(q, k, math.max(effEf, k), skip))
               .sortBy(x => (x._2, x._1))
               .take(k)
               .zipWithIndex

@@ -273,6 +273,43 @@ object Autotune {
       .headOption.map(_.getAs[Int]("ef"))
   }
 
+  /** Fingerprint-cached [[efForTarget]] — the resolution every
+    * serving-path consumer (the transparent rewrite, topKJoin,
+    * classifyAnn, weighted search) goes through, so the driver-side
+    * parquet read is paid once per (index, target, artifact version)
+    * instead of per query. A hit is served only while
+    * [[artifactFingerprint]] is unchanged: a re-autotune (artifact
+    * overwritten) or an append (manifest count moved) drops it and
+    * re-derives. A miss (no artifact, unreadable manifest, or no
+    * qualifying variant) is never cached — an artifact exported later
+    * must take effect on the next resolution. */
+  def efForTargetCached(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetRecall: Double): Option[Int] =
+    artifactFingerprint(spark, indexPath).flatMap { fp =>
+      val key = (indexPath, targetRecall)
+      derivedEfCache.get(key) match {
+        case Some((cachedFp, ef)) if cachedFp == fp => Some(ef)
+        case _ =>
+          val r = efForTarget(spark, indexPath, targetRecall)
+          r.foreach(ef => derivedEfCache.put(key, (fp, ef)))
+          r
+      }
+    }
+
+  private val derivedEfCache =
+    scala.collection.concurrent.TrieMap[(String, Double), ((Long, Long), Int)]()
+
+  /** The ef an index probe should use: derived from the index's
+    * autotune artifact when a recall target is given and resolvable
+    * (the sf10 lesson — a pinned ef silently decays as the corpus
+    * grows), else the caller's explicit ef. The explicit-ef fallback
+    * surfaces the gap deliberately: an index with no measured artifact
+    * has no basis for a recall claim, so the caller's number stands. */
+  def probeEf(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      ef: Int, targetRecall: Option[Double]): Int =
+    targetRecall.flatMap(efForTargetCached(spark, indexPath, _))
+      .getOrElse(ef)
+
   /** IVF parity of [[runAndCreate]] (reference `--create-index` +
     * `--export`, lantern_cli/src/index_autotune/cli.rs): run the IVF
     * grid and build the full-table index at the winner's nCells (nprobe

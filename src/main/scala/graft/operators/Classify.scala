@@ -105,15 +105,21 @@ object Classify {
     * other non-reference rows are excluded), so `overfetch` must
     * cover the expected drop — with exhaustive ef and overfetch ≥ the
     * number of unlabeled rows that can outrank true neighbors, the
-    * result is exactly the reference-restricted top-k. */
+    * result is exactly the reference-restricted top-k.
+    *
+    * `targetRecall` derives the search breadth from the index's
+    * measured `autotune_results` artifact instead of the pinned `ef`
+    * (which silently decays as the corpus grows — the sf10 lesson);
+    * `ef` stays the fallback when no artifact exists or no measured
+    * variant meets the target. */
   def classifyAnn(queries: DataFrame, qIdCol: Column, qVecCol: Column,
       indexPath: String, labels: DataFrame, labelIdCol: Column,
       labelCol: Column, k: Int, ef: Int = 64,
-      overfetch: Int = 20): DataFrame = {
+      overfetch: Int = 20, targetRecall: Option[Double] = None): DataFrame = {
     require(k > 0 && overfetch >= 0, "need k > 0, overfetch >= 0")
     val nb = AnnIndex.topKJoin(
         queries.select(qIdCol.as("query_id"), qVecCol.as("__qv")),
-        "query_id", "__qv", indexPath, k + overfetch, ef)
+        "query_id", "__qv", indexPath, k + overfetch, ef, targetRecall)
       .join(labels.select(labelIdCol.as("id"), labelCol.as("label")), "id")
       .select(col("query_id"), col("id"), col("dist"), col("label"))
     vote(nb, k)

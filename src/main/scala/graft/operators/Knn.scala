@@ -216,18 +216,28 @@ object Knn {
     * metric re-ranks — the reference's approximate weighted path
     * (lantern.sql:769-817: per-column ANN CTE LIMIT ef, UNION, DISTINCT
     * ON id, re-rank). At scale only `ef x terms` rows ever leave the
-    * indexes; the join back is a broadcast of that candidate set. */
+    * indexes; the join back is a broadcast of that candidate set.
+    *
+    * `targetRecall` derives each index's probe breadth from ITS OWN
+    * `autotune_results` artifact (each column's index has its own
+    * measured frontier) instead of the shared pinned `ef`, which stays
+    * the per-index fallback — the decay-proof serving mode of
+    * [[graft.ann.Autotune.probeEf]]. */
   def weightedSearchAnn(
       df: DataFrame,
       idColName: String,
       terms: Seq[(WeightedTerm, String)], // (term, its index path)
       k: Int,
       ef: Int,
-      maxDist: Option[Double] = None): DataFrame = {
+      maxDist: Option[Double] = None,
+      targetRecall: Option[Double] = None): DataFrame = {
     val spark = df.sparkSession
     val candidateIds = terms.map { case (t, indexPath) =>
       val q = graft.ann.QueryVectors.fromColumn(spark, t.query)
-      graft.ann.AnnIndex.topK(spark, indexPath, q, ef, ef).select("id")
+      val probeEf = graft.ann.Autotune.probeEf(spark, indexPath, ef,
+        targetRecall)
+      graft.ann.AnnIndex.topK(spark, indexPath, q, probeEf, probeEf)
+        .select("id")
     }.reduce(_ unionByName _).distinct()
     val candidates = df.join(
       org.apache.spark.sql.functions.broadcast(candidateIds),

@@ -85,40 +85,20 @@ object AnnTopK {
     * distance sort and the indexed scan (default 4). */
   val FilterOverfetchKey = "graft.ann.filterOverfetch"
 
-  /** Derived-ef cache, keyed by (index, target) and GUARDED by the
-    * artifact fingerprint (autotune_results mtime + manifest count,
-    * [[graft.ann.Autotune.artifactFingerprint]]): a re-autotune of the
-    * same indexPath overwrites the artifact, and an append grows the
-    * index without re-measuring recall — both move the fingerprint, so
-    * a hit measured on the previous graph is dropped and re-derived
-    * instead of silently serving an ef tuned for a smaller or
-    * different index (the exact under-recall this feature exists to
-    * prevent). The fingerprint probe is two driver FS stats per
-    * resolution — cheap against the parquet read it gates. A MISS is
-    * deliberately NOT cached: an artifact exported after the first
-    * query must take effect on the next resolution, not be pinned to
-    * the fallback forever. */
-  private val derivedEf = TrieMap[(String, Double), ((Long, Long), Int)]()
-
   /** The ef the rewrite will use for `indexPath` under the session's
     * conf: artifact-derived for [[TargetRecallConfKey]] when possible,
-    * else [[EfConfKey]], else 64. */
+    * else [[EfConfKey]], else 64. Derivation goes through
+    * [[graft.ann.Autotune.efForTargetCached]] — fingerprint-guarded
+    * (autotune_results mtime + manifest count), so a re-autotune of
+    * the same path or an append that grows the index drops the cached
+    * hit and re-derives instead of serving an ef measured on a smaller
+    * or different graph; a miss is never cached, so an artifact
+    * exported after the first query takes effect on the next
+    * resolution. */
   private[graft] def resolveEf(spark: SparkSession, indexPath: String): Int = {
     val target = spark.conf.getOption(TargetRecallConfKey)
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
-    val derived = target.flatMap { t =>
-      graft.ann.Autotune.artifactFingerprint(spark, indexPath).flatMap { fp =>
-        val key = (indexPath, t)
-        derivedEf.get(key) match {
-          case Some((cachedFp, ef)) if cachedFp == fp => Some(ef)
-          case _ =>
-            val r = graft.ann.Autotune.efForTarget(spark, indexPath, t)
-            r.foreach(ef => derivedEf.put(key, (fp, ef)))
-            r
-        }
-      }
-    }
-    derived
+    target.flatMap(graft.ann.Autotune.efForTargetCached(spark, indexPath, _))
       .orElse(spark.conf.getOption(EfConfKey)
         .flatMap(v => scala.util.Try(v.trim.toInt).toOption))
       .getOrElse(64)

@@ -187,21 +187,36 @@ object VectorQueries {
   }
 
   /** k-NN weak labeling through the production path: the 20 query
-    * vectors batch through the shared index in one topKJoin, the
+    * vectors batch through the TUNED index in one topKJoin at an ef
+    * DERIVED from the 0.9 recall target via the index's
+    * `autotune_results` artifact (r11 punch: the pinned-ef default was
+    * the exact parameter the sf10 finding showed decays; no silent
+    * fallback — the derivation is required to resolve, the
+    * q_ann_target_recall discipline; 0.9 is the index's own tuning
+    * target, so a qualifying row exists whenever the index does), the
     * labels frame (reference rows only — vec_id >= 20, which is also
     * how self-matches drop out) joins on, and the majority vote picks
-    * each query's label with the deterministic tie chain. Exhaustive
-    * ef + overfetch = |queries| makes the reference-restricted top-5
-    * exact, so the oracle is the windowed cross-distance SQL with the
-    * vote replayed. */
+    * each query's label with the deterministic tie chain. The oracle
+    * stays the windowed cross-distance SQL with the vote replayed:
+    * the derived breadth must recover the reference-restricted top-5
+    * EXACTLY — which it does with large slack, because each of the 4
+    * shards contributes its local top-(k+overfetch)=25 at breadth
+    * max(ef, 25), so a true top-5 member is missed only if its own
+    * shard misses it from a 25-deep local list (far easier than the
+    * artifact's measured global top-10 bar). Bit-exactness verified
+    * at sf0.01/sf0.1/sf1/sf10. */
   private def knnClassify(s: SparkSession, dir: String): DataFrame = {
-    val path = annIndexPath(s, dir)
+    val path = annTunedIndexPath(s, dir)
+    val derived = graft.ann.Autotune.efForTargetCached(s, path, 0.9)
+    require(derived.nonEmpty,
+      "autotune_results artifact missing or no variant met 0.9")
     graft.operators.Classify.classifyAnn(
         emb(s, dir).filter(col("vec_id") < 20)
           .select(col("vec_id"), col("embedding")),
         col("vec_id"), col("embedding"), path,
         emb(s, dir).filter(col("vec_id") >= 20), col("vec_id"), col("label"),
-        k = 5, ef = exhaustiveEf(path), overfetch = 20)
+        k = 5, ef = derived.get, overfetch = 20,
+        targetRecall = Some(0.9))
       .orderBy(col("query_id").asc)
   }
 

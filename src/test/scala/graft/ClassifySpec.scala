@@ -81,4 +81,49 @@ class ClassifySpec extends SparkSpec {
       "index-backed classification must match the exact path at exhaustive ef")
     assert(exact.length == 10)
   }
+
+  test("targetRecall derives the probe breadth; explicit ef stays the fallback") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val ref = emb.filter(col("vec_id") >= 10)
+    val dir = Files.createTempDirectory("classify_target").toString
+    AnnIndex.build(emb, "vec_id", "embedding", dir,
+      AnnIndex.Params(Metric.L2Sq, numShards = 2))
+    val man = AnnIndex.readManifest(dir)
+    val n = man.count.toInt
+    // fallback chain, unit level: no artifact -> explicit ef; then a
+    // synthetic artifact whose only qualifying breadth is exhaustive
+    import graft.ann.Autotune
+    assert(Autotune.probeEf(spark, dir, 7, Some(0.9)) == 7,
+      "no artifact -> the explicit ef stands")
+    assert(Autotune.probeEf(spark, dir, 7, None) == 7)
+    Seq((man.m, man.efConstruction, 16, 0.85, 1L, 1L),
+      (man.m, man.efConstruction, n, 0.95, 1L, 1L))
+      .toDF("m", "ef_construction", "ef", "recall", "build_ms", "search_ms")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/autotune_results")
+    assert(Autotune.probeEf(spark, dir, 7, Some(0.9)) == n,
+      "artifact-qualified target -> derived ef")
+    assert(Autotune.probeEf(spark, dir, 7, Some(0.999)) == 7,
+      "unattainable target -> the explicit ef stands")
+    // end-to-end: the derived (exhaustive) breadth drives the search —
+    // a tiny explicit ef=2 would NOT recover the exact top-5 alone
+    val exact = Classify.classifyExact(queries, col("vec_id"),
+        col("embedding"), ref, col("vec_id"), col("embedding"),
+        col("label"), k = 5)
+      .orderBy("query_id").collect().map(_.toSeq).toSeq
+    val derived = Classify.classifyAnn(queries, col("vec_id"),
+        col("embedding"), dir, ref, col("vec_id"), col("label"),
+        k = 5, ef = 2, overfetch = 10, targetRecall = Some(0.9))
+      .orderBy("query_id").collect().map(_.toSeq).toSeq
+    assert(derived == exact,
+      "recall-target serving must use the artifact-derived breadth")
+    // end-to-end fallback: unattainable target + exhaustive explicit ef
+    val fellBack = Classify.classifyAnn(queries, col("vec_id"),
+        col("embedding"), dir, ref, col("vec_id"), col("label"),
+        k = 5, ef = n, overfetch = 10, targetRecall = Some(0.999))
+      .orderBy("query_id").collect().map(_.toSeq).toSeq
+    assert(fellBack == exact)
+  }
 }

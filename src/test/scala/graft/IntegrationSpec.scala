@@ -67,6 +67,30 @@ class IntegrationSpec extends SparkSpec {
         tieBreaker = Some(col("vec_id")))
       .collect().map(_.getAs[Long]("vec_id")).toSeq
     assert(ann == exact)
+
+    // recall-target serving through the weighted path: a synthetic
+    // artifact whose only qualifying breadth is exhaustive derives the
+    // probe ef (explicit ef=2 would cover 2 candidates per index and
+    // cannot return the exact top-10); an unattainable target falls
+    // back to the explicit ef
+    import spark.implicits._
+    val man = AnnIndex.readManifest(dir)
+    Seq((man.m, man.efConstruction, man.count.toInt, 0.95, 1L, 1L))
+      .toDF("m", "ef_construction", "ef", "recall", "build_ms", "search_ms")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/autotune_results")
+    val derived = Knn.weightedSearchAnn(emb, "vec_id",
+        terms.map(t => (t, dir)), k = 10, ef = 2,
+        targetRecall = Some(0.9))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(derived == exact,
+      "weighted search must derive each index's breadth from its artifact")
+    val fellBack = Knn.weightedSearchAnn(emb, "vec_id",
+        terms.map(t => (t, dir)), k = 10, ef = 600,
+        targetRecall = Some(0.999))
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(fellBack == exact,
+      "an unattainable target must fall back to the explicit ef")
   }
 
   test("near-dup group keeper -> mock embed -> IVFADC retrieval") {
