@@ -210,6 +210,158 @@ object Bm25 {
       .sum
   }
 
+  /** The reference's popular-term APPROXIMATE scoring over a
+    * reference-shaped [[createBm25Table]] table — the opt-in fidelity
+    * mode for score parity with reference deployments running the
+    * approximation (bm25_agg.rs:162-188 state_base, 311-401 finalize;
+    * exact scoring stays this library's default — Spark's distributed
+    * aggregate removes the single-backend memory bound the
+    * approximation exists for). Mechanisms, all four of the
+    * reference's:
+    *
+    *  1. ACCUMULATED-DOCS THRESHOLD: terms process in the aggregate's
+    *     declared order — `ORDER BY doc_ids_len ASC` per the
+    *     reference's search_bm25 (bm25_api.sql:84-99), term ascending
+    *     as the tiebreak the reference leaves to the executor — and a
+    *     term may defer only once more than `accDocsThreshold`
+    *     DISTINCT doc ids have been accumulated from earlier terms
+    *     (`self.data.len() > 100`, bm25_agg.rs:207): the baseline
+    *     candidates must come from somewhere before popular terms
+    *     stop contributing postings.
+    *  2. SUBSTITUTION: a deferred term scores as a per-term CONSTANT
+    *     with fq=1 and doc_len=avg_doc_len (maybe_use_bloom_filter,
+    *     bm25_agg.rs:164-188) — its posting arrays are NEVER read,
+    *     which is the approximation's entire scale win.
+    *  3. BLOOM-MEMBERSHIP DEFERRAL: only terms whose table row
+    *     carries a posting bloom (built when df > the build
+    *     threshold) may defer; at finalize each candidate doc gains
+    *     the constants of the deferred terms whose bloom CONTAINS its
+    *     id. `exactMembership = true` resolves membership from the
+    *     stored doc_ids instead (no false positives; blooms have no
+    *     false negatives, so the two differ only by the fp-rate noise
+    *     the approximation accepts) — the deterministic contract/
+    *     oracle mode, since a DuckDB oracle cannot replay splitmix64
+    *     bloom bits.
+    *  4. 10x-LIMIT TOP-K HEAP: candidate docs are the top
+    *     `10 * k` by accumulated EXACT score (finalize_base's
+    *     bloom_limit heap, bm25_agg.rs:313-336) — a doc appearing
+    *     ONLY in deferred terms is never a candidate, faithfully to
+    *     the reference (it never enters `self.data`); deferred
+    *     constants then re-rank within the candidates. Ties break by
+    *     doc_id ascending (the reference's unstable heap/sort leaves
+    *     ties unspecified; a deterministic engine must pick).
+    *
+    * Deferral decisions are driver-computed from per-term METADATA
+    * only (term_freq, doc_ids_len, bloom presence) plus the doc_ids
+    * of terms shorter than `accDocsThreshold` (bounded:
+    * ≤ threshold x #query-terms ids): the first crossing point is
+    * reached either by one term longer than the threshold (its own
+    * distinct count crosses alone) or by the union of short ones.
+    * Popular-term arrays are read only if the term lands BEFORE the
+    * crossing in rare-first order — the same read the reference's
+    * aggregate pays while collecting its baseline.
+    *
+    * Scale shape: deferred posting arrays never explode; the exact
+    * part shuffles once on doc_id; the heap is a bounded
+    * TakeOrderedAndProject; membership tests run on ≤ 10k candidate
+    * rows x #deferred terms via a broadcast. Returns (doc_id, score)
+    * top-k by (score desc, doc_id asc). */
+  def searchBm25Approx(tbl: DataFrame, query: String, k: Int,
+      params: Params = Params(), stemmed: Boolean = false,
+      accDocsThreshold: Int = 100,
+      exactMembership: Boolean = false): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = tbl.sparkSession
+    import spark.implicits._
+    val qTerms: Seq[String] =
+      (if (stemmed) graft.text.Stemmer.stemTokens(query)
+       else graft.text.Stemmer.tokens(query)).toSeq.distinct
+    val rows = tbl.filter(col("term").isin(qTerms: _*))
+    // per-term metadata only — posting arrays stay distributed
+    case class TermMeta(term: String, df: Long, len: Int, hasBloom: Boolean)
+    val meta = rows
+      .select(col("term"), col("term_freq"), col("doc_ids_len"),
+        col("doc_ids_bloom").isNotNull)
+      .collect()
+      .map(r => TermMeta(r.getString(0), r.getLong(1), r.getInt(2),
+        r.getBoolean(3)))
+      .sortBy(t => (t.len, t.term)) // the reference's doc_ids_len ASC
+    // short-term doc ids (each array <= accDocsThreshold entries)
+    val shortTerms = meta.filter(_.len <= accDocsThreshold).map(_.term)
+    val shortDocs: Map[String, Array[Long]] =
+      if (shortTerms.isEmpty) Map.empty
+      else rows.filter(col("term").isin(shortTerms.toSeq: _*))
+        .select(col("term"), col("doc_ids"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    // sequential deferral decisions (reference state_base order)
+    var crossed = false
+    val accSet = scala.collection.mutable.HashSet[Long]()
+    val deferred = scala.collection.mutable.ArrayBuffer[String]()
+    val accumulated = scala.collection.mutable.ArrayBuffer[String]()
+    meta.foreach { t =>
+      if (t.hasBloom && crossed) deferred += t.term
+      else {
+        accumulated += t.term
+        if (t.len > accDocsThreshold) crossed = true
+        else if (!crossed) {
+          shortDocs.get(t.term).foreach(ids => accSet ++= ids)
+          if (accSet.size > accDocsThreshold) crossed = true
+        }
+      }
+    }
+    // corpus stats from the NULL row: n exact, avgdl at the table's
+    // stored fixed-point precision (doc_ids_len = avgdl x100,
+    // bm25_api.sql corpus_stats: doc_ids_len / 100.0)
+    val stats = tbl.filter(col("term").isNull)
+      .select(col("term_freq").cast("double").as("n_docs"),
+        (col("doc_ids_len").cast("double") / 100.0).as("avg_doc_len"))
+    // exact part: accumulated terms' postings, one doc_id shuffle
+    val exactPart = rows
+      .filter(col("term").isin(accumulated.toSeq: _*))
+      .select(col("term"), col("term_freq").cast("double").as("doc_freq"),
+        explode(arrays_zip(col("doc_ids"), col("fqs"), col("doc_lens")))
+          .as("p"))
+      .select(col("term"), col("doc_freq"),
+        col("p.doc_ids").as("doc_id"), col("p.fqs").as("fq"),
+        col("p.doc_lens").as("doc_len"))
+      .crossJoin(broadcast(stats))
+      .withColumn("sc", postingScore(col("fq").cast("double"),
+        col("doc_len").cast("double"), col("n_docs"), col("doc_freq"),
+        col("avg_doc_len"), params))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sc")).as("exact_score"))
+    // the 10x-limit candidate heap (bounded TakeOrderedAndProject)
+    val cands = exactPart
+      .orderBy(col("exact_score").desc, col("doc_id").asc)
+      .limit(10 * k)
+    val scored =
+      if (deferred.isEmpty) cands.select(col("doc_id"),
+        col("exact_score").as("score"))
+      else {
+        // deferred rows: constant = the substituted posting score
+        // (fq=1, doc_len=avg_doc_len) in the SAME column-expression
+        // shape the exact path uses, so an oracle replays it verbatim
+        val defRows = rows.filter(col("term").isin(deferred.toSeq: _*))
+          .select(col("term"), col("term_freq").cast("double").as("doc_freq"),
+            col("doc_ids_bloom").as("__bloom"), col("doc_ids").as("__ids"))
+          .crossJoin(broadcast(stats))
+          .withColumn("const", postingScore(lit(1.0), col("avg_doc_len"),
+            col("n_docs"), col("doc_freq"), col("avg_doc_len"), params))
+        val member =
+          if (exactMembership) array_contains(col("__ids"), col("doc_id"))
+          else graft.functions.elem_in_bloom(col("doc_id"), col("__bloom"))
+        cands.crossJoin(broadcast(
+            defRows.select(col("const"), col("__bloom"), col("__ids"))))
+          .withColumn("add", when(member, col("const")).otherwise(lit(0.0)))
+          .groupBy(col("doc_id"), col("exact_score"))
+          .agg(sum(col("add")).as("__adds"))
+          .select(col("doc_id"),
+            (col("exact_score") + col("__adds")).as("score"))
+      }
+    scored.orderBy(round(col("score"), 6).desc, col("doc_id").asc).limit(k)
+  }
+
   /** Compact a bm25 table containing duplicate term rows (after
     * incremental appends) back to one row per term — reference
     * `consolidate_bm25_table` (bm25_api.sql:108-159): posting arrays

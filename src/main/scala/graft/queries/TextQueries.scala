@@ -75,6 +75,44 @@ object TextQueries {
     graft.SharedState.cached(s"bm25poststem:$dir")(
       Bm25.postingsOf(tokStemmedCached(s, dir)))
 
+  /** Reference-shaped table for the APPROXIMATE search row, built at a
+    * corpus-RELATIVE bloom threshold (half the doc count): the corpus'
+    * 31-term vocabulary has dfs clustered at ~78% of n_docs with one
+    * ~5% term ('dup'), so an absolute threshold cannot split the
+    * vocabulary at every scale — n/2 keeps popular terms
+    * bloom-carrying and 'dup' exact from sf0.001 through sf10, which
+    * is what makes the approximation's three regimes all fire (see
+    * [[bm25SearchApprox]]). */
+  private def bm25ApproxTableCached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cached(s"bm25approxtbl:$dir")(
+      Bm25.createBm25TableOf(tokCached(s, dir),
+        bloomThreshold = (docs(s, dir).count() / 2).toInt,
+        postings = Some(postCached(s, dir))))
+
+  /** The reference's popular-term approximate BM25 search
+    * (bm25_agg.rs:162-188, 311-401) end-to-end: terms process rarest-
+    * first (the aggregate's ORDER BY doc_ids_len ASC,
+    * bm25_api.sql:84-99); 'dup' (~5% of docs) accumulates exactly;
+    * once >100 distinct docs are accumulated, bloom-carrying terms
+    * defer to the fq=1/doc_len=avgdl constant; candidates are the
+    * 10x-limit heap over the EXACT part; deferred constants then
+    * re-rank candidates by membership. At sf0.01 'spark' lands before
+    * the crossing (accumulates exactly, 25 docs < 100) and 'window'
+    * defers; at sf0.1+ 'dup' alone crosses (df > 100) and BOTH
+    * popular terms defer — the decision is data-derived identically
+    * on both engines, so the row is scale-covariant by construction.
+    * Membership runs in the exactMembership contract mode (stored
+    * doc_ids; blooms have no false negatives, so bloom mode differs
+    * only by fp-rate noise — pinned in Bm25Spec; a DuckDB oracle
+    * cannot replay splitmix64 bloom bits). */
+  private def bm25SearchApprox(s: SparkSession, dir: String): DataFrame =
+    Bm25.searchBm25Approx(bm25ApproxTableCached(s, dir), approxQuery, 10,
+        exactMembership = true)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+
+  private val approxQuery = "dup spark window"
+  private val approxTerms = Seq("dup", "spark", "window")
+
   private def bm25SearchStemmed(s: SparkSession, dir: String): DataFrame =
     Bm25.searchBm25Of(tokStemmedCached(s, dir), bm25Query, 10,
         stemmed = true, postings = Some(postStemmedCached(s, dir)))
@@ -94,6 +132,7 @@ object TextQueries {
     Seq(
       timed("bm25_postings") { postCached(s, dir).count() },
       timed("bm25_postings_stemmed") { postStemmedCached(s, dir).count() },
+      timed("bm25_approx_table") { bm25ApproxTableCached(s, dir).count() },
       timed("dedup_shingles") { shingledCached(s, dir).count() },
       timed("dedup_signatures") { sigCached(s, dir).count() },
       timed("dedup_lsh_candidates") { lshCandidatesCached(s, dir).count() },
@@ -1026,6 +1065,7 @@ object TextQueries {
     "q_stem_user_stop" -> ((s, d) => stemUserStop(s, d)),
     "q_bm25_table" -> ((s, d) => bm25Table(s, d)),
     "q_bm25_search" -> ((s, d) => bm25Search(s, d)),
+    "q_bm25_search_approx" -> ((s, d) => bm25SearchApprox(s, d)),
     "q_bm25_search_stemmed" -> ((s, d) => bm25SearchStemmed(s, d)),
     "q_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "q_text_quality" -> ((s, d) => textQuality(s, d)),
@@ -1280,6 +1320,68 @@ object TextQueries {
          |  GROUP BY doc_id)
          |SELECT doc_id, round(score, 6) AS score FROM sc
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // approximate BM25: the oracle replays all four mechanisms —
+    // rarest-first order (doc_ids_len asc, term asc), the >100
+    // accumulated-distinct-docs crossing (prior = cumulative
+    // first-occurrence counts over earlier positions), the
+    // fq=1/doc_len=avgdl substituted constant for deferred
+    // bloom-carrying terms (bloom built iff df > n//2, the row's
+    // corpus-relative build threshold), the 10x-limit candidate heap
+    // over the exact part, and TRUE membership for the constant adds
+    // (the Spark side runs exactMembership mode). avgdl is the stats
+    // row's x100 fixed point decoded /100.0, the reference's
+    // corpus_stats read (bm25_api.sql:88)
+    "q_bm25_search_approx" ->
+      s"""WITH $toksCte,
+         |post AS (
+         |  SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS fq
+         |  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+         |  WHERE term IN (${approxTerms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2, 3),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST((sum(len(t)) * 100) // count(*) AS DOUBLE) / 100.0 AS avgdl,
+         |    count(*) // 2 AS bloomthr
+         |  FROM toks),
+         |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df,
+         |                 count(*) AS dfl FROM post GROUP BY 1),
+         |ord AS (SELECT term, df, dfl,
+         |          row_number() OVER (ORDER BY dfl ASC, term ASC) AS pos
+         |        FROM dfreq),
+         |firsts AS (SELECT p.doc_id, min(o.pos) AS fpos
+         |           FROM post p JOIN ord o USING (term) GROUP BY 1),
+         |fcnt AS (SELECT fpos, count(*) AS cnt FROM firsts GROUP BY 1),
+         |flags AS (
+         |  SELECT o.term, o.df,
+         |    (o.dfl > (SELECT bloomthr FROM stats)) AND
+         |    coalesce(sum(coalesce(fcnt.cnt, 0))
+         |      OVER (ORDER BY o.pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) > 100 AS deferred
+         |  FROM ord o LEFT JOIN fcnt ON fcnt.fpos = o.pos),
+         |ex AS (
+         |  SELECT doc_id,
+         |    sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (fq * (1.2 + 1.0))
+         |      / (fq + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS s
+         |  FROM post JOIN flags USING (term) CROSS JOIN stats
+         |  WHERE NOT deferred
+         |  GROUP BY doc_id),
+         |cand AS (SELECT doc_id, s FROM ex ORDER BY s DESC, doc_id ASC LIMIT 100),
+         |defc AS (
+         |  SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (1.0 * (1.2 + 1.0))
+         |      / (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * avgdl / avgdl)) AS c
+         |  FROM flags CROSS JOIN stats WHERE deferred),
+         |adds AS (
+         |  SELECT p.doc_id, sum(defc.c) AS a
+         |  FROM post p JOIN defc USING (term) JOIN cand USING (doc_id)
+         |  GROUP BY 1)
+         |SELECT cand.doc_id,
+         |  round(cand.s + coalesce(adds.a, 0.0), 6) AS score
+         |FROM cand LEFT JOIN adds USING (doc_id)
+         |ORDER BY round(cand.s + coalesce(adds.a, 0.0), 6) DESC, doc_id ASC
+         |LIMIT 10""".stripMargin,
     "q_hybrid_rrf" -> {
       val qvSql = (0 until 8).map(j =>
         s"((('0x' || substr(md5('$bm25Query'), 1, 7))::BIGINT + ${(j + 1) * 2654435761L}) % 128) / 64.0 - 1.0")
