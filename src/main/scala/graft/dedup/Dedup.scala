@@ -372,11 +372,21 @@ object Dedup {
     * thresholds no contract-scale bucket is capped, so guard-on ==
     * guard-off there. `maxBucket <= 0` disables the guard.
     *
+    * The default cap is 1000 — deliberately LOWER than
+    * [[pairsFromBuckets]]'s 10000 (ADVICE r11): this path's self-join
+    * is quadratic in the bucket with no star-reduction fallback (a
+    * star center would distort the n_shared counts the verification
+    * IS), so a bucket just under the cap costs cap²/2 joined rows —
+    * 5e5 at 1000 vs 5e7 at 10000. A fingerprint shared by even a
+    * thousand documents is already boilerplate by any measure; pairs
+    * that genuinely share content share OTHER fingerprints too and
+    * still surface.
+    *
     * Input is [[graft.text.TextOps.winnow]]'s (doc_id, fp_pos,
     * fp_hash) frame. Returns (doc_a, doc_b, n_shared) with
     * n_shared >= `minShared`. */
   def winnowPairs(fp: DataFrame, minShared: Int = 2,
-      maxBucket: Int = 10000, skewMult: Double = 16.0): DataFrame = {
+      maxBucket: Int = 1000, skewMult: Double = 16.0): DataFrame = {
     require(minShared >= 1, "minShared must be positive")
     val keyed = fp.select(col("doc_id"), col("fp_hash").as("__k")).distinct()
     val guarded =
@@ -407,9 +417,30 @@ object Dedup {
     * Scale shape: each side reduces to (id, hash) in-scan, then ONE
     * full-outer hash join on the id key — no corpus text ever
     * shuffles (hashes do); bucketed/co-partitioned snapshot tables
-    * join exchange-free. */
+    * join exchange-free.
+    *
+    * PRECONDITION (ADVICE r11): doc ids must be unique WITHIN each
+    * snapshot — a duplicate id on either side fans the full-outer
+    * join out and emits multiple (possibly contradictory) status rows
+    * for that document. Snapshots are id-keyed corpus versions, so
+    * duplicates mean the upstream pipeline is broken; this operator
+    * will not silently pick one. `checkUnique = true` adds one
+    * aggregation per side that fails fast with the duplicate count
+    * instead — opt-in because the check costs a full extra shuffle of
+    * both (id, hash) sides, which the diff itself never needs. */
   def snapshotDiff(before: DataFrame, beforeId: Column, beforeText: Column,
-      after: DataFrame, afterId: Column, afterText: Column): DataFrame = {
+      after: DataFrame, afterId: Column, afterText: Column,
+      checkUnique: Boolean = false): DataFrame = {
+    if (checkUnique) {
+      Seq(("before", before, beforeId), ("after", after, afterId))
+        .foreach { case (side, df, idc) =>
+          val dups = df.groupBy(idc.as("__id"))
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+          require(dups == 0L,
+            s"snapshotDiff: $dups duplicate doc ids in the '$side' " +
+              "snapshot; ids must be unique per snapshot")
+        }
+    }
     // presence is a literal flag per side, NEVER inferred from hash
     // nullness: a document whose text is null (an extraction failure)
     // still EXISTS in its snapshot — hash-as-presence would misreport

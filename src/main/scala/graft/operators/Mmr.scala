@@ -30,32 +30,40 @@ import graft.ann.Metric
   * to 6dp for OUTPUT only, never before a comparison. */
 object Mmr {
 
-  /** Diversified top-k: (rank, id, dist, score) in selection order. */
-  def diversifiedTopK(df: DataFrame, idCol: Column, vecCol: Column,
-      query: Array[Float], k: Int, lambda: Double = 0.7,
-      candN: Int = 50, metric: Metric = Metric.L2Sq): DataFrame = {
-    require(k > 0 && candN >= k, "need 0 < k <= candN")
-    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
-    val spark = df.sparkSession
+  /** Candidate projection with a fail-fast schema guard (ADVICE r11:
+    * the Column-typed API accepted any id/vector type and failed at
+    * collect time with an opaque ClassCastException): the id must be
+    * an integral column (cast up to long — string/UUID ids must be
+    * hashed to longs upstream, the connectedComponents contract) and
+    * the vector an array<float>. Null-vector rows are filtered up
+    * front: Knn.knn orders them LAST rather than dropping them, and a
+    * null candidate would NPE the driver-side greedy (or rank as
+    * distance 0). */
+  private def guarded(df: DataFrame, idCol: Column,
+      vecCol: Column): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sel = df.select(idCol.as("id"), vecCol.as("v"))
+    val idT = sel.schema("id").dataType
+    val vT = sel.schema("v").dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(idT),
+      s"MMR id column must be integral (got $idT); hash string ids to " +
+        "longs, e.g. xxhash64, before re-ranking")
+    require(vT match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }, s"MMR vector column must be array<float> (got $vT)")
+    sel.select(col("id").cast("long").as("id"), col("v"))
+      .filter(col("v").isNotNull)
+  }
+
+  /** The greedy re-rank over BOUNDED collected candidates — shared by
+    * the exact and index-probing candidate stages, so the two paths
+    * cannot drift. Order-independent: argmax with the (score, id asc)
+    * tie chain picks the same element from any iteration order. */
+  private def greedy(spark: org.apache.spark.sql.SparkSession,
+      cands: Array[(Long, Array[Float], Double)], k: Int, lambda: Double,
+      metric: Metric): DataFrame = {
     import spark.implicits._
-    val qLit = graft.functions.vecLit(query.toSeq)
-    val knnMetric = metric match {
-      case Metric.L2Sq => Knn.L2Sq
-      case Metric.Cos => Knn.Cos
-      case Metric.Hamming => Knn.Hamming
-    }
-    // distributed candidate stage: exact top-candN with id tiebreak.
-    // Null-vector rows are filtered up front: Knn.knn orders them
-    // LAST rather than dropping them, and a null candidate would NPE
-    // the driver-side greedy (or rank as distance 0)
-    val cands: Array[(Long, Array[Float], Double)] =
-      Knn.knn(df.select(idCol.as("id"), vecCol.as("v"))
-            .filter(col("v").isNotNull),
-          col("v"), qLit, candN, knnMetric, Some(col("id")))
-        .select(col("id"), col("v"), col("dist"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-    // greedy selection over the bounded candidates
     val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
     val remaining = scala.collection.mutable.LinkedHashMap.from(
       cands.iterator.map(c => c._1 -> c))
@@ -80,5 +88,71 @@ object Mmr {
     selected.zipWithIndex.map { case ((id, dq, score), i) =>
       (i + 1, id, r6(dq), r6(score))
     }.toSeq.toDF("rank", "id", "dist", "score")
+  }
+
+  /** Diversified top-k: (rank, id, dist, score) in selection order. */
+  def diversifiedTopK(df: DataFrame, idCol: Column, vecCol: Column,
+      query: Array[Float], k: Int, lambda: Double = 0.7,
+      candN: Int = 50, metric: Metric = Metric.L2Sq): DataFrame = {
+    require(k > 0 && candN >= k, "need 0 < k <= candN")
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    val spark = df.sparkSession
+    val qLit = graft.functions.vecLit(query.toSeq)
+    val knnMetric = metric match {
+      case Metric.L2Sq => Knn.L2Sq
+      case Metric.Cos => Knn.Cos
+      case Metric.Hamming => Knn.Hamming
+    }
+    // distributed candidate stage: exact top-candN with id tiebreak
+    val cands: Array[(Long, Array[Float], Double)] =
+      Knn.knn(guarded(df, idCol, vecCol), col("v"), qLit, candN, knnMetric,
+          Some(col("id")))
+        .select(col("id"), col("v"), col("dist"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    greedy(spark, cands, k, lambda, metric)
+  }
+
+  /** [[diversifiedTopK]] with the candidate stage served by an ANN
+    * index probe instead of an exact scan — the index-scale path the
+    * exact variant documents (same two-regime pairing as
+    * Classify.classifyAnn): the query probes the shard graphs for the
+    * top-candN ids at breadth max(ef, candN), the bounded hit list
+    * broadcasts back onto the table for the candidate VECTORS (the
+    * greedy needs them for the diversity term; the index stores them
+    * but the scan join keeps the operator composable with any column
+    * set), and the shared greedy re-ranks. With exhaustive ef the
+    * candidate set equals the exact top-candN, so the result is
+    * bit-identical to [[diversifiedTopK]] (parity-pinned in MmrSpec);
+    * at realistic ef the result is approximate with the index's
+    * recall, like every index consumer.
+    *
+    * `targetRecall` derives ef from the index's `autotune_results`
+    * artifact ([[graft.ann.Autotune.probeEf]]); the explicit ef stays
+    * the fallback. */
+  def diversifiedTopKAnn(df: DataFrame, idCol: Column, vecCol: Column,
+      indexPath: String, query: Array[Float], k: Int,
+      lambda: Double = 0.7, candN: Int = 50, ef: Int = 64,
+      metric: Metric = Metric.L2Sq,
+      targetRecall: Option[Double] = None): DataFrame = {
+    require(k > 0 && candN >= k, "need 0 < k <= candN")
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    val spark = df.sparkSession
+    // the relevance distances come from the graph search, so the
+    // greedy's metric must be the one the index was built under
+    val man = graft.ann.AnnIndex.readManifest(indexPath)
+    require(man.metric == metric,
+      s"index at $indexPath was built for ${man.metric}, not $metric")
+    val probeEf = graft.ann.Autotune.probeEf(spark, indexPath, ef,
+      targetRecall)
+    val hits = graft.ann.AnnIndex.topK(spark, indexPath, query, candN,
+      math.max(probeEf, candN))
+    val cands: Array[(Long, Array[Float], Double)] =
+      guarded(df, idCol, vecCol)
+        .join(broadcast(hits.select(col("id"), col("dist"))), "id")
+        .select(col("id"), col("v"), col("dist"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    greedy(spark, cands, k, lambda, metric)
   }
 }

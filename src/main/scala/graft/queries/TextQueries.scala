@@ -541,12 +541,74 @@ object TextQueries {
     graft.SharedState.cached(s"winnowpairs:$dir")(
       Dedup.winnowPairs(winnowCached(s, dir), minShared = 2))
 
+  /** The shared winnow-oracle CTE chain (augmentation → tokens →
+    * 5-gram hashes → positional winnowing picks → distinct
+    * fingerprints → candidate bucket join → per-doc fingerprint
+    * sets), used by both q_winnow_pairs and q_winnow_groups so the
+    * two oracles can never drift. */
+  private lazy val winnowOracleChain: String = {
+    val runsCase = s"""CASE doc_id % 3
+       |      WHEN 0 THEN '${winnowRuns(0)}'
+       |      WHEN 1 THEN '${winnowRuns(1)}'
+       |      ELSE '${winnowRuns(2)}' END""".stripMargin
+    s"""aug AS (
+       |  SELECT doc_id, CASE WHEN doc_id < 30
+       |    THEN text || ' ' || $runsCase
+       |    ELSE text END AS text
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+       |  FROM aug),
+       |hs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= 5 THEN
+       |      list_transform(range(len(t) - 4),
+       |        i -> ('0x' || substr(md5(array_to_string(t[(i+1):(i+5)], ' ')), 1, 7))::BIGINT)
+       |    ELSE [] END AS h
+       |  FROM toks),
+       |p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(h) >= 4 THEN
+       |      list_distinct(list_transform(range(len(h) - 3),
+       |        j -> (j + len(h[(j+1):(j+4)])
+       |            - list_position(list_reverse(h[(j+1):(j+4)]),
+       |                            list_min(h[(j+1):(j+4)]))) * 268435456
+       |          + list_min(h[(j+1):(j+4)])))
+       |    WHEN len(h) > 0 THEN
+       |      [(len(h) - list_position(list_reverse(h), list_min(h))) * 268435456
+       |        + list_min(h)]
+       |    ELSE [] END AS fps
+       |  FROM hs),
+       |fp AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, enc % 268435456 AS fh
+       |  FROM (SELECT doc_id, unnest(fps) AS enc FROM p)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id),
+       |fs AS (SELECT doc_id, list(DISTINCT fh) AS s FROM fp GROUP BY doc_id)""".stripMargin
+  }
+
   /** Winnowing near-dup pairs: pairs must share ≥ 2 distinct
     * fingerprints, which random 28-bit collisions essentially never
     * produce. */
   private def winnowPairsQ(s: SparkSession, dir: String): DataFrame =
     winnowPairsCached(s, dir)
       .orderBy(col("doc_a").asc, col("doc_b").asc).limit(300)
+
+  /** Winnow dedup end-to-end (r11 punch #4): the MOSS machinery
+    * composed into the keeper-selection contract shape the MinHash
+    * family has (q_neardup_groups) — verified winnow pairs →
+    * connected components (component = min reachable doc id) → the
+    * keeper flag keepOnePerGroup selects on (doc_id == component).
+    * Rides the SAME prepared fingerprint-pair artifact as
+    * q_winnow_pairs, so the steady-state cost is the CC solve over a
+    * bounded pair graph (planted 3 runs of ≤10 docs + the organic
+    * shared-fingerprint tail), not a re-winnow of the corpus. */
+  private def winnowGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(winnowPairsCached(s, dir))
+      .withColumn("keeper", col("doc_id") === col("component"))
+      .orderBy(col("doc_id").asc)
 
   /** Snapshot diff between the corpus and a deterministically mutated
     * "next crawl": docs with id % 11 == 0 are dropped (removed), the
@@ -1093,6 +1155,7 @@ object TextQueries {
     "q_snapshot_diff" -> ((s, d) => snapshotDiffQ(s, d)),
     "q_winnow" -> ((s, d) => winnowQ(s, d)),
     "q_winnow_pairs" -> ((s, d) => winnowPairsQ(s, d)),
+    "q_winnow_groups" -> ((s, d) => winnowGroups(s, d)),
     "q_tfidf_keywords" -> ((s, d) => tfidfKeywords(s, d)),
     "q_pii_redact" -> ((s, d) => piiRedact(s, d)),
     "q_html_extract" -> ((s, d) => htmlExtract(s, d)),
@@ -1595,55 +1658,37 @@ object TextQueries {
          |ORDER BY doc_id ASC, fp_pos ASC LIMIT 500""".stripMargin,
     // winnow pairs: same augmentation, same winnow chain, candidate
     // bucket join + distinct-shared-fingerprint count (>= 2)
-    "q_winnow_pairs" -> {
-      val runsCase = s"""CASE doc_id % 3
-         |      WHEN 0 THEN '${winnowRuns(0)}'
-         |      WHEN 1 THEN '${winnowRuns(1)}'
-         |      ELSE '${winnowRuns(2)}' END""".stripMargin
-      s"""WITH aug AS (
-         |  SELECT doc_id, CASE WHEN doc_id < 30
-         |    THEN text || ' ' || $runsCase
-         |    ELSE text END AS text
-         |  FROM documents),
-         |toks AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
-         |  FROM aug),
-         |hs AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(t) >= 5 THEN
-         |      list_transform(range(len(t) - 4),
-         |        i -> ('0x' || substr(md5(array_to_string(t[(i+1):(i+5)], ' ')), 1, 7))::BIGINT)
-         |    ELSE [] END AS h
-         |  FROM toks),
-         |p AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(h) >= 4 THEN
-         |      list_distinct(list_transform(range(len(h) - 3),
-         |        j -> (j + len(h[(j+1):(j+4)])
-         |            - list_position(list_reverse(h[(j+1):(j+4)]),
-         |                            list_min(h[(j+1):(j+4)]))) * 268435456
-         |          + list_min(h[(j+1):(j+4)])))
-         |    WHEN len(h) > 0 THEN
-         |      [(len(h) - list_position(list_reverse(h), list_min(h))) * 268435456
-         |        + list_min(h)]
-         |    ELSE [] END AS fps
-         |  FROM hs),
-         |fp AS MATERIALIZED (
-         |  SELECT DISTINCT doc_id, enc % 268435456 AS fh
-         |  FROM (SELECT doc_id, unnest(fps) AS enc FROM p)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id),
-         |fs AS (SELECT doc_id, list(DISTINCT fh) AS s FROM fp GROUP BY doc_id)
+    "q_winnow_pairs" ->
+      s"""WITH $winnowOracleChain
          |SELECT doc_a, doc_b,
          |  CAST(len(list_intersect(fa.s, fb.s)) AS INT) AS n_shared
          |FROM cand
          |JOIN fs fa ON fa.doc_id = cand.doc_a
          |JOIN fs fb ON fb.doc_id = cand.doc_b
          |WHERE len(list_intersect(fa.s, fb.s)) >= 2
-         |ORDER BY doc_a ASC, doc_b ASC LIMIT 300""".stripMargin
-    },
+         |ORDER BY doc_a ASC, doc_b ASC LIMIT 300""".stripMargin,
+    // winnow dedup end-to-end: the same verified pairs, then connected
+    // components by recursive min-label reach (the q_neardup_groups
+    // pattern); keeper = the component's minimum doc id
+    "q_winnow_groups" ->
+      s"""WITH RECURSIVE $winnowOracleChain,
+         |pr AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN fs fa ON fa.doc_id = cand.doc_a
+         |  JOIN fs fb ON fb.doc_id = cand.doc_b
+         |  WHERE len(list_intersect(fa.s, fb.s)) >= 2),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pr
+         |  UNION SELECT doc_b AS s, doc_a AS d FROM pr),
+         |verts AS (SELECT DISTINCT s AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT e.d AS id, reach.r AS r FROM reach JOIN edges e ON e.s = reach.id)
+         |SELECT id AS doc_id, min(r) AS component,
+         |  (id = min(r)) AS keeper
+         |FROM reach GROUP BY id
+         |ORDER BY doc_id ASC""".stripMargin,
     // snapshot diff: the mutation is closed-form in doc_id, so the
     // statuses replay without computing a single hash (removal wins
     // over change: a dropped doc's edit never lands)

@@ -61,6 +61,70 @@ class MmrSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("index-probing candidates == exact at exhaustive ef (parity)") {
+    // r11 punch #5: the documented "swap in an ANN probe at index
+    // scale" path exists and is bit-identical to the exact candidate
+    // stage when the probe is exhaustive
+    val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    val q = Array.tabulate(64)(i => ((i * 37) % 19 - 9) / 16.0f)
+    val dir = java.nio.file.Files.createTempDirectory("mmr_ann").toString
+    graft.ann.AnnIndex.build(emb, "vec_id", "embedding", dir,
+      graft.ann.AnnIndex.Params(graft.ann.Metric.L2Sq, numShards = 2))
+    val n = graft.ann.AnnIndex.readManifest(dir).count.toInt
+    val exact = Mmr.diversifiedTopK(emb, col("vec_id"), col("embedding"),
+      q, k = 5, lambda = 0.7, candN = 20).collect().map(_.toSeq).toSeq
+    val ann = Mmr.diversifiedTopKAnn(emb, col("vec_id"), col("embedding"),
+        dir, q, k = 5, lambda = 0.7, candN = 20, ef = n)
+      .collect().map(_.toSeq).toSeq
+    assert(ann == exact,
+      "ANN candidate stage must be bit-identical to exact at exhaustive ef")
+    // recall-target serving composes: a synthetic artifact whose only
+    // qualifying ef is exhaustive derives the breadth from a tiny
+    // explicit fallback
+    import spark.implicits._
+    val man = graft.ann.AnnIndex.readManifest(dir)
+    Seq((man.m, man.efConstruction, n, 0.95, 1L, 1L))
+      .toDF("m", "ef_construction", "ef", "recall", "build_ms", "search_ms")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/autotune_results")
+    val derived = Mmr.diversifiedTopKAnn(emb, col("vec_id"),
+        col("embedding"), dir, q, k = 5, lambda = 0.7, candN = 20,
+        ef = 2, targetRecall = Some(0.9))
+      .collect().map(_.toSeq).toSeq
+    assert(derived == exact)
+    // a mismatched metric fails fast instead of mixing distance spaces
+    val e = intercept[IllegalArgumentException] {
+      Mmr.diversifiedTopKAnn(emb, col("vec_id"), col("embedding"),
+        dir, q, k = 5, metric = graft.ann.Metric.Cos)
+    }
+    assert(e.getMessage.contains("built for"), e.getMessage)
+  }
+
+  test("non-integral id or non-float vector fails fast with a clear message") {
+    // ADVICE r11: a string id used to surface as an opaque
+    // ClassCastException at collect time
+    val strIds = Seq(("a", Seq(0.0f, 0.0f)), ("b", Seq(1.0f, 0.0f)))
+      .toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Mmr.diversifiedTopK(strIds, col("id"), col("v"),
+        Array(0.0f, 0.0f), k = 1, candN = 1)
+    }
+    assert(e1.getMessage.contains("must be integral"), e1.getMessage)
+    val dblVecs = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)))
+      .toDF("id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Mmr.diversifiedTopK(dblVecs, col("id"), col("v"),
+        Array(0.0f, 0.0f), k = 1, candN = 1)
+    }
+    assert(e2.getMessage.contains("array<float>"), e2.getMessage)
+    // an int id is fine and casts up to long
+    val intIds = Seq((1, Seq(0.0f, 0.0f)), (2, Seq(1.0f, 0.0f)))
+      .toDF("id", "v")
+    val out = Mmr.diversifiedTopK(intIds, col("id"), col("v"),
+      Array(0.0f, 0.0f), k = 2, candN = 2).collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+  }
+
   test("containment catches subset duplication Jaccard under-scores") {
     val short = "alpha beta gamma delta epsilon"
     val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
@@ -100,6 +164,22 @@ class MmrSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(out == Seq((5L, "unchanged"), (6L, "changed"), (7L, "changed")),
       s"null text must never read as added/removed, got $out")
+  }
+
+  test("snapshotDiff checkUnique fails fast on duplicate ids in a snapshot") {
+    val before = Seq((1L, "aa"), (1L, "aa dup"), (2L, "bb"))
+      .toDF("doc_id", "text")
+    val after = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.snapshotDiff(before, col("doc_id"), col("text"),
+        after, col("doc_id"), col("text"), checkUnique = true).collect()
+    }
+    assert(e.getMessage.contains("duplicate doc ids"), e.getMessage)
+    assert(e.getMessage.contains("before"), e.getMessage)
+    // the unchecked path still runs (documented precondition): the
+    // duplicate id fans out, which is exactly why checkUnique exists
+    assert(Dedup.snapshotDiff(before, col("doc_id"), col("text"),
+      after, col("doc_id"), col("text")).count() >= 3)
   }
 
   test("containment of an empty shingle set is null, not a division error") {
