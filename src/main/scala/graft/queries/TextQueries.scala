@@ -987,7 +987,8 @@ object TextQueries {
         width = (160 + (d % 32) * 8).toInt,
         height = (90 + (d % 18) * 8).toInt,
         moovFirst = v == 0,
-        sampleSizes = sizes)
+        sampleSizes = sizes,
+        codec = if (v == 0) "avc1" else "hev1")
     }
 
   /** Real video-container metadata end-to-end: ISO-BMFF box walk over
@@ -1007,7 +1008,8 @@ object TextQueries {
         m.getField("n_samples").as("n_samples"),
         m.getField("total_sample_bytes").as("total_bytes"),
         round(m.getField("total_sample_bytes").cast("double") /
-          m.getField("n_samples"), 6).as("avg_bytes"))
+          m.getField("n_samples"), 6).as("avg_bytes"),
+        m.getField("codec").as("codec"))
       .orderBy(col("doc_id").asc)
   }
 
@@ -2227,7 +2229,8 @@ object TextQueries {
         |       ELSE tbl_bytes END AS BIGINT) AS total_bytes,
         |  round(CAST(CASE WHEN doc_id % 2 = 0
         |       THEN (24 + doc_id % 48) * (500 + doc_id % 250)
-        |       ELSE tbl_bytes END AS DOUBLE) / (24 + doc_id % 48), 6) AS avg_bytes
+        |       ELSE tbl_bytes END AS DOUBLE) / (24 + doc_id % 48), 6) AS avg_bytes,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS codec
         |FROM documents JOIN tb USING (doc_id)
         |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
     // MP3 corpus construction: 5 + d % 7 MPEG-1 L3 frames at 44100 Hz,

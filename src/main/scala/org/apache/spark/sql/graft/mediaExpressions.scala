@@ -408,7 +408,11 @@ object MediaKernels {
 
   /** Result shape of [[mp4Meta]]. `n_samples`/`total_sample_bytes`
     * come from the first track carrying a sample table (0 when the
-    * container has none). */
+    * container has none); `codec` is the first sample-description
+    * entry's fourcc (`stsd` — avc1/hev1/mp4a/...) from the first
+    * track carrying one, null when absent. Codec identity is THE
+    * metadata a large-scale video ingest filters on before paying for
+    * any decode, and it costs one more box read. */
   val Mp4MetaType: StructType = StructType(Seq(
     StructField("brand", StringType),
     StructField("n_tracks", IntegerType),
@@ -417,7 +421,8 @@ object MediaKernels {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_samples", IntegerType),
-    StructField("total_sample_bytes", LongType)))
+    StructField("total_sample_bytes", LongType),
+    StructField("codec", StringType)))
 
   /** REAL MP4/ISO-BMFF container walk (public ISO/IEC 14496-12 box
     * grammar): top-level (size, type) boxes — compact, `largesize`
@@ -447,6 +452,7 @@ object MediaKernels {
     var h = 0
     var nSamples = -1L
     var sampleBytes = -1L
+    var codec: String = null
 
     // walk boxes in [from, to); returns false on malformed structure
     def walk(from: Long, to: Long)(f: (String, Long, Long) => Boolean): Boolean = {
@@ -507,6 +513,7 @@ object MediaKernels {
                 var stts = -1L
                 var stszN = -1L
                 var stszBytes = -1L
+                var stsdCodec: String = null
                 def stbl(so: Long, se: Long): Boolean =
                   walk(so, se) { (t6, o6, e6) =>
                     t6 match {
@@ -522,8 +529,11 @@ object MediaKernels {
                               tot += beInt(b, o6.toInt + 8 + 8 * i) & 0xffffffffL
                               i += 1
                             }
-                            stts = tot
-                            true
+                            // n_samples is an IntegerType field: a count
+                            // past Int range is a malformed/adversarial
+                            // container, not a wrap to negative
+                            if (tot > Int.MaxValue) false
+                            else { stts = tot; true }
                           }
                         }
                       case "stsz" =>
@@ -531,7 +541,11 @@ object MediaKernels {
                         else {
                           val uniform = beInt(b, o6.toInt + 4) & 0xffffffffL
                           val count = beInt(b, o6.toInt + 8) & 0xffffffffL
-                          if (uniform > 0) {
+                          // same Int bound as stts; it also caps the
+                          // uniform*count product at ~2^63 - 5e9, so the
+                          // byte total below cannot overflow Long
+                          if (count > Int.MaxValue) false
+                          else if (uniform > 0) {
                             stszN = count
                             stszBytes = uniform * count
                             true
@@ -546,6 +560,25 @@ object MediaKernels {
                             stszN = count
                             stszBytes = tot
                             true
+                          }
+                        }
+                      case "stsd" =>
+                        // ver/flags + entry_count, then sample-entry
+                        // boxes whose TYPE is the codec fourcc; only
+                        // the first entry's identity is metadata here
+                        if (e6 - o6 < 8) false
+                        else {
+                          val entries = beInt(b, o6.toInt + 4)
+                          if (entries <= 0) true // empty table: no codec
+                          else if (e6 - o6 < 16) false
+                          else {
+                            val sz = beInt(b, o6.toInt + 8) & 0xffffffffL
+                            if (sz < 8 || o6 + 8 + sz > e6) false
+                            else {
+                              stsdCodec = new String(b, o6.toInt + 12, 4,
+                                java.nio.charset.StandardCharsets.US_ASCII)
+                              true
+                            }
                           }
                         }
                       case _ => true
@@ -590,6 +623,9 @@ object MediaKernels {
                     nSamples = if (stszN >= 0) stszN else stts
                     sampleBytes = math.max(stszBytes, 0L)
                   }
+                  // codec commits independently: the first track with a
+                  // sample DESCRIPTION, whether or not it carries counts
+                  if (codec == null && stsdCodec != null) codec = stsdCodec
                   true
                 }
               case _ => true
@@ -601,7 +637,8 @@ object MediaKernels {
     if (!ok || brand == null || durTicks < 0 || timescale <= 0) return null
     InternalRow(UTF8String.fromString(brand), nTracks, timescale,
       durTicks * 1000.0 / timescale, w, h,
-      math.max(nSamples, 0L).toInt, math.max(sampleBytes, 0L))
+      math.max(nSamples, 0L).toInt, math.max(sampleBytes, 0L),
+      if (codec == null) null else UTF8String.fromString(codec))
   }
 
   /** Result shape of [[mp3Meta]]. */
@@ -673,7 +710,8 @@ object MediaKernels {
     * equal, the per-sample table form otherwise. */
   def encodeMp4(version: Int, timescale: Int, durationTicks: Long,
       width: Int, height: Int, moovFirst: Boolean,
-      sampleSizes: Seq[Int] = Nil): Array[Byte] = {
+      sampleSizes: Seq[Int] = Nil, codec: String = "avc1"): Array[Byte] = {
+    require(codec.length == 4, s"codec fourcc must be 4 bytes: $codec")
     import java.nio.ByteBuffer
     def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
       val n = payloads.map(_.length).sum
@@ -724,6 +762,15 @@ object MediaKernels {
       if (sampleSizes.isEmpty) box("mdia", mdhd)
       else {
         val n = sampleSizes.length
+        val stsd = {
+          // ver/flags + entry_count 1, then one sample entry whose box
+          // type IS the codec fourcc; payload = the 8-byte SampleEntry
+          // base (6 reserved + data_reference_index)
+          val entry = box(codec, new Array[Byte](8))
+          val buf = ByteBuffer.allocate(8 + entry.length)
+          buf.putInt(0).putInt(1).put(entry)
+          box("stsd", buf.array())
+        }
         val stts = {
           // two run-length entries when possible: (n/2 @ delta 100,
           // n - n/2 @ delta 200)
@@ -747,7 +794,7 @@ object MediaKernels {
             sampleSizes.foreach(buf.putInt)
             box("stsz", buf.array())
           }
-        box("mdia", mdhd, box("minf", box("stbl", stts, stsz)))
+        box("mdia", mdhd, box("minf", box("stbl", stsd, stts, stsz)))
       }
     val moov = box("moov", mvhd,
       box("trak", tkhd(1, width, height), videoMdia),

@@ -306,6 +306,40 @@ class MultimodalSpec extends SparkSpec {
     val evilRow = Seq(Tuple1(evil)).toDF("mp4")
       .select(graft.functions.mp4_meta(col("mp4")).as("m")).collect()(0)
     assert(evilRow.isNullAt(0), "stts/stsz count mismatch must read as malformed")
+
+    // ADVICE r11: an unsigned sample count past Int range used to wrap
+    // to a negative n_samples; it must read as malformed instead. The
+    // huge uniform-form count also makes uniform*count exceed Long —
+    // both hazards die at the same guard. (stts is patched to match so
+    // the count-mismatch rule is not what rejects it.)
+    val sttsIdx = {
+      val pat = "stts".getBytes
+      (0 until uni.length - 4).find(i => pat.indices.forall(j => uni(i + j) == pat(j))).get
+    }
+    // stts: entry_count 1, one (count=-1 unsigned, delta) entry
+    val evilBig0 = patchInt(patchInt(uni, sttsIdx + 4 + 4, 1),
+      sttsIdx + 4 + 8, -1)
+    val evilBig = patchInt(evilBig0, idx + 4 + 8, -1) // stsz count = 2^32-1
+    val bigRow = Seq(Tuple1(evilBig)).toDF("mp4")
+      .select(graft.functions.mp4_meta(col("mp4")).as("m")).collect()(0)
+    assert(bigRow.isNullAt(0),
+      "a sample count past Int range must read as malformed, not wrap")
+  }
+
+  test("mp4_meta reads the stsd codec fourcc; absent table -> null codec") {
+    import org.apache.spark.sql.graft.MediaKernels
+    val avc = MediaKernels.encodeMp4(0, 600, 1234L, 320, 180,
+      moovFirst = true, sampleSizes = Seq.fill(4)(500), codec = "avc1")
+    val hev = MediaKernels.encodeMp4(1, 90000, 5678L, 640, 360,
+      moovFirst = false, sampleSizes = Seq(100, 200), codec = "hev1")
+    val none = MediaKernels.encodeMp4(0, 600, 9L, 160, 90, moovFirst = true)
+    val rows = Seq((0L, avc), (1L, hev), (2L, none)).toDF("id", "mp4")
+      .select(col("id"),
+        graft.functions.mp4_meta(col("mp4")).getField("codec").as("c"))
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) == "avc1")
+    assert(rows(1).getString(1) == "hev1")
+    assert(rows(2).isNullAt(1), "no sample description -> null codec")
   }
 
   test("mp3_meta walks VBR frames behind an ID3v2 tag; malformed -> null") {
