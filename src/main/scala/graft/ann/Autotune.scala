@@ -310,6 +310,79 @@ object Autotune {
     targetRecall.flatMap(efForTargetCached(spark, indexPath, _))
       .getOrElse(ef)
 
+  /** IVF analog of [[efForTarget]]: the cheapest measured nprobe
+    * meeting the target ON THE SERVED nCells, from the
+    * `autotune_results` artifact [[runIvfAndCreate]] exports. nprobe
+    * is the IVF search-breadth knob exactly as ef is HNSW's — a
+    * pinned nprobe's recall decays identically as cells fill — and
+    * "cheapest" is the smallest nprobe because the routed scan cost
+    * is monotone in it (the artifact's measured scan_fraction).
+    * Returns None when no artifact/manifest exists or no measured
+    * nprobe of the built nCells met the target. */
+  def nprobeForTarget(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetRecall: Double): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/autotune_results")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val man =
+      try IvfIndex.readManifest(indexPath)
+      catch { case _: Exception => return None }
+    spark.read.parquet(p.toString)
+      .filter(col("n_cells") === man.nCells &&
+        col("recall") >= targetRecall)
+      .orderBy(col("nprobe").asc)
+      .limit(1).collect()
+      .headOption.map(_.getAs[Int]("nprobe"))
+  }
+
+  /** Fingerprint for the derived-nprobe cache: the artifact's mtime (a
+    * re-autotune overwrites it) + the cells directory's mtime (an
+    * append/stream-append adds generation batches under it without
+    * re-measuring recall — the IVF manifest carries no row count, so
+    * the directory timestamp is the growth signal). */
+  def ivfArtifactFingerprint(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/autotune_results")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val man = IvfIndex.readManifest(indexPath)
+        val cells = new org.apache.hadoop.fs.Path(
+          s"$indexPath/${man.cellsDir}")
+        Some((fs.getFileStatus(p).getModificationTime,
+          fs.getFileStatus(cells).getModificationTime))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Fingerprint-cached [[nprobeForTarget]] — same contract as
+    * [[efForTargetCached]]: hits survive only while the artifact and
+    * the cells tree are unchanged; misses are never cached. */
+  def nprobeForTargetCached(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, targetRecall: Double): Option[Int] =
+    ivfArtifactFingerprint(spark, indexPath).flatMap { fp =>
+      val key = (indexPath, targetRecall)
+      derivedNprobeCache.get(key) match {
+        case Some((cachedFp, np)) if cachedFp == fp => Some(np)
+        case _ =>
+          val r = nprobeForTarget(spark, indexPath, targetRecall)
+          r.foreach(np => derivedNprobeCache.put(key, (fp, np)))
+          r
+      }
+    }
+
+  private val derivedNprobeCache =
+    scala.collection.concurrent.TrieMap[(String, Double), ((Long, Long), Int)]()
+
+  /** The nprobe an IVF probe should use — [[probeEf]]'s routed-path
+    * twin: artifact-derived when a target is given and resolvable,
+    * the caller's explicit nprobe otherwise. */
+  def probeNprobe(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, nprobe: Int, targetRecall: Option[Double]): Int =
+    targetRecall.flatMap(nprobeForTargetCached(spark, indexPath, _))
+      .getOrElse(nprobe)
+
   /** IVF parity of [[runAndCreate]] (reference `--create-index` +
     * `--export`, lantern_cli/src/index_autotune/cli.rs): run the IVF
     * grid and build the full-table index at the winner's nCells (nprobe

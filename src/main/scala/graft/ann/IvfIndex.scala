@@ -484,9 +484,16 @@ object IvfIndex {
   /** Top-k over the `nprobe` nearest cells only (exact within the
     * probed cells: reads the raw vector column). */
   def topK(spark: SparkSession, indexPath: String, query: Array[Float],
-      k: Int, nprobe: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 4,
+      targetRecall: Option[Double] = None): DataFrame = {
     val man = readManifest(indexPath)
-    val cells = probedCells(spark, indexPath, man, query, nprobe)
+    // recall-target serving (Autotune.probeNprobe): nprobe derived
+    // from the index's measured artifact when resolvable, the explicit
+    // value otherwise — a pinned nprobe decays as cells fill, exactly
+    // like a pinned HNSW ef
+    val effNprobe = Autotune.probeNprobe(spark, indexPath, nprobe,
+      targetRecall)
+    val cells = probedCells(spark, indexPath, man, query, effNprobe)
     val distFn = man.metric match {
       case Metric.L2Sq => graft.functions.l2sq_dist _
       case Metric.Cos => graft.functions.cos_dist _
@@ -505,12 +512,15 @@ object IvfIndex {
     * exact re-rank of the best `refine` rows via a broadcast semi-join
     * back into the probed partitions. Requires a PQ build. */
   def topKAdc(spark: SparkSession, indexPath: String, query: Array[Float],
-      k: Int, nprobe: Int = 4, refine: Int = 100): DataFrame = {
+      k: Int, nprobe: Int = 4, refine: Int = 100,
+      targetRecall: Option[Double] = None): DataFrame = {
     val man = readManifest(indexPath)
     require(man.pq, s"index at $indexPath was not built with a PQ codebook")
     val cb = graft.pq.Pq.codebookFromDf(
       spark.read.parquet(s"$indexPath/codebook"))
-    val cells = probedCells(spark, indexPath, man, query, nprobe)
+    val effNprobe = Autotune.probeNprobe(spark, indexPath, nprobe,
+      targetRecall)
+    val cells = probedCells(spark, indexPath, man, query, effNprobe)
     // reserved candidate-key name: aliasing to "id" would collide with
     // an index whose idCol is itself "id" (ambiguous post-join refs)
     val cand = cells
@@ -555,10 +565,13 @@ object IvfIndex {
     * vector copy per query, not per probed cell. */
   def topKJoin(queries: DataFrame, idCol: String, vecCol: String,
       indexPath: String, k: Int, nprobe: Int = 4,
-      queryBound: Option[Long] = None): DataFrame = {
+      queryBound: Option[Long] = None,
+      targetRecall: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     val man = readManifest(indexPath)
+    val effNprobe = Autotune.probeNprobe(spark, indexPath, nprobe,
+      targetRecall)
     val distFn = man.metric match {
       case Metric.L2Sq => graft.functions.l2sq_dist _
       case Metric.Cos => graft.functions.cos_dist _
@@ -586,7 +599,7 @@ object IvfIndex {
       .withColumn("__ivf_rn", row_number().over(
         Window.partitionBy(col("__ivf_qid"))
           .orderBy(col("__ivf_cdist").asc, col("cell_id").asc)))
-      .filter(col("__ivf_rn") <= math.max(nprobe, 1))
+      .filter(col("__ivf_rn") <= math.max(effNprobe, 1))
       .select(col("__ivf_qid"), col("cell_id"))
     // the (qid, cell) routing pairs ALWAYS broadcast (16 bytes/row — at
     // any plausible query count they are MBs) so dynamic partition

@@ -648,6 +648,62 @@ object VectorQueries {
         nprobe = 16)
       .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
 
+  /** IVF grid + winning full-table build + `autotune_results`
+    * artifact, once per dir — the routed-path twin of
+    * [[annTunedIndexPath]], with the same serve-scale discipline:
+    * the grid measures on (a capped view of) the full corpus, so the
+    * exported recall-vs-nprobe frontier describes the index being
+    * served, not a sub-corpus sample whose routing is easier. */
+  private val ivfTunedIndexes = TrieMap[String, String]()
+  private def ivfTunedIndexPath(s: SparkSession, dir: String): String =
+    ivfTunedIndexes.getOrElseUpdate(dir, {
+      val work = java.nio.file.Files.createTempDirectory("graft_ivf_tuned").toString
+      val sample = math.min(emb(s, dir).count(), 250000L).toInt
+      val (report, manifest) = graft.ann.Autotune.runIvfAndCreate(
+        emb(s, dir), "vec_id", "embedding", s"$work/grid", s"$work/index",
+        Metric.L2Sq, k = 10, targetRecall = 0.9, sampleSize = sample,
+        numQueries = 10)
+      require(manifest.nonEmpty,
+        s"no IVF autotune variant met the 0.9 recall target: ${report.results}")
+      s"$work/index"
+    })
+
+  /** Recall-target IVF serving (q_ann_target_recall's routed-path
+    * twin): nprobe DERIVES from the tuned index's measured
+    * `autotune_results` frontier — no silent fallback — and the
+    * achieved recall self-checks over ten probe queries against
+    * in-query exact scans (mean recall, the grid's own protocol);
+    * only the verdict is emitted (oracle pins TRUE). One topKJoin
+    * batches all probes: routing pairs broadcast, dynamic partition
+    * pruning on the cells scan. */
+  private def ivfTargetRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ivfTunedIndexPath(s, dir)
+    val np = graft.ann.Autotune.nprobeForTargetCached(s, path, 0.9)
+      .getOrElse(throw new IllegalStateException(
+        "IVF autotune_results artifact missing or no nprobe met 0.9"))
+    val probesDf = emb(s, dir)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      .orderBy(col("probe_id").asc).limit(10)
+    val approx = graft.ann.IvfIndex.topKJoin(probesDf, "probe_id", "pv",
+        path, 10, nprobe = np)
+      .select(col("query_id").as("probe_id"), col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val exact = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(probesDf))
+      .withColumn("dist",
+        graft.functions.l2sq_dist(col("embedding"), col("pv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("probe_id"), col("vec_id").as("id"))
+    val hits = approx.join(exact, Seq("probe_id", "id")).count()
+    val effK = math.min(10L, emb(s, dir).count()).toDouble
+    val recall = hits / (effK * 10)
+    Seq(Tuple1(recall >= 0.9)).toDF("ok")
+  }
+
   /** IVF index validation (the [[annValidate]] counterpart): zero
     * violations across centroid sidecar, cell range, vector dims, the
     * frozen-centroid assignment of every row, and PQ consistency —
@@ -778,6 +834,7 @@ object VectorQueries {
       timed("ivf_delete") { ivfDeleteIndexPath(s, dir) },
       timed("ivf_vacuum") { ivfVacuumPath(s, dir) },
       timed("ann_autotuned") { annTunedIndexPath(s, dir) },
+      timed("ivf_autotuned") { ivfTunedIndexPath(s, dir) },
       timed("fvecs") { fvecsFilePath(s, dir) },
       timed("semantic_pairs") { semPairsCached(s, dir).count() })
   }
@@ -864,6 +921,7 @@ object VectorQueries {
     "q_ann_l2sq" -> ((s, dir) => annL2Sq(s, dir)),
     "q_ann_ef64" -> ((s, dir) => annL2SqEf64(s, dir)),
     "q_ann_target_recall" -> ((s, dir) => annTargetRecall(s, dir)),
+    "q_ivf_target_recall" -> ((s, dir) => ivfTargetRecall(s, dir)),
     "q_mmr_rerank" -> ((s, dir) => mmrRerank(s, dir)),
     "q_knn_classify" -> ((s, dir) => knnClassify(s, dir)),
     "q_hard_negatives" -> ((s, dir) => hardNegatives(s, dir)),
@@ -1134,6 +1192,9 @@ object VectorQueries {
       "SELECT TRUE AS ok",
     // autotune-derived ef must meet the 0.9 target it was derived for
     "q_ann_target_recall" ->
+      "SELECT TRUE AS ok",
+    // autotune-derived nprobe must meet the 0.9 target likewise
+    "q_ivf_target_recall" ->
       "SELECT TRUE AS ok",
     // weak labeling: top-5 among the reference rows (vec_id >= 20),
     // majority vote with the (votes desc, best rank asc, label asc)

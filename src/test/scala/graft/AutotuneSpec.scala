@@ -155,6 +155,38 @@ class AutotuneSpec extends SparkSpec {
     assert(Autotune.efForTarget(spark, s"$work/index", 0.9).contains(64))
   }
 
+  test("IVF: a mid-range target resolves to a cheaper nprobe than 0.99's") {
+    import graft.ann.{Autotune, IvfIndex}
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val work = Files.createTempDirectory("autotune_ivf_choose").toString
+    IvfIndex.build(emb, "vec_id", "embedding", s"$work/index",
+      IvfIndex.Params(nCells = 8))
+    import spark.implicits._
+    Seq(
+      // served build (8 cells): 0.82 @ 1 -> 0.93 @ 2 -> 0.995 @ 4
+      (8, 1, 0.82, 0.13, 10L, 1L),
+      (8, 2, 0.93, 0.25, 10L, 1L),
+      (8, 4, 0.995, 0.5, 10L, 1L),
+      // a different build's rows must not leak into the selection
+      (64, 1, 0.99, 0.02, 5L, 1L))
+      .toDF("n_cells", "nprobe", "recall", "scan_fraction", "build_ms",
+        "search_ms")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$work/index/autotune_results")
+    val np08 = Autotune.nprobeForTarget(spark, s"$work/index", 0.8)
+    val np099 = Autotune.nprobeForTarget(spark, s"$work/index", 0.99)
+    assert(np08.contains(1) && np099.contains(4), s"$np08 / $np099")
+    assert(np08.get < np099.get)
+    assert(Autotune.nprobeForTarget(spark, s"$work/index", 0.9).contains(2))
+    // unattainable / missing artifact -> None
+    assert(Autotune.nprobeForTarget(spark, s"$work/index", 1.01).isEmpty)
+    assert(Autotune.nprobeForTarget(spark, s"$work/nowhere", 0.5).isEmpty)
+    // probeNprobe fallback chain
+    assert(Autotune.probeNprobe(spark, s"$work/index", 7, Some(0.9)) == 2)
+    assert(Autotune.probeNprobe(spark, s"$work/index", 7, Some(1.01)) == 7)
+    assert(Autotune.probeNprobe(spark, s"$work/index", 7, None) == 7)
+  }
+
   test("runIvfAndCreate builds the winner's IVF index; it answers probes exactly") {
     import graft.ann.Autotune.IvfVariant
     import graft.ann.IvfIndex

@@ -35,6 +35,44 @@ class IvfSpec extends SparkSpec {
     assert(got.map(_.getDouble(1)).toSeq.sorted == got.map(_.getDouble(1)).toSeq)
   }
 
+  test("targetRecall derives nprobe through topK/topKJoin; explicit stays fallback") {
+    val dir = Files.createTempDirectory("ivf_target").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir,
+      IvfIndex.Params(nCells = 16))
+    val q = corpus.head._2
+    val exact = corpus.map { case (id, v) => (id, Metric.L2Sq.dist(q, v)) }
+      .sortBy(x => (x._2, x._1)).take(10).map(_._1).toSeq
+    // no artifact -> explicit nprobe stands (all-cells here, so exact)
+    assert(IvfIndex.topK(spark, dir, q, 10, nprobe = 16,
+        targetRecall = Some(0.9))
+      .collect().map(_.getLong(0)).toSeq == exact)
+    // synthetic artifact: only the full probe qualifies for 0.9 — the
+    // derived nprobe (16) must drive the scan even with explicit 1
+    import spark.implicits._
+    Seq((16, 1, 0.4, 0.06, 1L, 1L), (16, 16, 0.95, 1.0, 1L, 1L))
+      .toDF("n_cells", "nprobe", "recall", "scan_fraction", "build_ms",
+        "search_ms")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/autotune_results")
+    assert(IvfIndex.topK(spark, dir, q, 10, nprobe = 1,
+        targetRecall = Some(0.9))
+      .collect().map(_.getLong(0)).toSeq == exact,
+      "derived nprobe must replace the pinned value")
+    // unattainable target -> the explicit nprobe stands
+    assert(IvfIndex.topK(spark, dir, q, 10, nprobe = 16,
+        targetRecall = Some(0.999))
+      .collect().map(_.getLong(0)).toSeq == exact)
+    // the routed batch join honors the same derivation
+    val probes = emb.select(col("vec_id").as("qid"),
+      col("embedding").as("qv")).orderBy("qid").limit(5)
+    val joined = IvfIndex.topKJoin(probes, "qid", "qv", dir, 10,
+      nprobe = 1, targetRecall = Some(0.9))
+    val exactJoin = IvfIndex.topKJoin(probes, "qid", "qv", dir, 10,
+      nprobe = 16)
+    assert(joined.collect().map(_.toSeq).toSet ==
+      exactJoin.collect().map(_.toSeq).toSet)
+  }
+
   test("IVF recall is high on clustered data at small nprobe") {
     import spark.implicits._
     val rnd = new java.util.Random(9)
