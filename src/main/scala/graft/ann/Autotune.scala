@@ -57,6 +57,15 @@ object Autotune {
     val spark = df.sparkSession
     val st = sampleTruth(df, idCol, vecCol, metric, k, sampleSize, numQueries)
     try {
+      // all probe queries batch through ONE topKJoin job per (build,
+      // ef) point: per-probe topK jobs made the sweep's cost pure
+      // job-launch overhead (360 jobs for a 6-build x 6-ef x 10-query
+      // grid), and topKJoin's per-query merge is ordered identically
+      // to topK's (dist asc, id asc, take k)
+      import spark.implicits._
+      val qdf = st.queries.zipWithIndex
+        .map { case (q, i) => (i.toLong, q.toSeq) }.toSeq
+        .toDF("qid", "qv")
       val results = variants.zipWithIndex.flatMap { case (v, i) =>
         val dir = s"$workDir/variant_$i"
         val t0 = System.nanoTime()
@@ -65,10 +74,14 @@ object Autotune {
         val builtMs = (System.nanoTime() - t0) / 1000000
         (efSweep :+ v.ef).distinct.sorted.map { ef =>
           val t1 = System.nanoTime()
-          val hits = st.queries.zip(st.truth).map { case (q, exact) =>
-            val approx = AnnIndex.topK(spark, dir, q, k, ef)
-              .collect().map(idOf).toSet
-            exact.intersect(approx).size
+          val byQuery: Map[Long, Set[Long]] =
+            AnnIndex.topKJoin(qdf, "qid", "qv", dir, k, ef)
+              .select(col("query_id"), col("id")).collect()
+              .groupBy(_.getLong(0))
+              .map { case (qid, rows) =>
+                qid -> rows.map(r => idOf(r, 1)).toSet }
+          val hits = st.truth.zipWithIndex.map { case (exact, qi) =>
+            exact.intersect(byQuery.getOrElse(qi.toLong, Set.empty)).size
           }.sum
           val searchMs = (System.nanoTime() - t1) / 1000000
           Result(Variant(v.m, v.efConstruction, ef),
@@ -92,10 +105,10 @@ object Autotune {
       local: Array[(Long, Array[Float])], queries: Array[Array[Float]],
       truth: Seq[Set[Long]], denom: Double)
 
-  /** First column as Long regardless of the table's id type (topK
+  /** Column `at` as Long regardless of the table's id type (topK
     * preserves the source column type). */
-  private def idOf(r: org.apache.spark.sql.Row): Long =
-    r.get(0).asInstanceOf[Number].longValue()
+  private def idOf(r: org.apache.spark.sql.Row, at: Int = 0): Long =
+    r.get(at).asInstanceOf[Number].longValue()
 
   private def sampleTruth(df: DataFrame, idCol: String, vecCol: String,
       metric: Metric, k: Int, sampleSize: Int,
@@ -162,13 +175,23 @@ object Autotune {
           nc -> (dir, buildMs, cents, sizes)
         }.toMap
 
+      // one routed topKJoin job per variant (the same batching as the
+      // HNSW sweep — per-probe topK jobs were pure launch overhead)
+      import spark.implicits._
+      val qdf = st.queries.zipWithIndex
+        .map { case (q, i) => (i.toLong, q.toSeq) }.toSeq
+        .toDF("qid", "qv")
       val results = variants.map { v =>
         val (dir, buildMs, cents, sizes) = built(v.nCells)
         val t1 = System.nanoTime()
-        val hits = st.queries.zip(st.truth).map { case (q, exact) =>
-          val approx = IvfIndex.topK(spark, dir, q, k, v.nprobe)
-            .collect().map(idOf).toSet
-          exact.intersect(approx).size
+        val byQuery: Map[Long, Set[Long]] =
+          IvfIndex.topKJoin(qdf, "qid", "qv", dir, k, v.nprobe)
+            .select(col("query_id"), col("id")).collect()
+            .groupBy(_.getLong(0))
+            .map { case (qid, rows) =>
+              qid -> rows.map(r => idOf(r, 1)).toSet }
+        val hits = st.truth.zipWithIndex.map { case (exact, qi) =>
+          exact.intersect(byQuery.getOrElse(qi.toLong, Set.empty)).size
         }.sum
         val searchMs = (System.nanoTime() - t1) / 1000000
         // measured scan fraction: rows in each query's nprobe nearest
