@@ -351,8 +351,14 @@ object Bm25 {
         val member =
           if (exactMembership) array_contains(col("__ids"), col("doc_id"))
           else graft.functions.elem_in_bloom(col("doc_id"), col("__bloom"))
-        cands.crossJoin(broadcast(
-            defRows.select(col("const"), col("__bloom"), col("__ids"))))
+        // project ONLY what the chosen membership needs before the
+        // broadcast: production (bloom) mode must never ship a popular
+        // term's posting array to every task — that array never being
+        // read is the approximation's entire point
+        val defSel =
+          if (exactMembership) defRows.select(col("const"), col("__ids"))
+          else defRows.select(col("const"), col("__bloom"))
+        cands.crossJoin(broadcast(defSel))
           .withColumn("add", when(member, col("const")).otherwise(lit(0.0)))
           .groupBy(col("doc_id"), col("exact_score"))
           .agg(sum(col("add")).as("__adds"))
