@@ -81,4 +81,54 @@ object Clustering {
     (base.select(col("id"), nearest_centroid_d(col("v"), cents).as("cid")),
       cents)
   }
+
+  /** SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning",
+    * arXiv:2206.14486): cluster the embedding space with [[kmeans]],
+    * measure each example's squared distance to its assigned centroid
+    * — SMALL distance = prototypical/easy/redundant, LARGE = hard/
+    * informative — and keep the hardest `keepFrac` of EACH cluster
+    * (the paper's finding: with abundant data, pruning the easy
+    * prototypes is the selection that beats random).
+    *
+    * Scale shape: assignment and distance ride the scan (the codegen
+    * argmin over one broadcast k·dim centroid array, then one l2sq
+    * kernel against the selected centroid); the per-cluster threshold
+    * is ONE k-row aggregate broadcast back for VALUE gating — the
+    * keepTopFraction discipline, never a per-cluster rank window
+    * (cid has k values; a rank window would pour each cluster through
+    * a single reducer's sort). Ties exactly AT a threshold drop
+    * together. `exact = true` is the contract path (interpolated
+    * percentile over deterministic dists replays in DuckDB
+    * quantile_cont); percentile_approx stays the 100 TB default.
+    *
+    * Returns the kept rows as (id, cid, dist). `keepFrac = 1.0`
+    * keeps every assigned row (no threshold pass). */
+  def prototypePrune(docs: DataFrame, idCol: Column, vecCol: Column,
+      k: Int, iters: Int, keepFrac: Double, salt: String = "kmeans",
+      exact: Boolean = false): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val (_, cents) = kmeans(docs, idCol, vecCol, k, iters, salt)
+    val centsCol = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val scored = docs
+      .select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("cid", nearest_centroid_d(col("v"), cents))
+      // index-order double fold (the q_embed_outliers idiom — the
+      // float codegen kernels would lose the exact-grid determinism)
+      .withColumn("dist", aggregate(
+        zip_with(col("v"), element_at(centsCol, col("cid") + 1),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col("id"), col("cid"), col("dist"))
+    if (keepFrac == 1.0) return scored
+    val thr = scored.groupBy(col("cid")).agg(
+      (if (exact) percentile(col("dist"), lit(1.0 - keepFrac))
+       else percentile_approx(col("dist"), lit(1.0 - keepFrac), lit(10000)))
+        .as("__thr"))
+    scored.join(broadcast(thr), "cid")
+      .filter(col("dist") > col("__thr"))
+      .select(col("id"), col("cid"), col("dist"))
+  }
 }

@@ -29,6 +29,43 @@ object TextQueries {
       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
       |  FROM documents)""".stripMargin
 
+  /** Shared DSIR oracle CTE chain (factored so the weights row and the
+    * sample row can never drift): features = unigrams ++ bigrams of
+    * the plain tokenizer, md5-prefix buckets mod 4096, add-one
+    * smoothed target/raw log-ratio in fixed point — the identical
+    * expression shape [[graft.text.Dsir.importanceWeights]] computes,
+    * so the one `ln` call sees the same double on both engines and the
+    * quantizer absorbs libm's last ulp. */
+  private val dsirCtes =
+    s"""$toksCte,
+       |feat AS (
+       |  SELECT doc_id, unnest(t || list_transform(
+       |    range(greatest(len(t) - 1, 0)),
+       |    i -> t[i + 1] || ' ' || t[i + 2])) AS f
+       |  FROM toks),
+       |fb AS (
+       |  SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket
+       |  FROM feat),
+       |lab AS (
+       |  SELECT doc_id,
+       |    source IN ('src0','src1','src2','src3','src4') AS tgt
+       |  FROM documents),
+       |tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
+       |       FROM fb JOIN lab USING (doc_id) WHERE tgt GROUP BY 1),
+       |rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS r_cnt
+       |       FROM fb JOIN lab USING (doc_id) WHERE NOT tgt GROUP BY 1),
+       |tot AS (SELECT CAST((SELECT coalesce(sum(t_cnt), 0) FROM tc) AS BIGINT) AS t_tot,
+       |               CAST((SELECT coalesce(sum(r_cnt), 0) FROM rc) AS BIGINT) AS r_tot),
+       |wt AS (
+       |  SELECT g.range AS bucket,
+       |    CAST(floor(1000000.0 * ln(
+       |      (CAST(coalesce(t_cnt, 0) + 1 AS DOUBLE) * CAST(r_tot + 4096 AS DOUBLE)) /
+       |      (CAST(coalesce(r_cnt, 0) + 1 AS DOUBLE) * CAST(t_tot + 4096 AS DOUBLE)))
+       |      + 0.5) AS BIGINT) AS lr_fp
+       |  FROM range(4096) g
+       |    LEFT JOIN tc ON tc.bucket = g.range
+       |    LEFT JOIN rc ON rc.bucket = g.range, tot)""".stripMargin
+
   // ---- Spark-side queries ----
 
   /** Tokenized corpus (plain + stemmed), persisted once per data dir
@@ -447,6 +484,58 @@ object TextQueries {
     TextOps.mixToBudget(docs(s, dir), col("doc_id"), col("source"),
         Map("src0" -> 10L, "src1" -> 7L, "src2" -> 1000L, "src3" -> 0L))
       .select(col("doc_id"), col("source"), col("mix_rank"))
+      .orderBy(col("source").asc, col("mix_rank").asc).limit(500)
+
+  /** Shared DSIR weight table (target = the curated src0-src4 split —
+    * the same weak-supervision slice the quality classifier trains on;
+    * raw = the rest of the corpus), trained once per data dir: at
+    * cluster scale this is the persisted 4096-row weight table a
+    * selection pass broadcasts, not a retrain per query. */
+  private def dsirTargetPred = col("source")
+    .isin("src0", "src1", "src2", "src3", "src4")
+  private def dsirWeightsCached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cached(s"dsirw:$dir") {
+      val d = docs(s, dir)
+      graft.text.Dsir.importanceWeights(
+        d.filter(dsirTargetPred), d.filter(!dsirTargetPred),
+        col("text"), col("text"))
+    }
+
+  /** The 200 most target-indicative hashed-feature buckets of the DSIR
+    * importance model (fixed-point log-likelihood ratios). */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsCached(s, dir)
+      .orderBy(col("lr_fp").desc, col("bucket").asc).limit(200)
+
+  /** DSIR selection end to end: score the raw pool under the shared
+    * weight table (integer sums of fixed-point ratios), take the
+    * deterministic top-100 resample. */
+  private def dsirSample(s: SparkSession, dir: String): DataFrame =
+    graft.text.Dsir.resampleTopN(
+      graft.text.Dsir.score(docs(s, dir).filter(!dsirTargetPred),
+        col("doc_id"), col("text"), dsirWeightsCached(s, dir)), 100)
+
+  /** Temperature-based mixing by language (the one skewed stratum in
+    * the corpus — sources are uniform): alpha = 0.5 via sqrt (the
+    * bit-deterministic contract alpha), budget 120 docs apportioned by
+    * integer largest remainder, kept by the blocked mix rank. */
+  private def sourceTemperature(s: SparkSession, dir: String): DataFrame =
+    TextOps.mixByTemperature(docs(s, dir), col("doc_id"), col("lang"),
+        alpha = 0.5, total = 120L)
+      .select(col("doc_id"), col("lang"), col("mix_rank"))
+      .orderBy(col("lang").asc, col("mix_rank").asc).limit(500)
+
+  /** Token-budget mixing: 600 tokens from src0 (cuts the source
+    * mid-way at every sf), 120 from src1, 100k from src2 (keeps the
+    * whole source at sf0.01), zero from src3; the straddling document
+    * is kept (tok_prefix < budget characterizes the set). */
+  private def mixTokens(s: SparkSession, dir: String): DataFrame =
+    TextOps.mixToTokenBudget(docs(s, dir), col("doc_id"), col("source"),
+        size(graft.functions.tokenize(col("text"))),
+        Map("src0" -> 600L, "src1" -> 120L, "src2" -> 100000L,
+          "src3" -> 0L))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("tok_prefix"), col("mix_rank"))
       .orderBy(col("source").asc, col("mix_rank").asc).limit(500)
 
   /** Unicode canonicalization over per-doc_id synthesized decomposed /
@@ -1165,6 +1254,10 @@ object TextQueries {
     "q_gopher_gate" -> ((s, d) => gopherGate(s, d)),
     "q_c4_clean" -> ((s, d) => c4Clean(s, d)),
     "q_mix_budget" -> ((s, d) => mixBudget(s, d)),
+    "q_mix_tokens" -> ((s, d) => mixTokens(s, d)),
+    "q_source_temperature" -> ((s, d) => sourceTemperature(s, d)),
+    "q_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
+    "q_dsir_sample" -> ((s, d) => dsirSample(s, d)),
     "q_domain_stats" -> ((s, d) => domainStats(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
@@ -1923,6 +2016,81 @@ object TextQueries {
         |FROM r JOIN b ON r.source = b.source
         |WHERE rk <= budget
         |ORDER BY r.source ASC, mix_rank ASC LIMIT 500""".stripMargin,
+    // token-budget mixing: the oracle replays the per-source md5 rank
+    // as ONE global window with an exclusive token cumsum — the
+    // blocked two-phase Spark shape must agree with the naive global
+    // form exactly (the q_mix_budget discipline, in tokens)
+    "q_mix_tokens" ->
+      s"""WITH $toksCte,
+         |r AS (SELECT d.doc_id, d.source,
+         |    CAST(len(tk.t) AS BIGINT) AS n_tokens,
+         |    md5(CAST(d.doc_id AS VARCHAR) || ':graft') AS rk
+         |  FROM documents d JOIN toks tk USING (doc_id)),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_prefix,
+         |    row_number() OVER (PARTITION BY source ORDER BY rk, doc_id)
+         |      AS mr
+         |  FROM r),
+         |b(source, budget) AS (VALUES
+         |  ('src0', 600), ('src1', 120), ('src2', 100000), ('src3', 0))
+         |SELECT doc_id, c.source AS source, n_tokens, tok_prefix,
+         |  CAST(mr AS BIGINT) AS mix_rank
+         |FROM c JOIN b ON c.source = b.source
+         |WHERE tok_prefix < budget
+         |ORDER BY c.source ASC, mix_rank ASC LIMIT 500""".stripMargin,
+    // temperature mixing: integer largest-remainder quotas over
+    // sqrt-weights quantized at 2^20 (sqrt is correctly rounded in
+    // every engine; the power-of-two scale is exact; everything after
+    // is integer arithmetic), then the md5 mix rank
+    "q_source_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT lang,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT)
+        |      AS wq
+        |  FROM c),
+        |tw AS (SELECT CAST(sum(wq) AS BIGINT) AS wtot FROM w),
+        |s AS (SELECT lang, CAST((120 * wq) // wtot AS BIGINT) AS base,
+        |    CAST((120 * wq) % wtot AS BIGINT) AS rem
+        |  FROM w, tw),
+        |rk AS (SELECT lang, base,
+        |    row_number() OVER (ORDER BY rem DESC, lang ASC) AS rr
+        |  FROM s),
+        |lo AS (SELECT CAST(120 - sum(base) AS BIGINT) AS leftover FROM s),
+        |q AS (SELECT lang,
+        |    base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota
+        |  FROM rk, lo),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft'), doc_id)
+        |      AS mr
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang AS lang, CAST(mr AS BIGINT) AS mix_rank
+        |FROM r JOIN q ON r.lang = q.lang
+        |WHERE mr <= quota
+        |ORDER BY r.lang ASC, mix_rank ASC LIMIT 500""".stripMargin,
+    "q_dsir_weights" ->
+      s"""WITH $dsirCtes
+         |SELECT bucket, lr_fp FROM wt
+         |ORDER BY lr_fp DESC, bucket ASC LIMIT 200""".stripMargin,
+    "q_dsir_sample" ->
+      s"""WITH $dsirCtes,
+         |sc AS (
+         |  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(lr_fp) AS BIGINT) AS w_fp
+         |  FROM fb JOIN lab USING (doc_id) JOIN wt USING (bucket)
+         |  WHERE NOT tgt GROUP BY 1),
+         |al AS (
+         |  SELECT d.doc_id, coalesce(sc.n_feats, 0) AS n_feats,
+         |    coalesce(sc.w_fp, 0) AS w_fp
+         |  FROM documents d JOIN lab USING (doc_id) LEFT JOIN sc USING (doc_id)
+         |  WHERE NOT tgt)
+         |SELECT doc_id, n_feats, w_fp FROM al
+         |ORDER BY w_fp DESC, md5(CAST(doc_id AS VARCHAR) || ':dsir'), doc_id
+         |LIMIT 100""".stripMargin,
     // C4 line/doc cleaning: identical augmented text (the five-line
     // block is interpolated from the SAME Scala constant the query
     // uses), identical line rules; the terminal-punct regex is

@@ -898,6 +898,42 @@ object VectorQueries {
   private val gridVecSql =
     "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 16384, 0) / 16384)"
 
+  /** l2sq of a corpus vector `g.v` against a centroid row `c.v` —
+    * index-order summation, the same order the Spark kernels fold. */
+  private val kmeansDistTo =
+    "list_sum(list_transform(g.v, (x, i) -> (x - c.v[i]) * (x - c.v[i])))"
+
+  /** The unrolled 2-iteration Lloyd CTE chain shared by the q_kmeans
+    * and q_prototype_prune oracles (factored so they cannot drift):
+    * grid corpus `g`, seeds `c0` = smallest (md5, id), assignments
+    * a1/a2/a3, centroid updates c1/c2 (an emptied cluster keeps its
+    * previous centroid). */
+  private val kmeansCtes: String = {
+    def assign(from: String): String =
+      s"""(SELECT vec_id, v, cid FROM (
+         |  SELECT g.vec_id, g.v, c.cid,
+         |    row_number() OVER (PARTITION BY g.vec_id
+         |      ORDER BY $kmeansDistTo, c.cid) AS rn
+         |  FROM g CROSS JOIN $from c) WHERE rn = 1)""".stripMargin
+    def update(from: String, prev: String): String =
+      s"""(SELECT p.cid, coalesce(u.v, p.v) AS v FROM $prev p LEFT JOIN (
+         |  SELECT cid, list(m ORDER BY i) AS v FROM (
+         |    SELECT cid, i, sum(x) / count(*) AS m FROM (
+         |      SELECT cid, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i
+         |      FROM $from)
+         |    GROUP BY cid, i) GROUP BY cid) u ON u.cid = p.cid)""".stripMargin
+    s"""g AS (SELECT vec_id, $gridVecSql AS v FROM embeddings),
+       |c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, v FROM (
+       |  SELECT v, row_number() OVER (ORDER BY
+       |    md5(CAST(vec_id AS VARCHAR) || ':kmeans'), vec_id) AS rn FROM g)
+       |  WHERE rn <= 4),
+       |a1 AS ${assign("c0")},
+       |c1 AS ${update("a1", "c0")},
+       |a2 AS ${assign("c1")},
+       |c2 AS ${update("a2", "c1")},
+       |a3 AS ${assign("c2")}""".stripMargin
+  }
+
   /** Per-label embedding centroids via the vec_sum/vec_avg custom
     * aggregate (one double[dim] buffer per group; map-side combine).
     * Emitted exploded as (label, dim_i, m) scalars — the compare
@@ -941,10 +977,27 @@ object VectorQueries {
       .orderBy(col("vec_id").asc).limit(300)
   }
 
+  /** SSL-prototypes pruning end to end (Sorscher et al. 2022): the
+    * same k=4 / 2-iteration Lloyd's as q_kmeans, then keep the hardest
+    * HALF of each cluster by the exact per-cluster median distance
+    * (contract path; percentile_approx stays the 100 TB default).
+    * frac = 0.5 interpolates as lo + 0.5·(hi−lo) — the halving is
+    * exact in double, so the threshold replays bit-for-bit. */
+  private def prototypePruneQ(s: SparkSession, dir: String): DataFrame = {
+    val g = emb(s, dir).select(col("vec_id"), gridVec.as("v"))
+    graft.operators.Clustering.prototypePrune(
+        g, col("vec_id"), col("v"), k = 4, iters = 2, keepFrac = 0.5,
+        exact = true)
+      .select(col("id").as("vec_id"), col("cid"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy(col("vec_id").asc).limit(300)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_centroid" -> ((s, dir) => embedCentroid(s, dir)),
     "q_embed_outliers" -> ((s, dir) => embedOutliers(s, dir)),
     "q_kmeans" -> ((s, dir) => kmeansQ(s, dir)),
+    "q_prototype_prune" -> ((s, dir) => prototypePruneQ(s, dir)),
     "q_knn_l2sq" -> ((s, dir) => knnL2Sq(s, dir)),
     "q_knn_cos" -> ((s, dir) => knnCos(s, dir)),
     "q_knn_hamming" -> ((s, dir) => knnHamming(s, dir)),
@@ -1150,34 +1203,26 @@ object VectorQueries {
     // cid); update = per-dim sum/count; an emptied cluster keeps its
     // centroid (coalesce). All arithmetic is exact-grid/double, so
     // the argmin compares identical bits on both engines.
-    "q_kmeans" -> {
-      val distTo = "list_sum(list_transform(g.v, (x, i) -> (x - c.v[i]) * (x - c.v[i])))"
-      def assign(from: String): String =
-        s"""(SELECT vec_id, v, cid FROM (
-           |  SELECT g.vec_id, g.v, c.cid,
-           |    row_number() OVER (PARTITION BY g.vec_id
-           |      ORDER BY $distTo, c.cid) AS rn
-           |  FROM g CROSS JOIN $from c) WHERE rn = 1)""".stripMargin
-      def update(from: String, prev: String): String =
-        s"""(SELECT p.cid, coalesce(u.v, p.v) AS v FROM $prev p LEFT JOIN (
-           |  SELECT cid, list(m ORDER BY i) AS v FROM (
-           |    SELECT cid, i, sum(x) / count(*) AS m FROM (
-           |      SELECT cid, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i
-           |      FROM $from)
-           |    GROUP BY cid, i) GROUP BY cid) u ON u.cid = p.cid)""".stripMargin
-      s"""WITH g AS (SELECT vec_id, $gridVecSql AS v FROM embeddings),
-         |c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, v FROM (
-         |  SELECT v, row_number() OVER (ORDER BY
-         |    md5(CAST(vec_id AS VARCHAR) || ':kmeans'), vec_id) AS rn FROM g)
-         |  WHERE rn <= 4),
-         |a1 AS ${assign("c0")},
-         |c1 AS ${update("a1", "c0")},
-         |a2 AS ${assign("c1")},
-         |c2 AS ${update("a2", "c1")},
-         |a3 AS ${assign("c2")}
+    "q_kmeans" ->
+      s"""WITH $kmeansCtes
          |SELECT vec_id, cid FROM a3
-         |ORDER BY vec_id ASC LIMIT 300""".stripMargin
-    },
+         |ORDER BY vec_id ASC LIMIT 300""".stripMargin,
+    // prototype pruning: the SAME unrolled Lloyd chain (factored so
+    // the two rows can never drift) + distance to the assigned final
+    // centroid + per-cluster exact median, keep dist > median
+    "q_prototype_prune" ->
+      s"""WITH $kmeansCtes,
+         |ad AS (SELECT vec_id, cid, dist FROM (
+         |  SELECT g.vec_id, c.cid, $kmeansDistTo AS dist,
+         |    row_number() OVER (PARTITION BY g.vec_id
+         |      ORDER BY $kmeansDistTo, c.cid) AS rn
+         |  FROM g CROSS JOIN c2 c) WHERE rn = 1),
+         |thr AS (SELECT cid, quantile_cont(dist, 0.5) AS t
+         |        FROM ad GROUP BY cid)
+         |SELECT vec_id, ad.cid AS cid, round(dist, 6) AS dist
+         |FROM ad JOIN thr ON ad.cid = thr.cid
+         |WHERE dist > t
+         |ORDER BY vec_id ASC LIMIT 300""".stripMargin,
     "q_embed_outliers" ->
       s"""WITH g AS (SELECT label, vec_id, $gridVecSql AS v FROM embeddings),
          |e AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM g),

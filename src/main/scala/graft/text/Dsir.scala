@@ -1,0 +1,131 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.tokenize
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169, the published data-selection method behind several
+  * public pretraining mixes): pick raw-pool documents whose hashed
+  * n-gram distribution looks like a trusted target corpus. Per
+  * document the importance weight is `log p_target(d) / p_raw(d)`
+  * under two bag-of-hashed-features models — a sum over the document's
+  * features of per-bucket log-likelihood ratios — and selection takes
+  * the top-weighted documents.
+  *
+  * Everything on the contract is engine-replayable:
+  *  - features are unigrams + bigrams of the plain tokenizer, bucketed
+  *    by the repo's md5-prefix hash idiom ([[QualityClassifier.bucketOf]]);
+  *  - per-bucket log-ratios are QUANTIZED ONCE into fixed point
+  *    (`floor(Scale * ln(ratio) + 0.5)`, the tfidf ln-then-round
+  *    precedent: the ±1-ulp cross-engine `ln` skew is absorbed by the
+  *    quantizer except on a measure-zero boundary, and the weight
+  *    table is deterministic so a green verify at a scale stays green);
+  *  - document scores are INTEGER sums of those fixed-point ratios —
+  *    associative, exact at any parallelism (the
+  *    [[QualityClassifier]] fixed-point discipline);
+  *  - resampling is a deterministic rank (weight desc, md5 tiebreak) —
+  *    the paper's Gumbel-noise tiebreak in replayable form (a salt
+  *    change re-rolls the tiebreak, which is all the noise is for
+  *    when selection is top-k).
+  *
+  * Scale shape (100 TB): training aggregates each slice to a ≤ `dim`
+  * row bucket-count table (explode → ONE combiner groupBy on an int
+  * key); the dense weight table (`dim` rows) BROADCASTS to scoring,
+  * which is a narrow explode → broadcast join → per-doc combiner
+  * groupBy of integer partials; selection is a TakeOrdered top-n
+  * (per-partition heads + one merge), never a global sort. */
+object Dsir {
+
+  val DefaultDim = 4096
+  val Scale = 1000000L
+
+  /** Token bigrams as space-joined strings (the [[TextOps]] ngram
+    * guard: a short doc yields none, not a descending sequence). */
+  private def bigrams(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - lit(2)),
+        i => array_join(slice(t, i + lit(1), lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-bucket hashed-feature counts of one corpus slice:
+    * (bucket, cnt). Features = unigrams ++ bigrams. */
+  def featureCounts(docs: DataFrame, textCol: Column,
+      dim: Int = DefaultDim): DataFrame =
+    docs
+      // bind tokenize to a real column BEFORE the bigram lambda — the
+      // lmCoverage no-CSE-across-lambda-scopes discipline
+      .withColumn("__t", tokenize(textCol))
+      .select(explode(concat(col("__t"), bigrams(col("__t")))).as("__f"))
+      .select(QualityClassifier.bucketOf(col("__f"), dim).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** DENSE fixed-point importance weight table over all `dim` buckets:
+    * `lr_fp(b) = floor(Scale * ln(((t_b+1) * (R+dim)) /
+    * ((r_b+1) * (T+dim))) + 0.5)` — the add-one-smoothed target/raw
+    * likelihood ratio of bucket b, where T/R are the slices' total
+    * feature counts. Dense means scoring needs no unseen-bucket
+    * special case: a bucket observed in neither slice carries the
+    * prior ratio `ln((R+dim)/(T+dim))`, exactly as the paper's
+    * smoothed models assign it. Totals attach in-plan via 1-row
+    * broadcast cross joins (no driver action). Products stay exact in
+    * double to ~9e15 — beyond that the ratio is still well-conditioned
+    * and the quantizer unaffected. */
+  def importanceWeights(target: DataFrame, raw: DataFrame,
+      targetText: Column, rawText: Column,
+      dim: Int = DefaultDim): DataFrame = {
+    val tc = featureCounts(target, targetText, dim)
+      .withColumnRenamed("cnt", "t_cnt")
+    val rc = featureCounts(raw, rawText, dim)
+      .withColumnRenamed("cnt", "r_cnt")
+    val tTot = tc.agg(coalesce(sum(col("t_cnt")), lit(0L)).as("__t_tot"))
+    val rTot = rc.agg(coalesce(sum(col("r_cnt")), lit(0L)).as("__r_tot"))
+    target.sparkSession.range(dim).select(col("id").as("bucket"))
+      .join(tc, Seq("bucket"), "left")
+      .join(rc, Seq("bucket"), "left")
+      .na.fill(0L, Seq("t_cnt", "r_cnt"))
+      .crossJoin(broadcast(tTot))
+      .crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        floor(lit(Scale.toDouble) * log(
+          ((col("t_cnt") + 1).cast("double") *
+            (col("__r_tot") + dim).cast("double")) /
+          ((col("r_cnt") + 1).cast("double") *
+            (col("__t_tot") + dim).cast("double"))) + lit(0.5))
+          .cast("long").as("lr_fp"))
+  }
+
+  /** Integer importance score per document: (doc_id, n_feats, w_fp)
+    * with `w_fp = Σ lr_fp` over the doc's features (the fixed-point
+    * log of the product of per-feature likelihood ratios). Documents
+    * with no features score (0, 0). The dense weight table broadcasts,
+    * so the join always hits. */
+  def score(docs: DataFrame, idCol: Column, textCol: Column,
+      weights: DataFrame, dim: Int = DefaultDim): DataFrame = {
+    val per = docs
+      .withColumn("__t", tokenize(textCol))
+      .select(idCol.as("doc_id"),
+        explode(concat(col("__t"), bigrams(col("__t")))).as("__f"))
+      .select(col("doc_id"),
+        QualityClassifier.bucketOf(col("__f"), dim).as("bucket"))
+      .join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr_fp")).as("w_fp"))
+    docs.select(idCol.as("doc_id")).distinct()
+      .join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_feats", "w_fp"))
+  }
+
+  /** Deterministic top-n resample of a scored frame: rank by
+    * (w_fp desc, md5(doc_id:salt) asc, doc_id asc). TakeOrdered —
+    * per-partition top-n heads merged once, no global sort. */
+  def resampleTopN(scored: DataFrame, n: Int,
+      salt: String = "dsir"): DataFrame = {
+    require(n > 0, "n must be positive")
+    scored.orderBy(col("w_fp").desc,
+      md5(concat(col("doc_id").cast("string"), lit(":" + salt))
+        .cast("binary")).asc,
+      col("doc_id").asc)
+      .limit(n)
+  }
+}

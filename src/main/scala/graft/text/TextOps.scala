@@ -296,6 +296,141 @@ object TextOps {
       .drop("__src", "__blk", "__rk", "__budget", "__prefix", "__lrank")
   }
 
+  /** Temperature-scaled source quotas — the mT5/XLM-R alpha-sampling
+    * mixture rule (Xue et al. 2021 §3.1; Conneau et al. 2020 §3.1):
+    * source k with n_k documents gets a share ∝ n_k^alpha of the total
+    * budget, flattening head sources and boosting tails (alpha = 1 is
+    * proportional, alpha = 0 uniform; mT5 ships 0.3, XLM-R 0.7, and
+    * 0.5 is this engine's contract value). Shares become integer
+    * quotas summing to EXACTLY `total` by largest-remainder (Hamilton)
+    * apportionment.
+    *
+    * Engine-replayable by construction: weights quantize to integers
+    * FIRST — `wq_k = floor(alphaWeight(n_k) * 2^20 + 0.5)`, where the
+    * power-of-two scaling is exact and alpha = 0.5 evaluates via
+    * `sqrt` (correctly rounded per IEEE 754 in every engine) — so the
+    * weight total, the base quotas `(total * wq_k) div W`, and the
+    * remainder ranking `(total * wq_k) mod W` are ALL integer
+    * arithmetic: no float sum whose order could differ across engines
+    * or partitionings. Other alphas go through `pow` (last-ulp
+    * caveat, the lmPerplexity discipline — keep them off hash
+    * contracts). `total * wq_k` must stay under 2^63: wq_k ≈ 2^20 ·
+    * n_k^alpha, so budgets into the billions are safe at any corpus.
+    *
+    * Driver-side on purpose: the counts aggregate to #sources rows (a
+    * training mixture has a handful of sources — the bounded-collect
+    * discipline), and the quotas feed [[mixToBudget]]'s budget map.
+    * Returns (source, quota) sorted by source. */
+  def temperatureQuotas(docs: DataFrame, sourceCol: Column, alpha: Double,
+      total: Long): Seq[(String, Long)] = {
+    require(alpha >= 0, "alpha must be non-negative")
+    require(total >= 0, "total must be non-negative")
+    val counts = docs.groupBy(sourceCol.as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (counts.isEmpty || total == 0)
+      return counts.map { case (s, _) => (s, 0L) }.toSeq
+    val wq = counts.map { case (s, n) =>
+      val w = if (alpha == 0.5) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      (s, math.floor(w * 1048576.0 + 0.5).toLong)
+    }
+    val wTot = wq.map(_._2).sum
+    require(wq.forall(p => p._2 <= Long.MaxValue / math.max(total, 1L)),
+      "total * weight overflows — lower the budget or the corpus skew")
+    val base = wq.map { case (s, w) => (s, total * w / wTot, total * w % wTot) }
+    val leftover = total - base.map(_._2).sum
+    val bump = base.sortBy { case (s, _, rem) => (-rem, s) }
+      .take(leftover.toInt).map(_._1).toSet
+    base.map { case (s, b, _) => (s, b + (if (bump(s)) 1L else 0L)) }.toSeq
+  }
+
+  /** Temperature-based budget mixing end to end: derive
+    * [[temperatureQuotas]] and keep each source's quota by
+    * [[mixToBudget]]'s blocked deterministic rank. The alpha-sampling
+    * step of a multilingual/multi-source pretraining mix as one call. */
+  def mixByTemperature(docs: DataFrame, idCol: Column, sourceCol: Column,
+      alpha: Double, total: Long, salt: String = "graft",
+      blockHexChars: Int = 3): DataFrame =
+    mixToBudget(docs, idCol, sourceCol,
+      temperatureQuotas(docs, sourceCol, alpha, total).toMap, salt,
+      blockHexChars)
+
+  /** Token-budget mixing — [[mixToBudget]] generalized from document
+    * counts to token (or any non-negative integer weight) budgets: a
+    * training run wants n_k TOKENS from source k, the unit compute
+    * actually bills in. Within each source, rows rank by the same
+    * md5(id:salt) key; a row is kept iff the EXCLUSIVE cumulative
+    * token count of the rows ranked before it is still below the
+    * budget — so the straddling document is kept (the mix overshoots
+    * by at most one document, never undershoots), and a source's
+    * first document is always kept while its budget is positive.
+    *
+    * Scale shape: the same blocked two-phase rank as [[mixToBudget]]
+    * — per-(source, block) token AND row totals roll into exclusive
+    * running prefixes over the tiny #sources·16^blockHexChars frame;
+    * blocks whose token prefix already meets the budget are filtered
+    * BEFORE the rank window; surviving rows take a LOCAL rank and
+    * exclusive token cumsum in one WindowExec (both windows share the
+    * (source, block) partitioning) and add their block's prefixes.
+    * Only ~budget-worth of rows is ever sorted, at any corpus size.
+    *
+    * `tokCol` must be non-negative and non-null — a null would
+    * poison the running sums, so it fails loudly in-plan (beware
+    * `size(tokenize(null))` = -1 under legacy sizeOfNull). Returns
+    * kept rows plus (n_tokens, tok_prefix, mix_rank): tok_prefix =
+    * tokens ranked strictly before the row (so `tok_prefix <
+    * budget(source)` characterizes the kept set), mix_rank = the
+    * per-source rank. */
+  def mixToTokenBudget(docs: DataFrame, idCol: Column, sourceCol: Column,
+      tokCol: Column, budgets: Map[String, Long], salt: String = "graft",
+      blockHexChars: Int = 3): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    require(blockHexChars >= 1 && blockHexChars <= 8,
+      "blockHexChars must be in [1, 8]")
+    import org.apache.spark.sql.expressions.Window
+    val rankKey = md5(concat(idCol.cast("string"), lit(":" + salt))
+      .cast("binary"))
+    val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (s, n)) =>
+      when(sourceCol === s, lit(n)).otherwise(acc)
+    }
+    val guardedTok = when(tokCol.isNull || tokCol < 0,
+      raise_error(concat(lit("mixToTokenBudget: null or negative token "
+        + "count for id "), idCol.cast("string"))))
+      .otherwise(tokCol.cast("long"))
+    val base = docs
+      .withColumn("__src", sourceCol)
+      .withColumn("__budget", budgetCol)
+      .withColumn("__rk", rankKey)
+      .withColumn("__blk", substring(col("__rk"), 1, blockHexChars))
+      .withColumn("__tok", guardedTok)
+    val wPrefix = Window.partitionBy(col("__src")).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = base.groupBy(col("__src"), col("__blk"))
+      .agg(sum(col("__tok")).as("__ttot"), count(lit(1)).as("__ctot"))
+      .withColumn("__tprefix",
+        coalesce(sum(col("__ttot")).over(wPrefix), lit(0L)))
+      .withColumn("__cprefix",
+        coalesce(sum(col("__ctot")).over(wPrefix), lit(0L)))
+      .select(col("__src"), col("__blk"), col("__tprefix"), col("__cprefix"))
+    val wLocal = Window.partitionBy(col("__src"), col("__blk"))
+      .orderBy(col("__rk").asc, idCol.asc)
+    base
+      .join(broadcast(prefixes), Seq("__src", "__blk"))
+      .filter(col("__tprefix") < col("__budget"))
+      .withColumn("__lrank", row_number().over(wLocal))
+      .withColumn("__lcum", coalesce(sum(col("__tok"))
+        .over(wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_tokens", col("__tok"))
+      .withColumn("tok_prefix", col("__tprefix") + col("__lcum"))
+      .withColumn("mix_rank", col("__cprefix") + col("__lrank").cast("long"))
+      .filter(col("tok_prefix") < col("__budget"))
+      .drop("__src", "__blk", "__rk", "__budget", "__tok", "__tprefix",
+        "__cprefix", "__lrank", "__lcum")
+  }
+
   /** Overlapping token-window document chunking — the fan-out step in
     * front of an embedding/RAG pipeline (documents are embedded as
     * fixed-size windows, not whole): tokens are cut into windows of

@@ -77,4 +77,43 @@ class ClusteringSpec extends SparkSpec {
     assert(s1.map(_.toSeq).toSeq != other.map(_.toSeq).toSeq,
       "salt must change the seed selection/order for this fixture")
   }
+
+  test("prototypePrune keeps the hardest fraction of each cluster") {
+    // two tight, well-separated clusters with a graded spread: the
+    // kept set must be exactly the above-median-distance half of each
+    val pts = (0 until 20).map { i =>
+      val c = i % 2
+      (i.toLong, Seq(c * 100.0 + (i / 2) * 0.5, c * -50.0))
+    }
+    val df = pts.toDF("id", "v").repartition(4)
+    val kept = Clustering.prototypePrune(df, col("id"), col("v"),
+        k = 2, iters = 4, keepFrac = 0.5, exact = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // replay naively: full assignments + dists, per-cluster median
+    val (assign, cents) = Clustering.kmeans(df, col("id"), col("v"), 2, 4)
+    val all = assign.collect().map { r =>
+      val id = r.getLong(0); val cid = r.getInt(1)
+      val v = pts(id.toInt)._2
+      val d = v.zip(cents(cid)).map { case (a, b) => (a - b) * (a - b) }.sum
+      (id, cid, d)
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s2 = xs.sorted
+      if (s2.size % 2 == 1) s2(s2.size / 2)
+      else { val lo = s2(s2.size / 2 - 1); lo + (s2(s2.size / 2) - lo) * 0.5 }
+    }
+    val med = all.groupBy(_._2).view.mapValues(g => median(g.map(_._3).toSeq)).toMap
+    val expect = all.filter { case (_, cid, d) => d > med(cid) }
+      .map(t => (t._1, t._2)).toSet
+    assert(kept.map(t => (t._1, t._2)).toSet == expect)
+    assert(kept.forall { case (_, cid, d) => d > med(cid) })
+    // keepFrac = 1 keeps every assigned row
+    assert(Clustering.prototypePrune(df, col("id"), col("v"),
+      k = 2, iters = 4, keepFrac = 1.0).count() == 20L)
+    // approx path agrees away from ties on this well-separated fixture
+    val approx = Clustering.prototypePrune(df, col("id"), col("v"),
+        k = 2, iters = 4, keepFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(approx == expect, "percentile_approx == exact off-tie")
+  }
 }

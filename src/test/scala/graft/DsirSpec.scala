@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Dsir
+
+/** DSIR importance resampling (Xie et al. 2023): fixed-point
+  * log-ratio weights, integer document scores, deterministic top-n. */
+class DsirSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def buckets(text: String, dim: Int = Dsir.DefaultDim): Seq[Long] = {
+    // replay the feature hashing exactly: unigrams ++ bigrams,
+    // md5-prefix mod dim
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val feats = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    feats.map { f =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(15), 16) % dim
+    }
+  }
+
+  test("importance weights match the closed-form smoothed log-ratio") {
+    val dim = Dsir.DefaultDim
+    val target = Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
+    val raw = Seq((3L, "gamma delta gamma")).toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(target, raw, col("text"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size == dim, "dense table: one row per bucket")
+    // feature counts: target = {alpha:2, beta:1, "alpha beta":1} (T=4),
+    // raw = {gamma:2, delta:1, "gamma delta":1, "delta gamma":1} (R=5)
+    val tCounts = (buckets("alpha beta") ++ buckets("alpha"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rCounts = buckets("gamma delta gamma")
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tTot, rTot) = (4L, 5L)
+    def expected(b: Long): Long = {
+      val ratio = ((tCounts.getOrElse(b, 0L) + 1).toDouble * (rTot + dim)) /
+        ((rCounts.getOrElse(b, 0L) + 1).toDouble * (tTot + dim))
+      math.floor(Dsir.Scale * math.log(ratio) + 0.5).toLong
+    }
+    (tCounts.keySet ++ rCounts.keySet).foreach { b =>
+      assert(w(b) == expected(b), s"bucket $b")
+    }
+    // a bucket observed in neither slice carries the prior ratio
+    val unseen = (0L until dim).find(b =>
+      !tCounts.contains(b) && !rCounts.contains(b)).get
+    assert(w(unseen) == expected(unseen))
+    assert(w(unseen) == math.floor(
+      Dsir.Scale * math.log((rTot + dim).toDouble / (tTot + dim)) + 0.5).toLong)
+  }
+
+  test("scores are integer sums over features; empty docs score zero") {
+    val target = Seq((1L, "alpha alpha")).toDF("doc_id", "text")
+    val raw = Seq((2L, "alpha beta"), (3L, "")).toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(target, raw, col("text"), col("text"))
+    val wm = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scored = Dsir.score(raw, col("doc_id"), col("text"), w)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val feats2 = buckets("alpha beta")
+    assert(scored(2L) == (feats2.size.toLong, feats2.map(wm).sum))
+    assert(scored(3L) == (0L, 0L), "no-feature doc scores (0, 0)")
+  }
+
+  test("resampleTopN is a deterministic weight-ranked top-n") {
+    val scored = Seq(
+      (1L, 3L, 100L), (2L, 3L, 300L), (3L, 3L, 200L), (4L, 3L, 300L))
+      .toDF("doc_id", "n_feats", "w_fp")
+    val top2 = Dsir.resampleTopN(scored, 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // both 300-weight docs beat the rest; ties beyond n break by md5
+    assert(top2 == Set(2L, 4L))
+    val top3a = Dsir.resampleTopN(scored.repartition(4), 3)
+      .collect().map(_.getLong(0)).toSet
+    val top3b = Dsir.resampleTopN(scored.repartition(1), 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(top3a == top3b, "selection is partitioning-independent")
+  }
+}

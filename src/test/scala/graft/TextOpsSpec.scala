@@ -507,4 +507,125 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(2), r.getDouble(3))).toMap
     assert(byDoc("zebra") > byDoc("common"))
   }
+
+  test("temperatureQuotas: largest-remainder apportionment, exact totals") {
+    val docs = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 100).map(i => (i.toLong, "mid")) ++
+      (101 to 105).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    // alpha = 1: proportional (80/20/5 of 105 is exact)
+    val prop = TextOps.temperatureQuotas(docs, col("source"), 1.0, 105L).toMap
+    assert(prop == Map("big" -> 80L, "mid" -> 20L, "small" -> 5L))
+    // alpha = 0: uniform weights; 10 = 3+3+3 + one remainder bump.
+    // all remainders tie -> the bump goes to the lexicographically
+    // first source
+    val unif = TextOps.temperatureQuotas(docs, col("source"), 0.0, 10L).toMap
+    assert(unif.values.sum == 10L)
+    assert(unif == Map("big" -> 4L, "mid" -> 3L, "small" -> 3L))
+    // alpha = 0.5 flattens: small's share rises vs proportional,
+    // big's falls; total always exact
+    val sq = TextOps.temperatureQuotas(docs, col("source"), 0.5, 105L).toMap
+    assert(sq.values.sum == 105L)
+    assert(sq("big") < 80L && sq("small") > 5L)
+    // closed-form check of the sqrt path: wq = floor(sqrt(n)*2^20+0.5),
+    // base = total*wq div W, bumps by largest (rem, source asc)
+    val wq = Map("big" -> 80L, "mid" -> 20L, "small" -> 5L).map {
+      case (s2, n) => s2 -> math.floor(math.sqrt(n.toDouble) * 1048576.0 + 0.5).toLong
+    }
+    val wTot = wq.values.sum
+    val base = wq.map { case (s2, w) => s2 -> (105L * w / wTot, 105L * w % wTot) }
+    val leftover = (105L - base.values.map(_._1).sum).toInt
+    val bump = base.toSeq.sortBy { case (s2, (_, r)) => (-r, s2) }
+      .take(leftover).map(_._1).toSet
+    val expect = base.map { case (s2, (b, _)) =>
+      s2 -> (b + (if (bump(s2)) 1L else 0L)) }
+    assert(sq == expect)
+    // total 0 and empty corpus degenerate cleanly
+    assert(TextOps.temperatureQuotas(docs, col("source"), 0.5, 0L)
+      .forall(_._2 == 0L))
+  }
+
+  test("mixByTemperature composes quotas into the blocked mix rank") {
+    val docs = ((1 to 40).map(i => (i.toLong, "x")) ++
+      (41 to 50).map(i => (i.toLong, "y"))).toDF("doc_id", "source")
+    val out = TextOps.mixByTemperature(docs, col("doc_id"), col("source"),
+        alpha = 0.5, total = 20L)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    val quotas = TextOps.temperatureQuotas(docs, col("source"), 0.5, 20L).toMap
+    assert(out.count(_._1 == "x") == quotas("x").toInt)
+    assert(out.count(_._1 == "y") == quotas("y").toInt)
+    assert(out.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted == (1L to rs.size).toSeq }, "per-source ranks dense")
+  }
+
+  test("mixToTokenBudget: straddling doc kept, exclusive-prefix gate") {
+    // single source, controlled token counts: ranks follow md5 order,
+    // so derive the kept set from the naive exclusive cumsum
+    val docs = (1L to 12L).map(i => (i, "a", s"tok " * i.toInt))
+      .toDF("doc_id", "source", "text")
+    val tok = size(graft.functions.tokenize(col("text")))
+    val out = TextOps.mixToTokenBudget(docs, col("doc_id"), col("source"),
+        tok, Map("a" -> 25L))
+      .select("doc_id", "n_tokens", "tok_prefix", "mix_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._4)
+    // every kept row starts strictly below the budget; the first
+    // EXCLUDED rank is exactly where the prefix crosses
+    assert(out.nonEmpty && out.forall(_._3 < 25L))
+    assert(out.map(_._4).toSeq == (1L to out.size.toLong).toSeq,
+      "dense ranks from 1")
+    val lastPrefix = out.last._3 + out.last._2
+    assert(lastPrefix >= 25L || out.size == 12,
+      "either the budget was crossed by the straddler or all docs fit")
+    // zero budget drops the source entirely
+    assert(TextOps.mixToTokenBudget(docs, col("doc_id"), col("source"),
+      tok, Map("a" -> 0L)).count() == 0L)
+  }
+
+  test("mixToTokenBudget blocked shape == the naive window on random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      val srcs = 1 + rnd.nextInt(4)
+      val n = 50 + rnd.nextInt(200)
+      val rows = (1 to n).map(i =>
+        (rnd.nextInt(100000).toLong * 1000 + i, s"s${rnd.nextInt(srcs)}",
+          rnd.nextInt(30).toLong))
+      val docs = rows.toDF("doc_id", "source", "tok")
+      val budgets = (0 until srcs)
+        .map(k => s"s$k" -> rnd.nextInt(400).toLong).toMap
+      val salt = s"tsalt$round"
+      val hexChars = 1 + rnd.nextInt(4)
+      val blocked = TextOps.mixToTokenBudget(docs, col("doc_id"),
+          col("source"), col("tok"), budgets, salt, blockHexChars = hexChars)
+        .select("doc_id", "source", "n_tokens", "tok_prefix", "mix_rank")
+        .collect().map(_.toSeq).toSet
+      val rk = md5(concat(col("doc_id").cast("string"), lit(":" + salt))
+        .cast("binary"))
+      val bCol = budgets.foldLeft(lit(0L)) { case (a, (s2, b)) =>
+        when(col("source") === s2, lit(b)).otherwise(a)
+      }
+      val w = Window.partitionBy(col("source")).orderBy(rk.asc, col("doc_id").asc)
+      val naive = docs
+        .withColumn("tok_prefix", coalesce(sum(col("tok"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("mix_rank", row_number().over(w).cast("long"))
+        .filter(col("tok_prefix") < bCol)
+        .select(col("doc_id"), col("source"), col("tok").as("n_tokens"),
+          col("tok_prefix"), col("mix_rank"))
+        .collect().map(_.toSeq).toSet
+      assert(blocked == naive,
+        s"round $round (srcs=$srcs n=$n hex=$hexChars) diverged")
+    }
+  }
+
+  test("mixToTokenBudget fails loudly on null or negative token counts") {
+    val docs = Seq((1L, "a", 5L), (2L, "a", -1L)).toDF("doc_id", "source", "tok")
+    val e = intercept[Exception] {
+      TextOps.mixToTokenBudget(docs, col("doc_id"), col("source"),
+        col("tok"), Map("a" -> 100L)).collect()
+    }
+    assert(e.getMessage.contains("mixToTokenBudget") ||
+      e.getCause != null && e.getCause.getMessage.contains("mixToTokenBudget"))
+  }
 }
