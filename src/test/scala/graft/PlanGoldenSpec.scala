@@ -258,4 +258,53 @@ class PlanGoldenSpec extends SparkSpec {
     val keepers = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
     assert(comps == keepers)
   }
+
+  test("q_mix_tokens: blocked token rank, windows carry the block key") {
+    val (plan, skel) = snapshot("q_mix_tokens")
+    // same discipline as q_mix_budget, now with the token cumsum: the
+    // corpus-side rank AND the exclusive token-sum window must both
+    // partition on (source, block) — never the source alone
+    assert(plan.contains("__blk"),
+      "the token rank lost its block key — per-source single-task sort")
+    val rowNumSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(rowNumSpecs.nonEmpty, "lost the rank window entirely")
+    assert(rowNumSpecs.forall(_.contains("__blk")),
+      s"a row_number window ranks without the block key: $rowNumSpecs")
+    // the per-block prefix frame broadcasts back onto the corpus
+    assert(plan.contains("BroadcastHashJoin"),
+      "the block-prefix join lost its broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    checkGolden("q_mix_tokens", skel)
+  }
+
+  test("q_dsir_sample: broadcast weight join, TakeOrdered selection") {
+    val (plan, skel) = snapshot("q_dsir_sample")
+    // the dense 4096-row weight table must broadcast onto the exploded
+    // feature stream — a bucket-keyed shuffle would move the corpus
+    assert(plan.contains("BroadcastHashJoin"),
+      "the weight join lost its broadcast")
+    // top-n resampling is a TakeOrderedAndProject (per-partition heads
+    // + one merge), never a global sort of the scored pool
+    assert(plan.contains("TakeOrderedAndProject"),
+      "resampling fell back to a global sort")
+    assert(!plan.contains("CartesianProduct"))
+    checkGolden("q_dsir_sample", skel)
+  }
+
+  test("q_prototype_prune: broadcast per-cluster threshold, no rank window") {
+    val (plan, skel) = snapshot("q_prototype_prune")
+    // assignment + distance ride the scan as codegen expressions
+    assert(plan.contains("nearest_centroid_d"),
+      "assignment no longer rides the scan")
+    // the k-row threshold frame broadcasts back for value gating — a
+    // per-cluster rank window (cid has k values) would pour each
+    // cluster through one reducer's sort
+    assert(plan.contains("BroadcastHashJoin"),
+      "the threshold join lost its broadcast")
+    assert(!plan.contains("row_number"),
+      "value gating regressed to a per-cluster rank window")
+    assert(!plan.contains("CartesianProduct"))
+    checkGolden("q_prototype_prune", skel)
+  }
 }
