@@ -131,4 +131,31 @@ object Clustering {
       .filter(col("dist") > col("__thr"))
       .select(col("id"), col("cid"), col("dist"))
   }
+
+  /** Cluster-balanced selection: cluster the embedding space with
+    * [[kmeans]], apportion a total budget across clusters by the
+    * temperature rule ([[graft.text.TextOps.temperatureQuotas]] over
+    * cluster sizes — alpha < 1 caps dominant clusters and boosts rare
+    * ones, the diversity-preserving selection a pretraining mix
+    * applies over topic/semantic clusters), then keep each cluster's
+    * quota by the blocked deterministic mix rank. The cluster-level
+    * twin of per-source alpha-sampling: same math, but the strata are
+    * LEARNED from the embeddings instead of read from metadata.
+    *
+    * Scale shape: kmeans as documented above; quota derivation is a
+    * k-row driver collect; the keep-set is
+    * [[graft.text.TextOps.mixToBudget]]'s blocked two-phase rank on
+    * the cluster id (k is small — exactly the low-cardinality case
+    * the blocked rank exists for). Returns (id, cid, mix_rank). */
+  def clusterBalance(docs: DataFrame, idCol: Column, vecCol: Column,
+      k: Int, iters: Int, alpha: Double, total: Long,
+      salt: String = "kmeans"): DataFrame = {
+    val (assign, _) = kmeans(docs, idCol, vecCol, k, iters, salt)
+    val byCid = assign.withColumn("__cids", col("cid").cast("string"))
+    val quotas = graft.text.TextOps.temperatureQuotas(
+      byCid, col("__cids"), alpha, total).toMap
+    graft.text.TextOps.mixToBudget(byCid, col("id"), col("__cids"),
+        quotas, salt)
+      .select(col("id"), col("cid"), col("mix_rank"))
+  }
 }

@@ -977,6 +977,18 @@ object VectorQueries {
       .orderBy(col("vec_id").asc).limit(300)
   }
 
+  /** Cluster-balanced selection end to end: the q_kmeans clustering,
+    * temperature quotas (alpha = 0.5, sqrt-exact) over the learned
+    * cluster sizes, blocked mix rank keeps each cluster's quota. */
+  private def clusterBalanceQ(s: SparkSession, dir: String): DataFrame = {
+    val g = emb(s, dir).select(col("vec_id"), gridVec.as("v"))
+    graft.operators.Clustering.clusterBalance(
+        g, col("vec_id"), col("v"), k = 4, iters = 2, alpha = 0.5,
+        total = 150L)
+      .select(col("id").as("vec_id"), col("cid"), col("mix_rank"))
+      .orderBy(col("vec_id").asc).limit(300)
+  }
+
   /** SSL-prototypes pruning end to end (Sorscher et al. 2022): the
     * same k=4 / 2-iteration Lloyd's as q_kmeans, then keep the hardest
     * HALF of each cluster by the exact per-cluster median distance
@@ -998,6 +1010,7 @@ object VectorQueries {
     "q_embed_outliers" -> ((s, dir) => embedOutliers(s, dir)),
     "q_kmeans" -> ((s, dir) => kmeansQ(s, dir)),
     "q_prototype_prune" -> ((s, dir) => prototypePruneQ(s, dir)),
+    "q_cluster_balance" -> ((s, dir) => clusterBalanceQ(s, dir)),
     "q_knn_l2sq" -> ((s, dir) => knnL2Sq(s, dir)),
     "q_knn_cos" -> ((s, dir) => knnCos(s, dir)),
     "q_knn_hamming" -> ((s, dir) => knnHamming(s, dir)),
@@ -1206,6 +1219,40 @@ object VectorQueries {
     "q_kmeans" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id, cid FROM a3
+         |ORDER BY vec_id ASC LIMIT 300""".stripMargin,
+    // cluster-balanced selection: the shared Lloyd chain + integer
+    // largest-remainder quotas over sqrt cluster-size weights (the
+    // q_source_temperature arithmetic, strata = learned clusters,
+    // remainder ties break on the cid STRING like the Scala map key)
+    // + the md5 mix rank
+    "q_cluster_balance" ->
+      s"""WITH $kmeansCtes,
+         |cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n
+         |        FROM a3 GROUP BY 1),
+         |w AS (SELECT cid,
+         |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT)
+         |      AS wq
+         |  FROM cnt),
+         |tw AS (SELECT CAST(sum(wq) AS BIGINT) AS wtot FROM w),
+         |sh AS (SELECT cid, CAST((150 * wq) // wtot AS BIGINT) AS base,
+         |    CAST((150 * wq) % wtot AS BIGINT) AS rem
+         |  FROM w, tw),
+         |rk AS (SELECT cid, base,
+         |    row_number() OVER (ORDER BY rem DESC, CAST(cid AS VARCHAR) ASC)
+         |      AS rr
+         |  FROM sh),
+         |lo AS (SELECT CAST(150 - sum(base) AS BIGINT) AS leftover FROM sh),
+         |q AS (SELECT cid,
+         |    base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota
+         |  FROM rk, lo),
+         |r AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY cid
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':kmeans'), vec_id)
+         |      AS mr
+         |  FROM a3)
+         |SELECT r.vec_id, r.cid AS cid, CAST(mr AS BIGINT) AS mix_rank
+         |FROM r JOIN q ON r.cid = q.cid
+         |WHERE mr <= quota
          |ORDER BY vec_id ASC LIMIT 300""".stripMargin,
     // prototype pruning: the SAME unrolled Lloyd chain (factored so
     // the two rows can never drift) + distance to the assigned final

@@ -128,4 +128,35 @@ object Dsir {
       col("doc_id").asc)
       .limit(n)
   }
+
+  /** The paper's actual sampling rule — Gumbel top-k: rank by
+    * `w_fp/Scale / temperature + g` where `g = -ln(-ln(u))` and `u`
+    * is a DETERMINISTIC uniform from the md5 of (doc_id:salt) (15 hex
+    * chars → (0,1) at 2^-60 resolution, never exactly 0 or 1 after
+    * the +0.5 offset). Taking the top-n under Gumbel-perturbed weights
+    * IS sampling n items without replacement with probability
+    * ∝ exp(w/temperature) (Gumbel-max trick) — but replayable: the
+    * same (corpus, salt, temperature) always draws the same sample,
+    * and a salt change is a fresh draw. temperature → 0 recovers
+    * [[resampleTopN]]'s greedy selection.
+    *
+    * SPEC-verified, off the hash contract: the perturbed key is a
+    * float sum of `ln` terms (the lmPerplexity discipline — a
+    * cross-engine ln can differ in the last ulp, and here the key is
+    * per-ROW, so quantization can't absorb it the way the per-bucket
+    * weight table does). Same TakeOrdered shape as the greedy path. */
+  def resampleGumbel(scored: DataFrame, n: Int, temperature: Double,
+      salt: String = "dsir"): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(temperature > 0, "temperature must be positive")
+    // (h + 0.5) / 2^60 with h in [0, 2^60): u is strictly inside (0,1)
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":" + salt)).cast("binary")), 1, 15), 16, 10).cast("double")
+      + 0.5) / math.pow(2.0, 60)
+    val key = col("w_fp").cast("double") / (Scale.toDouble * temperature) -
+      log(-log(u))
+    scored.withColumn("gumbel_key", key)
+      .orderBy(col("gumbel_key").desc, col("doc_id").asc)
+      .limit(n)
+  }
 }

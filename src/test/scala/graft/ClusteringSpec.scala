@@ -116,4 +116,34 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(approx == expect, "percentile_approx == exact off-tie")
   }
+
+  test("clusterBalance apportions the budget across learned clusters") {
+    // 60/20 imbalanced blobs: alpha = 0.5 must pull quotas toward
+    // balance vs the 3:1 proportional split
+    val pts = (0 until 80).map { i =>
+      val c = if (i < 60) 0 else 1
+      (i.toLong, Seq(c * 100.0 + (i % 10) * 0.25, c * 40.0))
+    }
+    val df = pts.toDF("id", "v").repartition(4)
+    val out = Clustering.clusterBalance(df, col("id"), col("v"),
+        k = 2, iters = 4, alpha = 0.5, total = 40L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 40, "quotas sum to the total when clusters suffice")
+    val byCid = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // replay the quota arithmetic over the actual cluster sizes
+    val (assign, _) = Clustering.kmeans(df, col("id"), col("v"), 2, 4)
+    val sizes = assign.groupBy("cid").count().collect()
+      .map(r => r.getInt(0).toString -> r.getLong(1)).toMap
+    val quotas = graft.text.TextOps.temperatureQuotas(
+      assign.withColumn("c", col("cid").cast("string")), col("c"),
+      0.5, 40L).toMap
+    assert(byCid.map { case (cid, n) => cid.toString -> n.toLong } == quotas)
+    // sqrt flattening: the small cluster gets MORE than its
+    // proportional share 40 * size/80
+    val small = sizes.minBy(_._2)._1
+    assert(quotas(small) > 40L * sizes(small) / 80L)
+    // per-cluster ranks are dense from 1
+    assert(out.groupBy(_._2).forall { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq == (1L to rs.size.toLong).toSeq })
+  }
 }

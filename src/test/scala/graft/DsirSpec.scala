@@ -78,4 +78,28 @@ class DsirSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(top3a == top3b, "selection is partitioning-independent")
   }
+
+  test("resampleGumbel: deterministic draw, weight-sensitive, salt re-rolls") {
+    val scored = (1L to 50L).map(i =>
+      (i, 3L, if (i == 7L) 50000000L else 0L))
+      .toDF("doc_id", "n_feats", "w_fp")
+    val a = Dsir.resampleGumbel(scored, 10, temperature = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    val b = Dsir.resampleGumbel(scored.repartition(5), 10, temperature = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "same (corpus, salt, temperature) -> same sample")
+    // doc 7 carries weight 50 in log-space: exp(50) dwarfs every
+    // Gumbel perturbation, so it must be drawn
+    assert(a.contains(7L), "the dominant-weight doc must be sampled")
+    // a different salt is a fresh draw: with 50 exchangeable docs and
+    // 10 slots, two draws agreeing exactly is a ~1e-9 event
+    val c = Dsir.resampleGumbel(scored, 10, temperature = 1.0, salt = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(a != c, "salt change must re-roll the sample")
+    // near-zero temperature recovers the greedy weight ranking for
+    // the un-tied winner
+    val cold = Dsir.resampleGumbel(scored, 1, temperature = 1e-6)
+      .collect().map(_.getLong(0)).toSet
+    assert(cold == Set(7L))
+  }
 }
