@@ -13,13 +13,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object SharedState {
   private val cache = TrieMap[String, DataFrame]()
+  private val values = TrieMap[String, Any]()
 
   def cached(key: String)(f: => DataFrame): DataFrame =
     cache.getOrElseUpdate(key, f.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Small driver-side artifacts shared between queries (e.g. the
+    * contract kmeans centroids — k·dim doubles): the value-level twin
+    * of [[cached]], for results of driver-iterative builds that a
+    * cluster deployment would persist as a tiny table. Keys must
+    * embed the data directory. */
+  def cachedValue[T](key: String)(f: => T): T =
+    values.getOrElseUpdate(key, f).asInstanceOf[T]
 
   /** Drop and unpersist everything (test isolation). */
   def clear(): Unit = {
     cache.values.foreach(_.unpersist())
     cache.clear()
+    values.clear()
   }
 }

@@ -106,12 +106,19 @@ object Clustering {
     * keeps every assigned row (no threshold pass). */
   def prototypePrune(docs: DataFrame, idCol: Column, vecCol: Column,
       k: Int, iters: Int, keepFrac: Double, salt: String = "kmeans",
-      exact: Boolean = false): DataFrame = {
-    require(keepFrac > 0 && keepFrac <= 1,
-      s"keepFrac must be in (0, 1], got $keepFrac")
-    val (_, cents) = kmeans(docs, idCol, vecCol, k, iters, salt)
+      exact: Boolean = false): DataFrame =
+    pruneWithCentroids(docs, idCol, vecCol,
+      kmeans(docs, idCol, vecCol, k, iters, salt)._2, keepFrac, exact)
+
+  /** (id, cid, dist) against a FIXED centroid array — the scoring
+    * scan behind [[prototypePrune]]/[[clusterBalance]], exposed so
+    * callers holding persisted centroids (a cluster deployment stores
+    * them as a tiny table; the contract queries share one driver
+    * array) skip the Lloyd build. */
+  def assignWithDist(docs: DataFrame, idCol: Column, vecCol: Column,
+      cents: Array[Array[Double]]): DataFrame = {
     val centsCol = array(cents.map(c => array(c.map(lit): _*)): _*)
-    val scored = docs
+    docs
       .select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
       .withColumn("cid", nearest_centroid_d(col("v"), cents))
@@ -122,6 +129,15 @@ object Clustering {
           (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x))
       .select(col("id"), col("cid"), col("dist"))
+  }
+
+  /** [[prototypePrune]] against precomputed centroids. */
+  def pruneWithCentroids(docs: DataFrame, idCol: Column, vecCol: Column,
+      cents: Array[Array[Double]], keepFrac: Double,
+      exact: Boolean = false): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val scored = assignWithDist(docs, idCol, vecCol, cents)
     if (keepFrac == 1.0) return scored
     val thr = scored.groupBy(col("cid")).agg(
       (if (exact) percentile(col("dist"), lit(1.0 - keepFrac))
@@ -149,8 +165,18 @@ object Clustering {
     * the blocked rank exists for). Returns (id, cid, mix_rank). */
   def clusterBalance(docs: DataFrame, idCol: Column, vecCol: Column,
       k: Int, iters: Int, alpha: Double, total: Long,
+      salt: String = "kmeans"): DataFrame =
+    balanceWithCentroids(docs, idCol, vecCol,
+      kmeans(docs, idCol, vecCol, k, iters, salt)._2, alpha, total, salt)
+
+  /** [[clusterBalance]] against precomputed centroids. */
+  def balanceWithCentroids(docs: DataFrame, idCol: Column, vecCol: Column,
+      cents: Array[Array[Double]], alpha: Double, total: Long,
       salt: String = "kmeans"): DataFrame = {
-    val (assign, _) = kmeans(docs, idCol, vecCol, k, iters, salt)
+    val assign = docs
+      .select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("id"), nearest_centroid_d(col("v"), cents).as("cid"))
     val byCid = assign.withColumn("__cids", col("cid").cast("string"))
     val quotas = graft.text.TextOps.temperatureQuotas(
       byCid, col("__cids"), alpha, total).toMap

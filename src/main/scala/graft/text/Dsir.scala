@@ -74,25 +74,64 @@ object Dsir {
   def importanceWeights(target: DataFrame, raw: DataFrame,
       targetText: Column, rawText: Column,
       dim: Int = DefaultDim): DataFrame = {
-    val tc = featureCounts(target, targetText, dim)
+    val counts = featureCounts(target, targetText, dim)
       .withColumnRenamed("cnt", "t_cnt")
-    val rc = featureCounts(raw, rawText, dim)
-      .withColumnRenamed("cnt", "r_cnt")
-    val tTot = tc.agg(coalesce(sum(col("t_cnt")), lit(0L)).as("__t_tot"))
-    val rTot = rc.agg(coalesce(sum(col("r_cnt")), lit(0L)).as("__r_tot"))
-    target.sparkSession.range(dim).select(col("id").as("bucket"))
-      .join(tc, Seq("bucket"), "left")
-      .join(rc, Seq("bucket"), "left")
+      .join(featureCounts(raw, rawText, dim)
+        .withColumnRenamed("cnt", "r_cnt"), Seq("bucket"), "full")
       .na.fill(0L, Seq("t_cnt", "r_cnt"))
-      .crossJoin(broadcast(tTot))
-      .crossJoin(broadcast(rTot))
-      .select(col("bucket"),
-        floor(lit(Scale.toDouble) * log(
-          ((col("t_cnt") + 1).cast("double") *
-            (col("__r_tot") + dim).cast("double")) /
-          ((col("r_cnt") + 1).cast("double") *
-            (col("__t_tot") + dim).cast("double"))) + lit(0.5))
-          .cast("long").as("lr_fp"))
+    weightsFromCounts(target.sparkSession, counts, dim)
+  }
+
+  /** One-pass trainer for the common case where target and raw are a
+    * SPLIT of one corpus (curated sources vs the rest): a single
+    * tokenize + explode + combiner groupBy with conditional sums (the
+    * QualityClassifier trainCounts shape) replaces
+    * [[importanceWeights]]' two slice passes — the corpus is read
+    * once, which at 100 TB is the difference that matters. Same
+    * weight table bit-for-bit (spec-pinned). */
+  def importanceWeightsSplit(docs: DataFrame, textCol: Column,
+      isTarget: Column, dim: Int = DefaultDim): DataFrame = {
+    val counts = docs
+      .withColumn("__t", tokenize(textCol))
+      .select(isTarget.as("__tgt"),
+        explode(concat(col("__t"), bigrams(col("__t")))).as("__f"))
+      .select(col("__tgt"), QualityClassifier.bucketOf(col("__f"), dim)
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("t_cnt"),
+        sum(when(col("__tgt"), 0L).otherwise(1L)).as("r_cnt"))
+    weightsFromCounts(docs.sparkSession, counts, dim)
+  }
+
+  /** Shared weight tail: densify sparse (bucket, t_cnt, r_cnt) over
+    * all `dim` buckets and quantize the smoothed log-ratio. The
+    * sparse count table is BOUNDED by the bucket domain (≤ dim rows),
+    * so it is collected once — the codebook/centroid bounded-collect
+    * discipline — and the corpus pipeline behind it runs exactly ONE
+    * pass (totals and densification computed in-plan would each
+    * re-derive the whole tokenize/explode chain: a lazy count frame
+    * referenced twice is scanned twice). The dense table comes back
+    * as a local relation, which also makes its broadcast to scoring
+    * free of any recompute. */
+  private def weightsFromCounts(spark: org.apache.spark.sql.SparkSession,
+      counts: DataFrame, dim: Int): DataFrame = {
+    val rows = counts.select(col("bucket").cast("long"),
+        col("t_cnt").cast("long"), col("r_cnt").cast("long"))
+      .collect()
+    val byBucket = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val tTot = rows.map(_.getLong(1)).sum
+    val rTot = rows.map(_.getLong(2)).sum
+    // StrictMath.log == the reproducible fdlibm value on every JVM —
+    // the quantizer boundary cannot move across driver JITs
+    val dense = (0 until dim).map { b =>
+      val (t, r) = byBucket.getOrElse(b.toLong, (0L, 0L))
+      val ratio = ((t + 1).toDouble * (rTot + dim).toDouble) /
+        ((r + 1).toDouble * (tTot + dim).toDouble)
+      (b.toLong, math.floor(Scale.toDouble * StrictMath.log(ratio) + 0.5).toLong)
+    }
+    import spark.implicits._
+    dense.toDF("bucket", "lr_fp")
   }
 
   /** Integer importance score per document: (doc_id, n_feats, w_fp)

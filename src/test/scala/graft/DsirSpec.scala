@@ -39,7 +39,7 @@ class DsirSpec extends SparkSpec {
     def expected(b: Long): Long = {
       val ratio = ((tCounts.getOrElse(b, 0L) + 1).toDouble * (rTot + dim)) /
         ((rCounts.getOrElse(b, 0L) + 1).toDouble * (tTot + dim))
-      math.floor(Dsir.Scale * math.log(ratio) + 0.5).toLong
+      math.floor(Dsir.Scale * StrictMath.log(ratio) + 0.5).toLong
     }
     (tCounts.keySet ++ rCounts.keySet).foreach { b =>
       assert(w(b) == expected(b), s"bucket $b")
@@ -49,7 +49,22 @@ class DsirSpec extends SparkSpec {
       !tCounts.contains(b) && !rCounts.contains(b)).get
     assert(w(unseen) == expected(unseen))
     assert(w(unseen) == math.floor(
-      Dsir.Scale * math.log((rTot + dim).toDouble / (tTot + dim)) + 0.5).toLong)
+      Dsir.Scale * StrictMath.log((rTot + dim).toDouble / (tTot + dim)) + 0.5).toLong)
+  }
+
+  test("one-pass split trainer == the two-frame path, bit for bit") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma", true), (2L, "alpha alpha", true),
+      (3L, "gamma delta", false), (4L, "epsilon zeta epsilon", false),
+      (5L, "", false))
+      .toDF("doc_id", "text", "tgt")
+    val twoFrame = Dsir.importanceWeights(
+        corpus.filter(col("tgt")), corpus.filter(!col("tgt")),
+        col("text"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val onePass = Dsir.importanceWeightsSplit(corpus, col("text"), col("tgt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(onePass == twoFrame)
   }
 
   test("scores are integer sums over features; empty docs score zero") {
