@@ -325,7 +325,13 @@ object TextOps {
       total: Long): Seq[(String, Long)] = {
     require(alpha >= 0, "alpha must be non-negative")
     require(total >= 0, "total must be non-negative")
-    val counts = docs.groupBy(sourceCol.as("__src"))
+    // cast to string up front (int source ids work; a raw getString
+    // on them would die with an opaque ClassCastException) and drop
+    // null strata — mixToBudget's budget map cannot address them
+    val counts = docs
+      .select(sourceCol.cast("string").as("__src"))
+      .filter(col("__src").isNotNull)
+      .groupBy(col("__src"))
       .agg(count(lit(1)).as("__n"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))

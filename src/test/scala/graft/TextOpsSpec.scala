@@ -543,6 +543,12 @@ class TextOpsSpec extends SparkSpec {
     // total 0 and empty corpus degenerate cleanly
     assert(TextOps.temperatureQuotas(docs, col("source"), 0.5, 0L)
       .forall(_._2 == 0L))
+    // an integer source column works (cast up front, no opaque
+    // ClassCastException); null strata are dropped
+    val intSrc = Seq((1L, Some(1)), (2L, Some(1)), (3L, Some(2)),
+      (4L, None)).toDF("doc_id", "src")
+    val qi = TextOps.temperatureQuotas(intSrc, col("src"), 1.0, 3L).toMap
+    assert(qi == Map("1" -> 2L, "2" -> 1L))
   }
 
   test("mixByTemperature composes quotas into the blocked mix rank") {
