@@ -178,7 +178,9 @@ object TextQueries {
       timed("winnow_pairs") { winnowPairsCached(s, dir).count() },
       timed("dedup_simhash64") { simhash64Cached(s, dir).count() },
       timed("mock_embeddings") { mockEmbCached(s, dir).count() },
-      timed("quality_weights") { qualityWeights(s, dir).count() })
+      timed("quality_weights") { qualityWeights(s, dir).count() },
+      timed("dsir_weights") { dsirWeightsCached(s, dir).count() },
+      timed("dsir_stream") { dsirStreamPath(s, dir) })
   }
 
   /** Hybrid retrieval: BM25 top-20 and mock-embedding KNN top-20 fused
@@ -507,13 +509,48 @@ object TextQueries {
     dsirWeightsCached(s, dir)
       .orderBy(col("lr_fp").desc, col("bucket").asc).limit(200)
 
-  /** DSIR selection end to end: score the raw pool under the shared
-    * weight table (integer sums of fixed-point ratios), take the
+  /** The weight table as the bucket-ordered array the inline scorer
+    * rides (driver-value twin of the frame cache). */
+  private def dsirWeightsArr(s: SparkSession, dir: String): Array[Long] =
+    graft.SharedState.cachedValue(s"dsirwarr:$dir")(
+      graft.text.Dsir.weightsArray(dsirWeightsCached(s, dir)))
+
+  /** DSIR selection end to end: score the raw pool via the NARROW
+    * inline scorer (weights as one array literal — no explode
+    * shuffle; spec-pinned bit-equal to the join path), take the
     * deterministic top-100 resample. */
   private def dsirSample(s: SparkSession, dir: String): DataFrame =
     graft.text.Dsir.resampleTopN(
-      graft.text.Dsir.score(docs(s, dir).filter(!dsirTargetPred),
-        col("doc_id"), col("text"), dsirWeightsCached(s, dir)), 100)
+      graft.text.Dsir.scoreInline(docs(s, dir).filter(!dsirTargetPred),
+        col("doc_id"), col("text"), dsirWeightsArr(s, dir)), 100)
+
+  /** Selection-at-ingest: the first 200 raw-pool docs flow through
+    * [[graft.text.Dsir.scoreStream]] (a stateless streaming scorer
+    * under AvailableNow into parquet), so the oracle is the batch
+    * score of the same rows — the q_embed_stream discipline for the
+    * data-selection surface. */
+  private val dsirStreamRuns =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private def dsirStreamPath(s: SparkSession, dir: String): String =
+    dsirStreamRuns.getOrElseUpdate(dir, {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_dsir_stream").toString
+      docs(s, dir).filter(!dsirTargetPred)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id").asc).limit(200)
+        .coalesce(1)
+        .write.parquet(s"$work/src")
+      val schema = s.read.parquet(s"$work/src").schema
+      graft.text.Dsir.scoreStream(s, s"$work/src", schema,
+        "doc_id", "text", dsirWeightsArr(s, dir),
+        s"$work/dst", s"$work/ckpt")
+      s"$work/dst"
+    })
+
+  private def dsirStream(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dsirStreamPath(s, dir))
+      .select(col("doc_id"), col("n_feats"), col("w_fp"))
+      .orderBy(col("doc_id").asc)
 
   /** Temperature-based mixing by language (the one skewed stratum in
     * the corpus — sources are uniform): alpha = 0.5 via sqrt (the
@@ -1258,6 +1295,7 @@ object TextQueries {
     "q_source_temperature" -> ((s, d) => sourceTemperature(s, d)),
     "q_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "q_dsir_sample" -> ((s, d) => dsirSample(s, d)),
+    "q_dsir_stream" -> ((s, d) => dsirStream(s, d)),
     "q_domain_stats" -> ((s, d) => domainStats(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
@@ -2091,6 +2129,22 @@ object TextQueries {
          |SELECT doc_id, n_feats, w_fp FROM al
          |ORDER BY w_fp DESC, md5(CAST(doc_id AS VARCHAR) || ':dsir'), doc_id
          |LIMIT 100""".stripMargin,
+    // the streamed rows are the first 200 raw-pool docs through the
+    // same weight table, so the batch score applies verbatim
+    "q_dsir_stream" ->
+      s"""WITH $dsirCtes,
+         |pool AS (
+         |  SELECT d.doc_id FROM documents d JOIN lab USING (doc_id)
+         |  WHERE NOT tgt ORDER BY d.doc_id ASC LIMIT 200),
+         |sc AS (
+         |  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(lr_fp) AS BIGINT) AS w_fp
+         |  FROM fb JOIN pool USING (doc_id) JOIN wt USING (bucket)
+         |  GROUP BY 1)
+         |SELECT p.doc_id, coalesce(sc.n_feats, 0) AS n_feats,
+         |  coalesce(sc.w_fp, 0) AS w_fp
+         |FROM pool p LEFT JOIN sc USING (doc_id)
+         |ORDER BY p.doc_id ASC""".stripMargin,
     // C4 line/doc cleaning: identical augmented text (the five-line
     // block is interpolated from the SAME Scala constant the query
     // uses), identical line rules; the terminal-punct regex is

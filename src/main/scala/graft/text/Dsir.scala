@@ -155,6 +155,61 @@ object Dsir {
       .na.fill(0L, Seq("n_feats", "w_fp"))
   }
 
+  /** Shuffle-free scorer: the dense weight table rides the plan as ONE
+    * 4096-long array literal (32 KB) and the document score folds over
+    * the feature array in-row — `(doc_id, n_feats, w_fp)` from a
+    * NARROW per-row transform, no explode shuffle, no aggregation
+    * state. Bit-identical to [[score]] (spec-pinned). Because it is
+    * stateless it also runs unchanged on a STREAMING DataFrame — the
+    * selection-at-ingest door of a pipeline ([[scoreStream]]).
+    * Null text scores (0, 0) like an empty document. */
+  def scoreInline(docs: DataFrame, idCol: Column, textCol: Column,
+      weights: Array[Long], dim: Int = DefaultDim): DataFrame = {
+    require(weights.length == dim,
+      s"need a dense $dim-bucket weight array, got ${weights.length}")
+    val w = lit(weights)
+    docs
+      .withColumn("__t", tokenize(coalesce(textCol, lit(""))))
+      .withColumn("__f", concat(col("__t"), bigrams(col("__t"))))
+      .select(idCol.as("doc_id"),
+        size(col("__f")).cast("long").as("n_feats"),
+        aggregate(col("__f"), lit(0L), (acc, f) =>
+          acc + element_at(w,
+            (QualityClassifier.bucketOf(f, dim) + 1).cast("int")))
+          .as("w_fp"))
+  }
+
+  /** The dense weight table as the bucket-ordered long array
+    * [[scoreInline]] wants (weights frames are ≤ dim rows). */
+  def weightsArray(weights: DataFrame, dim: Int = DefaultDim): Array[Long] = {
+    val arr = new Array[Long](dim)
+    weights.select(col("bucket").cast("long"), col("lr_fp").cast("long"))
+      .collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Selection-at-ingest: run [[scoreInline]] over a parquet ingest
+    * stream into a parquet sink (AvailableNow — the same run-to-
+    * completion discipline as the embed/completion streaming jobs;
+    * under a continuous trigger the identical plan runs forever,
+    * since the scorer carries no state and no watermark). */
+  def scoreStream(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, schema: org.apache.spark.sql.types.StructType,
+      idColName: String, textColName: String, weights: Array[Long],
+      outPath: String, ckptPath: String): Unit = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val q = scoreInline(
+        spark.readStream.schema(schema).parquet(srcPath),
+        col(idColName), col(textColName), weights)
+      .writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", ckptPath)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Deterministic top-n resample of a scored frame: rank by
     * (w_fp desc, md5(doc_id:salt) asc, doc_id asc). TakeOrdered —
     * per-partition top-n heads merged once, no global sort. */

@@ -79,6 +79,43 @@ class DsirSpec extends SparkSpec {
     assert(scored(3L) == (0L, 0L), "no-feature doc scores (0, 0)")
   }
 
+  test("scoreInline == the join-path score, bit for bit; null text scores zero") {
+    val target = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    val raw = Seq((2L, "alpha beta gamma"), (3L, "delta delta"),
+      (4L, ""), (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(target, raw, col("text"), col("text"))
+    val joined = Dsir.score(raw, col("doc_id"), col("text"), w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val inline = Dsir.scoreInline(raw, col("doc_id"), col("text"),
+        Dsir.weightsArray(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(inline == joined)
+    assert(inline.find(_._1 == 5L).get == ((5L, 0L, 0L)),
+      "null text scores (0, 0)")
+  }
+
+  test("scoreStream: the stateless scorer streams and matches the batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("dsir_stream").toString
+    val target = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val raw = Seq((10L, "alpha gamma"), (11L, "delta"), (12L, ""))
+      .toDF("doc_id", "text")
+    raw.coalesce(1).write.parquet(s"$tmp/src")
+    val w = Dsir.weightsArray(
+      Dsir.importanceWeights(target, raw, col("text"), col("text")))
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    Dsir.scoreStream(spark, s"$tmp/src", schema, "doc_id", "text", w,
+      s"$tmp/dst", s"$tmp/ckpt")
+    val streamed = spark.read.parquet(s"$tmp/dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val batch = Dsir.scoreInline(raw, col("doc_id"), col("text"), w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("resampleTopN is a deterministic weight-ranked top-n") {
     val scored = Seq(
       (1L, 3L, 100L), (2L, 3L, 300L), (3L, 3L, 200L), (4L, 3L, 300L))

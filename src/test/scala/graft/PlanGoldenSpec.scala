@@ -278,16 +278,20 @@ class PlanGoldenSpec extends SparkSpec {
     checkGolden("q_mix_tokens", skel)
   }
 
-  test("q_dsir_sample: broadcast weight join, TakeOrdered selection") {
+  test("q_dsir_sample: narrow inline scorer, TakeOrdered selection") {
     val (plan, skel) = snapshot("q_dsir_sample")
-    // the dense 4096-row weight table must broadcast onto the exploded
-    // feature stream — a bucket-keyed shuffle would move the corpus
-    assert(plan.contains("BroadcastHashJoin"),
-      "the weight join lost its broadcast")
+    // the inline scorer folds the weight-array literal per row: the
+    // whole score pass is scan → project — no explode shuffle, no
+    // join, no aggregation exchange
+    assert(!plan.contains("Exchange") || plan.contains("TakeOrdered"),
+      "scoring grew an exchange")
+    assert(plan.contains("aggregate("), "lost the in-row weight fold")
     // top-n resampling is a TakeOrderedAndProject (per-partition heads
     // + one merge), never a global sort of the scored pool
     assert(plan.contains("TakeOrderedAndProject"),
       "resampling fell back to a global sort")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the inline scorer regressed to a shuffled join")
     assert(!plan.contains("CartesianProduct"))
     checkGolden("q_dsir_sample", skel)
   }
