@@ -645,6 +645,49 @@ object Dedup {
     df.join(losers, idCol === losers("__dup_loser"), "left_anti")
   }
 
+  /** Quality-aware keeper annotation — the dedup policy public
+    * pipelines actually ship (keep the BEST member of each near-dup
+    * cluster, not an arbitrary one; e.g. RefinedWeb/FineWeb keep by
+    * quality signal): every component member gets its component, its
+    * score, and a `keeper` flag marking the member with the HIGHEST
+    * score (ties break to the lowest id — [[keepOnePerGroup]]'s
+    * min-id convention is the degenerate constant-score case).
+    * Members missing a score row can never be keepers (scored at
+    * -infinity; a fully unscored component falls back to min id).
+    *
+    * Scale shape: ONE component-keyed combiner aggregate of
+    * (score, -id) structs — component cardinality is corpus-order,
+    * never a handful of hot keys — then an equi-join of members back
+    * to their component's argmax row on the same key. No rank
+    * window, no all-pairs.
+    *
+    * Returns (doc_id, component, score, keeper). */
+  def bestPerGroup(pairs: DataFrame, scores: DataFrame, scoreIdCol: Column,
+      scoreCol: Column): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val scored = comps
+      .join(scores.select(scoreIdCol.as("doc_id"),
+        scoreCol.cast("double").as("__q")), Seq("doc_id"), "left")
+      .withColumn("__q", coalesce(col("__q"), lit(Double.NegativeInfinity)))
+    val best = scored.groupBy(col("component"))
+      .agg(max(struct(col("__q").as("q"), (-col("doc_id")).as("nid")))
+        .as("__b"))
+      .select(col("component"), (-col("__b.nid")).as("__keeper_id"))
+    scored.join(best, Seq("component"))
+      .select(col("doc_id"), col("component"), col("__q").as("score"),
+        (col("doc_id") === col("__keeper_id")).as("keeper"))
+  }
+
+  /** The [[bestPerGroup]] ACTION: drop every component member except
+    * its best-scoring one (the quality-aware [[keepOnePerGroup]]). */
+  def keepBestPerGroup(df: DataFrame, idCol: Column, pairs: DataFrame,
+      scores: DataFrame, scoreIdCol: Column, scoreCol: Column): DataFrame = {
+    val losers = bestPerGroup(pairs, scores, scoreIdCol, scoreCol)
+      .filter(!col("keeper"))
+      .select(col("doc_id").as("__dup_loser"))
+    df.join(losers, idCol === losers("__dup_loser"), "left_anti")
+  }
+
   /** Line-level corpus dedup (the CCNet/RefinedWeb "remove duplicated
     * lines" pass, applied before document-level dedup in public
     * training-data pipelines): split every document into lines, count

@@ -888,6 +888,21 @@ object TextQueries {
         jaccardPairsCached(s, dir).filter(col("jaccard") >= 0.6))
       .orderBy(col("doc_id").asc)
 
+  /** Quality-aware keeper selection over the same verified clusters:
+    * every component member annotated with its fixed-point classifier
+    * score and a keeper flag on the component's argmax (ties → lowest
+    * id) — the keep-the-BEST-member dedup policy, riding the shared
+    * pair cache and the shared classifier weights. */
+  private def dedupBest(s: SparkSession, dir: String): DataFrame =
+    Dedup.bestPerGroup(
+        jaccardPairsCached(s, dir).filter(col("jaccard") >= 0.6),
+        graft.text.QualityClassifier.scoreFixedPoint(docs(s, dir),
+          col("doc_id"), col("text"), qualityWeights(s, dir)),
+        col("doc_id"), col("score_fp"))
+      .select(col("doc_id"), col("component"),
+        col("score").cast("long").as("score_fp"), col("keeper"))
+      .orderBy(col("doc_id").asc)
+
   /** Line-level dedup over 8-token pseudo-lines: lines occurring in
     * more than one document are removed, docs reassembled; the clean
     * text is hash-compared so the oracle checks the reassembly
@@ -1270,6 +1285,7 @@ object TextQueries {
     "q_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
     "q_containment_pairs" -> ((s, d) => containmentPairs(s, d)),
     "q_neardup_groups" -> ((s, d) => nearDupGroups(s, d)),
+    "q_dedup_best" -> ((s, d) => dedupBest(s, d)),
     "q_simhash" -> ((s, d) => simhash(s, d)),
     "q_simhash_pairs" -> ((s, d) => simhashPairsQ(s, d)),
     "q_line_dedup" -> ((s, d) => lineDedup(s, d)),
@@ -1909,6 +1925,58 @@ object TextQueries {
          |  SELECT e.d AS id, reach.r AS r FROM reach JOIN edges e ON e.s = reach.id)
          |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
          |ORDER BY doc_id ASC""".stripMargin,
+    // quality-aware keeper: the q_neardup_groups recursive reach
+    // composed with the q_quality_classifier fixed-point score chain;
+    // keeper = rn 1 over (score desc, id asc) per component — exactly
+    // the argmax-struct the Spark side aggregates
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE $toksCte, $shinglesCte, $lshPairsCte,
+         |jac AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN sh sa ON sa.doc_id = pairs.doc_a
+         |  JOIN sh sb ON sb.doc_id = pairs.doc_b
+         |  WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 6) >= 0.6),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM jac
+         |  UNION SELECT doc_b AS s, doc_a AS d FROM jac),
+         |verts AS (SELECT DISTINCT s AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT e.d AS id, reach.r AS r FROM reach JOIN edges e ON e.s = reach.id),
+         |comps AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+         |btok AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(unnest(t)), 1, 15))::BIGINT % 4096 AS bucket
+         |  FROM toks),
+         |lab AS (
+         |  SELECT doc_id,
+         |    source IN ('src0','src1','src2','src3','src4') AS pos
+         |  FROM documents),
+         |counts AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+         |  FROM btok JOIN lab USING (doc_id) GROUP BY bucket),
+         |w AS (SELECT bucket, (cp + 1) * 1000000 // (cp + cn + 2) AS weight
+         |      FROM counts),
+         |qagg AS (
+         |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS w_sum,
+         |    CAST(count(*) AS BIGINT) AS n_scored
+         |  FROM btok JOIN w USING (bucket) GROUP BY doc_id),
+         |qscored AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(s.w_sum, 0) // greatest(COALESCE(s.n_scored, 0), 1)
+         |      AS score_fp
+         |  FROM documents d LEFT JOIN qagg s USING (doc_id)),
+         |ranked AS (
+         |  SELECT c.doc_id, c.component, q.score_fp,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY q.score_fp DESC, c.doc_id ASC) AS rn
+         |  FROM comps c JOIN qscored q USING (doc_id))
+         |SELECT doc_id, component, score_fp, rn = 1 AS keeper
+         |FROM ranked ORDER BY doc_id ASC""".stripMargin,
     // per-source domain report; dup_frac = fraction of the source's
     // docs carrying a line duplicated across documents corpus-wide
     "q_domain_stats" ->

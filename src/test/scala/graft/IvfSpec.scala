@@ -520,6 +520,32 @@ class IvfSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L, 5L))
   }
 
+  test("bestPerGroup keeps the highest-scoring member; ties and gaps resolve") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {7,8}; scores favor 2 in the first,
+    // tie 7==8 in the second (must break to the lower id)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val scores = Seq((1L, 10L), (2L, 99L), (3L, 50L), (7L, 5L), (8L, 5L))
+      .toDF("doc_id", "s")
+    val ann = Dedup.bestPerGroup(pairs, scores, col("doc_id"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(ann == Seq((1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (7L, 7L, true), (8L, 7L, false)))
+    // the ACTION keeps best members + unclustered rows
+    val rows = (1L to 9L).map(i => (i, s"d$i")).toDF("doc_id", "body")
+    val kept = Dedup.keepBestPerGroup(rows, col("doc_id"), pairs,
+        scores, col("doc_id"), col("s"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L, 6L, 7L, 9L))
+    // a member missing its score row can never be the keeper
+    val partial = Seq((1L, 1L), (3L, 1L)).toDF("doc_id", "s") // 2 unscored
+    val k2 = Dedup.bestPerGroup(Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"),
+        partial, col("doc_id"), col("s"))
+      .filter(col("keeper")).collect().map(_.getLong(0)).toSet
+    assert(k2 == Set(1L), "tie 1==3 breaks low; unscored 2 excluded")
+  }
+
   test("connected components assign min-reachable-id cluster keys") {
     import spark.implicits._
     // a 3-chain, a pair, and a triangle
