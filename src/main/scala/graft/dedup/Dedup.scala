@@ -352,6 +352,73 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** Incremental NEAR-duplicate detection at the ingest door — the
+    * fuzzy sibling of [[incrementalDedup]] (which only catches exact
+    * hashes): each NEW document is checked against the EXISTING
+    * corpus through the MinHash band machinery, and flagged with
+    * every existing document it near-duplicates at `threshold`
+    * Jaccard. The existing corpus is touched ONLY through its banded
+    * signature table and its shingle table — at cluster scale both
+    * are prepared artifacts an ingest job reads, never a re-shingle
+    * of the corpus per batch.
+    *
+    * Scale shape: band keys equi-join new×existing (the new side is
+    * an ingest batch, orders of magnitude smaller); candidate pairs
+    * distinct on bare ids; verification is [[jaccardVerify]] over the
+    * union shingle frame. The mega-bucket guard applies to the
+    * EXISTING side's band buckets: a bucket over the cap (absolute
+    * AND median-relative, [[withBucketCap]] — the shared helper, so
+    * the guards cannot drift) is represented by its MINIMUM doc id
+    * alone, bounding any new doc's candidate fan-out to O(1) per hot
+    * bucket. The recall caveat is the star-cap argument: a bucket
+    * only goes hot when thousands of existing docs share the entire
+    * band key — boilerplate whose members are near-identical, so the
+    * representative verifies for all of them.
+    *
+    * Ids must be disjoint across the two frames (ingest assigns new
+    * ids; same precondition family as [[snapshotDiff]]'s uniqueness,
+    * checked cheaply via the verify join's sides). Inputs are
+    * [[shingled]] frames. Returns (doc_id, dup_of, jaccard): one row
+    * per flagged (new, existing) match at or above `threshold`. */
+  def incrementalNearDup(newShingled: DataFrame, oldShingled: DataFrame,
+      numHashes: Int = 8, bands: Int = 4, threshold: Double = 0.6,
+      maxBucket: Int = 10000, skewMult: Double = 16.0): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(threshold >= 0 && threshold <= 1, "threshold must be in [0, 1]")
+    val r = numHashes / bands
+    def bandRows(sigs: DataFrame): DataFrame = {
+      val bandStructs = (0 until bands).map { bIdx =>
+        struct((lit(bIdx).as("band_id") +:
+          (0 until r).map(j =>
+            element_at(col("sig"), bIdx * r + j + 1).as(s"k$j"))): _*)
+      }
+      sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+        .select(col("doc_id"), col("band.*"))
+    }
+    val keys = "band_id" +: (0 until r).map(j => s"k$j")
+    val keyCols = keys.map(col)
+    val newBands = bandRows(signatures(newShingled, numHashes))
+    val oldBands = bandRows(signatures(oldShingled, numHashes))
+    val oldSide =
+      if (maxBucket <= 0) oldBands
+      else {
+        val stats = oldBands.groupBy(keyCols: _*)
+          .agg(count(lit(1)).as("__bn"), min(col("doc_id")).as("__min"))
+        oldBands.join(withBucketCap(stats, maxBucket, skewMult), keys)
+          .filter(col("__bn") <= col("__cap") || col("doc_id") === col("__min"))
+          .select((col("doc_id") +: keyCols): _*)
+      }
+    val cands = newBands
+      .select((col("doc_id").as("doc_a") +: keyCols): _*)
+      .join(oldSide.select((col("doc_id").as("doc_b") +: keyCols): _*), keys)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    jaccardVerify(newShingled.unionByName(oldShingled), cands)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("dup_of"),
+        col("jaccard"))
+  }
+
   /** Winnowing near-dup pairs: n_shared = the number of DISTINCT
     * fingerprints a pair shares, counted DIRECTLY off the bucket join
     * — (doc, hash) is distinct, so each shared hash contributes

@@ -903,6 +903,29 @@ object TextQueries {
         col("score").cast("long").as("score_fp"), col("keeper"))
       .orderBy(col("doc_id").asc)
 
+  /** Incremental NEAR-dup at the ingest door: the corpus splits on
+    * doc_id % 7 (the q_dedup_incremental split) into an ingest batch
+    * vs the existing corpus, and each ingest doc's text is replaced
+    * by a lightly-mutated copy of its (existing-side) neighbor
+    * doc_id + 1 — so every ingest doc must flag its neighbor at
+    * high Jaccard through the banded MinHash machinery. */
+  private def incrementalNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val neigh = d.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("__nt"))
+    val aug = d.join(neigh, Seq("doc_id"), "left")
+      .withColumn("__text",
+        when(col("doc_id") % 7 === 0 && col("__nt").isNotNull,
+          concat(col("__nt"), lit(" appended ingest mutation tail")))
+          .otherwise(col("text")))
+    val newSh = Dedup.shingled(aug.filter(col("doc_id") % 7 === 0),
+      col("doc_id"), col("__text"))
+    val oldSh = Dedup.shingled(aug.filter(col("doc_id") % 7 =!= 0),
+      col("doc_id"), col("__text"))
+    Dedup.incrementalNearDup(newSh, oldSh)
+      .orderBy(col("doc_id").asc, col("dup_of").asc).limit(500)
+  }
+
   /** Line-level dedup over 8-token pseudo-lines: lines occurring in
     * more than one document are removed, docs reassembled; the clean
     * text is hash-compared so the oracle checks the reassembly
@@ -1286,6 +1309,7 @@ object TextQueries {
     "q_containment_pairs" -> ((s, d) => containmentPairs(s, d)),
     "q_neardup_groups" -> ((s, d) => nearDupGroups(s, d)),
     "q_dedup_best" -> ((s, d) => dedupBest(s, d)),
+    "q_neardup_incremental" -> ((s, d) => incrementalNearDupQ(s, d)),
     "q_simhash" -> ((s, d) => simhash(s, d)),
     "q_simhash_pairs" -> ((s, d) => simhashPairsQ(s, d)),
     "q_line_dedup" -> ((s, d) => lineDedup(s, d)),
@@ -1925,6 +1949,42 @@ object TextQueries {
          |  SELECT e.d AS id, reach.r AS r FROM reach JOIN edges e ON e.s = reach.id)
          |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
          |ORDER BY doc_id ASC""".stripMargin,
+    // incremental near-dup: augmented corpus (ingest side carries a
+    // mutated copy of its existing-side neighbor), the same shingle/
+    // minhash/band chain over the augmented text, candidates restricted
+    // to new x old, the jac verification formula at >= 0.6
+    "q_neardup_incremental" ->
+      s"""WITH aug AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN d.doc_id % 7 = 0 AND n.text IS NOT NULL
+         |         THEN n.text || ' appended ingest mutation tail'
+         |         ELSE d.text END AS text
+         |  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1),
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+         |  FROM aug),
+         |$shinglesCte,
+         |sig AS (SELECT doc_id, ${sigSql(8)} AS sig FROM hs),
+         |banded AS (
+         |  SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2
+         |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+         |ver AS (
+         |  SELECT doc_a AS doc_id, doc_b AS dup_of,
+         |    round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 6)
+         |      AS jaccard
+         |  FROM cands
+         |  JOIN sh sa ON sa.doc_id = cands.doc_a
+         |  JOIN sh sb ON sb.doc_id = cands.doc_b)
+         |SELECT doc_id, dup_of, jaccard FROM ver
+         |WHERE jaccard >= 0.6
+         |ORDER BY doc_id ASC, dup_of ASC LIMIT 500""".stripMargin,
     // quality-aware keeper: the q_neardup_groups recursive reach
     // composed with the q_quality_classifier fixed-point score chain;
     // keeper = rn 1 over (score desc, id asc) per component — exactly

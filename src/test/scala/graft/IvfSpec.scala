@@ -520,6 +520,42 @@ class IvfSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L, 5L))
   }
 
+  test("incrementalNearDup flags ingest docs against the existing corpus") {
+    import spark.implicits._
+    val mk = (id: Long, t: String) => (id, t)
+    val oldDocs = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      mk(2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      // near-copy of old doc 1 with a short mutated tail
+      mk(10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+      mk(11L, "completely different words with no overlap whatsoever here now"))
+      .toDF("doc_id", "text")
+    val oldSh = Dedup.shingled(oldDocs, col("doc_id"), col("text"))
+    val newSh = Dedup.shingled(newDocs, col("doc_id"), col("text"))
+    val flagged = Dedup.incrementalNearDup(newSh, oldSh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged == Set((10L, 1L)),
+      "the near-copy flags its source; the novel doc passes clean")
+    // a stricter threshold can unflag it
+    assert(Dedup.incrementalNearDup(newSh, oldSh, threshold = 0.99)
+      .count() == 0)
+    // mega-bucket guard on the existing side: with the cap forced to 1
+    // (absolute-only), a hot band bucket is represented by its min doc
+    // id — the near-copy still flags through the representative
+    val dupOld = Dedup.shingled(Seq(
+        mk(1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        mk(2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        mk(3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text"), col("doc_id"), col("text"))
+    val capped = Dedup.incrementalNearDup(newSh, dupOld,
+        maxBucket = 1, skewMult = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 1L)),
+      "hot buckets collapse to the min-id representative")
+  }
+
   test("bestPerGroup keeps the highest-scoring member; ties and gaps resolve") {
     import spark.implicits._
     // components: {1,2,3} (chain), {7,8}; scores favor 2 in the first,
