@@ -920,8 +920,12 @@ object TextQueries {
           .otherwise(col("text")))
     val newSh = Dedup.shingled(aug.filter(col("doc_id") % 7 === 0),
       col("doc_id"), col("__text"))
-    val oldSh = Dedup.shingled(aug.filter(col("doc_id") % 7 =!= 0),
-      col("doc_id"), col("__text"))
+    // the existing side's text is untouched by the augmentation, so
+    // its shingle table IS the prepared corpus artifact — ride the
+    // shared cache (the operator's own at-scale story: an ingest job
+    // reads the corpus's prepared tables, never re-shingles 6/7 of
+    // the corpus per batch)
+    val oldSh = shingledCached(s, dir).filter(col("doc_id") % 7 =!= 0)
     Dedup.incrementalNearDup(newSh, oldSh)
       .orderBy(col("doc_id").asc, col("dup_of").asc).limit(500)
   }
