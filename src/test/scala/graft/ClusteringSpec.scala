@@ -145,5 +145,10 @@ class ClusteringSpec extends SparkSpec {
     // per-cluster ranks are dense from 1
     assert(out.groupBy(_._2).forall { case (_, rs) =>
       rs.map(_._3).sorted.toSeq == (1L to rs.size.toLong).toSeq })
+    // the whole composition is partitioning-independent
+    val again = Clustering.clusterBalance(df.repartition(9), col("id"),
+        col("v"), k = 2, iters = 4, alpha = 0.5, total = 40L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == out.toSet, "selection identical across partitionings")
   }
 }

@@ -625,6 +625,25 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixToTokenBudget is rank-monotone under budget growth") {
+    // growing a token budget must only ADD documents in rank order —
+    // the mixToBudget stability contract, in tokens
+    val docs = (1L to 40L).map(i => (i, "a", (i % 7) + 1))
+      .toDF("doc_id", "source", "tok")
+    def kept(b: Long) = TextOps.mixToTokenBudget(docs, col("doc_id"),
+        col("source"), col("tok"), Map("a" -> b))
+      .collect().map(_.getLong(0)).toSet
+    val small = kept(30L)
+    val big = kept(90L)
+    assert(small.nonEmpty && small.subsetOf(big),
+      "token-budget growth must be rank-monotone")
+    // and the kept token mass brackets the budget from below (exclusive
+    // prefix < budget; overshoot bounded by one straddling doc)
+    val toks = docs.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val mass = small.toSeq.map(toks).sum
+    assert(mass < 30L + 7L + 1L, s"overshoot bounded by one doc, got $mass")
+  }
+
   test("mixToTokenBudget fails loudly on null or negative token counts") {
     val docs = Seq((1L, "a", 5L), (2L, "a", -1L)).toDF("doc_id", "source", "tok")
     val e = intercept[Exception] {
