@@ -24,14 +24,19 @@ object Autotune {
     Variant(16, 128, 64), Variant(24, 160, 96), Variant(32, 200, 128))
 
   /** Search-time efs measured on EVERY built (m, efConstruction)
-    * variant. ef is a search knob, not a build knob (the reference
-    * sweeps it independently of the build grid,
-    * lantern_cli/src/index_autotune/mod.rs:329-346): re-searching a
-    * built graph costs milliseconds against the seconds-to-minutes its
-    * build cost, and a grid with ONE ef per build gives
-    * [[efForTarget]]'s "smallest qualifying ef on the served graph"
-    * nothing to choose among — a 0.8 target would pay the 0.99
-    * winner's breadth. */
+    * variant — a deliberate DEPARTURE from the reference, which pins
+    * exactly one ef per build variant
+    * (lantern_cli/src/index_autotune/mod.rs:329-346) and picks the
+    * winner by recall desc then latency + build time
+    * (find_best_variant, mod.rs:161-186). We sweep ef independently
+    * because re-searching a built graph costs milliseconds against the
+    * seconds-to-minutes its build cost, and a grid with ONE ef per
+    * build gives [[efForTarget]]'s "smallest qualifying ef on the
+    * served graph" nothing to choose among — a 0.8 target would pay
+    * the 0.99 winner's breadth. Selection is likewise deterministic
+    * (first qualifying in build-major/ef-ascending order) rather than
+    * the reference's latency-based pick, so re-runs on the same data
+    * derive the same ef. */
   val defaultEfSweep: Seq[Int] = Seq(32, 48, 64, 96, 128, 192)
 
   case class Result(variant: Variant, recall: Double,
@@ -258,23 +263,42 @@ object Autotune {
     * exists or no variant of the BUILT graph met the target (callers
     * fall back to an explicit ef, surfacing the gap instead of
     * silently under-recalling). */
+  /** Directory content stamp for fingerprinting: a hash of the sorted
+    * (name, length, mtime) triples of the directory's direct children
+    * plus the directory's own mtime. Mtime alone is NOT enough (ADVICE
+    * r12): on filesystems with 1 s mtime granularity, or object stores
+    * without reliable directory mtimes, a rapid re-autotune can leave
+    * the stamp unchanged and serve a stale derived ef/nprobe. File
+    * NAMES catch that case deterministically — every Spark parquet
+    * overwrite writes fresh `part-*-<uuid>` names — and lengths/mtimes
+    * back them up for non-Spark writers that reuse names. */
+  private def listingStamp(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Long = {
+    val children = fs.listStatus(p)
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1)
+    scala.util.hashing.MurmurHash3.seqHash(children).toLong ^
+      (fs.getFileStatus(p).getModificationTime << 32)
+  }
+
   /** Cache-invalidation fingerprint for a derived-ef consumer: the
-    * `autotune_results` artifact's modification time (a re-autotune of
+    * `autotune_results` artifact's [[listingStamp]] (a re-autotune of
     * the same path overwrites the directory — SaveMode.Overwrite in
-    * [[runAndCreate]] — bumping it) paired with the index manifest's
-    * row count (an append/stream-append grows the index WITHOUT
-    * re-measuring recall — the manifest count moves, so a cached ef
-    * measured on the smaller graph stops matching). None when either
-    * the artifact or a readable manifest is missing — exactly the
-    * cases [[efForTarget]] returns None for, so callers treat None as
-    * "nothing to cache". */
+    * [[runAndCreate]] — writing fresh part-file names, so the stamp
+    * moves even under coarse mtime granularity) paired with the index
+    * manifest's row count (an append/stream-append grows the index
+    * WITHOUT re-measuring recall — the manifest count moves, so a
+    * cached ef measured on the smaller graph stops matching). None
+    * when either the artifact or a readable manifest is missing —
+    * exactly the cases [[efForTarget]] returns None for, so callers
+    * treat None as "nothing to cache". */
   def artifactFingerprint(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Option[(Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/autotune_results")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     try {
       if (!fs.exists(p)) None
-      else Some((fs.getFileStatus(p).getModificationTime,
+      else Some((listingStamp(fs, p),
         AnnIndex.readManifest(indexPath).count))
     } catch { case _: Exception => None }
   }
@@ -358,11 +382,12 @@ object Autotune {
       .headOption.map(_.getAs[Int]("nprobe"))
   }
 
-  /** Fingerprint for the derived-nprobe cache: the artifact's mtime (a
-    * re-autotune overwrites it) + the cells directory's mtime (an
-    * append/stream-append adds generation batches under it without
-    * re-measuring recall — the IVF manifest carries no row count, so
-    * the directory timestamp is the growth signal). */
+  /** Fingerprint for the derived-nprobe cache: the artifact's
+    * [[listingStamp]] (a re-autotune overwrites it with fresh part
+    * names) + the cells directory's stamp (an append/stream-append
+    * adds generation batches under it without re-measuring recall —
+    * the IVF manifest carries no row count, so the cells listing is
+    * the growth signal). */
   def ivfArtifactFingerprint(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Option[(Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(s"$indexPath/autotune_results")
@@ -373,8 +398,7 @@ object Autotune {
         val man = IvfIndex.readManifest(indexPath)
         val cells = new org.apache.hadoop.fs.Path(
           s"$indexPath/${man.cellsDir}")
-        Some((fs.getFileStatus(p).getModificationTime,
-          fs.getFileStatus(cells).getModificationTime))
+        Some((listingStamp(fs, p), listingStamp(fs, cells)))
       }
     } catch { case _: Exception => None }
   }

@@ -331,9 +331,14 @@ object Bm25 {
         col("avg_doc_len"), params))
       .groupBy(col("doc_id"))
       .agg(sum(col("sc")).as("exact_score"))
-    // the 10x-limit candidate heap (bounded TakeOrderedAndProject)
+    // the 10x-limit candidate heap (bounded TakeOrderedAndProject).
+    // The cut orders on the ROUNDED exact score (ADVICE r12): sum()
+    // accumulates in partition-dependent order, and a raw-double cut
+    // could admit a different near-cutoff candidate set across
+    // layouts — rounding to 6dp here mirrors the final-ordering
+    // discipline and keeps the candidate set layout-independent.
     val cands = exactPart
-      .orderBy(col("exact_score").desc, col("doc_id").asc)
+      .orderBy(round(col("exact_score"), 6).desc, col("doc_id").asc)
       .limit(10 * k)
     val scored =
       if (deferred.isEmpty) cands.select(col("doc_id"),

@@ -378,11 +378,33 @@ object Dedup {
     * Ids must be disjoint across the two frames (ingest assigns new
     * ids; same precondition family as [[snapshotDiff]]'s uniqueness,
     * checked cheaply via the verify join's sides). Inputs are
-    * [[shingled]] frames. Returns (doc_id, dup_of, jaccard): one row
-    * per flagged (new, existing) match at or above `threshold`. */
+    * [[shingled]] frames; this convenience overload derives the
+    * existing side's signatures from its shingle frame — a job that
+    * runs repeatedly against the same corpus should instead pass the
+    * PREPARED signature artifact (the `dedup_signatures` build) to
+    * the `oldSignatures` overload, so each batch pays only the new
+    * side's minhashing (at the sf10 century the per-batch signature
+    * recompute was most of this operator's 23 s cost — ADVICE r12).
+    * Returns (doc_id, dup_of, jaccard): one row per flagged (new,
+    * existing) match at or above `threshold`. */
   def incrementalNearDup(newShingled: DataFrame, oldShingled: DataFrame,
       numHashes: Int = 8, bands: Int = 4, threshold: Double = 0.6,
-      maxBucket: Int = 10000, skewMult: Double = 16.0): DataFrame = {
+      maxBucket: Int = 10000, skewMult: Double = 16.0): DataFrame =
+    incrementalNearDup(newShingled, oldShingled,
+      signatures(oldShingled, numHashes), numHashes, bands, threshold,
+      maxBucket, skewMult)
+
+  /** [[incrementalNearDup]] riding the existing corpus' PREPARED
+    * signature table — the production shape: `oldSignatures` is the
+    * stored (doc_id, sig) artifact the corpus dedup build already
+    * wrote (sig length must be >= `numHashes`; the banding reads the
+    * first `numHashes` entries), and `oldShingled` is read ONLY by
+    * the Jaccard verify stage over the bounded candidate set. Each
+    * ingest batch therefore minhashes just its own documents; the
+    * corpus contributes pre-computed tables on both stages. */
+  def incrementalNearDup(newShingled: DataFrame, oldShingled: DataFrame,
+      oldSignatures: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double, maxBucket: Int, skewMult: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(threshold >= 0 && threshold <= 1, "threshold must be in [0, 1]")
     val r = numHashes / bands
@@ -398,7 +420,7 @@ object Dedup {
     val keys = "band_id" +: (0 until r).map(j => s"k$j")
     val keyCols = keys.map(col)
     val newBands = bandRows(signatures(newShingled, numHashes))
-    val oldBands = bandRows(signatures(oldShingled, numHashes))
+    val oldBands = bandRows(oldSignatures)
     val oldSide =
       if (maxBucket <= 0) oldBands
       else {

@@ -921,12 +921,18 @@ object TextQueries {
     val newSh = Dedup.shingled(aug.filter(col("doc_id") % 7 === 0),
       col("doc_id"), col("__text"))
     // the existing side's text is untouched by the augmentation, so
-    // its shingle table IS the prepared corpus artifact — ride the
-    // shared cache (the operator's own at-scale story: an ingest job
-    // reads the corpus's prepared tables, never re-shingles 6/7 of
-    // the corpus per batch)
+    // its shingle AND signature tables ARE the prepared corpus
+    // artifacts — ride both shared caches (the operator's own
+    // at-scale story: an ingest job reads the corpus's prepared
+    // tables — the signature table for banding, the shingle table
+    // for verify — and never re-shingles OR re-minhashes 6/7 of the
+    // corpus per batch; the per-batch signature recompute was most
+    // of this row's 23 s century cost before r13)
     val oldSh = shingledCached(s, dir).filter(col("doc_id") % 7 =!= 0)
-    Dedup.incrementalNearDup(newSh, oldSh)
+    val oldSig = sigCached(s, dir).filter(col("doc_id") % 7 =!= 0)
+    Dedup.incrementalNearDup(newSh, oldSh, oldSig,
+        numHashes = 8, bands = 4, threshold = 0.6,
+        maxBucket = 10000, skewMult = 16.0)
       .orderBy(col("doc_id").asc, col("dup_of").asc).limit(500)
   }
 
@@ -1607,7 +1613,8 @@ object TextQueries {
          |  FROM post JOIN flags USING (term) CROSS JOIN stats
          |  WHERE NOT deferred
          |  GROUP BY doc_id),
-         |cand AS (SELECT doc_id, s FROM ex ORDER BY s DESC, doc_id ASC LIMIT 100),
+         |cand AS (SELECT doc_id, s FROM ex
+         |         ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 100),
          |defc AS (
          |  SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0)
          |      * (1.0 * (1.2 + 1.0))

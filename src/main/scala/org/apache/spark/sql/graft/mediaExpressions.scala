@@ -568,8 +568,13 @@ object MediaKernels {
                         // the first entry's identity is metadata here
                         if (e6 - o6 < 8) false
                         else {
-                          val entries = beInt(b, o6.toInt + 4)
-                          if (entries <= 0) true // empty table: no codec
+                          // unsigned read + Int bound, the stts/stsz
+                          // strictness: a count with the high bit set
+                          // is a malformed/adversarial container, not
+                          // an empty table
+                          val entries = beInt(b, o6.toInt + 4) & 0xffffffffL
+                          if (entries > Int.MaxValue) false
+                          else if (entries == 0) true // empty table: no codec
                           else if (e6 - o6 < 16) false
                           else {
                             val sz = beInt(b, o6.toInt + 8) & 0xffffffffL

@@ -554,6 +554,18 @@ class IvfSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((10L, 1L)),
       "hot buckets collapse to the min-id representative")
+    // the prepared-signature overload (the production shape: corpus
+    // signatures come from the stored dedup artifact, never a
+    // per-batch recompute) is result-identical to the convenience path
+    val oldSig = Dedup.signatures(oldSh, numHashes = 8)
+    val prepared = Dedup.incrementalNearDup(newSh, oldSh, oldSig,
+        numHashes = 8, bands = 4, threshold = 0.6,
+        maxBucket = 10000, skewMult = 16.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val convenience = Dedup.incrementalNearDup(newSh, oldSh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prepared == convenience,
+      "prepared-signature path matches the recompute path exactly")
   }
 
   test("bestPerGroup keeps the highest-scoring member; ties and gaps resolve") {
