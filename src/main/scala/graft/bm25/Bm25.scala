@@ -270,6 +270,42 @@ object Bm25 {
       params: Params = Params(), stemmed: Boolean = false,
       accDocsThreshold: Int = 100,
       exactMembership: Boolean = false): DataFrame = {
+    val p = approxParts(tbl, query, k, params, stemmed, accDocsThreshold)
+    val scored = p.defRows match {
+      case None => p.cands.select(col("doc_id"),
+        col("exact_score").as("score"))
+      case Some(defRows) =>
+        val member =
+          if (exactMembership) array_contains(col("__ids"), col("doc_id"))
+          else graft.functions.elem_in_bloom(col("doc_id"), col("__bloom"))
+        // project ONLY what the chosen membership needs before the
+        // broadcast: production (bloom) mode must never ship a popular
+        // term's posting array to every task — that array never being
+        // read is the approximation's entire point
+        val defSel =
+          if (exactMembership) defRows.select(col("const"), col("__ids"))
+          else defRows.select(col("const"), col("__bloom"))
+        p.cands.crossJoin(broadcast(defSel))
+          .withColumn("add", when(member, col("const")).otherwise(lit(0.0)))
+          .groupBy(col("doc_id"), col("exact_score"))
+          .agg(sum(col("add")).as("__adds"))
+          .select(col("doc_id"),
+            (col("exact_score") + col("__adds")).as("score"))
+    }
+    scored.orderBy(round(col("score"), 6).desc, col("doc_id").asc).limit(k)
+  }
+
+  /** The approximate search's shared internals: the 10×k candidate
+    * heap over the exact part, plus (when the crossing fired) the
+    * deferred-term rows carrying the substituted constant, the
+    * posting bloom, AND the true posting ids — so the exact and bloom
+    * membership modes, and [[bloomModeCheck]]'s side-by-side replay,
+    * all read one candidate pipeline that cannot drift. */
+  private case class ApproxParts(cands: DataFrame, defRows: Option[DataFrame])
+
+  private def approxParts(tbl: DataFrame, query: String, k: Int,
+      params: Params, stemmed: Boolean,
+      accDocsThreshold: Int): ApproxParts = {
     require(k > 0, "k must be positive")
     val spark = tbl.sparkSession
     import spark.implicits._
@@ -340,37 +376,71 @@ object Bm25 {
     val cands = exactPart
       .orderBy(round(col("exact_score"), 6).desc, col("doc_id").asc)
       .limit(10 * k)
-    val scored =
-      if (deferred.isEmpty) cands.select(col("doc_id"),
-        col("exact_score").as("score"))
-      else {
+    val defRows =
+      if (deferred.isEmpty) None
+      else
         // deferred rows: constant = the substituted posting score
         // (fq=1, doc_len=avg_doc_len) in the SAME column-expression
         // shape the exact path uses, so an oracle replays it verbatim
-        val defRows = rows.filter(col("term").isin(deferred.toSeq: _*))
+        Some(rows.filter(col("term").isin(deferred.toSeq: _*))
           .select(col("term"), col("term_freq").cast("double").as("doc_freq"),
             col("doc_ids_bloom").as("__bloom"), col("doc_ids").as("__ids"))
           .crossJoin(broadcast(stats))
           .withColumn("const", postingScore(lit(1.0), col("avg_doc_len"),
-            col("n_docs"), col("doc_freq"), col("avg_doc_len"), params))
-        val member =
-          if (exactMembership) array_contains(col("__ids"), col("doc_id"))
-          else graft.functions.elem_in_bloom(col("doc_id"), col("__bloom"))
-        // project ONLY what the chosen membership needs before the
-        // broadcast: production (bloom) mode must never ship a popular
-        // term's posting array to every task — that array never being
-        // read is the approximation's entire point
-        val defSel =
-          if (exactMembership) defRows.select(col("const"), col("__ids"))
-          else defRows.select(col("const"), col("__bloom"))
-        cands.crossJoin(broadcast(defSel))
-          .withColumn("add", when(member, col("const")).otherwise(lit(0.0)))
-          .groupBy(col("doc_id"), col("exact_score"))
-          .agg(sum(col("add")).as("__adds"))
-          .select(col("doc_id"),
-            (col("exact_score") + col("__adds")).as("score"))
-      }
-    scored.orderBy(round(col("score"), 6).desc, col("doc_id").asc).limit(k)
+            col("n_docs"), col("doc_freq"), col("avg_doc_len"), params)))
+    ApproxParts(cands, defRows)
+  }
+
+  /** Self-checking PRODUCTION-mode (bloom membership) verdict for the
+    * approximate search — the `q_classify_recall` discipline applied
+    * to the BM25 bloom path, whose splitmix64 bits no external oracle
+    * can replay: run the bloom membership the production path uses
+    * side by side with the stored-posting truth over the SAME
+    * candidate pipeline, and verify IN-QUERY the two invariants the
+    * approximation's correctness rests on (bm25_agg.rs:311-401):
+    *
+    *  - `nfn_ok` — NO FALSE NEGATIVES: every (candidate, deferred
+    *    term) membership the true posting list contains, the bloom
+    *    contains too (a bloom can only over-admit), so a bloom-mode
+    *    score can never drop a constant an exact replay would add;
+    *  - `fp_rate_ok` — the bloom's over-admission on true NON-members
+    *    is bounded: observed false-positive memberships ≤
+    *    max(5% of non-member tests, 3) — 5× the build's 0.01 design
+    *    rate plus an absolute floor for small non-member counts.
+    *    Deterministic (seed-42 blooms over a fixed corpus), so a
+    *    green verdict at a scale stays green.
+    *
+    * `deferral_active` pins that the check exercised the bloom path
+    * at all (≥ 1 deferred term — true at every contract scale; a
+    * corpus where the crossing never fires yields (false, true,
+    * true) honestly). One verdict row; the oracle pins all-TRUE. */
+  def bloomModeCheck(tbl: DataFrame, query: String, k: Int,
+      params: Params = Params(), stemmed: Boolean = false,
+      accDocsThreshold: Int = 100): DataFrame = {
+    val spark = tbl.sparkSession
+    import spark.implicits._
+    val p = approxParts(tbl, query, k, params, stemmed, accDocsThreshold)
+    p.defRows match {
+      case None =>
+        Seq((false, true, true))
+          .toDF("deferral_active", "nfn_ok", "fp_rate_ok")
+      case Some(defRows) =>
+        p.cands
+          .crossJoin(broadcast(defRows.select(col("__bloom"), col("__ids"))))
+          .select(
+            graft.functions.elem_in_bloom(col("doc_id"), col("__bloom"))
+              .as("__bm"),
+            array_contains(col("__ids"), col("doc_id")).as("__em"))
+          .agg(
+            bool_and(col("__bm") || !col("__em")).as("nfn_ok"),
+            (sum(when(col("__bm") && !col("__em"), 1L).otherwise(0L)) <=
+              greatest(
+                sum(when(!col("__em"), 1L).otherwise(0L))
+                  .cast("double") * 0.05,
+                lit(3.0))).as("fp_rate_ok"))
+          .select(lit(true).as("deferral_active"), col("nfn_ok"),
+            col("fp_rate_ok"))
+    }
   }
 
   /** Compact a bm25 table containing duplicate term rows (after

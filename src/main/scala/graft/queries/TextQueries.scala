@@ -150,6 +150,15 @@ object TextQueries {
   private val approxQuery = "dup spark window"
   private val approxTerms = Seq("dup", "spark", "window")
 
+  /** PRODUCTION (bloom) mode of the approximate search, self-checked
+    * in-query: no-false-negative + bounded false-positive-rate
+    * invariants verified against the stored postings over the same
+    * candidate pipeline (splitmix64 bloom bits are not replayable by
+    * an external oracle — the verdict booleans are; the
+    * q_classify_recall discipline). */
+  private def bm25BloomCheck(s: SparkSession, dir: String): DataFrame =
+    Bm25.bloomModeCheck(bm25ApproxTableCached(s, dir), approxQuery, 10)
+
   private def bm25SearchStemmed(s: SparkSession, dir: String): DataFrame =
     Bm25.searchBm25Of(tokStemmedCached(s, dir), bm25Query, 10,
         stemmed = true, postings = Some(postStemmedCached(s, dir)))
@@ -574,6 +583,24 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("tok_prefix"), col("mix_rank"))
       .orderBy(col("source").asc, col("mix_rank").asc).limit(500)
+
+  /** DSIR × token-budget composition: the raw pool's importance scores
+    * (inline scorer in ATTACH form, riding the shared weight table)
+    * rank INSIDE the per-source token budgets — each source keeps its
+    * TOP-importance documents until its budget exhausts, straddling
+    * doc kept (overshoot ≤ 1). Budgets: src5 cuts mid-source at every
+    * sf, src6 cuts early, src7 drops entirely. */
+  private def dsirMix(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.text.Dsir.withScoreInline(
+      docs(s, dir).filter(!dsirTargetPred), col("text"),
+      dsirWeightsArr(s, dir))
+    TextOps.mixToTokenBudgetByScore(scored, col("doc_id"), col("source"),
+        size(graft.functions.tokenize(col("text"))), col("w_fp"),
+        Map("src5" -> 700L, "src6" -> 120L, "src7" -> 0L))
+      .select(col("doc_id"), col("source"), col("w_fp"), col("n_tokens"),
+        col("tok_prefix"), col("mix_rank"))
+      .orderBy(col("source").asc, col("mix_rank").asc).limit(500)
+  }
 
   /** Unicode canonicalization over per-doc_id synthesized decomposed /
     * precomposed sequences (the corpus text itself is ASCII, so the
@@ -1304,6 +1331,7 @@ object TextQueries {
     "q_bm25_table" -> ((s, d) => bm25Table(s, d)),
     "q_bm25_search" -> ((s, d) => bm25Search(s, d)),
     "q_bm25_search_approx" -> ((s, d) => bm25SearchApprox(s, d)),
+    "q_bm25_bloom_check" -> ((s, d) => bm25BloomCheck(s, d)),
     "q_bm25_search_stemmed" -> ((s, d) => bm25SearchStemmed(s, d)),
     "q_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "q_text_quality" -> ((s, d) => textQuality(s, d)),
@@ -1346,6 +1374,7 @@ object TextQueries {
     "q_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "q_dsir_sample" -> ((s, d) => dsirSample(s, d)),
     "q_dsir_stream" -> ((s, d) => dsirStream(s, d)),
+    "q_dsir_mix" -> ((s, d) => dsirMix(s, d)),
     "q_domain_stats" -> ((s, d) => domainStats(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
@@ -1566,6 +1595,13 @@ object TextQueries {
          |  GROUP BY doc_id)
          |SELECT doc_id, round(score, 6) AS score FROM sc
          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // bloom-mode self-check: the verdict booleans are the contract —
+    // no false negatives (a bloom only over-admits) and a bounded
+    // observed fp rate, both computed in-query against the stored
+    // postings; deferral_active pins that the bloom path actually ran
+    "q_bm25_bloom_check" ->
+      """SELECT TRUE AS deferral_active, TRUE AS nfn_ok,
+        |  TRUE AS fp_rate_ok""".stripMargin,
     // approximate BM25: the oracle replays all four mechanisms —
     // rarest-first order (doc_ids_len asc, term asc), the >100
     // accumulated-distinct-docs crossing (prior = cumulative
@@ -2268,6 +2304,40 @@ object TextQueries {
          |SELECT doc_id, n_feats, w_fp FROM al
          |ORDER BY w_fp DESC, md5(CAST(doc_id AS VARCHAR) || ':dsir'), doc_id
          |LIMIT 100""".stripMargin,
+    // DSIR × token-budget composition: the oracle replays the
+    // importance-ranked per-source rank as ONE global window with an
+    // exclusive token cumsum — the score-blocked two-phase Spark shape
+    // must agree with the naive global form exactly (the q_mix_tokens
+    // discipline, ranked by (w_fp desc, md5, id))
+    "q_dsir_mix" ->
+      s"""WITH $dsirCtes,
+         |sc AS (
+         |  SELECT fb.doc_id, CAST(sum(lr_fp) AS BIGINT) AS w_fp
+         |  FROM fb JOIN lab USING (doc_id) JOIN wt USING (bucket)
+         |  WHERE NOT tgt GROUP BY 1),
+         |al AS (
+         |  SELECT d.doc_id, d.source, coalesce(sc.w_fp, 0) AS w_fp
+         |  FROM documents d JOIN lab USING (doc_id) LEFT JOIN sc USING (doc_id)
+         |  WHERE NOT tgt),
+         |tk AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+         |r AS (SELECT al.doc_id, al.source, al.w_fp, tk.n_tokens,
+         |    md5(CAST(al.doc_id AS VARCHAR) || ':graft') AS rk
+         |  FROM al JOIN tk USING (doc_id)),
+         |c AS (SELECT doc_id, source, w_fp, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY w_fp DESC, rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_prefix,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY w_fp DESC, rk, doc_id) AS mr
+         |  FROM r),
+         |b(source, budget) AS (VALUES ('src5', 700), ('src6', 120),
+         |  ('src7', 0))
+         |SELECT doc_id, c.source AS source, w_fp, n_tokens, tok_prefix,
+         |  CAST(mr AS BIGINT) AS mix_rank
+         |FROM c JOIN b ON c.source = b.source
+         |WHERE tok_prefix < budget
+         |ORDER BY c.source ASC, mix_rank ASC LIMIT 500""".stripMargin,
     // the streamed rows are the first 200 raw-pool docs through the
     // same weight table, so the batch score applies verbatim
     "q_dsir_stream" ->

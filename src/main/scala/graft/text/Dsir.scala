@@ -179,6 +179,28 @@ object Dsir {
           .as("w_fp"))
   }
 
+  /** [[scoreInline]] in ATTACH form: adds the integer importance score
+    * as `outCol` while keeping every existing column — the shape a
+    * composition wants (score × per-source token-budget mixing needs
+    * source and token columns alongside the score; `scoreInline`'s
+    * select would drop them). Same narrow zero-exchange fold, same
+    * bind-once discipline, bit-identical w_fp (spec-pinned). */
+  def withScoreInline(docs: DataFrame, textCol: Column,
+      weights: Array[Long], outCol: String = "w_fp",
+      dim: Int = DefaultDim): DataFrame = {
+    require(weights.length == dim,
+      s"need a dense $dim-bucket weight array, got ${weights.length}")
+    val w = lit(weights)
+    docs
+      .withColumn("__dsir_t", tokenize(coalesce(textCol, lit(""))))
+      .withColumn("__dsir_f", concat(col("__dsir_t"), bigrams(col("__dsir_t"))))
+      .withColumn(outCol,
+        aggregate(col("__dsir_f"), lit(0L), (acc, f) =>
+          acc + element_at(w,
+            (QualityClassifier.bucketOf(f, dim) + 1).cast("int"))))
+      .drop("__dsir_t", "__dsir_f")
+  }
+
   /** The dense weight table as the bucket-ordered long array
     * [[scoreInline]] wants (weights frames are ≤ dim rows). */
   def weightsArray(weights: DataFrame, dim: Int = DefaultDim): Array[Long] = {

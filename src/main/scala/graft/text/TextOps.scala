@@ -437,6 +437,108 @@ object TextOps {
         "__cprefix", "__lrank", "__lcum")
   }
 
+  /** Importance-ranked token-budget mixing — [[mixToTokenBudget]] with
+    * the rank order (score desc, md5(id:salt) asc, id asc) instead of
+    * the bare md5 shuffle: a selection pipeline keeps each source's
+    * TOP-importance documents until the source's token budget is
+    * exhausted (DSIR-score × token-budget composition — Xie et al.
+    * 2023 selection inside a per-source compute bill). Same
+    * kept-set characterization: a row is kept iff the exclusive token
+    * total of rows ranked before it is below the budget, so the
+    * straddling document is kept and overshoot is ≤ 1 document.
+    *
+    * Scale shape — the blocked two-phase rank generalized from md5
+    * prefixes to SCORE blocks: the md5 block trick needs the block to
+    * be a monotone function of the leading sort key, which is now the
+    * score, so blocks come from per-source score thresholds
+    * (approx-percentile boundaries, ONE bounded #sources×`nBlocks`-row
+    * aggregate broadcast back); `__blk` = how many thresholds sit
+    * strictly above the row's score — monotone non-increasing in the
+    * score BY VALUE, so equal scores share a block and block order is
+    * rank order. Correctness does NOT depend on where the thresholds
+    * land (any monotone blocking yields identical output — prefix +
+    * local rank IS the global rank); balance does, which is what the
+    * percentile boundaries buy. Blocks whose exclusive token prefix
+    * already meets the budget are pruned BEFORE the rank window; both
+    * local windows share the (source, block) partitioning.
+    *
+    * The operator makes TWO passes over `docs` (thresholds, then the
+    * selection) — pass a persisted/cached scored frame at corpus
+    * scale, the pipeline shape that stores scores once and mixes many
+    * ways. `scoreCol` must be integral and non-null (fail-loud
+    * in-plan, the [[mixToTokenBudget]] token guard applied to both
+    * inputs). Returns kept rows + (n_tokens, tok_prefix, mix_rank). */
+  def mixToTokenBudgetByScore(docs: DataFrame, idCol: Column,
+      sourceCol: Column, tokCol: Column, scoreCol: Column,
+      budgets: Map[String, Long], salt: String = "graft",
+      nBlocks: Int = 256): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    require(nBlocks >= 2 && nBlocks <= 65536, "nBlocks must be in [2, 65536]")
+    import org.apache.spark.sql.expressions.Window
+    val rankKey = md5(concat(idCol.cast("string"), lit(":" + salt))
+      .cast("binary"))
+    val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (s, n)) =>
+      when(sourceCol === s, lit(n)).otherwise(acc)
+    }
+    val guardedTok = when(tokCol.isNull || tokCol < 0,
+      raise_error(concat(lit("mixToTokenBudgetByScore: null or negative "
+        + "token count for id "), idCol.cast("string"))))
+      .otherwise(tokCol.cast("long"))
+    val guardedScore = when(scoreCol.isNull,
+      raise_error(concat(lit("mixToTokenBudgetByScore: null score for id "),
+        idCol.cast("string"))))
+      .otherwise(scoreCol.cast("long"))
+    val base = docs
+      .withColumn("__src", sourceCol)
+      .withColumn("__budget", budgetCol)
+      .withColumn("__sc", guardedScore)
+      .withColumn("__rk", rankKey)
+      .withColumn("__tok", guardedTok)
+      // sources with no budget never reach the threshold aggregate or
+      // the windows (budget 0 drops everything downstream anyway)
+      .filter(col("__budget") > 0)
+    // per-source score block boundaries: one bounded aggregate
+    // (#sources rows × nBlocks-1 thresholds), broadcast back. The
+    // boundaries only BALANCE the blocks — output is exact wherever
+    // they land — so approx percentiles are enough.
+    val probs = array((1 until nBlocks)
+      .map(i => lit(i.toDouble / nBlocks)): _*)
+    val thresholds = base.groupBy(col("__src"))
+      .agg(percentile_approx(col("__sc"), probs, lit(1000)).as("__thr"))
+    val wPrefix = Window.partitionBy(col("__src")).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLocal = Window.partitionBy(col("__src"), col("__blk"))
+      .orderBy(col("__sc").desc, col("__rk").asc, idCol.asc)
+    val blocked = base
+      .join(broadcast(thresholds), Seq("__src"))
+      // block = #thresholds strictly above the score: the TOP scores
+      // land in block 0, equal scores share a block, and block order
+      // is (score desc) order — the monotonicity the two-phase rank
+      // requires
+      .withColumn("__blk",
+        size(filter(col("__thr"), t => t > col("__sc"))))
+      .drop("__thr")
+    val prefixes = blocked.groupBy(col("__src"), col("__blk"))
+      .agg(sum(col("__tok")).as("__ttot"), count(lit(1)).as("__ctot"))
+      .withColumn("__tprefix",
+        coalesce(sum(col("__ttot")).over(wPrefix), lit(0L)))
+      .withColumn("__cprefix",
+        coalesce(sum(col("__ctot")).over(wPrefix), lit(0L)))
+      .select(col("__src"), col("__blk"), col("__tprefix"), col("__cprefix"))
+    blocked
+      .join(broadcast(prefixes), Seq("__src", "__blk"))
+      .filter(col("__tprefix") < col("__budget"))
+      .withColumn("__lrank", row_number().over(wLocal))
+      .withColumn("__lcum", coalesce(sum(col("__tok"))
+        .over(wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_tokens", col("__tok"))
+      .withColumn("tok_prefix", col("__tprefix") + col("__lcum"))
+      .withColumn("mix_rank", col("__cprefix") + col("__lrank").cast("long"))
+      .filter(col("tok_prefix") < col("__budget"))
+      .drop("__src", "__blk", "__sc", "__rk", "__budget", "__tok",
+        "__tprefix", "__cprefix", "__lrank", "__lcum")
+  }
+
   /** Overlapping token-window document chunking — the fan-out step in
     * front of an embedding/RAG pipeline (documents are embedded as
     * fixed-size windows, not whole): tokens are cut into windows of

@@ -150,6 +150,17 @@ class Bm25Spec extends SparkSpec {
       assert(math.abs(b - v) < 1e-12 || math.abs(b - v - popConst) < 1e-9,
         s"doc $id: bloom-exact delta ${b - v} is neither 0 nor the constant")
     }
+    // the self-checking production-mode verdict over the same fixture:
+    // deferral fires, no false negatives, fp rate bounded
+    val verdict = Bm25.bloomModeCheck(tbl, "rare pop", 10,
+      accDocsThreshold = 2).collect()(0)
+    assert(verdict.getBoolean(0), "deferral_active")
+    assert(verdict.getBoolean(1), "nfn_ok")
+    assert(verdict.getBoolean(2), "fp_rate_ok")
+    // a threshold out of reach → no deferral, honest (false, true, true)
+    val noDef = Bm25.bloomModeCheck(tbl, "rare pop", 10,
+      accDocsThreshold = 100000).collect()(0)
+    assert(!noDef.getBoolean(0) && noDef.getBoolean(1) && noDef.getBoolean(2))
   }
 
   test("user stopwords replace the default list") {

@@ -94,6 +94,12 @@ class DsirSpec extends SparkSpec {
     assert(inline == joined)
     assert(inline.find(_._1 == 5L).get == ((5L, 0L, 0L)),
       "null text scores (0, 0)")
+    // the ATTACH form carries existing columns and the identical w_fp
+    val attached = Dsir.withScoreInline(raw, col("text"),
+        Dsir.weightsArray(w))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("w_fp"))).sorted.toSeq
+    assert(attached == inline.map(t => (t._1, t._3)),
+      "withScoreInline w_fp == scoreInline w_fp")
   }
 
   test("scoreStream: the stateless scorer streams and matches the batch") {

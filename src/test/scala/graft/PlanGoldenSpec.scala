@@ -296,6 +296,29 @@ class PlanGoldenSpec extends SparkSpec {
     checkGolden("q_dsir_sample", skel)
   }
 
+  test("q_dsir_mix: score-blocked token rank, windows carry the block key") {
+    val (plan, skel) = snapshot("q_dsir_mix")
+    // the q_mix_tokens discipline with SCORE blocks: the rank and
+    // token-cumsum windows must partition on (source, block) — the
+    // block now derives from the per-source percentile thresholds,
+    // never the source alone
+    assert(plan.contains("__blk"),
+      "the importance rank lost its block key — per-source single-task sort")
+    val rowNumSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(rowNumSpecs.nonEmpty, "lost the rank window entirely")
+    assert(rowNumSpecs.forall(_.contains("__blk")),
+      s"a row_number window ranks without the block key: $rowNumSpecs")
+    // the importance score is the narrow in-row weight fold — the
+    // scorer must not regress to an explode + shuffled join
+    assert(plan.contains("aggregate("), "lost the in-row weight fold")
+    // thresholds and block prefixes broadcast back onto the pool
+    assert(plan.contains("BroadcastHashJoin"),
+      "the threshold/prefix join lost its broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    checkGolden("q_dsir_mix", skel)
+  }
+
   test("q_prototype_prune: broadcast per-cluster threshold, no rank window") {
     val (plan, skel) = snapshot("q_prototype_prune")
     // assignment + distance ride the scan as codegen expressions

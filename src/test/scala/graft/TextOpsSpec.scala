@@ -653,4 +653,70 @@ class TextOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("mixToTokenBudget") ||
       e.getCause != null && e.getCause.getMessage.contains("mixToTokenBudget"))
   }
+
+  test("mixToTokenBudgetByScore == the naive score-ranked window, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    for (round <- 1 to 3) {
+      val srcs = 1 + rnd.nextInt(4)
+      val n = 50 + rnd.nextInt(200)
+      // scores from a SMALL domain so ties are common — equal scores
+      // must share a block and resolve by the md5 tiebreak
+      val rows = (1 to n).map(i =>
+        (rnd.nextInt(100000).toLong * 1000 + i, s"s${rnd.nextInt(srcs)}",
+          rnd.nextInt(30).toLong, (rnd.nextInt(9) - 4).toLong))
+      val docs = rows.toDF("doc_id", "source", "tok", "sc")
+      val budgets = (0 until srcs)
+        .map(k => s"s$k" -> rnd.nextInt(400).toLong).toMap
+      val salt = s"ssalt$round"
+      val nBlocks = Seq(2, 16, 256)(rnd.nextInt(3))
+      val blocked = TextOps.mixToTokenBudgetByScore(docs, col("doc_id"),
+          col("source"), col("tok"), col("sc"), budgets, salt, nBlocks)
+        .select("doc_id", "source", "n_tokens", "tok_prefix", "mix_rank")
+        .collect().map(_.toSeq).toSet
+      val rk = md5(concat(col("doc_id").cast("string"), lit(":" + salt))
+        .cast("binary"))
+      val bCol = budgets.foldLeft(lit(0L)) { case (a, (s2, b)) =>
+        when(col("source") === s2, lit(b)).otherwise(a)
+      }
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("sc").desc, rk.asc, col("doc_id").asc)
+      val naive = docs
+        .withColumn("tok_prefix", coalesce(sum(col("tok"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("mix_rank", row_number().over(w).cast("long"))
+        .filter(col("tok_prefix") < bCol)
+        .select(col("doc_id"), col("source"), col("tok").as("n_tokens"),
+          col("tok_prefix"), col("mix_rank"))
+        .collect().map(_.toSeq).toSet
+      assert(blocked == naive,
+        s"round $round (srcs=$srcs n=$n nBlocks=$nBlocks) diverged")
+    }
+  }
+
+  test("mixToTokenBudgetByScore keeps top-importance docs; zero budget drops") {
+    // one source, distinct scores, uniform token cost: the kept set is
+    // exactly the top-by-score prefix the budget affords
+    val docs = (1L to 10L).map(i => (i, "a", 10L, i)).toDF(
+      "doc_id", "source", "tok", "sc")
+    val kept = TextOps.mixToTokenBudgetByScore(docs, col("doc_id"),
+        col("source"), col("tok"), col("sc"), Map("a" -> 35L))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("mix_rank")))
+      .sortBy(_._2)
+    // 35 tokens at 10/doc: ranks 1-3 start below budget, rank 4 is the
+    // straddler (exclusive prefix 30 < 35) — top scores are ids 10..7
+    assert(kept.map(_._1).toSeq == Seq(10L, 9L, 8L, 7L))
+    assert(TextOps.mixToTokenBudgetByScore(docs, col("doc_id"),
+      col("source"), col("tok"), col("sc"), Map("a" -> 0L)).count() == 0L)
+    // null score fails loudly
+    val bad = Seq((1L, "a", 5L, Option.empty[Long]),
+      (2L, "a", 5L, Some(3L))).toDF("doc_id", "source", "tok", "sc")
+    val e = intercept[Exception] {
+      TextOps.mixToTokenBudgetByScore(bad, col("doc_id"), col("source"),
+        col("tok"), col("sc"), Map("a" -> 100L)).collect()
+    }
+    assert(e.getMessage.contains("mixToTokenBudgetByScore") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("mixToTokenBudgetByScore"))
+  }
 }
