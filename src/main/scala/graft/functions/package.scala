@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, Simhash64, BitHamming, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ImageDhash, ByteHistogram, DecodeImageStats, ResampleImageStats, FrameSampleHashes, Pcm16Stats, WavMeta, GifFrames}
+import org.apache.spark.sql.graft.{Bridge, L2SqDist, CosDist, HammingDist, InnerProduct, TextToStemArray, TextToStemArrayWith, Tokenize, Simhash64, BitHamming, PqQuantize, PqDequantize, PqAdcDist, NearestCentroid, PackBits, F16Encode, F16Decode, I8Encode, I8Decode, BloomBuild, BloomBuildText, ElemInBloom, ElemInBloomText, ImageMeta, ImageDhash, ImageEmbed, ByteHistogram, DecodeImageStats, ResampleImageStats, FrameSampleHashes, Pcm16Stats, WavMeta, GifFrames}
 import org.apache.spark.sql.{functions => F}
 
 /** Column-level API for the engine's scalar functions, mirroring the
@@ -179,6 +179,12 @@ package object functions {
     * from a real pixel decode — the image near-dup key. */
   def image_dhash(c: Column): Column = col(ImageDhash(expr(c)))
 
+  /** `image_embed`: mean-centered grayscale thumbnail as array<float>
+    * from a real pixel decode — the deterministic mock visual encoder
+    * feeding the embedding near-dup machinery. */
+  def image_embed(c: Column, outW: Int, outH: Int): Column =
+    col(ImageEmbed(expr(c), outW, outH))
+
   /** `byte_histogram`: normalized byte histogram feature vector —
     * deterministic surrogate for decoded-pixel statistics. */
   def byte_histogram(c: Column, bins: Int = 16): Column =
@@ -257,6 +263,8 @@ package object functions {
       "decode_image_stats" -> (es => DecodeImageStats(es.head)),
       "image_dhash" -> (es => ImageDhash(es.head)),
       "resample_image_stats" -> (es => ResampleImageStats(es.head,
+        intLit(es(1), "outW"), intLit(es(2), "outH"))),
+      "image_embed" -> (es => ImageEmbed(es.head,
         intLit(es(1), "outW"), intLit(es(2), "outH"))),
       "byte_histogram" -> (es => ByteHistogram(es.head,
         if (es.length > 1) intLit(es(1), "bins") else 16)),

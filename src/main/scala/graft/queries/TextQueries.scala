@@ -1132,6 +1132,67 @@ object TextQueries {
         graft.functions.image_dhash(col("img")).as("dhash"))
       .orderBy(col("doc_id").asc)
 
+  /** Synthesized image corpus for the CROSS-MODAL near-dup row: one
+    * pseudo-random grayscale PNG per doc, with PLANTED near-identicals
+    * — doc d (d%5==0, d<100) renders doc d+100's image with pixel
+    * (0,0) bumped +1 mod 256, a one-pixel perturbation a near-dup
+    * pass must group and an exact-dup pass must miss.
+    *
+    * Pixel value = top byte of a TWO-ROUND multiply/xor-shift mix of
+    * the seed d*128 + y*16 + x (engine-replayable integer
+    * arithmetic). One multiplicative round is NOT enough: (d*128+k)*A
+    * is affine in the cell index with a doc-independent slope, so
+    * every doc's raw vector is the same staircase at a per-doc phase
+    * and top-byte differences are constant-except-carries — centered
+    * cosines land near 1 for ALL pairs (measured; the spec's spurious
+    * pairs). The xor-shift round breaks the affine structure: worst
+    * distinct-pair |cos| is 0.49 over the 200-doc corpus while
+    * planted pairs sit at 0.999999. */
+  private def imgSemPix(src: Long, x: Int, y: Int): Int = {
+    val h1 = ((src * 128 + y * 16 + x) * 2654435761L) & 0xffffffffL
+    ((((h1 ^ (h1 >>> 16)) * 2246822519L) & 0xffffffffL) >>> 24).toInt
+  }
+  private def imgSemTablePath(s: SparkSession, dir: String): String =
+    synthTablePath(s, dir, "imgsem", "img") { d =>
+      val planted = d % 5 == 0 && d < 100
+      val src = if (planted) d + 100 else d
+      org.apache.spark.sql.graft.MediaKernels.encodePng(imgW, imgH, (x, y) => {
+        val v0 = imgSemPix(src, x, y)
+        val v = if (planted && x == 0 && y == 0) (v0 + 1) % 256 else v0
+        (v << 16) | (v << 8) | v
+      })
+    }
+
+  /** Cross-modal (image) SemDeDup composition end-to-end: decode the
+    * PNG corpus, embed each image with the deterministic mock visual
+    * encoder (`image_embed` — real decode, mean-centered 8x8 grayscale
+    * thumbnail as the vector; the reference's registry precedent is
+    * clip-ViT-B-32-visual, ort_runtime.rs:284-298), then run the
+    * embedding near-dup machinery UNCHANGED over the image vectors:
+    * 4x16-bit hyperplane LSH banding + exact-cosine verify at rounded
+    * dist <= 0.2. The 20 planted one-pixel near-identical pairs
+    * (d, d+100) group; unrelated pseudo-random images verify apart.
+    * The oracle replays the whole path from the closed-form pixel
+    * formula — embedding, band keys, candidates, verify. */
+  private def imageSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val embDf = s.read.parquet(imgSemTablePath(s, dir))
+      .select(col("doc_id"),
+        graft.functions.image_embed(col("img"), 8, 8).as("embedding"))
+    val cand = graft.dedup.Dedup.hyperplanePairs(embDf,
+      col("doc_id"), col("embedding"), VectorQueries.hyperplanes,
+      bands = 4, bitsPerBand = 16)
+    cand
+      .join(embDf.select(col("doc_id").as("doc_a"),
+        col("embedding").as("ea")), "doc_a")
+      .join(embDf.select(col("doc_id").as("doc_b"),
+        col("embedding").as("eb")), "doc_b")
+      .withColumn("dist",
+        round(graft.functions.cos_dist(col("ea"), col("eb")), 6))
+      .filter(col("dist") <= 0.2)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc).limit(500)
+  }
+
   /** Synthesized PCM16 WAV corpus, one deterministic mono square-ish
     * wave per doc: 64 frames at 8000 Hz alternating +a1, -a2 with
     * a1 = 1000 + d % 500 and a2 = d % 499 — so peak = a1 (a1 >= 1000 >
@@ -1382,6 +1443,7 @@ object TextQueries {
     "q_media_decode" -> ((s, d) => mediaDecode(s, d)),
     "q_media_resize" -> ((s, d) => mediaResize(s, d)),
     "q_media_phash" -> ((s, d) => mediaPhash(s, d)),
+    "q_image_semdedup" -> ((s, d) => imageSemDedup(s, d)),
     "q_media_wav" -> ((s, d) => mediaWav(s, d)),
     "q_media_mp4" -> ((s, d) => mediaMp4(s, d)),
     "q_media_mp3" -> ((s, d) => mediaMp3(s, d)),
@@ -2693,6 +2755,58 @@ object TextQueries {
         |  round(CAST((5 * doc_id + 6) % 256 AS DOUBLE), 6) AS f1_b
         |FROM documents
         |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    // cross-modal image SemDeDup: the oracle replays the whole path in
+    // closed form — pixel value = top byte of the Knuth multiplicative
+    // hash of the seed d*128 + sy*16 + sx (planted docs read neighbor
+    // d+100 with the (0,0)+1 bump), thumbnail cell i samples
+    // (sx, sy) = (2*(i%8), i//8), embedding = gray - mean (exact in
+    // double AND float: multiples of 1/64 under 2^14), then the shared
+    // hyperplane band chain, 4-band candidate union, and the identical
+    // rounded cosine verify
+    "q_image_semdedup" -> {
+      // two-round mix, matching imgSemPix: h1 = Knuth multiply mod
+      // 2^32; v = top byte of (xor(h1, h1 >> 16) * 2246822519) mod
+      // 2^32. The second multiply can reach ~9.6e18 > INT64 — DuckDB
+      // errors on BIGINT overflow (Scala Longs wrap, and the mod 2^32
+      // makes the wrap harmless), so it runs in HUGEINT
+      def vOf(src: String): String = {
+        val h1 = s"((($src * 128 + (i // 8) * 16 + 2 * (i % 8)) * 2654435761) % 4294967296)"
+        s"CAST(((CAST(xor($h1, $h1 // 65536) AS HUGEINT) * 2246822519) % 4294967296) // 16777216 AS BIGINT)"
+      }
+      s"""WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200),
+         |cell AS (SELECT doc_id, unnest(range(64)) AS i FROM ids),
+         |pv AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN doc_id % 5 = 0 AND doc_id < 100 THEN
+         |      CASE WHEN i = 0 THEN (${vOf("(doc_id + 100)")} + 1) % 256
+         |      ELSE ${vOf("(doc_id + 100)")} END
+         |    ELSE ${vOf("doc_id")} END AS v
+         |  FROM cell),
+         |mu AS (SELECT doc_id, sum(v) / 64.0 AS m FROM pv GROUP BY 1),
+         |iemb AS (
+         |  SELECT pv.doc_id, list(CAST(v AS DOUBLE) - m ORDER BY i) AS embedding
+         |  FROM pv JOIN mu USING (doc_id) GROUP BY pv.doc_id, m),
+         |${VectorQueries.sigCtesOn("iemb", "doc_id")},
+         |cand AS (
+         |  SELECT DISTINCT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigb a
+         |      JOIN sigb b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+         |    UNION
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigb a
+         |      JOIN sigb b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+         |    UNION
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigb a
+         |      JOIN sigb b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+         |    UNION
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigb a
+         |      JOIN sigb b ON a.band3 = b.band3 AND a.doc_id < b.doc_id))
+         |SELECT doc_a, doc_b, round(${VectorQueries.cosPairExpr}, 6) AS dist
+         |FROM cand
+         |JOIN iemb ea ON ea.doc_id = doc_a
+         |JOIN iemb eb ON eb.doc_id = doc_b
+         |WHERE round(${VectorQueries.cosPairExpr}, 6) <= 0.2
+         |ORDER BY doc_a ASC, doc_b ASC LIMIT 500""".stripMargin
+    },
     // 13-gram benchmark decontamination: bench = doc_id % 10 == 7;
     // unnest(range(...)) because DuckDB's range TABLE function rejects
     // lateral column args (scalar range + unnest does not)

@@ -1075,19 +1075,25 @@ object VectorQueries {
     * the Spark side is the one-pass [[graft.functions.hyperplane_sig]]
     * kernel either way). Key values are identical: bit j of band b is
     * the sign of plane 16b+j's dot, weighted 2^j. */
-  private lazy val sigCtesSql: String = {
+  private lazy val sigCtesSql: String = sigCtesOn("embeddings", "vec_id")
+
+  /** The band-key chain parameterized over the source relation and id
+    * column (the embedding column must be named `embedding`) — the
+    * image-semdedup row replays it over its closed-form image-embedding
+    * CTE; ends in `sigb(<idCol>, band0..band3)`. */
+  private[graft] def sigCtesOn(src: String, idCol: String): String = {
     val bandCols = (0 until 4).map { b =>
       s"CAST(sum(CASE WHEN pid // 16 = $b AND d >= 0 THEN (1 << (pid % 16)) ELSE 0 END) AS BIGINT) AS band$b"
     }.mkString(",\n       |    ")
     s"""planes(pid, pv) AS MATERIALIZED (VALUES $planesValuesSql),
        |dots AS (
-       |  SELECT e.vec_id, p.pid,
+       |  SELECT e.$idCol, p.pid,
        |    list_sum(list_transform(e.embedding, (x, k) -> CAST(x AS DOUBLE) * p.pv[k])) AS d
-       |  FROM embeddings e CROSS JOIN planes p),
+       |  FROM $src e CROSS JOIN planes p),
        |sigb AS MATERIALIZED (
-       |  SELECT vec_id,
+       |  SELECT $idCol,
        |    $bandCols
-       |  FROM dots GROUP BY vec_id)""".stripMargin
+       |  FROM dots GROUP BY $idCol)""".stripMargin
   }
 
   /** The [[semCentroids]] table as DuckDB VALUES rows (cid, cv). */
@@ -1141,7 +1147,7 @@ object VectorQueries {
        |  JOIN embeddings eb ON eb.vec_id = vec_b
        |  WHERE $cosPairExpr <= 0.75)""".stripMargin
 
-  private val cosPairExpr =
+  private[graft] val cosPairExpr =
     """1.0 - list_sum(list_transform(ea.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
       |    / sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
       |           * list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin

@@ -132,6 +132,51 @@ object MediaKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Visual-embedding feature extractor with a REAL decode and a
+    * deterministic "model": the mean-centered grayscale of the
+    * nearest-neighbor outW x outH thumbnail, as `array<float>` of
+    * length outW*outH in row-major order — the engine's stand-in for
+    * a CLIP-style visual encoder (the reference ships
+    * clip-ViT-B-32-visual in its ONNX registry,
+    * lantern_cli/src/embeddings/core/ort_runtime.rs:284-298; no ONNX
+    * runtime exists in this environment, so the MODEL is a
+    * deterministic feature map while the decode, schema, batching and
+    * downstream near-dup plumbing are real). Near-identical images map
+    * to near-identical vectors, so the embedding near-dup machinery
+    * (hyperplane LSH + cosine verify) applies unchanged. Values are
+    * exact in float: gray ints minus a mean with 6 fractional bits →
+    * multiples of 1/64 under 2^14. Null when no reader accepts the
+    * payload. */
+  def imageEmbed(b: Array[Byte], outW: Int, outH: Int): GenericArrayData = {
+    val img = decode(b)
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = outW * outH
+    val g = new Array[Int](n)
+    var sum = 0L
+    var i = 0
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val p = img.getRGB((x.toLong * w / outW).toInt, sy)
+        val v = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        g(i) = v
+        sum += v
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    val mean = sum.toDouble / n
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) { out(i) = (g(i) - mean).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Deterministic PNG encoder (test/data-generation helper): pixel
     * (x, y) takes the packed 0xRRGGBB value of `rgb(x, y)`. */
   def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
@@ -961,6 +1006,29 @@ case class ImageDhash(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
       |${ev.value} = org.apache.spark.sql.graft.MediaKernels.imageDhashHex($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `image_embed(binary, outW, outH)` -> array<float> of length
+  * outW*outH: the mean-centered nearest-neighbor grayscale thumbnail
+  * from a REAL pixel decode ([[MediaKernels.imageEmbed]]) — the
+  * deterministic mock visual-encoder feeding the embedding near-dup
+  * machinery; null for payloads no installed reader accepts. */
+case class ImageEmbed(child: Expression, outW: Int, outH: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(outW > 0 && outH > 0, "output dimensions must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(FloatType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_embed"
+  override def nullSafeEval(v: Any): Any =
+    MediaKernels.imageEmbed(v.asInstanceOf[Array[Byte]], outW, outH)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = org.apache.spark.sql.graft.MediaKernels.imageEmbed($c, $outW, $outH);
       |${ev.isNull} = ${ev.value} == null;
       |""".stripMargin)
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -361,4 +361,61 @@ class MultimodalSpec extends SparkSpec {
     assert(m1.getInt(0) == 1 && m1.getInt(1) == 48000)
     assert(rows(2).isNullAt(1)) // truncated final frame
   }
+
+  test("image_embed: centered thumbnail features from a real decode") {
+    import org.apache.spark.sql.graft.MediaKernels
+    val png = MediaKernels.encodePng(16, 8, (x, y) => {
+      val v = (x * 16 + y) % 256; (v << 16) | (v << 8) | v
+    })
+    val e = Seq((1L, png)).toDF("id", "img")
+      .select(graft.functions.image_embed(col("img"), 8, 8).as("e"))
+      .collect()(0).getSeq[Float](0)
+    assert(e.length == 64)
+    // cell i samples source pixel (2*(i%8), i//8); gray == v; centered
+    val vals = (0 until 64).map(i => ((2 * (i % 8)) * 16 + (i / 8)) % 256)
+    val m = vals.sum.toDouble / 64
+    (0 until 64).foreach(i =>
+      assert(e(i) == (vals(i) - m).toFloat, s"cell $i"))
+    assert(math.abs(e.map(_.toDouble).sum) < 1e-6, "mean-centered")
+    // undecodable payload -> null
+    assert(Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "img")
+      .select(graft.functions.image_embed(col("img"), 8, 8))
+      .collect()(0).isNullAt(0))
+  }
+
+  test("image near-dup pipeline groups planted one-pixel variants") {
+    import org.apache.spark.sql.graft.MediaKernels
+    // 40 pseudo-random images; d < 20 with d % 5 == 0 renders d+20's
+    // image with the (0,0) pixel bumped — the q_image_semdedup corpus
+    // at spec size
+    val imgs = (0L until 40L).map { d =>
+      val planted = d % 5 == 0 && d < 20
+      val src = if (planted) d + 20 else d
+      (d, MediaKernels.encodePng(16, 8, (x, y) => {
+        val h1 = ((src * 128 + y * 16 + x) * 2654435761L) & 0xffffffffL
+        val v0 = ((((h1 ^ (h1 >>> 16)) * 2246822519L) & 0xffffffffL)
+          >>> 24).toInt
+        val v = if (planted && x == 0 && y == 0) (v0 + 1) % 256 else v0
+        (v << 16) | (v << 8) | v
+      }))
+    }.toDF("doc_id", "img")
+    val emb = imgs.select(col("doc_id"),
+      graft.functions.image_embed(col("img"), 8, 8).as("embedding"))
+    val cand = graft.dedup.Dedup.hyperplanePairs(emb, col("doc_id"),
+      col("embedding"), graft.queries.VectorQueries.hyperplanes,
+      bands = 4, bitsPerBand = 16)
+    val verified = cand
+      .join(emb.select(col("doc_id").as("doc_a"), col("embedding").as("ea")),
+        "doc_a")
+      .join(emb.select(col("doc_id").as("doc_b"), col("embedding").as("eb")),
+        "doc_b")
+      .filter(graft.functions.cos_dist(col("ea"), col("eb")) <= 0.2)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 20L by 5L).map(d => (d, d + 20)).toSet
+    assert(planted.subsetOf(verified),
+      s"planted pairs missing: ${planted -- verified}")
+    // and nothing unrelated verifies: all found pairs are planted
+    assert(verified == planted, s"spurious pairs: ${verified -- planted}")
+  }
 }
