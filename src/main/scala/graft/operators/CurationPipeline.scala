@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.{Dsir, QualityClassifier, TextOps}
+
+/** The COMPOSED curation pipeline — every per-stage operator this
+  * engine ships, chained the way a real pretraining-data deployment
+  * runs them (C4 → Gopher → classifier gate → exact dedup → quality-
+  * aware near-dup keeper → DSIR importance → per-source token-budget
+  * mix; the stage lineup of the published C4/MassiveText/RefinedWeb/
+  * DSIR pipelines). The composed entry point is the product: each
+  * stage is individually verified elsewhere, and composition is
+  * exactly where hidden re-scans and re-computes live — so this
+  * operator also owns the pipeline's MATERIALIZATION policy.
+  *
+  * Reference context: this is the engine-level analog of the
+  * reference's composed `search_bm25` / `weighted_vector_search`
+  * wrappers (lantern_extras/src/bm25_api.sql:61-104,
+  * lantern_hnsw/sql/lantern.sql:656-882) — one callable that chains
+  * the primitives users would otherwise hand-wire.
+  *
+  * Scale shape (100 TB): the input scan is paid ONCE — stage
+  * boundaries are persisted (each stage output is referenced by at
+  * least two downstream consumers, and an unmaterialized boundary
+  * re-derives the whole upstream chain per reference; at a past
+  * century run exactly this class of hidden recompute OOM'd a
+  * first-cut operator). In a cluster deployment the same boundaries
+  * are parquet tables between jobs; here they persist MEMORY_AND_DISK
+  * via the caller's cache hook. Per stage:
+  *  - clean/gate: narrow per-row transforms + ONE doc-keyed join each
+  *    to carry (source, text) past the stage operators' own outputs;
+  *  - classifier: broadcast weight join on exploded tokens, one
+  *    doc-keyed combiner aggregate; the gate threshold (the survivor
+  *    MEAN score) attaches as a 1-row broadcast cross join — a corpus
+  *    statistic, never a driver action;
+  *  - exact dedup: one hash shuffle on the 16-byte md5 key;
+  *  - near-dup: the banded MinHash machinery (shingle → signature →
+  *    band equi-join under the default-on mega-bucket guard → bucketed
+  *    Jaccard verify → counted connected components → argmax keeper);
+  *  - selection: the zero-exchange inline DSIR fold, then the
+  *    score-blocked two-phase token-budget rank.
+  * No rank window ever partitions on fewer than (source, block); no
+  * all-pairs path survives anywhere.
+  */
+object CurationPipeline {
+
+  /** All stage outputs, keyed by stage name in pipeline order:
+    * `c4` (cleaned survivors with text_c4 + source), `gok` (Gopher
+    * survivors), `cls` (above-mean classifier survivors with
+    * score_fp), `exd` (exact-dedup keepers), `ndk` (near-dup keepers),
+    * `selected` (the final mixed selection). Stage boundaries are
+    * materialized through `cache` (see [[curate]]); counting each
+    * frame is the pipeline's per-stage attribution. */
+  def stages(docs: DataFrame, idCol: Column, sourceCol: Column,
+      textCol: Column, qualityWeights: DataFrame, dsirWeights: Array[Long],
+      budgets: Map[String, Long], jaccardThreshold: Double = 0.6,
+      cache: (String, () => DataFrame) => DataFrame =
+        (_, f) => f().persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      : Seq[(String, DataFrame)] = {
+    require(jaccardThreshold >= 0 && jaccardThreshold <= 1,
+      "jaccardThreshold must be in [0, 1]")
+    def mat(stage: String)(df: => DataFrame): DataFrame =
+      cache(stage, () => df)
+
+    // 1. C4 clean: keep docs passing the document rules; the cleaned
+    //    text is the pipeline's working text from here on. One
+    //    doc-keyed join carries the source column past the stage
+    //    operator's own output schema.
+    val c4 = mat("c4") {
+      TextOps.c4Clean(docs, idCol, textCol)
+        .filter(col("kept") === 1)
+        .select(col("doc_id"), col("text_c4"))
+        .join(docs.select(idCol.as("doc_id"), sourceCol.as("source")),
+          "doc_id")
+    }
+
+    // 2. Gopher rules over the CLEANED text (gates compose on what
+    //    survives cleaning, not on raw bytes a later stage never sees)
+    val gok = mat("gok") {
+      c4.join(TextOps.gopherGate(c4, col("doc_id"), col("text_c4"))
+        .filter(col("kept") === 1).select(col("doc_id")), "doc_id")
+    }
+
+    // 3. Fixed-point classifier score (prepared weight table) + the
+    //    above-mean gate: "keep documents scoring above the survivor
+    //    average" — a corpus statistic, so the threshold is
+    //    scale-covariant by construction and replayable exactly
+    //    (integer sum / exact double mean). Strict >.
+    val cls = mat("cls") {
+      val qsc = gok.join(
+        QualityClassifier.scoreFixedPoint(gok, col("doc_id"),
+            col("text_c4"), qualityWeights)
+          .select(col("doc_id"), col("score_fp")), "doc_id")
+      qsc.crossJoin(broadcast(qsc.agg(
+          (sum(col("score_fp")).cast("double") / count(lit(1)))
+            .as("__m"))))
+        .filter(col("score_fp") > col("__m"))
+        .drop("__m")
+    }
+
+    // 4. Exact dedup on the cleaned text: min-id keeper per 16-byte
+    //    md5 group (one hash shuffle; the keeper set joins back
+    //    doc-keyed)
+    val exd = mat("exd") {
+      cls.join(
+        cls.select(md5(col("text_c4").cast("binary")).as("__h"),
+            col("doc_id"))
+          .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id")),
+        "doc_id")
+    }
+
+    // 5. Quality-aware near-dup keeper: banded MinHash candidates over
+    //    the cleaned survivors, Jaccard-verified edges, keep the BEST-
+    //    scoring member per component (ties → lowest id)
+    val ndk = mat("ndk") {
+      val sh = Dedup.shingled(exd, col("doc_id"), col("text_c4"))
+      val pairs = Dedup.jaccardVerify(sh,
+          Dedup.lshCandidatePairs(Dedup.signatures(sh, 8), 8, 4))
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.keepBestPerGroup(exd, col("doc_id"), pairs,
+        exd.select(col("doc_id").as("__sid"), col("score_fp")),
+        col("__sid"), col("score_fp"))
+    }
+
+    // 6 + 7. DSIR importance (zero-exchange inline fold over the
+    //    prepared weight array) ranks INSIDE the per-source token
+    //    budgets — the straddling doc kept, overshoot ≤ 1
+    val selected =
+      TextOps.mixToTokenBudgetByScore(
+          Dsir.withScoreInline(ndk, col("text_c4"), dsirWeights),
+          col("doc_id"), col("source"),
+          size(graft.functions.tokenize(col("text_c4"))), col("w_fp"),
+          budgets)
+        .select(col("doc_id"), col("source"), col("score_fp"),
+          col("w_fp"), col("n_tokens"), col("tok_prefix"),
+          col("mix_rank"))
+
+    Seq("c4" -> c4, "gok" -> gok, "cls" -> cls, "exd" -> exd,
+      "ndk" -> ndk, "selected" -> selected)
+  }
+
+  /** The composed pipeline's final selection — see [[stages]]. */
+  def curate(docs: DataFrame, idCol: Column, sourceCol: Column,
+      textCol: Column, qualityWeights: DataFrame, dsirWeights: Array[Long],
+      budgets: Map[String, Long], jaccardThreshold: Double = 0.6,
+      cache: (String, () => DataFrame) => DataFrame =
+        (_, f) => f().persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      : DataFrame =
+    stages(docs, idCol, sourceCol, textCol, qualityWeights, dsirWeights,
+      budgets, jaccardThreshold, cache).last._2
+}

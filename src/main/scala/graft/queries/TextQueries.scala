@@ -189,7 +189,9 @@ object TextQueries {
       timed("mock_embeddings") { mockEmbCached(s, dir).count() },
       timed("quality_weights") { qualityWeights(s, dir).count() },
       timed("dsir_weights") { dsirWeightsCached(s, dir).count() },
-      timed("dsir_stream") { dsirStreamPath(s, dir) })
+      timed("dsir_stream") { dsirStreamPath(s, dir) },
+      timed("imgsem_table") { imgSemTablePath(s, dir) },
+      timed("pipeline_stages") { pipelineE2e(s, dir).count() })
   }
 
   /** Hybrid retrieval: BM25 top-20 and mock-embedding KNN top-20 fused
@@ -601,6 +603,79 @@ object TextQueries {
         col("tok_prefix"), col("mix_rank"))
       .orderBy(col("source").asc, col("mix_rank").asc).limit(500)
   }
+
+  // ---- composed end-to-end pipeline (q_pipeline_e2e) ----
+
+  private val pipeFive = ("One good line ends here. A second sentence " +
+    "follows now. Then a third one lands. Afterwards a fourth arrives. " +
+    "Finally a fifth closes.").replace(". ", ".\n")
+  private val pipeStop =
+    "It has to be that good, with the best of everything."
+  private val pipeBomb = "Hash # marks # pepper # this # line # badly # " +
+    "indeed # and # again # more # still # worse # yet # onward # ever # " +
+    "deeper # down # low # high # wide # far # near # loud # soft # big # " +
+    "small # old # new # last # end."
+  private val pipeExtra =
+    "An extra near duplicate sentence closes this copy."
+
+  /** The pipeline corpus: every doc gets per-doc content + a gopher-
+    * stopword sentence on line 1 and the five-sentence block (so the
+    * clean stage has something to keep), then a branch by
+    * srcId % 6 — 1: brace line (c4 doc-drop), 2: lorem line (c4
+    * doc-drop), 3: symbol bomb that SURVIVES the line filter and fails
+    * Gopher r_symbols — plus planted duplicates: doc_id % 9 == 4
+    * renders doc_id-4's text verbatim (exact dup; the keeper is the
+    * min id), % 9 == 5 renders doc_id-5's text plus one extra sentence
+    * (near dup; the keeper is the BEST classifier score). The partner
+    * ids are % 9 == 0/1 docs, so a 3-member mixed component
+    * {d, d+4 exact, d+5 near} occurs whenever d % 9 == 0 ∧ branches
+    * survive. */
+  private def pipeAug(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val srcId = when(col("doc_id") % 9 === 4, col("doc_id") - 4)
+      .when(col("doc_id") % 9 === 5, col("doc_id") - 5)
+      .otherwise(col("doc_id"))
+    d.select(col("doc_id"), col("source"), srcId.as("__sid"))
+      .join(d.select(col("doc_id").as("__sid"), col("text").as("__base")),
+        "__sid")
+      .withColumn("__b", col("__sid") % 6)
+      .select(col("doc_id"), col("source"),
+        concat(col("__base"), lit(" " + pipeStop),
+          when(col("__b") === 1, lit("\nvar x = {1};"))
+            .when(col("__b") === 2, lit("\nLorem Ipsum dolor sit amet."))
+            .when(col("__b") === 3, lit("\n" + pipeBomb))
+            .otherwise(lit("")),
+          lit("\n" + pipeFive),
+          when(col("doc_id") % 9 === 5, lit("\n" + pipeExtra))
+            .otherwise(lit(""))).as("text"))
+  }
+
+  /** The composed curation pipeline end-to-end as ONE contract row:
+    * clean → Gopher gate → above-mean classifier gate → exact dedup →
+    * quality-aware near-dup keeper → DSIR importance → per-source
+    * token-budget mix ([[graft.operators.CurationPipeline]]), over the
+    * planted pipeline corpus. Every stage is demonstrably active at
+    * every scale (sf0.01 funnel: 500 → 388 → 242 → 120 → 109 → 98 →
+    * 6 selected). Prepared artifacts (classifier weights, DSIR weight
+    * array) ride the shared per-dir caches; stage boundaries persist
+    * once per dir through SharedState, so the documents scan is paid
+    * once. The oracle chains the per-stage CTE chains verbatim. */
+  /** The contract pipeline's stage frames (shared with
+    * [[graft.tools.PipelineProbe]] for century per-stage
+    * attribution); boundaries persist once per dir. */
+  private[graft] def pipelineStages(s: SparkSession,
+      dir: String): Seq[(String, DataFrame)] =
+    graft.operators.CurationPipeline.stages(
+      pipeAug(s, dir), col("doc_id"), col("source"), col("text"),
+      qualityWeights(s, dir), dsirWeightsArr(s, dir),
+      Map("src5" -> 800L, "src6" -> 400L, "src7" -> 200L,
+        "src8" -> 0L),
+      cache = (stage, f) =>
+        graft.SharedState.cached(s"pipee2e:$stage:$dir")(f()))
+
+  private def pipelineE2e(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cached(s"pipee2e:$dir")(pipelineStages(s, dir).last._2)
+      .orderBy(col("source").asc, col("mix_rank").asc).limit(500)
 
   /** Unicode canonicalization over per-doc_id synthesized decomposed /
     * precomposed sequences (the corpus text itself is ASCII, so the
@@ -1436,6 +1511,7 @@ object TextQueries {
     "q_dsir_sample" -> ((s, d) => dsirSample(s, d)),
     "q_dsir_stream" -> ((s, d) => dsirStream(s, d)),
     "q_dsir_mix" -> ((s, d) => dsirMix(s, d)),
+    "q_pipeline_e2e" -> ((s, d) => pipelineE2e(s, d)),
     "q_domain_stats" -> ((s, d) => domainStats(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
@@ -2366,6 +2442,161 @@ object TextQueries {
          |SELECT doc_id, n_feats, w_fp FROM al
          |ORDER BY w_fp DESC, md5(CAST(doc_id AS VARCHAR) || ':dsir'), doc_id
          |LIMIT 100""".stripMargin,
+    // the composed pipeline: the oracle chains the per-stage CTE
+    // chains — the planted augmentation, the C4 line/doc rules, the
+    // Gopher rules on the cleaned text, the fixed-point classifier
+    // (weights from the RAW corpus = the prepared artifact) with the
+    // above-survivor-mean gate, md5 min-id exact dedup, the MinHash
+    // band/verify/recursive-components/argmax-keeper chain, the DSIR
+    // fixed-point score of the CLEANED text under the corpus-trained
+    // weight table (dsirCtes' wt), and the importance-ranked
+    // per-source token-budget window. AS MATERIALIZED on every reused
+    // stage boundary — inlined CTEs re-derive the whole upstream chain
+    // per reference (107 s -> 3.6 s at sf0.01 when measured)
+    "q_pipeline_e2e" -> {
+      def sqlLines(block: String): String =
+        block.split("\n").map(l => s"'$l'").mkString(" || chr(10) || ")
+      s"""WITH RECURSIVE $dsirCtes,
+         |rbtok AS (
+         |  SELECT doc_id, ('0x' || substr(md5(unnest(t)), 1, 15))::BIGINT % 4096 AS bucket
+         |  FROM toks),
+         |qcounts AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cn
+         |  FROM rbtok JOIN lab USING (doc_id) GROUP BY bucket),
+         |qw AS MATERIALIZED (
+         |  SELECT bucket, (cp + 1) * 1000000 // (cp + cn + 2) AS weight
+         |  FROM qcounts),
+         |paug AS (
+         |  SELECT d.doc_id, d.source,
+         |    s.text || ' ' || '$pipeStop'
+         |    || CASE (CASE WHEN d.doc_id % 9 = 4 THEN d.doc_id - 4
+         |                  WHEN d.doc_id % 9 = 5 THEN d.doc_id - 5
+         |                  ELSE d.doc_id END) % 6
+         |       WHEN 1 THEN chr(10) || 'var x = {1};'
+         |       WHEN 2 THEN chr(10) || 'Lorem Ipsum dolor sit amet.'
+         |       WHEN 3 THEN chr(10) || '$pipeBomb'
+         |       ELSE '' END
+         |    || chr(10) || ${sqlLines(pipeFive)}
+         |    || CASE WHEN d.doc_id % 9 = 5 THEN chr(10) || '$pipeExtra'
+         |       ELSE '' END AS t
+         |  FROM documents d
+         |  JOIN documents s ON s.doc_id =
+         |    CASE WHEN d.doc_id % 9 = 4 THEN d.doc_id - 4
+         |         WHEN d.doc_id % 9 = 5 THEN d.doc_id - 5
+         |         ELSE d.doc_id END),
+         |c4ln AS (SELECT doc_id, source, t,
+         |  list_filter(string_split(t, chr(10)), l -> l <> '') AS lines
+         |  FROM paug),
+         |c4kp AS (SELECT doc_id, source, t,
+         |  coalesce(array_to_string(
+         |    list_filter(lines, l -> regexp_matches(trim(l), '[.!?]["'']?$$')
+         |      AND len(list_filter(string_split_regex(trim(l), '[ \\t]+'), w -> w <> '')) >= 3
+         |      AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS text_c4
+         |  FROM c4ln),
+         |c4 AS MATERIALIZED (
+         |  SELECT doc_id, source, text_c4
+         |  FROM c4kp
+         |  WHERE NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum')
+         |    AND len(regexp_extract_all(text_c4, '[.!?]')) >= 5),
+         |gtok AS (SELECT doc_id, source, text_c4,
+         |  list_filter(string_split_regex(lower(text_c4), '[^a-z0-9]+'), x -> x <> '') AS w,
+         |  list_filter(string_split(text_c4, chr(10)), l -> l <> '') AS ls
+         |  FROM c4),
+         |gm AS (SELECT doc_id, source, text_c4, w,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE) / greatest(len(w), 1) AS mean_len,
+         |  CAST(len(regexp_extract_all(text_c4, '#')) + len(regexp_extract_all(text_c4, '\\.\\.\\.')) + len(regexp_extract_all(text_c4, '…')) AS DOUBLE) / greatest(len(w), 1) AS sym,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / greatest(len(w), 1) AS alpha,
+         |  CAST(len(list_filter(list_distinct(w), x -> x IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS INT) AS stop_hits,
+         |  CAST(len(list_filter(ls, l -> regexp_matches(l, '^[ \\t]*[-*] '))) AS DOUBLE) / greatest(len(ls), 1) AS bullet,
+         |  CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$$'))) AS DOUBLE) / greatest(len(ls), 1) AS ellipsis
+         |  FROM gtok),
+         |gok AS MATERIALIZED (
+         |  SELECT doc_id, source, text_c4, w FROM gm
+         |  WHERE n_words >= 50 AND n_words <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+         |    AND sym <= 0.1 AND alpha >= 0.8 AND stop_hits >= 2 AND bullet <= 0.9 AND ellipsis <= 0.3),
+         |cbtok AS (
+         |  SELECT doc_id, ('0x' || substr(md5(unnest(w)), 1, 15))::BIGINT % 4096 AS bucket
+         |  FROM gok),
+         |cagg AS (
+         |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS w_sum,
+         |    CAST(count(*) AS BIGINT) AS n_scored
+         |  FROM cbtok JOIN qw USING (bucket) GROUP BY doc_id),
+         |qsc AS MATERIALIZED (
+         |  SELECT g.doc_id, g.source, g.text_c4, g.w,
+         |    COALESCE(c.w_sum, 0) // greatest(COALESCE(c.n_scored, 0), 1) AS score_fp
+         |  FROM gok g LEFT JOIN cagg c USING (doc_id)),
+         |clsmean AS (SELECT sum(score_fp) / CAST(count(*) AS DOUBLE) AS m FROM qsc),
+         |cls AS MATERIALIZED (
+         |  SELECT qsc.* FROM qsc, clsmean WHERE score_fp > m),
+         |exd AS MATERIALIZED (
+         |  SELECT doc_id, source, text_c4, w, score_fp FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text_c4)) AS __keep
+         |    FROM cls)
+         |  WHERE doc_id = __keep),
+         |sh AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+         |    j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS s
+         |  FROM exd WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, list_transform(s, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs FROM sh),
+         |sig AS (SELECT doc_id, ${sigSql(8)} AS sig FROM hs),
+         |banded AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
+         |jac AS (
+         |  SELECT doc_a, doc_b FROM prs
+         |  JOIN sh sa ON sa.doc_id = prs.doc_a
+         |  JOIN sh sb ON sb.doc_id = prs.doc_b
+         |  WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 6) >= 0.6),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM jac
+         |  UNION SELECT doc_b AS s, doc_a AS d FROM jac),
+         |verts AS (SELECT DISTINCT s AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT e.d AS id, reach.r AS r FROM reach JOIN edges e ON e.s = reach.id),
+         |comps AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+         |ranked AS (
+         |  SELECT c.doc_id,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY e.score_fp DESC, c.doc_id ASC) AS rn
+         |  FROM comps c JOIN exd e USING (doc_id)),
+         |ndk AS MATERIALIZED (
+         |  SELECT e.* FROM exd e
+         |  LEFT JOIN ranked r USING (doc_id)
+         |  WHERE r.doc_id IS NULL OR r.rn = 1),
+         |cfeat AS (
+         |  SELECT doc_id, unnest(w || list_transform(
+         |    range(greatest(len(w) - 1, 0)), i -> w[i + 1] || ' ' || w[i + 2])) AS f
+         |  FROM ndk),
+         |cfb AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket FROM cfeat),
+         |dsc AS (SELECT cfb.doc_id, CAST(sum(lr_fp) AS BIGINT) AS w_fp
+         |  FROM cfb JOIN wt USING (bucket) GROUP BY 1),
+         |dall AS (
+         |  SELECT n.doc_id, n.source, n.score_fp, coalesce(d.w_fp, 0) AS w_fp,
+         |    CAST(len(n.w) AS BIGINT) AS n_tokens
+         |  FROM ndk n LEFT JOIN dsc d USING (doc_id)),
+         |pr AS (SELECT *, md5(CAST(doc_id AS VARCHAR) || ':graft') AS rk FROM dall),
+         |cwin AS (SELECT doc_id, source, score_fp, w_fp, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY w_fp DESC, rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_prefix,
+         |    row_number() OVER (PARTITION BY source ORDER BY w_fp DESC, rk, doc_id) AS mr
+         |  FROM pr),
+         |bgt(source, budget) AS (VALUES ('src5', 800), ('src6', 400),
+         |  ('src7', 200), ('src8', 0))
+         |SELECT doc_id, cwin.source AS source, score_fp, w_fp, n_tokens,
+         |  tok_prefix, CAST(mr AS BIGINT) AS mix_rank
+         |FROM cwin JOIN bgt ON cwin.source = bgt.source
+         |WHERE tok_prefix < budget
+         |ORDER BY cwin.source ASC, mix_rank ASC LIMIT 500""".stripMargin
+    },
     // DSIR × token-budget composition: the oracle replays the
     // importance-ranked per-source rank as ONE global window with an
     // exclusive token cumsum — the score-blocked two-phase Spark shape

@@ -319,6 +319,77 @@ class PlanGoldenSpec extends SparkSpec {
     checkGolden("q_dsir_mix", skel)
   }
 
+  test("q_pipeline_e2e: stage boundaries materialize; input scanned only in the clean stage") {
+    // the contract row's steady-state EXECUTED plan reads the per-dir
+    // stage cache (the formatted text also prints the cached
+    // relation's build plan, so the assertions walk the plan TREE and
+    // stop at InMemoryTableScan — the build below it ran once, not per
+    // query)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def fileScans(p: SparkPlan): Int = p match {
+      case _: InMemoryTableScanExec => 0
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case _: FileSourceScanExec => 1
+      case other => other.children.map(fileScans).sum
+    }
+    val (plan, _) = snapshot("q_pipeline_e2e")
+    assert(plan.contains("InMemoryTableScan"),
+      "the pipeline row no longer rides the materialized stage cache")
+    assert(!plan.contains("CartesianProduct"))
+    val dir = sf("sf0.01")
+    assert(fileScans(
+        SparkEntry.queries("q_pipeline_e2e")(spark, dir)
+          .queryExecution.executedPlan) == 0,
+      "the steady-state pipeline row re-scans the corpus")
+
+    // composition scan bound on a fresh spec-local pipeline: the
+    // clean stage — the ONLY stage allowed to touch the input — reads
+    // the documents parquet at most 4 times in its unmaterialized
+    // build plan (the 2-reference source-carry join), and once the
+    // boundaries persist, every later stage reads only the previous
+    // stage's cache
+    import graft.operators.CurationPipeline
+    import graft.text.{Dsir, QualityClassifier}
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qw = QualityClassifier.fixedPointWeights(
+      QualityClassifier.trainCounts(docs, col("text"),
+        col("source").isin("src0", "src1", "src2", "src3", "src4")))
+    val dw = Dsir.weightsArray(
+      Dsir.importanceWeightsSplit(docs, col("text"),
+        col("source").isin("src0", "src1", "src2", "src3", "src4")))
+    val budgets = Map("src5" -> 800L, "src6" -> 400L)
+    // pre-materialization build plan of the clean stage: scan bound
+    val bare = CurationPipeline.stages(docs, col("doc_id"), col("source"),
+      col("text"), qw, dw, budgets, cache = (_, f) => f()).toMap
+    val c4Scans = fileScans(bare("c4").queryExecution.executedPlan)
+    assert(c4Scans <= 4, s"clean stage scans documents $c4Scans times (> 4)")
+    // materialize boundaries, then re-derive: boundary-fed plans only
+    val memo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+    val hook = (k: String, f: () => DataFrame) =>
+      memo.getOrElseUpdate(k, f().persist())
+    def build() = CurationPipeline.stages(docs, col("doc_id"),
+      col("source"), col("text"), qw, dw, budgets, cache = hook)
+    build().foreach(_._2.count())
+    try {
+      val fresh = build().toMap
+      for (stage <- Seq("gok", "cls", "exd", "ndk", "selected")) {
+        assert(fileScans(fresh(stage).queryExecution.executedPlan) == 0,
+          s"stage $stage re-scans the corpus instead of reading the " +
+            s"previous boundary")
+      }
+      // the final selection keeps the mix discipline: every rank
+      // window carries the block key
+      val selPlan = formatted(fresh("selected"))
+      val rowNumSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(selPlan).map(_.group(1)).toList
+      assert(rowNumSpecs.nonEmpty && rowNumSpecs.forall(_.contains("__blk")),
+        s"a pipeline rank window ranks without the block key: $rowNumSpecs")
+    } finally memo.values.foreach(_.unpersist())
+  }
+
   test("q_prototype_prune: broadcast per-cluster threshold, no rank window") {
     val (plan, skel) = snapshot("q_prototype_prune")
     // assignment + distance ride the scan as codegen expressions
