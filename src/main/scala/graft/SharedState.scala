@@ -18,6 +18,15 @@ object SharedState {
   def cached(key: String)(f: => DataFrame): DataFrame =
     cache.getOrElseUpdate(key, f.persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** [[cached]] at DISK_ONLY — for WIDE boundary frames (full cleaned
+    * document text per pipeline stage) whose MEMORY_AND_DISK unroll
+    * buffers, stacked on the corpus caches already resident, OOM'd a
+    * century JVM: disk-only persists stream partition-by-partition
+    * with no memory-store attempt, trading re-read I/O (cheap, local)
+    * for a bounded heap. */
+  def cachedDisk(key: String)(f: => DataFrame): DataFrame =
+    cache.getOrElseUpdate(key, f.persist(StorageLevel.DISK_ONLY))
+
   /** Small driver-side artifacts shared between queries (e.g. the
     * contract kmeans centroids — k·dim doubles): the value-level twin
     * of [[cached]], for results of driver-iterative builds that a

@@ -28,8 +28,10 @@ import graft.text.{Dsir, QualityClassifier, TextOps}
   * re-derives the whole upstream chain per reference; at a past
   * century run exactly this class of hidden recompute OOM'd a
   * first-cut operator). In a cluster deployment the same boundaries
-  * are parquet tables between jobs; here they persist MEMORY_AND_DISK
-  * via the caller's cache hook. Per stage:
+  * are parquet tables between jobs; here they persist DISK_ONLY
+  * via the caller's cache hook (the boundaries carry full cleaned
+  * text; memory-store unroll buffers stacked on the resident corpus
+  * caches OOM'd a century JVM — disk-only streams with no unroll). Per stage:
   *  - clean/gate: narrow per-row transforms + ONE doc-keyed join each
   *    to carry (source, text) past the stage operators' own outputs;
   *  - classifier: broadcast weight join on exploded tokens, one
@@ -50,7 +52,8 @@ object CurationPipeline {
   /** All stage outputs, keyed by stage name in pipeline order:
     * `c4` (cleaned survivors with text_c4 + source), `gok` (Gopher
     * survivors), `cls` (above-mean classifier survivors with
-    * score_fp), `exd` (exact-dedup keepers), `ndk` (near-dup keepers),
+    * score_fp), `exd` (exact-dedup keepers), `sh` (hashed shingle
+    * sets — the verify-join boundary), `ndk` (near-dup keepers),
     * `selected` (the final mixed selection). Stage boundaries are
     * materialized through `cache` (see [[curate]]); counting each
     * frame is the pipeline's per-stage attribution. */
@@ -59,7 +62,7 @@ object CurationPipeline {
       budgets: Map[String, Long], jaccardThreshold: Double = 0.6,
       cache: (String, () => DataFrame) => DataFrame =
         (_, f) => f().persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          org.apache.spark.storage.StorageLevel.DISK_ONLY))
       : Seq[(String, DataFrame)] = {
     require(jaccardThreshold >= 0 && jaccardThreshold <= 1,
       "jaccardThreshold must be in [0, 1]")
@@ -116,11 +119,30 @@ object CurationPipeline {
 
     // 5. Quality-aware near-dup keeper: banded MinHash candidates over
     //    the cleaned survivors, Jaccard-verified edges, keep the BEST-
-    //    scoring member per component (ties → lowest id)
+    //    scoring member per component (ties → lowest id). The verify
+    //    stage intersects 60-bit md5 SHINGLE HASHES, not the shingle
+    //    strings — exact-Jaccard-equivalent whenever the hash is
+    //    injective on the corpus (P[collision inside one pair's union]
+    //    ≈ 300²/2^61 ≈ 4e-14), and still EXACTLY engine-replayable
+    //    even under a collision because both engines intersect the
+    //    same hashed sets. The practical reason is memory: a century
+    //    run OOM'd sorting ~5 KB shingle-string rows through the
+    //    verify join's exchanges; the hashed rows are 4-6× narrower
+    //    and compare as longs. The hashed frame is its own persisted
+    //    boundary ("sh") — it feeds both sides of the verify join.
+    val shh = mat("sh") {
+      Dedup.shingled(exd, col("doc_id"), col("text_c4"))
+        .select(col("doc_id"), array_distinct(transform(col("sh"),
+          x => conv(substring(md5(x.cast("binary")), 1, 15), 16, 10)
+            .cast("long"))).as("sh"))
+    }
     val ndk = mat("ndk") {
-      val sh = Dedup.shingled(exd, col("doc_id"), col("text_c4"))
-      val pairs = Dedup.jaccardVerify(sh,
-          Dedup.lshCandidatePairs(Dedup.signatures(sh, 8), 8, 4))
+      // band signatures come from the STRING shingles (the minhash
+      // base hash is the shared 28-bit md5-prefix idiom) — one narrow
+      // recompute off the exd boundary; the wide arrays never join
+      val shStr = Dedup.shingled(exd, col("doc_id"), col("text_c4"))
+      val pairs = Dedup.jaccardVerify(shh,
+          Dedup.lshCandidatePairs(Dedup.signatures(shStr, 8), 8, 4))
         .filter(col("jaccard") >= jaccardThreshold)
         .select(col("doc_a"), col("doc_b"))
       Dedup.keepBestPerGroup(exd, col("doc_id"), pairs,
@@ -142,7 +164,7 @@ object CurationPipeline {
           col("mix_rank"))
 
     Seq("c4" -> c4, "gok" -> gok, "cls" -> cls, "exd" -> exd,
-      "ndk" -> ndk, "selected" -> selected)
+      "sh" -> shh, "ndk" -> ndk, "selected" -> selected)
   }
 
   /** The composed pipeline's final selection — see [[stages]]. */
@@ -151,7 +173,7 @@ object CurationPipeline {
       budgets: Map[String, Long], jaccardThreshold: Double = 0.6,
       cache: (String, () => DataFrame) => DataFrame =
         (_, f) => f().persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          org.apache.spark.storage.StorageLevel.DISK_ONLY))
       : DataFrame =
     stages(docs, idCol, sourceCol, textCol, qualityWeights, dsirWeights,
       budgets, jaccardThreshold, cache).last._2

@@ -670,8 +670,11 @@ object TextQueries {
       qualityWeights(s, dir), dsirWeightsArr(s, dir),
       Map("src5" -> 800L, "src6" -> 400L, "src7" -> 200L,
         "src8" -> 0L),
+      // DISK_ONLY: the stage boundaries carry full cleaned text — at
+      // the century their MEMORY_AND_DISK unroll buffers on top of
+      // the resident corpus caches killed the JVM (r13, first cut)
       cache = (stage, f) =>
-        graft.SharedState.cached(s"pipee2e:$stage:$dir")(f()))
+        graft.SharedState.cachedDisk(s"pipee2e:$stage:$dir")(f()))
 
   private def pipelineE2e(s: SparkSession, dir: String): DataFrame =
     graft.SharedState.cached(s"pipee2e:$dir")(pipelineStages(s, dir).last._2)
@@ -2541,6 +2544,10 @@ object TextQueries {
          |    j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS s
          |  FROM exd WHERE len(w) >= 3),
          |hs AS (SELECT doc_id, list_transform(s, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs FROM sh),
+         |hsh AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
+         |  FROM sh),
          |sig AS (SELECT doc_id, ${sigSql(8)} AS sig FROM hs),
          |banded AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
          |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
@@ -2550,10 +2557,10 @@ object TextQueries {
          |    ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
          |jac AS (
          |  SELECT doc_a, doc_b FROM prs
-         |  JOIN sh sa ON sa.doc_id = prs.doc_a
-         |  JOIN sh sb ON sb.doc_id = prs.doc_b
-         |  WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 6) >= 0.6),
+         |  JOIN hsh sa ON sa.doc_id = prs.doc_a
+         |  JOIN hsh sb ON sb.doc_id = prs.doc_b
+         |  WHERE round(CAST(len(list_intersect(sa.h, sb.h)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.h, sb.h))) AS DOUBLE), 6) >= 0.6),
          |edges AS (SELECT doc_a AS s, doc_b AS d FROM jac
          |  UNION SELECT doc_b AS s, doc_a AS d FROM jac),
          |verts AS (SELECT DISTINCT s AS id FROM edges),
