@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads in JNI codec critical sections (lz4/snappy
+  // streams under cache/shuffle compression) starve G1's GCLocker at
+  // the default 2 retries and surface as spurious OOM under heap
+  // pressure ("Retried waiting for GCLocker too often") — raise the
+  // retry budget; diagnostic in JDK 17, product later
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=32",
 )

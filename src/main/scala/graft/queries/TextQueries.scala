@@ -176,6 +176,12 @@ object TextQueries {
       (name, (System.nanoTime() - t0) / 1e9)
     }
     Seq(
+      // the pipeline materializes FIRST, on a fresh heap: its stage
+      // builds are the prepare's heaviest transient compute, and at
+      // the century they OOM'd when run LAST against a heap already
+      // holding every other corpus cache (the boundaries themselves
+      // are disk-only; the transient join/agg memory was the issue)
+      timed("pipeline_stages") { pipelineE2e(s, dir).count() },
       timed("bm25_postings") { postCached(s, dir).count() },
       timed("bm25_postings_stemmed") { postStemmedCached(s, dir).count() },
       timed("bm25_approx_table") { bm25ApproxTableCached(s, dir).count() },
@@ -190,8 +196,7 @@ object TextQueries {
       timed("quality_weights") { qualityWeights(s, dir).count() },
       timed("dsir_weights") { dsirWeightsCached(s, dir).count() },
       timed("dsir_stream") { dsirStreamPath(s, dir) },
-      timed("imgsem_table") { imgSemTablePath(s, dir) },
-      timed("pipeline_stages") { pipelineE2e(s, dir).count() })
+      timed("imgsem_table") { imgSemTablePath(s, dir) })
   }
 
   /** Hybrid retrieval: BM25 top-20 and mock-embedding KNN top-20 fused
@@ -670,11 +675,15 @@ object TextQueries {
       qualityWeights(s, dir), dsirWeightsArr(s, dir),
       Map("src5" -> 800L, "src6" -> 400L, "src7" -> 200L,
         "src8" -> 0L),
-      // DISK_ONLY: the stage boundaries carry full cleaned text — at
-      // the century their MEMORY_AND_DISK unroll buffers on top of
-      // the resident corpus caches killed the JVM (r13, first cut)
+      // DISK_ONLY + lineage cut: the stage boundaries carry full
+      // cleaned text — at the century their MEMORY_AND_DISK unroll
+      // buffers on top of the resident corpus caches killed the JVM
+      // (r13, first cut) — and an uncut lineage made every fresh
+      // query over the final boundary re-analyze the whole pipeline
+      // tree on the driver (~10 s, scale-independent; see
+      // SharedState.checkpointedDisk)
       cache = (stage, f) =>
-        graft.SharedState.cachedDisk(s"pipee2e:$stage:$dir")(f()))
+        graft.SharedState.checkpointedDisk(s"pipee2e:$stage:$dir")(f()))
 
   private def pipelineE2e(s: SparkSession, dir: String): DataFrame =
     graft.SharedState.cached(s"pipee2e:$dir")(pipelineStages(s, dir).last._2)
