@@ -413,7 +413,12 @@ object Bm25 {
     * `deferral_active` pins that the check exercised the bloom path
     * at all (≥ 1 deferred term — true at every contract scale; a
     * corpus where the crossing never fires yields (false, true,
-    * true) honestly). One verdict row; the oracle pins all-TRUE. */
+    * true) honestly). An EMPTY candidate set (deferral fired but the
+    * query matched no stored postings) is vacuously true on both
+    * invariants — the aggregates return null over zero rows, so the
+    * verdicts coalesce to true rather than surfacing a null a caller's
+    * getBoolean would throw on. One verdict row; the oracle pins
+    * all-TRUE. */
   def bloomModeCheck(tbl: DataFrame, query: String, k: Int,
       params: Params = Params(), stemmed: Boolean = false,
       accDocsThreshold: Int = 100): DataFrame = {
@@ -432,12 +437,15 @@ object Bm25 {
               .as("__bm"),
             array_contains(col("__ids"), col("doc_id")).as("__em"))
           .agg(
-            bool_and(col("__bm") || !col("__em")).as("nfn_ok"),
-            (sum(when(col("__bm") && !col("__em"), 1L).otherwise(0L)) <=
-              greatest(
-                sum(when(!col("__em"), 1L).otherwise(0L))
-                  .cast("double") * 0.05,
-                lit(3.0))).as("fp_rate_ok"))
+            coalesce(bool_and(col("__bm") || !col("__em")), lit(true))
+              .as("nfn_ok"),
+            coalesce(
+              sum(when(col("__bm") && !col("__em"), 1L).otherwise(0L)) <=
+                greatest(
+                  sum(when(!col("__em"), 1L).otherwise(0L))
+                    .cast("double") * 0.05,
+                  lit(3.0)),
+              lit(true)).as("fp_rate_ok"))
           .select(lit(true).as("deferral_active"), col("nfn_ok"),
             col("fp_rate_ok"))
     }

@@ -20,7 +20,16 @@ import graft.SparkEntry
   * queries (job launch, codegen, fixed-k probes) from tripping the
   * gate on noise. Prints ONE JSON line with per-query ratios, the
   * worst offenders, and an overall pass — exit nonzero on any
-  * failure or errored query. */
+  * failure or errored query.
+  *
+  * Timing discipline (ADVICE r13): one UNTIMED warm-up sweep over the
+  * small dir runs first, so the timed small pass measures steady state
+  * instead of absorbing all JIT/codegen/first-touch warm-up (a cold
+  * small side systematically loosens every small×ratio×slack bound);
+  * and [[graft.SharedState]] is cleared between the two timed passes,
+  * so the small side's resident caches and eager checkpoints never
+  * inflate the large side's GC (or OOM the gate itself on scale pairs
+  * bigger than the sf0.1→sf1 default). */
 object ScaleGate {
 
   final case class Row(name: String, small: Double, large: Double,
@@ -72,13 +81,24 @@ object ScaleGate {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    runAll(spark, smallDir) // untimed warm-up: JIT/codegen/first-touch
     val small = runAll(spark, smallDir)
+    // drop the small side's caches/checkpoints before the large pass:
+    // the two scales share one JVM, and resident small-dir state biases
+    // (or OOMs) the large-side measurements the gate exists to compare
+    graft.SharedState.clear()
     val large = runAll(spark, largeDir)
     val rows = verdict(small, large, dataRatio, slack, floorSec)
     val bad = rows.filterNot(_.ok)
     val worst = rows.filter(_.ok).sortBy(-_.ratio).take(5)
+    // explicit-locale formatting: the f interpolator uses the JVM
+    // default locale, whose decimal comma would emit invalid JSON
+    def fmt(p: String, v: Double): String =
+      if (java.lang.Double.isFinite(v))
+        String.format(java.util.Locale.ROOT, p, Double.box(v))
+      else "-1" // a failed side's Infinity ratio would be invalid JSON
     def j(rs: Seq[Row]): String = rs.map(r =>
-      f""""${r.name}":{"small":${r.small}%.3f,"large":${r.large}%.3f,"ratio":${r.ratio}%.2f,"bound":${r.bound}%.2f,"ok":${r.ok}}""")
+      s""""${r.name}":{"small":${fmt("%.3f", r.small)},"large":${fmt("%.3f", r.large)},"ratio":${fmt("%.2f", r.ratio)},"bound":${fmt("%.2f", r.bound)},"ok":${r.ok}}""")
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_gate","small":"$smallDir","large":"$largeDir","data_ratio":$dataRatio,"slack":$slack,"floor_sec":$floorSec,"n":${rows.size},"failures":${bad.size},"queries":${j(rows)},"worst_ok":${j(worst)}}""")
     spark.stop()
