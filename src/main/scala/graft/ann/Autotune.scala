@@ -272,7 +272,13 @@ object Autotune {
     * NAMES catch that case deterministically — every Spark parquet
     * overwrite writes fresh `part-*-<uuid>` names — and lengths/mtimes
     * back them up for non-Spark writers that reuse names. */
-  private def listingStamp(fs: org.apache.hadoop.fs.FileSystem,
+  /** Shared by every fingerprint-cached artifact consumer (the
+    * derived-ef cache here; the parquet-boundary pipeline runner in
+    * [[graft.operators.PipelineBoundaries]]): one 64-bit stamp of a
+    * directory listing — child (name, length, mtime) triples plus the
+    * directory's own mtime — that moves whenever the artifact is
+    * rewritten (fresh part-file names) or grown. */
+  private[graft] def listingStamp(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Long = {
     val children = fs.listStatus(p)
       .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))

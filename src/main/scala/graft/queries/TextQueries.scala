@@ -182,6 +182,9 @@ object TextQueries {
       // holding every other corpus cache (the boundaries themselves
       // are disk-only; the transient join/agg memory was the issue)
       timed("pipeline_stages") { pipelineE2e(s, dir).count() },
+      // the parquet-boundary twin: first touch writes (or validates)
+      // the fingerprint-guarded artifacts; steady-state re-reads them
+      timed("pipeline_boundaries") { pipelineBoundariesQ(s, dir).count() },
       timed("bm25_postings") { postCached(s, dir).count() },
       timed("bm25_postings_stemmed") { postStemmedCached(s, dir).count() },
       timed("bm25_approx_table") { bm25ApproxTableCached(s, dir).count() },
@@ -684,16 +687,27 @@ object TextQueries {
     * array) ride the shared per-dir caches; stage boundaries persist
     * once per dir through SharedState, so the documents scan is paid
     * once. The oracle chains the per-stage CTE chains verbatim. */
+  private val pipelineBudgets =
+    Map("src5" -> 800L, "src6" -> 400L, "src7" -> 200L, "src8" -> 0L)
+
+  /** The contract pipeline with a caller-chosen materialization hook —
+    * the per-JVM checkpoint runner ([[pipelineStages]]) and the
+    * parquet-boundary runner ([[pipelineBoundariesRun]]) build the
+    * SAME stage graph and differ only here. */
+  private[graft] def pipelineStagesWith(s: SparkSession, dir: String,
+      cache: (String, () => DataFrame) => DataFrame)
+      : Seq[(String, DataFrame)] =
+    graft.operators.CurationPipeline.stages(
+      pipeAug(s, dir), col("doc_id"), col("source"), col("text"),
+      qualityWeights(s, dir), dsirWeightsArr(s, dir), pipelineBudgets,
+      cache = cache)
+
   /** The contract pipeline's stage frames (shared with
     * [[graft.tools.PipelineProbe]] for century per-stage
     * attribution); boundaries persist once per dir. */
   private[graft] def pipelineStages(s: SparkSession,
       dir: String): Seq[(String, DataFrame)] =
-    graft.operators.CurationPipeline.stages(
-      pipeAug(s, dir), col("doc_id"), col("source"), col("text"),
-      qualityWeights(s, dir), dsirWeightsArr(s, dir),
-      Map("src5" -> 800L, "src6" -> 400L, "src7" -> 200L,
-        "src8" -> 0L),
+    pipelineStagesWith(s, dir,
       // DISK_ONLY + lineage cut: the stage boundaries carry full
       // cleaned text — at the century their MEMORY_AND_DISK unroll
       // buffers on top of the resident corpus caches killed the JVM
@@ -701,8 +715,193 @@ object TextQueries {
       // query over the final boundary re-analyze the whole pipeline
       // tree on the driver (~10 s, scale-independent; see
       // SharedState.checkpointedDisk)
-      cache = (stage, f) =>
+      (stage, f) =>
         graft.SharedState.checkpointedDisk(s"pipee2e:$stage:$dir")(f()))
+
+  /** The parquet-boundary runner over the SAME contract pipeline —
+    * stage boundaries become fingerprint-guarded parquet artifacts
+    * under one root ([[graft.operators.PipelineBoundaries]]), the
+    * cluster-literal materialization the checkpoint runner only
+    * approximates per-JVM: valid boundaries survive JVM restarts and
+    * an invalidated one recomputes itself plus everything downstream,
+    * never the untouched prefix. The seed folds the documents
+    * parquet's listing stamp with the pipeline parameters (and a
+    * version token to bump when stage LOGIC changes — data and params
+    * alone can't see a code change). */
+  private[graft] def pipelineBoundariesRun(s: SparkSession, dir: String,
+      root: Option[String] = None): (Seq[(String, DataFrame)],
+        () => Seq[graft.operators.PipelineBoundaries.StageReport]) = {
+    val seed = graft.operators.PipelineBoundaries.seedOf(s,
+      Seq(s"$dir/documents.parquet"),
+      "pipee2e;budgets=src5:800,src6:400,src7:200,src8:0;jt=0.6;v=1")
+    val runner = new graft.operators.PipelineBoundaries.Runner(s,
+      root.getOrElse(pipelineBoundariesRoot(dir)), seed)
+    (pipelineStagesWith(s, dir, runner.cache), () => runner.reports)
+  }
+
+  private[graft] def pipelineBoundariesRoot(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_pipebounds_$h"
+  }
+
+  private def pipelineBoundariesQ(s: SparkSession, dir: String): DataFrame =
+    pipelineBoundariesRun(s, dir)._1.last._2
+      .orderBy(col("source").asc, col("mix_rank").asc).limit(500)
+
+  /** Shared DuckDB oracle for the composed pipeline rows
+    * (q_pipeline_e2e and q_pipeline_boundaries — two materialization
+    * policies, one result): the per-stage CTE chains with
+    * AS MATERIALIZED on every reused boundary. */
+  private lazy val pipelineOracleSql: String = {
+    def sqlLines(block: String): String =
+      block.split("\n").map(l => s"'$l'").mkString(" || chr(10) || ")
+    s"""WITH RECURSIVE $dsirCtes,
+         |rbtok AS (
+         |  SELECT doc_id, ('0x' || substr(md5(unnest(t)), 1, 15))::BIGINT % 4096 AS bucket
+         |  FROM toks),
+         |qcounts AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cn
+         |  FROM rbtok JOIN lab USING (doc_id) GROUP BY bucket),
+         |qw AS MATERIALIZED (
+         |  SELECT bucket, (cp + 1) * 1000000 // (cp + cn + 2) AS weight
+         |  FROM qcounts),
+         |paug AS (
+         |  SELECT d.doc_id, d.source,
+         |    s.text || ' ' || '$pipeStop'
+         |    || CASE (CASE WHEN d.doc_id % 9 = 4 THEN d.doc_id - 4
+         |                  WHEN d.doc_id % 9 = 5 THEN d.doc_id - 5
+         |                  ELSE d.doc_id END) % 6
+         |       WHEN 1 THEN chr(10) || 'var x = {1};'
+         |       WHEN 2 THEN chr(10) || 'Lorem Ipsum dolor sit amet.'
+         |       WHEN 3 THEN chr(10) || '$pipeBomb'
+         |       ELSE '' END
+         |    || chr(10) || ${sqlLines(pipeFive)}
+         |    || CASE WHEN d.doc_id % 9 = 5 THEN chr(10) || '$pipeExtra'
+         |       ELSE '' END AS t
+         |  FROM documents d
+         |  JOIN documents s ON s.doc_id =
+         |    CASE WHEN d.doc_id % 9 = 4 THEN d.doc_id - 4
+         |         WHEN d.doc_id % 9 = 5 THEN d.doc_id - 5
+         |         ELSE d.doc_id END),
+         |c4ln AS (SELECT doc_id, source, t,
+         |  list_filter(string_split(t, chr(10)), l -> l <> '') AS lines
+         |  FROM paug),
+         |c4kp AS (SELECT doc_id, source, t,
+         |  coalesce(array_to_string(
+         |    list_filter(lines, l -> regexp_matches(trim(l), '[.!?]["'']?$$')
+         |      AND len(list_filter(string_split_regex(trim(l), '[ \\t]+'), w -> w <> '')) >= 3
+         |      AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS text_c4
+         |  FROM c4ln),
+         |c4 AS MATERIALIZED (
+         |  SELECT doc_id, source, text_c4
+         |  FROM c4kp
+         |  WHERE NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum')
+         |    AND len(regexp_extract_all(text_c4, '[.!?]')) >= 5),
+         |gtok AS (SELECT doc_id, source, text_c4,
+         |  list_filter(string_split_regex(lower(text_c4), '[^a-z0-9]+'), x -> x <> '') AS w,
+         |  list_filter(string_split(text_c4, chr(10)), l -> l <> '') AS ls
+         |  FROM c4),
+         |gm AS (SELECT doc_id, source, text_c4, w,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE) / greatest(len(w), 1) AS mean_len,
+         |  CAST(len(regexp_extract_all(text_c4, '#')) + len(regexp_extract_all(text_c4, '\\.\\.\\.')) + len(regexp_extract_all(text_c4, '…')) AS DOUBLE) / greatest(len(w), 1) AS sym,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / greatest(len(w), 1) AS alpha,
+         |  CAST(len(list_filter(list_distinct(w), x -> x IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS INT) AS stop_hits,
+         |  CAST(len(list_filter(ls, l -> regexp_matches(l, '^[ \\t]*[-*] '))) AS DOUBLE) / greatest(len(ls), 1) AS bullet,
+         |  CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$$'))) AS DOUBLE) / greatest(len(ls), 1) AS ellipsis
+         |  FROM gtok),
+         |gok AS MATERIALIZED (
+         |  SELECT doc_id, source, text_c4, w FROM gm
+         |  WHERE n_words >= 50 AND n_words <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+         |    AND sym <= 0.1 AND alpha >= 0.8 AND stop_hits >= 2 AND bullet <= 0.9 AND ellipsis <= 0.3),
+         |cbtok AS (
+         |  SELECT doc_id, ('0x' || substr(md5(unnest(w)), 1, 15))::BIGINT % 4096 AS bucket
+         |  FROM gok),
+         |cagg AS (
+         |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS w_sum,
+         |    CAST(count(*) AS BIGINT) AS n_scored
+         |  FROM cbtok JOIN qw USING (bucket) GROUP BY doc_id),
+         |qsc AS MATERIALIZED (
+         |  SELECT g.doc_id, g.source, g.text_c4, g.w,
+         |    COALESCE(c.w_sum, 0) // greatest(COALESCE(c.n_scored, 0), 1) AS score_fp
+         |  FROM gok g LEFT JOIN cagg c USING (doc_id)),
+         |clsmean AS (SELECT sum(score_fp) / CAST(count(*) AS DOUBLE) AS m FROM qsc),
+         |cls AS MATERIALIZED (
+         |  SELECT qsc.* FROM qsc, clsmean WHERE score_fp > m),
+         |exd AS MATERIALIZED (
+         |  SELECT doc_id, source, text_c4, w, score_fp FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text_c4)) AS __keep
+         |    FROM cls)
+         |  WHERE doc_id = __keep),
+         |sh AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+         |    j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS s
+         |  FROM exd WHERE len(w) >= 3),
+         |hs AS (SELECT doc_id, list_transform(s, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs FROM sh),
+         |hsh AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
+         |  FROM sh),
+         |sig AS (SELECT doc_id, ${sigSql(8)} AS sig FROM hs),
+         |banded AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         |prs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
+         |jac AS (
+         |  SELECT doc_a, doc_b FROM prs
+         |  JOIN hsh sa ON sa.doc_id = prs.doc_a
+         |  JOIN hsh sb ON sb.doc_id = prs.doc_b
+         |  WHERE round(CAST(len(list_intersect(sa.h, sb.h)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.h, sb.h))) AS DOUBLE), 6) >= 0.6),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM jac
+         |  UNION SELECT doc_b AS s, doc_a AS d FROM jac),
+         |verts AS (SELECT DISTINCT s AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM verts
+         |  UNION
+         |  SELECT e.d AS id, reach.r AS r FROM reach JOIN edges e ON e.s = reach.id),
+         |comps AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+         |ranked AS (
+         |  SELECT c.doc_id,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY e.score_fp DESC, c.doc_id ASC) AS rn
+         |  FROM comps c JOIN exd e USING (doc_id)),
+         |ndk AS MATERIALIZED (
+         |  SELECT e.* FROM exd e
+         |  LEFT JOIN ranked r USING (doc_id)
+         |  WHERE r.doc_id IS NULL OR r.rn = 1),
+         |cfeat AS (
+         |  SELECT doc_id, unnest(w || list_transform(
+         |    range(greatest(len(w) - 1, 0)), i -> w[i + 1] || ' ' || w[i + 2])) AS f
+         |  FROM ndk),
+         |cfb AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket FROM cfeat),
+         |dsc AS (SELECT cfb.doc_id, CAST(sum(lr_fp) AS BIGINT) AS w_fp
+         |  FROM cfb JOIN wt USING (bucket) GROUP BY 1),
+         |dall AS (
+         |  SELECT n.doc_id, n.source, n.score_fp, coalesce(d.w_fp, 0) AS w_fp,
+         |    CAST(len(n.w) AS BIGINT) AS n_tokens
+         |  FROM ndk n LEFT JOIN dsc d USING (doc_id)),
+         |pr AS (SELECT *, md5(CAST(doc_id AS VARCHAR) || ':graft') AS rk FROM dall),
+         |cwin AS (SELECT doc_id, source, score_fp, w_fp, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY w_fp DESC, rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_prefix,
+         |    row_number() OVER (PARTITION BY source ORDER BY w_fp DESC, rk, doc_id) AS mr
+         |  FROM pr),
+         |bgt(source, budget) AS (VALUES ('src5', 800), ('src6', 400),
+         |  ('src7', 200), ('src8', 0))
+         |SELECT doc_id, cwin.source AS source, score_fp, w_fp, n_tokens,
+         |  tok_prefix, CAST(mr AS BIGINT) AS mix_rank
+         |FROM cwin JOIN bgt ON cwin.source = bgt.source
+         |WHERE tok_prefix < budget
+         |ORDER BY cwin.source ASC, mix_rank ASC LIMIT 500""".stripMargin
+  }
 
   private def pipelineE2e(s: SparkSession, dir: String): DataFrame =
     graft.SharedState.cached(s"pipee2e:$dir")(pipelineStages(s, dir).last._2)
@@ -1543,6 +1742,7 @@ object TextQueries {
     "q_dsir_stream" -> ((s, d) => dsirStream(s, d)),
     "q_dsir_mix" -> ((s, d) => dsirMix(s, d)),
     "q_pipeline_e2e" -> ((s, d) => pipelineE2e(s, d)),
+    "q_pipeline_boundaries" -> ((s, d) => pipelineBoundariesQ(s, d)),
     "q_domain_stats" -> ((s, d) => domainStats(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
@@ -2484,154 +2684,11 @@ object TextQueries {
     // per-source token-budget window. AS MATERIALIZED on every reused
     // stage boundary — inlined CTEs re-derive the whole upstream chain
     // per reference (107 s -> 3.6 s at sf0.01 when measured)
-    "q_pipeline_e2e" -> {
-      def sqlLines(block: String): String =
-        block.split("\n").map(l => s"'$l'").mkString(" || chr(10) || ")
-      s"""WITH RECURSIVE $dsirCtes,
-         |rbtok AS (
-         |  SELECT doc_id, ('0x' || substr(md5(unnest(t)), 1, 15))::BIGINT % 4096 AS bucket
-         |  FROM toks),
-         |qcounts AS (
-         |  SELECT bucket,
-         |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-         |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cn
-         |  FROM rbtok JOIN lab USING (doc_id) GROUP BY bucket),
-         |qw AS MATERIALIZED (
-         |  SELECT bucket, (cp + 1) * 1000000 // (cp + cn + 2) AS weight
-         |  FROM qcounts),
-         |paug AS (
-         |  SELECT d.doc_id, d.source,
-         |    s.text || ' ' || '$pipeStop'
-         |    || CASE (CASE WHEN d.doc_id % 9 = 4 THEN d.doc_id - 4
-         |                  WHEN d.doc_id % 9 = 5 THEN d.doc_id - 5
-         |                  ELSE d.doc_id END) % 6
-         |       WHEN 1 THEN chr(10) || 'var x = {1};'
-         |       WHEN 2 THEN chr(10) || 'Lorem Ipsum dolor sit amet.'
-         |       WHEN 3 THEN chr(10) || '$pipeBomb'
-         |       ELSE '' END
-         |    || chr(10) || ${sqlLines(pipeFive)}
-         |    || CASE WHEN d.doc_id % 9 = 5 THEN chr(10) || '$pipeExtra'
-         |       ELSE '' END AS t
-         |  FROM documents d
-         |  JOIN documents s ON s.doc_id =
-         |    CASE WHEN d.doc_id % 9 = 4 THEN d.doc_id - 4
-         |         WHEN d.doc_id % 9 = 5 THEN d.doc_id - 5
-         |         ELSE d.doc_id END),
-         |c4ln AS (SELECT doc_id, source, t,
-         |  list_filter(string_split(t, chr(10)), l -> l <> '') AS lines
-         |  FROM paug),
-         |c4kp AS (SELECT doc_id, source, t,
-         |  coalesce(array_to_string(
-         |    list_filter(lines, l -> regexp_matches(trim(l), '[.!?]["'']?$$')
-         |      AND len(list_filter(string_split_regex(trim(l), '[ \\t]+'), w -> w <> '')) >= 3
-         |      AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS text_c4
-         |  FROM c4ln),
-         |c4 AS MATERIALIZED (
-         |  SELECT doc_id, source, text_c4
-         |  FROM c4kp
-         |  WHERE NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum')
-         |    AND len(regexp_extract_all(text_c4, '[.!?]')) >= 5),
-         |gtok AS (SELECT doc_id, source, text_c4,
-         |  list_filter(string_split_regex(lower(text_c4), '[^a-z0-9]+'), x -> x <> '') AS w,
-         |  list_filter(string_split(text_c4, chr(10)), l -> l <> '') AS ls
-         |  FROM c4),
-         |gm AS (SELECT doc_id, source, text_c4, w,
-         |  CAST(len(w) AS BIGINT) AS n_words,
-         |  CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE) / greatest(len(w), 1) AS mean_len,
-         |  CAST(len(regexp_extract_all(text_c4, '#')) + len(regexp_extract_all(text_c4, '\\.\\.\\.')) + len(regexp_extract_all(text_c4, '…')) AS DOUBLE) / greatest(len(w), 1) AS sym,
-         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / greatest(len(w), 1) AS alpha,
-         |  CAST(len(list_filter(list_distinct(w), x -> x IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS INT) AS stop_hits,
-         |  CAST(len(list_filter(ls, l -> regexp_matches(l, '^[ \\t]*[-*] '))) AS DOUBLE) / greatest(len(ls), 1) AS bullet,
-         |  CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$$'))) AS DOUBLE) / greatest(len(ls), 1) AS ellipsis
-         |  FROM gtok),
-         |gok AS MATERIALIZED (
-         |  SELECT doc_id, source, text_c4, w FROM gm
-         |  WHERE n_words >= 50 AND n_words <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
-         |    AND sym <= 0.1 AND alpha >= 0.8 AND stop_hits >= 2 AND bullet <= 0.9 AND ellipsis <= 0.3),
-         |cbtok AS (
-         |  SELECT doc_id, ('0x' || substr(md5(unnest(w)), 1, 15))::BIGINT % 4096 AS bucket
-         |  FROM gok),
-         |cagg AS (
-         |  SELECT doc_id, CAST(sum(weight) AS BIGINT) AS w_sum,
-         |    CAST(count(*) AS BIGINT) AS n_scored
-         |  FROM cbtok JOIN qw USING (bucket) GROUP BY doc_id),
-         |qsc AS MATERIALIZED (
-         |  SELECT g.doc_id, g.source, g.text_c4, g.w,
-         |    COALESCE(c.w_sum, 0) // greatest(COALESCE(c.n_scored, 0), 1) AS score_fp
-         |  FROM gok g LEFT JOIN cagg c USING (doc_id)),
-         |clsmean AS (SELECT sum(score_fp) / CAST(count(*) AS DOUBLE) AS m FROM qsc),
-         |cls AS MATERIALIZED (
-         |  SELECT qsc.* FROM qsc, clsmean WHERE score_fp > m),
-         |exd AS MATERIALIZED (
-         |  SELECT doc_id, source, text_c4, w, score_fp FROM (
-         |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text_c4)) AS __keep
-         |    FROM cls)
-         |  WHERE doc_id = __keep),
-         |sh AS MATERIALIZED (
-         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-         |    j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS s
-         |  FROM exd WHERE len(w) >= 3),
-         |hs AS (SELECT doc_id, list_transform(s, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs FROM sh),
-         |hsh AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
-         |  FROM sh),
-         |sig AS (SELECT doc_id, ${sigSql(8)} AS sig FROM hs),
-         |banded AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
-         |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
-         |prs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
-         |jac AS (
-         |  SELECT doc_a, doc_b FROM prs
-         |  JOIN hsh sa ON sa.doc_id = prs.doc_a
-         |  JOIN hsh sb ON sb.doc_id = prs.doc_b
-         |  WHERE round(CAST(len(list_intersect(sa.h, sb.h)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(sa.h, sb.h))) AS DOUBLE), 6) >= 0.6),
-         |edges AS (SELECT doc_a AS s, doc_b AS d FROM jac
-         |  UNION SELECT doc_b AS s, doc_a AS d FROM jac),
-         |verts AS (SELECT DISTINCT s AS id FROM edges),
-         |reach AS (
-         |  SELECT id, id AS r FROM verts
-         |  UNION
-         |  SELECT e.d AS id, reach.r AS r FROM reach JOIN edges e ON e.s = reach.id),
-         |comps AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
-         |ranked AS (
-         |  SELECT c.doc_id,
-         |    row_number() OVER (PARTITION BY c.component
-         |      ORDER BY e.score_fp DESC, c.doc_id ASC) AS rn
-         |  FROM comps c JOIN exd e USING (doc_id)),
-         |ndk AS MATERIALIZED (
-         |  SELECT e.* FROM exd e
-         |  LEFT JOIN ranked r USING (doc_id)
-         |  WHERE r.doc_id IS NULL OR r.rn = 1),
-         |cfeat AS (
-         |  SELECT doc_id, unnest(w || list_transform(
-         |    range(greatest(len(w) - 1, 0)), i -> w[i + 1] || ' ' || w[i + 2])) AS f
-         |  FROM ndk),
-         |cfb AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket FROM cfeat),
-         |dsc AS (SELECT cfb.doc_id, CAST(sum(lr_fp) AS BIGINT) AS w_fp
-         |  FROM cfb JOIN wt USING (bucket) GROUP BY 1),
-         |dall AS (
-         |  SELECT n.doc_id, n.source, n.score_fp, coalesce(d.w_fp, 0) AS w_fp,
-         |    CAST(len(n.w) AS BIGINT) AS n_tokens
-         |  FROM ndk n LEFT JOIN dsc d USING (doc_id)),
-         |pr AS (SELECT *, md5(CAST(doc_id AS VARCHAR) || ':graft') AS rk FROM dall),
-         |cwin AS (SELECT doc_id, source, score_fp, w_fp, n_tokens,
-         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
-         |      ORDER BY w_fp DESC, rk, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_prefix,
-         |    row_number() OVER (PARTITION BY source ORDER BY w_fp DESC, rk, doc_id) AS mr
-         |  FROM pr),
-         |bgt(source, budget) AS (VALUES ('src5', 800), ('src6', 400),
-         |  ('src7', 200), ('src8', 0))
-         |SELECT doc_id, cwin.source AS source, score_fp, w_fp, n_tokens,
-         |  tok_prefix, CAST(mr AS BIGINT) AS mix_rank
-         |FROM cwin JOIN bgt ON cwin.source = bgt.source
-         |WHERE tok_prefix < budget
-         |ORDER BY cwin.source ASC, mix_rank ASC LIMIT 500""".stripMargin
-    },
+    "q_pipeline_e2e" -> pipelineOracleSql,
+    // the parquet-boundary runner computes the SAME pipeline — one
+    // oracle, two materialization policies (the parity the
+    // PipelineBoundariesSpec pins row-for-row)
+    "q_pipeline_boundaries" -> pipelineOracleSql,
     // DSIR × token-budget composition: the oracle replays the
     // importance-ranked per-source rank as ONE global window with an
     // exclusive token cumsum — the score-blocked two-phase Spark shape
