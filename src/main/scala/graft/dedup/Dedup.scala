@@ -55,12 +55,28 @@ object Dedup {
       textCol: Column, priorTextCol: Column, fpp: Double = 0.01,
       expectedItems: Long = -1L): DataFrame = {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
-    val newH = newDocs.select(idCol.as("doc_id"),
-      md5(textCol.cast("binary")).as("content_hash"))
     val priorH = prior.select(
       md5(priorTextCol.cast("binary")).as("content_hash"))
     val n = if (expectedItems >= 0) expectedItems else priorH.count()
     val bloom = priorH.stat.bloomFilter("content_hash", math.max(n, 1L), fpp)
+    incrementalDedupPrepared(newDocs, idCol, textCol, priorH, bloom)
+  }
+
+  /** [[incrementalDedup]] riding PREPARED prior-corpus artifacts — the
+    * production ingest-job shape (the prepared-signature discipline of
+    * the near-dup twin applied to the exact path): `priorHashes` is
+    * the stored (content_hash) table the corpus dedup build already
+    * wrote, and `bloom` its sketch, built ONCE and reused across every
+    * ingest batch instead of a corpus pass per batch. Same routing and
+    * the same exactness: bloom-negative rows are guaranteed-new and
+    * never shuffle; only bloom-positive candidates pay the anti-join.
+    * Returns (doc_id, content_hash) of the surviving new rows. */
+  def incrementalDedupPrepared(newDocs: DataFrame, idCol: Column,
+      textCol: Column, priorHashes: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val newH = newDocs.select(idCol.as("doc_id"),
+      md5(textCol.cast("binary")).as("content_hash"))
+    val priorH = priorHashes.select(col("content_hash"))
     // null text -> null hash: a null key never matches an anti-join,
     // so those rows are KEPT — coalesce routes them past the bloom
     // (a bare null probe would silently drop them from both branches)
@@ -404,7 +420,25 @@ object Dedup {
     * corpus contributes pre-computed tables on both stages. */
   def incrementalNearDup(newShingled: DataFrame, oldShingled: DataFrame,
       oldSignatures: DataFrame, numHashes: Int, bands: Int,
-      threshold: Double, maxBucket: Int, skewMult: Double): DataFrame = {
+      threshold: Double, maxBucket: Int, skewMult: Double): DataFrame =
+    incrementalNearDup(newShingled, signatures(newShingled, numHashes),
+      oldShingled, oldSignatures, numHashes, bands, threshold, maxBucket,
+      skewMult)
+
+  /** [[incrementalNearDup]] with BOTH sides' signatures supplied — the
+    * fully-prepared shape a composed streaming ingest wants when its
+    * verify stage rides HASHED shingle frames (the r13 century width
+    * discipline: 60-bit md5 shingle hashes sort/join 4-6× narrower
+    * than the strings). `signatures()` derives band keys from the
+    * 28-bit base hash of STRING shingles, so a caller verifying on
+    * hashed frames must compute the new side's signatures from the
+    * string frame itself and pass them here — this overload uses the
+    * shingle frames ONLY in the Jaccard verify, in whatever (mutually
+    * consistent) representation the caller chose. */
+  def incrementalNearDup(newShingled: DataFrame, newSignatures: DataFrame,
+      oldShingled: DataFrame, oldSignatures: DataFrame, numHashes: Int,
+      bands: Int, threshold: Double, maxBucket: Int,
+      skewMult: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(threshold >= 0 && threshold <= 1, "threshold must be in [0, 1]")
     val r = numHashes / bands
@@ -419,7 +453,7 @@ object Dedup {
     }
     val keys = "band_id" +: (0 until r).map(j => s"k$j")
     val keyCols = keys.map(col)
-    val newBands = bandRows(signatures(newShingled, numHashes))
+    val newBands = bandRows(newSignatures)
     val oldBands = bandRows(oldSignatures)
     val oldSide =
       if (maxBucket <= 0) oldBands

@@ -185,6 +185,9 @@ object TextQueries {
       // the parquet-boundary twin: first touch writes (or validates)
       // the fingerprint-guarded artifacts; steady-state re-reads them
       timed("pipeline_boundaries") { pipelineBoundariesQ(s, dir).count() },
+      // the streaming door: runs the AvailableNow ingest job once per
+      // dir against the batch pipeline's prepared artifacts
+      timed("pipeline_stream") { pipelineStreamPath(s, dir) },
       timed("bm25_postings") { postCached(s, dir).count() },
       timed("bm25_postings_stemmed") { postStemmedCached(s, dir).count() },
       timed("bm25_approx_table") { bm25ApproxTableCached(s, dir).count() },
@@ -750,15 +753,99 @@ object TextQueries {
     pipelineBoundariesRun(s, dir)._1.last._2
       .orderBy(col("source").asc, col("mix_rank").asc).limit(500)
 
+  // ---- streaming composed pipeline (q_pipeline_stream) ----
+
+  private val pipeExtra2 =
+    "Another trailing sentence marks this arrival revision."
+
+  /** The ingest drop for the streaming door: one arrival per corpus
+    * doc with doc_id % 7 == 2 (re-id'd +1e9, disjoint from the
+    * corpus), rendering the batch pipeline corpus' OWN augmented text
+    * ([[pipeAug]]) under an effective id `eid`, so every door stage
+    * fires with guaranteed plants at every scale:
+    *  - doc_id % 5 == 0 → `eid = doc_id + 7`: the arrival renders the
+    *    NEXT arrival's full text verbatim — an intra-batch exact dup
+    *    (min-id keeper);
+    *  - else eid % 4 == 1 → the pipeline doc's text plus one appended
+    *    revision sentence — a NEAR dup of its kept twin whenever the
+    *    twin's text survived the batch funnel;
+    *  - else → the pipeline doc's text verbatim — an EXACT dup
+    *    against the kept corpus whenever the twin's text survived,
+    *    and a genuinely-new survivor otherwise (e.g. when the twin
+    *    was a pipeAug copy-renderer that never showed its own base);
+    *  - pipeAug's own % 6 branch casualties exercise the c4/gopher
+    *    gates on the arrival side too. */
+  private[graft] def pipeArrivals(s: SparkSession, dir: String): DataFrame = {
+    val eff = docs(s, dir).filter(col("doc_id") % 7 === 2)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 5 === 0, col("doc_id") + 7)
+          .otherwise(col("doc_id")).as("__eid"))
+    eff.join(pipeAug(s, dir).select(col("doc_id").as("__eid"),
+        col("text").as("__atext")), "__eid")
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("source"),
+        concat(col("__atext"),
+          when(col("__eid") % 4 === 1, lit("\n" + pipeExtra2))
+            .otherwise(lit(""))).as("text"))
+  }
+
+  /** The door's prepared corpus-side artifacts, all derived from the
+    * batch pipeline's kept boundary (ndk) — the hash table + bloom for
+    * the exact check, the signature + hashed-shingle tables for the
+    * near-dup check, the DSIR weight array for scoring. Cached once
+    * per dir; at cluster scale these are the parquet artifacts the
+    * batch pipeline's boundary runner already writes. */
+  private[graft] def pipeStreamCorpus(s: SparkSession, dir: String)
+      : graft.streaming.IngestPipeline.PreparedCorpus = {
+    val st = pipelineStages(s, dir).toMap
+    val ndk = st("ndk")
+    val hashes = graft.SharedState.cached(s"pipest:hash:$dir")(
+      ndk.select(md5(col("text_c4").cast("binary")).as("content_hash")))
+    val bloom = graft.SharedState.cachedValue(s"pipest:bloom:$dir")(
+      hashes.stat.bloomFilter("content_hash",
+        math.max(hashes.count(), 1L), 0.01))
+    val sigs = graft.SharedState.cached(s"pipest:sig:$dir")(
+      graft.dedup.Dedup.signatures(
+        graft.dedup.Dedup.shingled(ndk, col("doc_id"), col("text_c4")), 8))
+    val shh = graft.SharedState.cached(s"pipest:shh:$dir")(
+      st("sh").join(ndk.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    graft.streaming.IngestPipeline.PreparedCorpus(hashes, bloom, shh,
+      sigs, dsirWeightsArr(s, dir))
+  }
+
+  private val pipelineStreamRuns =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def pipelineStreamPath(s: SparkSession, dir: String): String =
+    pipelineStreamRuns.getOrElseUpdate(dir, {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_pipe_stream").toString
+      // ONE file -> one AvailableNow micro-batch: an ingest drop is one
+      // batch by contract (the intra-batch keeper's unit)
+      pipeArrivals(s, dir).coalesce(1).write.parquet(s"$work/src")
+      val schema = s.read.parquet(s"$work/src").schema
+      graft.streaming.IngestPipeline.run(s, s"$work/src", schema,
+        "doc_id", "source", "text", pipeStreamCorpus(s, dir),
+        s"$work/dst", s"$work/ckpt")
+      s"$work/dst"
+    })
+
+  private def pipelineStream(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(pipelineStreamPath(s, dir))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("w_fp"))
+      .orderBy(col("doc_id").asc).limit(500)
+
   /** Shared DuckDB oracle for the composed pipeline rows
     * (q_pipeline_e2e and q_pipeline_boundaries — two materialization
     * policies, one result): the per-stage CTE chains with
     * AS MATERIALIZED on every reused boundary. */
-  private lazy val pipelineOracleSql: String = {
-    def sqlLines(block: String): String =
-      block.split("\n").map(l => s"'$l'").mkString(" || chr(10) || ")
-    s"""WITH RECURSIVE $dsirCtes,
-         |rbtok AS (
+  private def sqlLines(block: String): String =
+    block.split("\n").map(l => s"'$l'").mkString(" || chr(10) || ")
+
+  /** The composed pipeline's per-stage CTE chain up to the
+    * kept-corpus boundary (ndk) — shared by the batch rows' oracle
+    * (q_pipeline_e2e / q_pipeline_boundaries) and the streaming
+    * door's (q_pipeline_stream, whose prior corpus IS ndk). */
+  private lazy val pipelineChainCtes: String =
+    s"""rbtok AS (
          |  SELECT doc_id, ('0x' || substr(md5(unnest(t)), 1, 15))::BIGINT % 4096 AS bucket
          |  FROM toks),
          |qcounts AS (
@@ -875,8 +962,14 @@ object TextQueries {
          |ndk AS MATERIALIZED (
          |  SELECT e.* FROM exd e
          |  LEFT JOIN ranked r USING (doc_id)
-         |  WHERE r.doc_id IS NULL OR r.rn = 1),
-         |cfeat AS (
+         |  WHERE r.doc_id IS NULL OR r.rn = 1)""".stripMargin
+
+  // NOTE: the chain is interpolated OUTSIDE any stripMargin — its
+  // content has already been margin-stripped once, and a second pass
+  // would eat the leading `|` of any `|| CASE`-style continuation line
+  private lazy val pipelineOracleSql: String =
+    s"WITH RECURSIVE $dsirCtes,\n$pipelineChainCtes,\n" +
+    s"""cfeat AS (
          |  SELECT doc_id, unnest(w || list_transform(
          |    range(greatest(len(w) - 1, 0)), i -> w[i + 1] || ' ' || w[i + 2])) AS f
          |  FROM ndk),
@@ -901,7 +994,6 @@ object TextQueries {
          |FROM cwin JOIN bgt ON cwin.source = bgt.source
          |WHERE tok_prefix < budget
          |ORDER BY cwin.source ASC, mix_rank ASC LIMIT 500""".stripMargin
-  }
 
   private def pipelineE2e(s: SparkSession, dir: String): DataFrame =
     graft.SharedState.cached(s"pipee2e:$dir")(pipelineStages(s, dir).last._2)
@@ -1743,6 +1835,7 @@ object TextQueries {
     "q_dsir_mix" -> ((s, d) => dsirMix(s, d)),
     "q_pipeline_e2e" -> ((s, d) => pipelineE2e(s, d)),
     "q_pipeline_boundaries" -> ((s, d) => pipelineBoundariesQ(s, d)),
+    "q_pipeline_stream" -> ((s, d) => pipelineStream(s, d)),
     "q_domain_stats" -> ((s, d) => domainStats(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
     "q_bloom_members" -> ((s, d) => bloomMembers(s, d)),
@@ -2689,6 +2782,104 @@ object TextQueries {
     // oracle, two materialization policies (the parity the
     // PipelineBoundariesSpec pins row-for-row)
     "q_pipeline_boundaries" -> pipelineOracleSql,
+    // the streaming door: the oracle replays the batch chain up to the
+    // kept corpus (ndk — the prior the door's prepared artifacts
+    // derive from), then the arrival drop through clean → gate →
+    // intra-batch keeper → exact-vs-corpus → banded near-dup-vs-corpus
+    // (verify on 60-bit hashed shingles, the same machinery) → the
+    // inline DSIR fold. Chain interpolated outside stripMargin (see
+    // pipelineOracleSql).
+    "q_pipeline_stream" ->
+      (s"WITH RECURSIVE $dsirCtes,\n$pipelineChainCtes,\n" +
+      s"""arre AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 5 = 0 THEN doc_id + 7 ELSE doc_id END AS eid
+         |  FROM documents WHERE doc_id % 7 = 2),
+         |arr AS (
+         |  SELECT a.doc_id + 1000000000 AS doc_id, a.source,
+         |    p.t || CASE WHEN a.eid % 4 = 1 THEN chr(10) || '$pipeExtra2'
+         |           ELSE '' END AS t
+         |  FROM arre a JOIN paug p ON p.doc_id = a.eid),
+         |c4ln2 AS (SELECT doc_id, source, t,
+         |  list_filter(string_split(t, chr(10)), l -> l <> '') AS lines
+         |  FROM arr),
+         |c4kp2 AS (SELECT doc_id, source, t,
+         |  coalesce(array_to_string(
+         |    list_filter(lines, l -> regexp_matches(trim(l), '[.!?]["'']?$$')
+         |      AND len(list_filter(string_split_regex(trim(l), '[ \\t]+'), w -> w <> '')) >= 3
+         |      AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS text_c4
+         |  FROM c4ln2),
+         |c42 AS MATERIALIZED (
+         |  SELECT doc_id, source, text_c4
+         |  FROM c4kp2
+         |  WHERE NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum')
+         |    AND len(regexp_extract_all(text_c4, '[.!?]')) >= 5),
+         |gtok2 AS (SELECT doc_id, source, text_c4,
+         |  list_filter(string_split_regex(lower(text_c4), '[^a-z0-9]+'), x -> x <> '') AS w,
+         |  list_filter(string_split(text_c4, chr(10)), l -> l <> '') AS ls
+         |  FROM c42),
+         |gm2 AS (SELECT doc_id, source, text_c4, w,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE) / greatest(len(w), 1) AS mean_len,
+         |  CAST(len(regexp_extract_all(text_c4, '#')) + len(regexp_extract_all(text_c4, '\\.\\.\\.')) + len(regexp_extract_all(text_c4, '…')) AS DOUBLE) / greatest(len(w), 1) AS sym,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / greatest(len(w), 1) AS alpha,
+         |  CAST(len(list_filter(list_distinct(w), x -> x IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS INT) AS stop_hits,
+         |  CAST(len(list_filter(ls, l -> regexp_matches(l, '^[ \\t]*[-*] '))) AS DOUBLE) / greatest(len(ls), 1) AS bullet,
+         |  CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$$'))) AS DOUBLE) / greatest(len(ls), 1) AS ellipsis
+         |  FROM gtok2),
+         |gok2 AS MATERIALIZED (
+         |  SELECT doc_id, source, text_c4, w FROM gm2
+         |  WHERE n_words >= 50 AND n_words <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+         |    AND sym <= 0.1 AND alpha >= 0.8 AND stop_hits >= 2 AND bullet <= 0.9 AND ellipsis <= 0.3),
+         |exd2 AS MATERIALIZED (
+         |  SELECT doc_id, source, text_c4, w FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text_c4)) AS __keep
+         |    FROM gok2)
+         |  WHERE doc_id = __keep),
+         |ndkh AS (SELECT DISTINCT md5(text_c4) AS h FROM ndk),
+         |incx AS MATERIALIZED (
+         |  SELECT e.* FROM exd2 e
+         |  WHERE md5(e.text_c4) NOT IN (SELECT h FROM ndkh)),
+         |sh2 AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+         |    j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS s
+         |  FROM incx WHERE len(w) >= 3),
+         |hs2 AS (SELECT doc_id, list_transform(s, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs FROM sh2),
+         |hsh2 AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
+         |  FROM sh2),
+         |sig2 AS (SELECT doc_id, ${sigSql(8)} AS sig FROM hs2),
+         |sigk AS (SELECT g.* FROM sig g JOIN ndk USING (doc_id)),
+         |hshk AS MATERIALIZED (SELECT g.* FROM hsh g JOIN ndk USING (doc_id)),
+         |banded2 AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
+         |  FROM sig2, (SELECT unnest(range(0, 4)) AS b)),
+         |bandedk AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
+         |  FROM sigk, (SELECT unnest(range(0, 4)) AS b)),
+         |cand2 AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded2 a JOIN bandedk b
+         |    ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2),
+         |flag2 AS (
+         |  SELECT DISTINCT doc_a AS doc_id FROM cand2
+         |  JOIN hsh2 sa ON sa.doc_id = cand2.doc_a
+         |  JOIN hshk sb ON sb.doc_id = cand2.doc_b
+         |  WHERE round(CAST(len(list_intersect(sa.h, sb.h)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.h, sb.h))) AS DOUBLE), 6) >= 0.6),
+         |surv2 AS MATERIALIZED (
+         |  SELECT i.* FROM incx i
+         |  WHERE i.doc_id NOT IN (SELECT doc_id FROM flag2)),
+         |cfeat2 AS (
+         |  SELECT doc_id, unnest(w || list_transform(
+         |    range(greatest(len(w) - 1, 0)), i -> w[i + 1] || ' ' || w[i + 2])) AS f
+         |  FROM surv2),
+         |cfb2 AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket FROM cfeat2),
+         |dsc2 AS (SELECT cfb2.doc_id, CAST(sum(lr_fp) AS BIGINT) AS w_fp
+         |  FROM cfb2 JOIN wt USING (bucket) GROUP BY 1)
+         |SELECT s.doc_id, s.source, CAST(len(s.w) AS BIGINT) AS n_tokens,
+         |  coalesce(d.w_fp, 0) AS w_fp
+         |FROM surv2 s LEFT JOIN dsc2 d USING (doc_id)
+         |ORDER BY s.doc_id ASC LIMIT 500""".stripMargin),
     // DSIR × token-budget composition: the oracle replays the
     // importance-ranked per-source rank as ONE global window with an
     // exclusive token cumsum — the score-blocked two-phase Spark shape
