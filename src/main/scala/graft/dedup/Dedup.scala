@@ -158,6 +158,16 @@ object Dedup {
     * default-on cap is what keeps candidate generation O(n) there. */
   def lshCandidatePairs(sig: DataFrame, numHashes: Int, bands: Int,
       maxBucket: Int = 10000, skewMult: Double = 16.0): DataFrame = {
+    val (banded, keys) = bandedOf(sig, numHashes, bands)
+    pairsFromBuckets(banded, keys, maxBucket, skewMult)
+  }
+
+  /** The MinHash band explosion every LSH consumer shares: (doc_id,
+    * band_id, k0..k_{r-1}) rows plus the bucket key column names —
+    * exposed so guard telemetry ([[bucketGuardStats]]) can inspect
+    * exactly the buckets [[lshCandidatePairs]] joins on. */
+  private[graft] def bandedOf(sig: DataFrame, numHashes: Int,
+      bands: Int): (DataFrame, Seq[String]) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val bandStructs = (0 until bands).map { bIdx =>
@@ -167,8 +177,42 @@ object Dedup {
     val banded = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.*"))
-    val keys = "band_id" +: (0 until r).map(j => s"k$j")
-    pairsFromBuckets(banded, keys, maxBucket, skewMult)
+    (banded, "band_id" +: (0 until r).map(j => s"k$j"))
+  }
+
+  /** Guard TELEMETRY over a bucketed frame — the counters that make a
+    * recall regression from hot-bucket collapse measurable instead of
+    * assumed (a capped bucket silently trades pair completeness for
+    * O(n) candidates; at the century the trade's size was invisible):
+    * ONE row with the bucket population, the effective cap (the
+    * [[withBucketCap]] decision the candidate join applies — absolute
+    * floor raised to skewMult × median), how many buckets the cap
+    * fired on, the rows inside them, the star edges they emit instead
+    * of all-pairs, and `pairs_dropped` = Σ (C(n,2) − (n−1)) — the
+    * exact candidate count the cap removed. Zero `n_capped` means
+    * guard-on == guard-off on this corpus (the contract-scale
+    * invariant DedupGuardSpec pins). Same aggregate shape as the
+    * guard itself: one combiner groupBy + a 1-row broadcast median. */
+  def bucketGuardStats(bucketed: DataFrame, keys: Seq[String],
+      maxBucket: Int = 10000, skewMult: Double = 16.0): DataFrame = {
+    val stats = bucketed.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+    val capped = col("__bn") > col("__cap")
+    withBucketCap(stats, maxBucket, skewMult)
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("__bn")).as("max_bucket"),
+        max(col("__cap")).as("cap"),
+        sum(when(capped, 1L).otherwise(0L)).as("n_capped"),
+        coalesce(sum(when(capped, col("__bn"))), lit(0L))
+          .as("rows_in_capped"),
+        coalesce(sum(when(capped, col("__bn") - 1)), lit(0L))
+          .as("star_edges"),
+        // `/` is double division in Spark — exact for bucket counts
+        // far below 2^26, re-cast to the integral type the counter is
+        coalesce(sum(when(capped,
+          (col("__bn") * (col("__bn") - 1) / 2).cast("long") -
+            (col("__bn") - 1))),
+          lit(0L)).as("pairs_dropped"))
   }
 
   /** Shared bucket-join candidate generation for every LSH entry point

@@ -50,6 +50,39 @@ class DedupGuardSpec extends SparkSpec {
     assert(comps(guarded) == comps(unguarded))
   }
 
+  test("bucketGuardStats: telemetry counts the cap's exact candidate trade") {
+    import spark.implicits._
+    // the mega-cluster fixture: 50 docs in one bucket per band (4
+    // bands), 40 singletons anchoring the median at 1, the far pair in
+    // ONE band-0 bucket of size 2. With maxBucket=5, skewMult=16 the
+    // cap is max(5, 16*1) = 16, so the 4 cluster buckets cap and
+    // nothing else: per bucket 49 star edges instead of C(50,2)=1225
+    // pairs -> 1176 dropped, times 4 bands.
+    val clusterSig = (1 to 8).map(_ * 1000L)
+    val cluster = (0L to 49L).map(i => (i, clusterSig))
+    val farPair = Seq(
+      (100L, Seq(9991L, 9992L, 7L, 8L, 9L, 10L, 11L, 12L)),
+      (101L, Seq(9991L, 9992L, 17L, 18L, 19L, 20L, 21L, 22L)))
+    val singles = (0 until 40).map { i =>
+      (200L + i, (1 to 8).map(j => 100000L + i * 16L + j))
+    }
+    val sig = (cluster ++ farPair ++ singles).toDF("doc_id", "sig")
+    val (banded, keys) = Dedup.bandedOf(sig, 8, 4)
+    val g = Dedup.bucketGuardStats(banded, keys, maxBucket = 5,
+      skewMult = 16.0).head()
+    assert(g.getLong(1) == 50L, s"max_bucket: $g")     // the hot bucket
+    assert(g.getLong(2) == 16L, s"cap: $g")            // 16 x median 1
+    assert(g.getLong(3) == 4L, s"n_capped: $g")        // one per band
+    assert(g.getLong(4) == 200L, s"rows_in_capped: $g")
+    assert(g.getLong(5) == 4 * 49L, s"star_edges: $g")
+    assert(g.getLong(6) == 4 * (1225L - 49L), s"pairs_dropped: $g")
+    // and on the guard-quiet shape the telemetry reads zero — the
+    // guard-on == guard-off invariant as a measurable number
+    val quiet = Dedup.bucketGuardStats(banded, keys).head()
+    assert(quiet.getLong(3) == 0L && quiet.getLong(6) == 0L,
+      s"default thresholds must not cap this fixture: $quiet")
+  }
+
   test("minhash uniform bucket growth does not trigger the guard") {
     import spark.implicits._
     // every band bucket the same size and above maxBucket: an
