@@ -105,11 +105,49 @@ object Bm25 {
 
   /** Grouped posting rows -> one reference-shaped row per term. Input
     * needs (term, srt=struct(doc_id, fq, doc_len)). */
-  private def termRows(p: DataFrame, bloomThreshold: Int): DataFrame =
-    p.groupBy(col("term"))
-      .agg(
-        count(lit(1)).as("term_freq"),
-        sort_array(collect_list(col("srt"))).as("post"))
+  private def termRows(p: DataFrame, bloomThreshold: Int): DataFrame = {
+    // Deliberately a SORT-based streaming group (repartition on term ->
+    // in-partition sort -> consecutive-group assembly), NOT
+    // sort_array(collect_list(...)): the hash aggregate holds every
+    // in-flight term's growing posting buffer simultaneously per task,
+    // and at the sf10 century the hot terms' ~8 MB buffers x 32
+    // concurrent tasks were an allocation cliff that capped century
+    // benches at 24 threads (VERDICT r13). Here a task's peak is ONE
+    // term's postings plus the emitted row — bounded by the largest
+    // posting list, not by the task's whole key range — and the
+    // Tungsten external sort below it spills gracefully. Same single
+    // shuffle (the partial collect_list never reduced data map-side
+    // anyway); identical output: the (term, srt) sort IS sort_array's
+    // struct order. mapPartitions is justified as the one shape
+    // Catalyst lacks — streaming one-group-at-a-time array assembly
+    // with bounded memory.
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val in = p.select(col("term"), col("srt"))
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("srt"))
+    val outSchema = StructType(Seq(
+      StructField("term", in.schema("term").dataType),
+      StructField("term_freq", LongType, nullable = false),
+      StructField("post",
+        ArrayType(in.schema("srt").dataType, containsNull = false))))
+    val grouped = in.mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = it.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          val term = it.head.get(0)
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.Row]
+          while (it.hasNext &&
+              java.util.Objects.equals(it.head.get(0), term)) {
+            buf += it.head.getStruct(1)
+            it.next()
+          }
+          org.apache.spark.sql.Row(term, buf.length.toLong, buf.toSeq)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    grouped
       .select(col("term"), col("term_freq"),
         size(col("post")).as("doc_ids_len"),
         when(col("term_freq") > bloomThreshold,
@@ -118,6 +156,7 @@ object Bm25 {
         col("post.doc_id").as("doc_ids"),
         col("post.fq").as("fqs"),
         col("post.doc_len").as("doc_lens"))
+  }
 
   /** The NULL-term stats row projection, typed off the term rows'
     * schema so unionByName lines up. */

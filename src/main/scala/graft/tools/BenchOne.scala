@@ -12,7 +12,8 @@ object BenchOne {
     val name = args.headOption.getOrElse(sys.error("usage: BenchOne <query> [runs] [sfDir]"))
     val runs = args.lift(1).map(_.toInt).getOrElse(3)
     val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[8]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
