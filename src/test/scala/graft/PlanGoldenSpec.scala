@@ -335,6 +335,30 @@ class PlanGoldenSpec extends SparkSpec {
     checkGolden("q_dsir_mix", skel)
   }
 
+  test("q_pipeline_boundaries: steady state reads ONLY the parquet boundary artifacts") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val dir = sf("sf0.01")
+    SparkEntry.queries("q_pipeline_boundaries")(spark, dir).collect()
+    val plan = SparkEntry.queries("q_pipeline_boundaries")(spark, dir)
+      .queryExecution.executedPlan
+    val ss = scans(plan)
+    assert(ss.nonEmpty, "the row must read its parquet boundaries")
+    // every file scan reads a boundary artifact — a documents.parquet
+    // scan here would mean the runner regressed to recomputing the
+    // funnel instead of resuming from the stored boundaries
+    val bad = ss.map(_.relation.location.rootPaths.mkString(","))
+      .filterNot(_.contains("graft_pipebounds"))
+    assert(bad.isEmpty,
+      s"steady-state boundary row scans non-boundary inputs: $bad")
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
   test("q_pipeline_e2e: stage boundaries materialize; input scanned only in the clean stage") {
     // the contract row's steady-state EXECUTED plan reads the per-dir
     // stage cache (the formatted text also prints the cached
