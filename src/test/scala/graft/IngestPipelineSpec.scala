@@ -14,8 +14,8 @@ class IngestPipelineSpec extends SparkSpec {
   test("streaming door == batch door, row for row") {
     for (scale <- Seq("sf0.001", "sf0.01")) {
       val dir = sf(scale)
-      val streamed = spark.read
-        .parquet(graft.queries.TextQueries.pipelineStreamPath(spark, dir))
+      val streamed = IngestPipeline.readSink(spark,
+          graft.queries.TextQueries.pipelineStreamPath(spark, dir))
         .orderBy(col("doc_id")).collect().toSeq
       val batch = IngestPipeline.curateBatch(
           graft.queries.TextQueries.pipeArrivals(spark, dir),
@@ -41,6 +41,68 @@ class IngestPipelineSpec extends SparkSpec {
     // pins non-triviality so a planted-category regression is loud
     assert(nOut > 0 && nOut < nArr / 2,
       s"door funnel inactive: $nArr arrivals -> $nOut survivors")
+  }
+
+  test("door artifacts: artifact-served corpus == derived corpus, door parity at two scales") {
+    for (scale <- Seq("sf0.001", "sf0.01")) {
+      val dir = sf(scale)
+      val arrivals = graft.queries.TextQueries.pipeArrivals(spark, dir)
+      def door(c: IngestPipeline.PreparedCorpus) =
+        IngestPipeline.curateBatch(arrivals, col("doc_id"), col("source"),
+          col("text"), c).orderBy(col("doc_id")).collect().toSeq
+      val viaArtifacts =
+        door(graft.queries.TextQueries.pipeStreamCorpus(spark, dir))
+      val viaDerived =
+        door(graft.queries.TextQueries.pipeStreamCorpusDerived(spark, dir))
+      assert(viaArtifacts == viaDerived && viaArtifacts.nonEmpty,
+        s"artifact-served door diverged from derived at $scale")
+      // the weight blob round-trips the exact array
+      assert(graft.queries.TextQueries.pipeStreamCorpus(spark, dir)
+        .dsirWeights.toSeq ==
+        graft.queries.TextQueries.pipeStreamCorpusDerived(spark, dir)
+          .dsirWeights.toSeq)
+    }
+  }
+
+  test("door artifacts: a restarted resolution serves everything — zero recompute") {
+    val dir = sf("sf0.001")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_door_spec").toString
+    val (_, r1) =
+      graft.queries.TextQueries.doorArtifacts(spark, dir, Some(root))
+    val cold = r1.filter(_.computed).map(_.stage).toSet
+    assert(Set("hash", "sig", "shh", "bloom", "dsirw").subsetOf(cold),
+      s"cold resolution must compute the derived artifacts: $cold")
+    // a second resolution (what a restarted ingest job does before its
+    // first micro-batch) must serve every boundary AND every derived
+    // artifact from disk
+    val (_, r2) =
+      graft.queries.TextQueries.doorArtifacts(spark, dir, Some(root))
+    assert(r2.forall(!_.computed),
+      s"restart recomputed: ${r2.filter(_.computed).map(_.stage)}")
+  }
+
+  test("sink: a replayed micro-batch overwrites its batch directory — no duplicates") {
+    val dir = sf("sf0.001")
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_sink_spec").toString
+    graft.queries.TextQueries.pipeArrivals(spark, dir)
+      .coalesce(1).write.parquet(s"$work/src")
+    val schema = spark.read.parquet(s"$work/src").schema
+    val corpus = graft.queries.TextQueries.pipeStreamCorpus(spark, dir)
+    IngestPipeline.run(spark, s"$work/src", schema, "doc_id", "source",
+      "text", corpus, s"$work/dst", s"$work/ckpt1")
+    val once = IngestPipeline.readSink(spark, s"$work/dst")
+      .orderBy(col("doc_id")).collect().toSeq
+    // a lost checkpoint replays the whole drop as batch 0 again; the
+    // batchId-scoped overwrite must leave the sink unchanged (the
+    // blind append it replaced doubled every survivor here)
+    IngestPipeline.run(spark, s"$work/src", schema, "doc_id", "source",
+      "text", corpus, s"$work/dst", s"$work/ckpt2")
+    val replayed = IngestPipeline.readSink(spark, s"$work/dst")
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(replayed == once && once.nonEmpty,
+      s"replay changed the sink: ${once.size} -> ${replayed.size} rows")
   }
 
   test("incrementalDedupPrepared == incrementalDedup (bloom built once vs per call)") {

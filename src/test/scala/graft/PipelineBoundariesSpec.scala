@@ -51,7 +51,7 @@ class PipelineBoundariesSpec extends SparkSpec {
     }
     val (rows1, flags1, order) = run()
     assert(flags1.values.forall(identity), "first run computes all stages")
-    assert(order == Seq("c4", "gok", "cls", "exd", "sh", "ndk"))
+    assert(order == Seq("c4", "gok", "cls", "exd", "sh", "ndk", "selected"))
 
     val (rows2, flags2, _) = run()
     assert(flags2.values.forall(!_),
@@ -69,7 +69,7 @@ class PipelineBoundariesSpec extends SparkSpec {
     rm(exdDir)
     val (rows3, flags3, _) = run()
     assert(flags3 == Map("c4" -> false, "gok" -> false, "cls" -> false,
-      "exd" -> true, "sh" -> true, "ndk" -> true),
+      "exd" -> true, "sh" -> true, "ndk" -> true, "selected" -> true),
       s"resume flags wrong: $flags3")
     assert(rows3 == rows1, "resumed output must be identical")
 
@@ -79,7 +79,7 @@ class PipelineBoundariesSpec extends SparkSpec {
       "not-a-fingerprint")
     val (rows4, flags4, _) = run()
     assert(flags4 == Map("c4" -> false, "gok" -> false, "cls" -> false,
-      "exd" -> false, "sh" -> true, "ndk" -> true),
+      "exd" -> false, "sh" -> true, "ndk" -> true, "selected" -> true),
       s"marker-corruption flags wrong: $flags4")
     assert(rows4 == rows1)
   }
@@ -118,5 +118,35 @@ class PipelineBoundariesSpec extends SparkSpec {
     pipeline(r4, 2).count()
     assert(r4.reports.map(r => r.stage -> r.computed) ==
       Seq("a" -> true, "b" -> true))
+  }
+
+  test("concurrent Runners on one root: lock-fenced commits, every racer serves the same rows") {
+    val root = freshRoot()
+    def build(): Seq[Long] = {
+      val r = new PipelineBoundaries.Runner(spark, root, "race-seed")
+      val a = r.cache("a", () => spark.range(100).toDF("x")
+        .withColumn("y", col("x") * 2))
+      r.cache("b", () => a.filter(col("y") >= 100))
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val fs = (1 to 4).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Seq[Long]] {
+          def call(): Seq[Long] = build()
+        }))
+      val results =
+        fs.map(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      val expected = (50L until 100L).toSeq
+      assert(results.forall(_ == expected),
+        s"racer divergence: ${results.map(_.take(3))}")
+    } finally pool.shutdown()
+    // whichever writer won each commit, the surviving artifacts must
+    // validate: a fresh runner serves both stages with ZERO recompute
+    // (its thunks must never run)
+    val r2 = new PipelineBoundaries.Runner(spark, root, "race-seed")
+    r2.cache("a", () => { fail("racer left an invalid 'a' artifact") })
+    r2.cache("b", () => { fail("racer left an invalid 'b' artifact") })
+    assert(r2.reports.forall(!_.computed))
   }
 }

@@ -375,8 +375,12 @@ class PlanGoldenSpec extends SparkSpec {
       case other => other.children.map(fileScans).sum
     }
     val (plan, _) = snapshot("q_pipeline_e2e")
-    assert(plan.contains("InMemoryTableScan"),
-      "the pipeline row no longer rides the materialized stage cache")
+    // since r15 the selection is ITSELF a materialized stage boundary
+    // (an eager disk checkpoint = LogicalRDD leaf), so the steady-state
+    // row is a TakeOrdered over that leaf — no stage recompute at all
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD") ||
+      plan.contains("InMemoryTableScan"),
+      "the pipeline row no longer rides the materialized selection boundary")
     assert(!plan.contains("CartesianProduct"))
     val dir = sf("sf0.01")
     assert(fileScans(
