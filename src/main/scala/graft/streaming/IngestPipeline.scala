@@ -148,10 +148,47 @@ object IngestPipeline {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // defensive barrier: a caller's immediate sink read once raced the
+    // final batch's directory visibility (observed rarely on local FS
+    // under a loaded JVM). The checkpoint's commits log is the ground
+    // truth for what completed — wait (bounded) until every committed
+    // batch id has its sink directory before returning.
+    val conf = spark.sessionState.newHadoopConf()
+    val commits = new org.apache.hadoop.fs.Path(s"$ckptPath/commits")
+    val fs = commits.getFileSystem(conf)
+    if (fs.exists(commits)) {
+      val ids = fs.listStatus(commits).map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      for (id <- ids) {
+        val d = new org.apache.hadoop.fs.Path(s"$outPath/batch-$id")
+        while (!fs.exists(d) && System.nanoTime() < deadline)
+          Thread.sleep(25)
+        if (!fs.exists(d)) throw new java.io.IOException(
+          s"IngestPipeline: committed batch $id has no sink directory $d")
+      }
+    }
   }
 
-  /** Read everything [[run]]'s sink committed (the batchId-scoped
-    * subdirectories, globbed in one scan). */
-  def readSink(spark: SparkSession, outPath: String): DataFrame =
-    spark.read.parquet(s"$outPath/batch-*")
+  /** Read everything [[run]]'s sink committed: the batchId-scoped
+    * subdirectories, listed explicitly (no glob — and a brief bounded
+    * retry, since a reader starting the moment a run returns should
+    * see the sink, not a listing race). */
+  def readSink(spark: SparkSession, outPath: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(conf)
+    def batches(): Seq[String] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch-")).map(_.toString)
+    var bs = batches()
+    val deadline = System.nanoTime() + 10L * 1000000000L
+    while (bs.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50); bs = batches()
+    }
+    if (bs.isEmpty) throw new java.io.FileNotFoundException(
+      s"IngestPipeline.readSink: no committed batch directories under $outPath")
+    spark.read.parquet(bs: _*)
+  }
 }
