@@ -80,4 +80,71 @@ class AbsorbSpec extends SparkSpec {
       ()
     }
   }
+
+  test("the refresh cycle COMPOSES: two drops absorbed sequentially == rebuild over all survivors, and gen-2 curation runs against the refreshed corpus") {
+    val dir = sf("sf0.01")
+    val budgets =
+      Map("src5" -> 800L, "src6" -> 400L, "src7" -> 200L, "src8" -> 0L)
+    val TQ = graft.queries.TextQueries
+    val corpus0 = TQ.pipeStreamCorpus(spark, dir)
+    val ndk = TQ.pipelineStages(spark, dir).toMap.apply("ndk")
+    val arrivals = TQ.pipeArrivals(spark, dir)
+    def door(batch: DataFrame,
+        c: IngestPipeline.PreparedCorpus): DataFrame =
+      IngestPipeline.curateBatchKept(batch, col("doc_id"), col("source"),
+        col("text"), c)
+    // generation 1: even arrivals against the frozen corpus
+    val kept1 = door(arrivals.filter(col("doc_id") % 2 === 0), corpus0)
+      .persist()
+    val r1 = CorpusRefresh.absorb(corpus0,
+      scored(ndk, corpus0.dsirWeights), kept1)
+    // generation 2: odd arrivals against the REFRESHED corpus — the
+    // operational loop's next turn. pipeArrivals' intra-batch exact
+    // plants (d, d+7 with d%5==0) split across the parity halves, so
+    // cross-DROP duplicates exist by construction; curating against
+    // r1 must catch them where the frozen corpus could not.
+    val half2 = arrivals.filter(col("doc_id") % 2 === 1)
+    val kept2 = door(half2, r1.corpus).persist()
+    val kept2Frozen = door(half2, corpus0)
+    assert(kept2.count() < kept2Frozen.count(),
+      "gen-2 curation against the refreshed corpus caught nothing the " +
+        "frozen corpus missed — the cross-drop plants did not fire")
+    // no gen-2 survivor duplicates a gen-1 survivor's text
+    val dupes = kept2
+      .select(md5(col("text_c4").cast("binary")).as("content_hash"))
+      .join(kept1.select(md5(col("text_c4").cast("binary"))
+        .as("content_hash")), "content_hash")
+    assert(dupes.isEmpty,
+      "a gen-2 survivor exactly duplicates a gen-1 survivor")
+    val r2 = CorpusRefresh.absorb(r1.corpus, r1.kept, kept2)
+    // from-scratch parity over ALL survivors (corpus ∪ drop1 ∪ drop2)
+    val merged = ndk.select(col("doc_id"), col("source"), col("text_c4"))
+      .unionByName(kept1.select(col("doc_id"), col("source"),
+        col("text_c4")))
+      .unionByName(kept2.select(col("doc_id"), col("source"),
+        col("text_c4"))).persist()
+    val sShStr = Dedup.shingled(merged, col("doc_id"), col("text_c4"))
+    def sameSet(a: DataFrame, b: DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$what: two-generation absorb != rebuilt-from-scratch")
+    sameSet(r2.corpus.hashes,
+      merged.select(md5(col("text_c4").cast("binary"))
+        .as("content_hash")), "hashes")
+    sameSet(r2.corpus.signatures, Dedup.signatures(sShStr, 8),
+      "signatures")
+    sameSet(r2.corpus.shingledHashed,
+      sShStr.select(col("doc_id"),
+        CorpusRefresh.hashedShingleCol(col("sh")).as("sh")),
+      "hashed shingles")
+    val viaAbsorb = CorpusRefresh.refreshMix(r2, budgets)
+      .orderBy(col("source"), col("mix_rank")).collect().toSeq
+    val viaScratch = TextOps.mixToTokenBudgetByScore(
+        scored(merged, corpus0.dsirWeights), col("doc_id"),
+        col("source"), col("n_tokens"), col("w_fp"), budgets)
+      .orderBy(col("source"), col("mix_rank")).collect().toSeq
+    assert(viaAbsorb == viaScratch && viaAbsorb.nonEmpty,
+      "two-generation refreshed mix diverged from the from-scratch mix")
+    merged.unpersist(); kept1.unpersist(); kept2.unpersist()
+    ()
+  }
 }
