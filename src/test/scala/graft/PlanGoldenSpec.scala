@@ -434,6 +434,34 @@ class PlanGoldenSpec extends SparkSpec {
     } finally memo.values.foreach(_.unpersist())
   }
 
+  test("q_pipeline_absorb: steady state reads only materialized leaves; block-keyed rank windows") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def fileScans(p: SparkPlan): Int = p match {
+      case _: InMemoryTableScanExec => 0
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case _: FileSourceScanExec => 1
+      case other => other.children.map(fileScans).sum
+    }
+    val (plan, _) = snapshot("q_pipeline_absorb")
+    // the merged kept set is a union of two checkpointed leaves
+    // (ndk-scored + drop survivors): the refreshed mix's two passes
+    // must never rescan the corpus or re-run the door
+    assert(fileScans(
+        SparkEntry.queries("q_pipeline_absorb")(spark, sf("sf0.01"))
+          .queryExecution.executedPlan) == 0,
+      "the absorb row re-scans files instead of riding the kept leaves")
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      "the kept boundaries are no longer lineage-cut leaves")
+    // the mix discipline: every rank window carries the block key
+    val rowNumSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(rowNumSpecs.nonEmpty && rowNumSpecs.forall(_.contains("__blk")),
+      s"an absorb rank window ranks without the block key: $rowNumSpecs")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q_prototype_prune: broadcast per-cluster threshold, no rank window") {
     val (plan, skel) = snapshot("q_prototype_prune")
     // assignment + distance ride the scan as codegen expressions
