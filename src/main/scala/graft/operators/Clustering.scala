@@ -139,10 +139,14 @@ object Clustering {
       s"keepFrac must be in (0, 1], got $keepFrac")
     val scored = assignWithDist(docs, idCol, vecCol, cents)
     if (keepFrac == 1.0) return scored
-    val thr = scored.groupBy(col("cid")).agg(
-      (if (exact) percentile(col("dist"), lit(1.0 - keepFrac))
-       else percentile_approx(col("dist"), lit(1.0 - keepFrac), lit(10000)))
-        .as("__thr"))
+    val thr =
+      if (exact) Percentiles
+        .exactQuantilesBy(scored, Seq("cid"), col("dist"),
+          Seq(1.0 - keepFrac), "__thrs")
+        .select(col("cid"), element_at(col("__thrs"), 1).as("__thr"))
+      else scored.groupBy(col("cid")).agg(
+        percentile_approx(col("dist"), lit(1.0 - keepFrac), lit(10000))
+          .as("__thr"))
     scored.join(broadcast(thr), "cid")
       .filter(col("dist") > col("__thr"))
       .select(col("id"), col("cid"), col("dist"))

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT interpolated percentiles.
+  *
+  * Spark's builtin `percentile` aggregate is exact but buffers a
+  * per-distinct-value count map inside ONE ObjectHashAggregate task per
+  * group — non-spillable, and for a global percentile that single task
+  * holds every distinct score in the corpus. This operator computes the
+  * same number (bit-for-bit: position `r = p * (n-1)`, linear
+  * interpolation between the floor/ceil order statistics — the
+  * Hive/DuckDB `quantile_cont` rule) through plan shapes that spill:
+  *
+  *   1. value histogram: `groupBy(value).count()` — map-side partial
+  *      aggregation, Tungsten hash aggregate, spills to sort;
+  *   2. exact global ranks by a DISTRIBUTED PREFIX SUM over the
+  *      distinct-value frame: range-partition by (keys, value), local
+  *      cumulative counts per slice (a window partitioned by
+  *      (keys, slice) — every sort is partition-local and spills),
+  *      plus the exclusive per-slice offsets from a tiny broadcast
+  *      self-join of slice totals;
+  *   3. each requested probability joins its two covering rows and
+  *      interpolates — pure Catalyst arithmetic, no UDF, no driver
+  *      action (results stay in-plan as a 1-row / per-key frame for
+  *      the broadcast-threshold discipline used by the quality gate).
+  *
+  * At 100 TB nothing here concentrates: even an all-distinct
+  * continuous score column flows through balanced range slices — no
+  * single-reducer sort, no unspillable map, no `WindowExec` moving
+  * "all data to a single partition". The only small frame is the
+  * slice-totals table (|keys| × shuffle partitions), so the grouped
+  * variant assumes a bounded key domain (cluster ids, sources — the
+  * engine's uses). `percentile_approx` remains the production default
+  * everywhere; this is the contract path the DuckDB oracle replays
+  * exactly.
+  *
+  * Reference analog: the reference computes its quality-threshold
+  * cuts with ordinary SQL `percentile_cont` inside Postgres
+  * (lantern-style extensions lean on the host executor); the Spark
+  * re-expression has to supply the distributed execution itself.
+  */
+object Percentiles {
+
+  /** Exact interpolated quantiles of `valueCol` (cast to double, nulls
+    * dropped) at `probs`, as a ONE-ROW frame with a single
+    * `array<double>` column `outCol` (probs order preserved). Empty or
+    * all-null input yields an EMPTY frame (callers cross-joining the
+    * threshold see zero rows, exactly as a null-threshold filter would
+    * produce). */
+  def exactQuantiles(df: DataFrame, valueCol: Column, probs: Seq[Double],
+      outCol: String): DataFrame =
+    quantilesBy(df, Nil, valueCol, probs, outCol)
+
+  /** Per-group exact interpolated quantiles: one row per distinct key
+    * combination with `keys :+ outCol` (array<double>, probs order).
+    * Groups whose values are all null are absent, matching
+    * `groupBy(keys).agg(percentile(...))` row-wise. NULL key values
+    * are not supported (the offset joins are null-unsafe; a null-key
+    * group comes back absent, where the builtin would emit one) — the
+    * engine's key domains (cluster ids, sources) are non-null. */
+  def exactQuantilesBy(df: DataFrame, keys: Seq[String], valueCol: Column,
+      probs: Seq[Double], outCol: String): DataFrame = {
+    require(keys.nonEmpty, "use exactQuantiles for the global variant")
+    quantilesBy(df, keys, valueCol, probs, outCol)
+  }
+
+  private def quantilesBy(df: DataFrame, keys0: Seq[String],
+      valueCol: Column, probs: Seq[Double], outCol: String): DataFrame = {
+    require(probs.nonEmpty, "need at least one probability")
+    require(probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probabilities must be in [0, 1], got $probs")
+    // the global variant rides the grouped code under a constant key —
+    // same single-partition distinct-value frame, but with an explicit
+    // partition spec (no WindowExec warning) and uniform empty-input
+    // semantics (empty frame, never a null row)
+    val (src, keys) =
+      if (keys0.nonEmpty) (df, keys0)
+      else (df.withColumn("__g", lit(0)), Seq("__g"))
+    val keyCols = keys.map(col)
+    val hist = src
+      .select(keyCols :+ valueCol.cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .groupBy(keyCols :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    // Distributed prefix sum over the distinct-value frame — the
+    // textbook shape, in pure Catalyst: range-partition by (keys, v)
+    // (equal composites stay together, partition index is monotone in
+    // the sort order), take LOCAL cumulative counts inside each
+    // (key, range-partition) slice, and add the exclusive offset of
+    // every earlier slice of the same key via a tiny broadcast
+    // self-join of the per-slice totals (≤ |keys| × shuffle-partition
+    // rows — the one frame this operator assumes is small, which for
+    // a global percentile is exactly one row per partition). NO stage
+    // funnels the corpus-scale distinct frame through one reducer.
+    val nP = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = hist
+      .repartitionByRange(nP, keyCols :+ col("__v"): _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLoc = Window.partitionBy(keyCols :+ col("__pid"): _*)
+      .orderBy(col("__v"))
+    val local = ranged.withColumn("__lc", sum(col("__c")).over(wLoc))
+    val totals = local.groupBy(keyCols :+ col("__pid"): _*)
+      .agg(max(col("__lc")).as("__pt"))
+    val b = totals.select(
+      keys.map(k => col(k).as(s"__b_$k")) ++
+        Seq(col("__pid").as("__b_pid"), col("__pt").as("__b_pt")): _*)
+    val sameKeyEarlier = keys.map(k => col(k) === col(s"__b_$k"))
+      .foldLeft(col("__b_pid") < col("__pid"))(_ && _)
+    val offs = totals.join(broadcast(b), sameKeyEarlier, "left")
+      .groupBy(keyCols :+ col("__pid"): _*)
+      .agg(coalesce(sum(col("__b_pt")), lit(0L)).as("__off"))
+    val nPerKey = totals.groupBy(keyCols: _*).agg(sum(col("__pt")).as("__n"))
+    // 0-based rank interval [__lo, __hi) covered by each distinct value
+    val ranked = local
+      .join(broadcast(offs), keys :+ "__pid")
+      .join(broadcast(nPerKey), keys)
+      .withColumn("__hi", col("__off") + col("__lc"))
+      .withColumn("__lo", col("__hi") - col("__c"))
+    // Each prob j wants order statistics at floor(r) and ceil(r),
+    // r = p * (n-1); a distinct value covers rank q iff lo <= q < hi.
+    // The covering rows are the same row or adjacent ones, so one
+    // filtered explode + a tiny re-aggregate recovers both.
+    val probsArr = array(probs.map(lit): _*)
+    val contrib = ranked
+      .select(keyCols ++ Seq(col("__v"), col("__lo"), col("__hi"),
+        col("__n"), posexplode(probsArr).as(Seq("__j", "__p"))): _*)
+      .withColumn("__r", col("__p") * (col("__n") - 1))
+      .withColumn("__isLo",
+        floor(col("__r")) >= col("__lo") && floor(col("__r")) < col("__hi"))
+      .withColumn("__isHi",
+        ceil(col("__r")) >= col("__lo") && ceil(col("__r")) < col("__hi"))
+      .filter(col("__isLo") || col("__isHi"))
+    val perProb = contrib
+      .groupBy(keyCols :+ col("__j"): _*)
+      .agg(first(col("__r")).as("__r"),
+        max(when(col("__isLo"), col("__v"))).as("__lov"),
+        max(when(col("__isHi"), col("__v"))).as("__upv"))
+      // the Hive/Spark `percentile` interpolation, branch included, so
+      // the result is bit-identical to the builtin on any doubles
+      .withColumn("__q", when(ceil(col("__r")) === floor(col("__r")),
+          col("__lov"))
+        .otherwise((ceil(col("__r")) - col("__r")) * col("__lov")
+          + (col("__r") - floor(col("__r"))) * col("__upv")))
+    val out = perProb
+      .groupBy(keyCols: _*)
+      // collect_list here folds at most |probs| rows per key — the only
+      // object aggregate in the plan, bounded by the caller's constant
+      .agg(transform(
+        array_sort(collect_list(struct(col("__j"), col("__q")))),
+        x => x("__q")).as(outCol))
+    if (keys0.nonEmpty) out else out.drop("__g")
+  }
+}

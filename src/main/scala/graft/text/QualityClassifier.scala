@@ -137,16 +137,23 @@ object QualityClassifier {
     * interpolation step is exact in double (position fraction is a
     * multiple of 1/4 for frac = 0.25, products of quarters with ≤ 2^20
     * integers are exact), so the kept set replays bit-for-bit in a
-    * DuckDB quantile_cont. The approx default stays the 100-TB path —
-    * one pass, bounded memory, no full sort of the score column. */
+    * DuckDB quantile_cont. The exact path runs through
+    * [[graft.operators.Percentiles]] — a distributed spillable
+    * histogram, NOT the builtin `percentile` aggregate, which would
+    * buffer every distinct score in one non-spillable task. The approx
+    * default stays the 100-TB path — one pass, bounded memory, no
+    * shuffle of the distinct-score frame at all. */
   def keepTopFraction(scored: DataFrame, scoreCol: Column,
       frac: Double, exact: Boolean = false): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
     if (frac == 1.0) return scored // strict > would drop the minimum ties
-    val thr = scored.agg(
-      (if (exact) percentile(scoreCol, lit(1.0 - frac))
-       else percentile_approx(scoreCol, lit(1.0 - frac), lit(10000)))
-        .as("__thr"))
+    val thr =
+      if (exact) graft.operators.Percentiles
+        .exactQuantiles(scored, scoreCol, Seq(1.0 - frac), "__thrs")
+        .select(element_at(col("__thrs"), 1).as("__thr"))
+      else scored.agg(
+        percentile_approx(scoreCol, lit(1.0 - frac), lit(10000))
+          .as("__thr"))
     scored.crossJoin(broadcast(thr))
       .filter(scoreCol > col("__thr"))
       .drop("__thr")
@@ -167,11 +174,12 @@ object QualityClassifier {
   def tierByQuantile(scored: DataFrame, scoreCol: Column, nTiers: Int,
       exact: Boolean = false): DataFrame = {
     require(nTiers >= 2, s"need at least 2 tiers, got $nTiers")
-    val fracs = array((1 until nTiers).map(j => lit(j.toDouble / nTiers)): _*)
-    val thr = scored.agg(
-      (if (exact) percentile(scoreCol, fracs)
-       else percentile_approx(scoreCol, fracs, lit(10000)))
-        .as("__thr"))
+    val thr =
+      if (exact) graft.operators.Percentiles.exactQuantiles(scored,
+        scoreCol, (1 until nTiers).map(_.toDouble / nTiers), "__thr")
+      else scored.agg(percentile_approx(scoreCol,
+        array((1 until nTiers).map(j => lit(j.toDouble / nTiers)): _*),
+        lit(10000)).as("__thr"))
     scored.crossJoin(broadcast(thr))
       .withColumn("tier", (lit(1) + aggregate(col("__thr"), lit(0),
         (acc, th) => acc + when(scoreCol > th, 1).otherwise(0))).cast("int"))
