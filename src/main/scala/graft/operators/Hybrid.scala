@@ -23,6 +23,43 @@ object Hybrid {
     * ranks it (include an id tiebreak for determinism). */
   case class Ranked(df: DataFrame, order: Seq[Column], weight: Double = 1.0)
 
+  /** Batched fusion — the at-scale shape: ONE job fuses the hit lists
+    * of many queries at once (a recall-eval sweep, a serving batch, a
+    * hard-negative miner running thousands of probes). Every `Ranked`
+    * frame carries `queryCol` alongside `idCol`; rank windows, the
+    * full-outer hit-list join, and the final top-k are ALL partitioned
+    * by the query key, so each window partition holds exactly one
+    * query's bounded top-N list — no single-partition stage anywhere,
+    * and the fusion parallelism grows with the query count. Feed it
+    * the per-query outputs of the batch retrieval operators
+    * ([[graft.ann.IvfIndex.topKJoin]], [[graft.ann.AnnIndex.topKJoin]])
+    * — the same composition the single-query [[rrf]] does for one
+    * probe. Returns (queryCol, idCol, rrf_score), top k per query by
+    * (rrf_score desc, id asc). */
+  def rrfPerQuery(queryCol: String, idCol: String, inputs: Seq[Ranked],
+      k: Int, k0: Int = 60): DataFrame = {
+    require(inputs.nonEmpty, "rrf needs at least one ranking")
+    val scored = inputs.zipWithIndex.map { case (r, i) =>
+      r.df
+        .withColumn("__rank", row_number().over(
+          Window.partitionBy(col(queryCol)).orderBy(r.order: _*)))
+        .select(col(queryCol), col(idCol),
+          (lit(r.weight) / (lit(k0) + col("__rank"))).as(s"__rrf$i"))
+    }
+    val joined = scored
+      .reduce((a, b) => a.join(b, Seq(queryCol, idCol), "full_outer"))
+    val total = inputs.indices
+      .map(i => coalesce(col(s"__rrf$i"), lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .withColumn("rrf_score", total)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col("rrf_score").desc, col(idCol).asc)))
+      .filter(col("__rk") <= k)
+      .select(col(queryCol), col(idCol), col("rrf_score"))
+  }
+
   /** Fuse the rankings into (idCol, rrf_score) descending, top k. Rows
     * absent from a ranking simply contribute nothing for it (full outer
     * join over the hit lists). */

@@ -153,6 +153,47 @@ object VectorQueries {
       .select(col("vec_id"), round(col("joint_dist"), 6).as("joint_dist"))
   }
 
+  /** Four deterministic query vectors for the batched fusion row —
+    * the [[qVec]] 1/16 grid, phase-shifted per query id so the four
+    * rankings genuinely differ (exact in float and double). */
+  private val batchQVecs: Seq[(Int, Seq[Float])] =
+    Seq.tabulate(4)(q =>
+      q -> Seq.tabulate(64)(i => ((i * 37 + q * 11) % 19 - 9) / 16.0f))
+
+  private def batchQVecsSql: String = batchQVecs.map { case (q, v) =>
+    s"($q, ${v.map(f => "%.4f".format(f)).mkString("[", ", ", "]::DOUBLE[]")})"
+  }.mkString(",\n    ")
+
+  /** Batched hybrid fusion — [[graft.operators.Hybrid.rrfPerQuery]]
+    * over FOUR query vectors in ONE job: each query's exact l2sq and
+    * cosine top-20 lists fuse under RRF with every rank window, the
+    * hit-list full-outer join and the final top-10 all PARTITIONED BY
+    * the query id (the at-scale counterpart of q_hybrid_rrf's
+    * single-probe fusion — parallelism grows with the query batch, no
+    * single-partition stage). The per-query lists here come from the
+    * exact KNN operator (contract scaffolding; a production batch
+    * arrives from `topKJoin` in the same (qid, id, dist) shape). Ranks
+    * are taken on the 6dp-rounded distances in both engines while the
+    * top-20 SELECTION stays unrounded — the q_hybrid_rrf discipline. */
+  private def hybridRrfBatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Hybrid
+    def lists(metric: Knn.Metric, dcol: String): DataFrame =
+      batchQVecs.map { case (q, v) =>
+        Knn.knn(emb(s, dir), col("embedding"), vecLit(v), 20, metric,
+            Some(col("vec_id")))
+          .select(lit(q).as("qid"), col("vec_id"),
+            round(col("dist"), 6).as(dcol))
+      }.reduce(_ unionByName _)
+    Hybrid.rrfPerQuery("qid", "vec_id", Seq(
+        Hybrid.Ranked(lists(Knn.L2Sq, "dl"),
+          Seq(col("dl").asc, col("vec_id").asc)),
+        Hybrid.Ranked(lists(Knn.Cos, "dc"),
+          Seq(col("dc").asc, col("vec_id").asc))), 10)
+      .select(col("qid"), col("vec_id"),
+        round(col("rrf_score"), 6).as("rrf_score"))
+      .orderBy(col("qid").asc, col("rrf_score").desc, col("vec_id").asc)
+  }
+
   /** ANN top-k through the sharded HNSW index. With ef >= shard size the
     * per-shard search is exhaustive, so the result is exact and
     * oracle-checkable (the ANN recall path is exercised with realistic
@@ -1044,6 +1085,7 @@ object VectorQueries {
     "q_weighted_search" -> ((s, dir) => weightedSearch(s, dir)),
     "q_weighted_candidates" -> ((s, dir) => weightedCandidates(s, dir)),
     "q_weighted_ann" -> ((s, dir) => weightedAnn(s, dir)),
+    "q_hybrid_rrf_batch" -> ((s, dir) => hybridRrfBatch(s, dir)),
     "q_neardup_embedding" -> ((s, dir) => nearDupPairs(s, dir)),
     "q_semantic_pairs" -> ((s, dir) => semanticPairsQ(s, dir)),
     "q_semantic_groups" -> ((s, dir) => semanticGroups(s, dir)),
@@ -1350,6 +1392,37 @@ object VectorQueries {
          |SELECT vec_id, round(0.7 * $l2sqSqlExpr + 0.3 * $cosSqlExpr, 6) AS joint_dist
          |FROM embeddings, q
          |ORDER BY 0.7 * $l2sqSqlExpr + 0.3 * $cosSqlExpr ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_hybrid_rrf_batch" ->
+      s"""WITH qs(qid, qv) AS (VALUES $batchQVecsSql),
+         |d AS MATERIALIZED (
+         |  SELECT qid, vec_id, $l2sqSqlExpr AS dl, $cosSqlExpr AS dc
+         |  FROM embeddings, qs),
+         |l2sel AS (SELECT qid, vec_id, round(dl, 6) AS dls FROM (
+         |    SELECT qid, vec_id, dl,
+         |      row_number() OVER (PARTITION BY qid ORDER BY dl ASC, vec_id ASC) AS rn
+         |    FROM d) WHERE rn <= 20),
+         |l2r AS (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dls ASC, vec_id ASC) AS r
+         |  FROM l2sel),
+         |csel AS (SELECT qid, vec_id, round(dc, 6) AS dcs FROM (
+         |    SELECT qid, vec_id, dc,
+         |      row_number() OVER (PARTITION BY qid ORDER BY dc ASC, vec_id ASC) AS rn
+         |    FROM d) WHERE rn <= 20),
+         |cr AS (SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dcs ASC, vec_id ASC) AS r
+         |  FROM csel),
+         |fused AS (
+         |  SELECT COALESCE(a.qid, b.qid) AS qid,
+         |    COALESCE(a.vec_id, b.vec_id) AS vec_id,
+         |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + a.r), 0.0)
+         |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.r), 0.0) AS f
+         |  FROM l2r a FULL OUTER JOIN cr b
+         |    ON a.qid = b.qid AND a.vec_id = b.vec_id),
+         |top AS (SELECT qid, vec_id, f,
+         |    row_number() OVER (PARTITION BY qid ORDER BY f DESC, vec_id ASC) AS rr
+         |  FROM fused)
+         |SELECT qid, vec_id, round(f, 6) AS rrf_score FROM top WHERE rr <= 10
+         |ORDER BY qid ASC, f DESC, vec_id ASC""".stripMargin,
     "q_ann_ef64" ->
       "SELECT TRUE AS ok",
     // autotune-derived ef must meet the 0.9 target it was derived for
