@@ -324,6 +324,20 @@ object TextQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id").asc).limit(200)
 
+  /** Epoch-factor expansion on the contract: src0 is seen 2.5 times
+    * per run, src1 once, src2 subsampled to a quarter, src3 to 1.25 —
+    * floor copies for every doc, the fractional extra picked by the
+    * md5 bucket (fractions are exact multiples of 1/10000, the
+    * sampleStratified discipline), all other sources dropped. The
+    * oracle replays the CASE table and the bucket verbatim and unrolls
+    * copies with range(). */
+  private val epochFactors = Map(
+    "src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25, "src3" -> 1.25)
+  private def mixEpochsQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.mixEpochs(docs(s, dir).select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"), epochFactors)
+      .orderBy(col("doc_id").asc, col("epoch").asc).limit(400)
+
   /** DCLM-style quality-classifier gate, integer-exact core: train
     * fixed-point frequency weights (hashed bag-of-words, Laplace
     * P(pos|token) in fixed point) on a weak-supervision split of the
@@ -2143,6 +2157,7 @@ object TextQueries {
     "q_lm_coverage" -> ((s, d) => lmCoverage(s, d)),
     "q_corpus_ngrams" -> ((s, d) => corpusNgrams(s, d)),
     "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
+    "q_mix_epochs" -> ((s, d) => mixEpochsQ(s, d)),
     "q_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
     "q_quality_gate" -> ((s, d) => qualityGate(s, d)),
     "q_quality_tiers" -> ((s, d) => qualityTiers(s, d)),
@@ -3746,5 +3761,20 @@ object TextQueries {
         |              WHEN 'es' THEN 1250 WHEN 'fr' THEN 1250
         |              WHEN 'zh' THEN 625 ELSE 0 END
         |ORDER BY doc_id ASC LIMIT 200""".stripMargin,
+    "q_mix_epochs" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+        |                WHEN 'src2' THEN 0 WHEN 'src3' THEN 1
+        |                ELSE 0 END
+        |    + CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT % 10000
+        |        < CASE source WHEN 'src0' THEN 5000 WHEN 'src2' THEN 2500
+        |                      WHEN 'src3' THEN 2500 ELSE 0 END
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+        |SELECT doc_id, source, unnest(range(1, copies + 1)) AS epoch
+        |FROM c WHERE copies >= 1
+        |ORDER BY doc_id ASC, epoch ASC LIMIT 400""".stripMargin,
   )
 }

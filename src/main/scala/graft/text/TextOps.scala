@@ -228,6 +228,46 @@ object TextOps {
     docs.filter(bucket < (rateCol * 10000).cast("long"))
   }
 
+  /** Epoch-factor mixing — source-weighted data REPETITION (the
+    * LLaMA/GPT-3-style mixture table: source k is seen f_k times per
+    * training run; f_k > 1 repeats the source, f_k < 1 subsamples it).
+    * Each document emits floor(f) full copies plus one more iff its
+    * md5 bucket (the [[sampleStratified]] idiom — fractional parts in
+    * exact multiples of 1/10000) falls under frac(f), so a source's
+    * expected copy count per document is exactly f, the extra copies
+    * are a pure function of (id, salt) — reruns, engines and cluster
+    * layouts expand the identical multiset — and growing f only ever
+    * ADDS copies. Sources absent from `epochs` drop (factor 0).
+    *
+    * Scale shape: one narrow scan — a CASE lookup of the handful of
+    * factors, the md5 bucket, and an explode of a ≤ ceil(f)-element
+    * sequence; no shuffle, no join, no window. Downstream packing /
+    * shuffling sees `epoch` = 1..copies alongside the input columns
+    * (so copy k of a document stays distinguishable for curriculum
+    * ordering or per-epoch salting). */
+  def mixEpochs(docs: DataFrame, idCol: Column, sourceCol: Column,
+      epochs: Map[String, Double], salt: String = "graft"): DataFrame = {
+    require(epochs.values.forall(f => f >= 0), "epoch factors must be >= 0")
+    require(epochs.values.forall(f =>
+      ((f - math.floor(f)) * 10000).isWhole),
+      "fractional epoch parts must be exact multiples of 1/10000")
+    val whole = epochs.foldLeft(lit(0L)) { case (acc, (s, f)) =>
+      when(sourceCol === s, lit(math.floor(f).toLong)).otherwise(acc)
+    }
+    val thr = epochs.foldLeft(lit(0L)) { case (acc, (s, f)) =>
+      when(sourceCol === s,
+        lit(math.round((f - math.floor(f)) * 10000))).otherwise(acc)
+    }
+    val bucket = conv(
+      substring(md5(concat(idCol.cast("string"), lit(":" + salt))
+        .cast("binary")), 1, 15), 16, 10).cast("long") % 10000
+    docs
+      .withColumn("__copies", whole + when(bucket < thr, 1L).otherwise(0L))
+      .filter(col("__copies") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
   /** Exact per-source budget mixing (the mixture-scheduling step: a
     * training run wants EXACTLY n_k documents from source k, not a
     * probabilistic ~rate fraction — [[sampleStratified]] is the rate

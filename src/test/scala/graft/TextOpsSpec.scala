@@ -72,6 +72,44 @@ class TextOpsSpec extends SparkSpec {
       Map("en" -> 0.0)).count() == 0)
   }
 
+  test("mixEpochs: floor copies always, the fractional extra by bucket") {
+    val docs = (0L until 300L).map(i =>
+      (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val factors = Map("s0" -> 2.5, "s1" -> 1.0) // s2 absent -> dropped
+    val out = TextOps.mixEpochs(docs, col("doc_id"), col("source"), factors)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = out.groupBy(_._2)
+    assert(!bySrc.contains("s2"), "unlisted source drops")
+    // s1: exactly one copy per doc, epoch 1
+    assert(bySrc("s1").length == 100 && bySrc("s1").forall(_._3 == 1L))
+    // s0: every doc gets epochs 1 and 2; ~half get a third copy
+    val s0Copies = bySrc("s0").groupBy(_._1).map { case (_, rs) =>
+      rs.map(_._3).sorted.toSeq }
+    assert(s0Copies.forall(e => e == Seq(1L, 2L) || e == Seq(1L, 2L, 3L)))
+    val thirds = s0Copies.count(_.length == 3)
+    assert(thirds > 30 && thirds < 70, s"~50% extras, got $thirds/100")
+    // deterministic: the identical multiset on a different layout
+    val again = TextOps.mixEpochs(docs.repartition(7), col("doc_id"),
+        col("source"), factors)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    // growing a factor only ever ADDS copies
+    val grown = TextOps.mixEpochs(docs, col("doc_id"), col("source"),
+        Map("s0" -> 3.0, "s1" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out.toSet.subsetOf(grown))
+    // fractions must sit on the 1/10000 grid
+    intercept[IllegalArgumentException] {
+      TextOps.mixEpochs(docs, col("doc_id"), col("source"),
+        Map("s0" -> 1.00001))
+    }
+    // the plan is a single narrow scan: no shuffle, no join, no window
+    val plan = TextOps.mixEpochs(docs, col("doc_id"), col("source"), factors)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Window"), s"mixEpochs must stay narrow:\n$plan")
+  }
+
   test("repetition matches hand-computed gram fractions") {
     val docs = Seq(
       (1L, "a b a b a"), // 2-grams ab,ba,ab,ba -> top 2/4; 3-grams aba,bab,aba -> dup 2/3
