@@ -80,11 +80,23 @@ object Percentiles {
       if (keys0.nonEmpty) (df, keys0)
       else (df.withColumn("__g", lit(0)), Seq("__g"))
     val keyCols = keys.map(col)
+    // The histogram materializes ONCE as a disk-backed leaf (the
+    // engine's eager local-checkpoint lineage cut): the prefix-sum
+    // plan below references it from several subtrees (local cumsum,
+    // slice totals, the covering-row explode), and Catalyst shares no
+    // work across DataFrame references — without the cut, the whole
+    // value-source lineage (a corpus scan + scoring chain in the
+    // quality gate) would replay once per consumer. The stored frame
+    // is the distinct-value reduction — the same data volume the
+    // builtin would hold in ONE task's memory, here spread across
+    // disk-backed blocks. Cluster analog: persist the histogram as a
+    // table between jobs.
     val hist = src
       .select(keyCols :+ valueCol.cast("double").as("__v"): _*)
       .filter(col("__v").isNotNull && !isnan(col("__v")))
       .groupBy(keyCols :+ col("__v"): _*)
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // Distributed prefix sum over the distinct-value frame — the
     // textbook shape, in pure Catalyst: range-partition by (keys, v)
     // (equal composites stay together, partition index is monotone in

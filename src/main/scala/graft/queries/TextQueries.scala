@@ -204,6 +204,7 @@ object TextQueries {
       timed("dedup_simhash64") { simhash64Cached(s, dir).count() },
       timed("mock_embeddings") { mockEmbCached(s, dir).count() },
       timed("quality_weights") { qualityWeights(s, dir).count() },
+      timed("quality_scored") { qualityScored(s, dir).count() },
       timed("dsir_weights") { dsirWeightsCached(s, dir).count() },
       timed("dsir_mix_scored") { dsirMixScored(s, dir).count() },
       timed("dsir_stream") { dsirStreamPath(s, dir) },
@@ -358,11 +359,20 @@ object TextQueries {
           col("text"), isPos))
     }
 
+  /** The fixed-point-scored corpus persisted ONCE per dir as a NARROW
+    * lineage-cut boundary (doc_id, w_sum, n_scored, score_fp — the
+    * q_dsir_mix discipline): the classifier, gate and tiers rows all
+    * read this 4-column leaf, so the tokenizer, the weight join and
+    * the per-doc aggregate run exactly once per corpus instead of once
+    * per pass per row. Cluster analog: the scoring job's output table,
+    * which the gate and the curriculum binning then read. */
+  private def qualityScored(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.checkpointedDisk(s"qscored:$dir")(
+      graft.text.QualityClassifier.scoreFixedPoint(docs(s, dir),
+        col("doc_id"), col("text"), qualityWeights(s, dir)))
+
   private def qualityClassifier(s: SparkSession, dir: String): DataFrame =
-    graft.text.QualityClassifier
-      .scoreFixedPoint(docs(s, dir), col("doc_id"), col("text"),
-        qualityWeights(s, dir))
-      .orderBy(col("doc_id").asc).limit(200)
+    qualityScored(s, dir).orderBy(col("doc_id").asc).limit(200)
 
   /** The quality gate ACTION end-to-end on the contract: train the
     * fixed-point classifier, score the WHOLE corpus, keep the top
@@ -372,15 +382,12 @@ object TextQueries {
     * quantile_cont; the percentile_approx default stays the 100-TB
     * path, QualityClassifierSpec pins that the two agree away from
     * threshold ties). Output = top-200 kept docs by (score desc, id). */
-  private def qualityGate(s: SparkSession, dir: String): DataFrame = {
-    val scored = graft.text.QualityClassifier
-      .scoreFixedPoint(docs(s, dir), col("doc_id"), col("text"),
-        qualityWeights(s, dir))
+  private def qualityGate(s: SparkSession, dir: String): DataFrame =
     graft.text.QualityClassifier
-      .keepTopFraction(scored, col("score_fp"), 0.25, exact = true)
+      .keepTopFraction(qualityScored(s, dir), col("score_fp"), 0.25,
+        exact = true)
       .orderBy(col("score_fp").desc, col("doc_id").asc).limit(200)
       .select(col("doc_id"), col("score_fp"))
-  }
 
   /** Curriculum binning end-to-end: the whole corpus scored by the
     * shared fixed-point classifier, quartile thresholds from the
@@ -388,9 +395,7 @@ object TextQueries {
     * 100 TB default), tier = 1 + #thresholds strictly below. */
   private def qualityTiers(s: SparkSession, dir: String): DataFrame =
     graft.text.QualityClassifier.tierByQuantile(
-        graft.text.QualityClassifier.scoreFixedPoint(docs(s, dir),
-          col("doc_id"), col("text"), qualityWeights(s, dir)),
-        col("score_fp"), nTiers = 4, exact = true)
+        qualityScored(s, dir), col("score_fp"), nTiers = 4, exact = true)
       .select(col("doc_id"), col("score_fp"), col("tier"))
       .orderBy(col("doc_id").asc).limit(200)
 

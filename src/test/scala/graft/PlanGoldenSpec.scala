@@ -148,13 +148,18 @@ class PlanGoldenSpec extends SparkSpec {
     checkGolden("q_semantic_pairs", skel)
   }
 
-  test("q_quality_gate: broadcast weight join, in-plan threshold, no corpus sort") {
+  test("q_quality_gate: scored-boundary leaf, in-plan threshold, no corpus sort") {
     val (plan, skel) = snapshot("q_quality_gate")
     // the exact-percentile threshold attaches by a 1-row broadcast
     // nested loop — the gate never sorts the corpus to find it
     assert(plan.contains("BroadcastNestedLoopJoin Cross"))
-    // the ≤dim-row weight table broadcasts onto the exploded tokens
-    assert(plan.contains("BroadcastHashJoin"))
+    // both the threshold histogram and the gated pass read the NARROW
+    // scored boundary (the q_dsir_mix discipline): the steady plan has
+    // NO file scan and NO tokenizer — scoring ran once at the boundary
+    assert(!plan.contains("Scan parquet"),
+      "the gate must read the scored boundary leaf, not re-scan files")
+    assert(!plan.contains("tokenize"),
+      "the tokenizer must run once at the boundary, not per pass")
     assert(plan.contains("TakeOrderedAndProject"))
     assert(!plan.contains("CartesianProduct"))
     checkGolden("q_quality_gate", skel)
