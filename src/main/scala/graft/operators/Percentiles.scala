@@ -17,11 +17,11 @@ import org.apache.spark.sql.functions._
   *   1. value histogram: `groupBy(value).count()` — map-side partial
   *      aggregation, Tungsten hash aggregate, spills to sort;
   *   2. exact global ranks by a DISTRIBUTED PREFIX SUM over the
-  *      distinct-value frame: range-partition by (keys, value), local
-  *      cumulative counts per slice (a window partitioned by
-  *      (keys, slice) — every sort is partition-local and spills),
-  *      plus the exclusive per-slice offsets from a tiny broadcast
-  *      self-join of slice totals;
+  *      distinct-value frame: deterministic quantile-boundary slices
+  *      of each key's value range, local cumulative counts per slice
+  *      (a window partitioned by (keys, slice) — every sort is
+  *      partition-local and spills), plus exclusive per-slice offsets
+  *      from windows over the tiny slice-totals frame, broadcast back;
   *   3. each requested probability joins its two covering rows and
   *      interpolates — pure Catalyst arithmetic, no UDF, no driver
   *      action (results stay in-plan as a 1-row / per-key frame for
@@ -72,63 +72,71 @@ object Percentiles {
     require(probs.nonEmpty, "need at least one probability")
     require(probs.forall(p => p >= 0.0 && p <= 1.0),
       s"probabilities must be in [0, 1], got $probs")
-    // the global variant rides the grouped code under a constant key —
-    // same single-partition distinct-value frame, but with an explicit
-    // partition spec (no WindowExec warning) and uniform empty-input
-    // semantics (empty frame, never a null row)
-    val (src, keys) =
-      if (keys0.nonEmpty) (df, keys0)
-      else (df.withColumn("__g", lit(0)), Seq("__g"))
+    // The global variant rides the grouped code under a constant key,
+    // DERIVED from the value column (`v * 0`, never folded: the values
+    // are NaN-filtered but Catalyst cannot assume that) — a foldable
+    // literal key would be constant-folded OUT of the window partition
+    // specs below, turning the bounded slice-totals windows into
+    // unpartitioned ones (WindowExec warning + SinglePartition
+    // exchange). Also gives uniform empty-input semantics (empty
+    // frame, never a null row).
+    val keys = if (keys0.nonEmpty) keys0 else Seq("__g")
     val keyCols = keys.map(col)
-    // The histogram materializes ONCE as a disk-backed leaf (the
-    // engine's eager local-checkpoint lineage cut): the prefix-sum
-    // plan below references it from several subtrees (local cumsum,
-    // slice totals, the covering-row explode), and Catalyst shares no
-    // work across DataFrame references — without the cut, the whole
-    // value-source lineage (a corpus scan + scoring chain in the
-    // quality gate) would replay once per consumer. The stored frame
-    // is the distinct-value reduction — the same data volume the
-    // builtin would hold in ONE task's memory, here spread across
-    // disk-backed blocks. Cluster analog: persist the histogram as a
-    // table between jobs.
-    val hist = src
-      .select(keyCols :+ valueCol.cast("double").as("__v"): _*)
+    val vCast = valueCol.cast("double")
+    val keySrc: Seq[Column] =
+      if (keys0.nonEmpty) keyCols else Seq((vCast * lit(0.0)).as("__g"))
+    val hist = df
+      .select(keySrc :+ vCast.as("__v"): _*)
       .filter(col("__v").isNotNull && !isnan(col("__v")))
       .groupBy(keyCols :+ col("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // Distributed prefix sum over the distinct-value frame — the
-    // textbook shape, in pure Catalyst: range-partition by (keys, v)
-    // (equal composites stay together, partition index is monotone in
-    // the sort order), take LOCAL cumulative counts inside each
-    // (key, range-partition) slice, and add the exclusive offset of
-    // every earlier slice of the same key via a tiny broadcast
-    // self-join of the per-slice totals (≤ |keys| × shuffle-partition
-    // rows — the one frame this operator assumes is small, which for
-    // a global percentile is exactly one row per partition). NO stage
+    // textbook shape, in pure Catalyst: slice each key's value range,
+    // take LOCAL cumulative counts inside each (key, slice), and add
+    // the exclusive offset of every earlier slice of the same key,
+    // computed by windows over the per-slice totals (≤ |keys| × nP
+    // rows — the one frame this operator assumes is small). NO stage
     // funnels the corpus-scale distinct frame through one reducer.
-    val nP = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
-    val ranged = hist
-      .repartitionByRange(nP, keyCols :+ col("__v"): _*)
-      .withColumn("__pid", spark_partition_id())
+    //
+    // Slices come from approx-quantile BOUNDARIES of the distinct
+    // values (slice id = #boundaries strictly below v), NOT from
+    // spark_partition_id over a repartitionByRange: the boundaries
+    // only balance the slices — the exact ranks never depend on them —
+    // and keeping every derived frame DETERMINISTIC lets Spark's
+    // ReuseExchange collapse the histogram shuffle to ONE computation
+    // under all four consumers (bounds, cumsum window, slice totals,
+    // per-key totals). A nondeterministic slice id defeats canonical
+    // plan equality and every consumer replays the whole input
+    // lineage — a corpus scan + scoring chain in the quality gate.
+    val nP = math.max(2, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val bounds = hist.groupBy(keyCols: _*)
+      .agg(percentile_approx(col("__v"),
+        array((1 until nP).map(i => lit(i.toDouble / nP)): _*),
+        lit(1000)).as("__bnd"))
+    val sliced = hist.join(broadcast(bounds), keys)
+      .withColumn("__pid", aggregate(col("__bnd"), lit(0),
+        (acc, b) => acc + when(col("__v") > b, 1).otherwise(0)))
+      .drop("__bnd")
     val wLoc = Window.partitionBy(keyCols :+ col("__pid"): _*)
       .orderBy(col("__v"))
-    val local = ranged.withColumn("__lc", sum(col("__c")).over(wLoc))
-    val totals = local.groupBy(keyCols :+ col("__pid"): _*)
-      .agg(max(col("__lc")).as("__pt"))
-    val b = totals.select(
-      keys.map(k => col(k).as(s"__b_$k")) ++
-        Seq(col("__pid").as("__b_pid"), col("__pt").as("__b_pt")): _*)
-    val sameKeyEarlier = keys.map(k => col(k) === col(s"__b_$k"))
-      .foldLeft(col("__b_pid") < col("__pid"))(_ && _)
-    val offs = totals.join(broadcast(b), sameKeyEarlier, "left")
-      .groupBy(keyCols :+ col("__pid"): _*)
-      .agg(coalesce(sum(col("__b_pt")), lit(0L)).as("__off"))
-    val nPerKey = totals.groupBy(keyCols: _*).agg(sum(col("__pt")).as("__n"))
+    val local = sliced.withColumn("__lc", sum(col("__c")).over(wLoc))
+    // exclusive slice offsets + per-key totals from TWO windows over
+    // the tiny slice-totals frame (≤ |keys| × nP rows; both windows
+    // share one (keys)-partitioned exchange) — cheaper by several
+    // stages than a broadcast self-join + separate per-key aggregate
+    val totals = sliced.groupBy(keyCols :+ col("__pid"): _*)
+      .agg(sum(col("__c")).as("__pt"))
+    val wOff = Window.partitionBy(keyCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wKey = Window.partitionBy(keyCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = totals
+      .withColumn("__off", coalesce(sum(col("__pt")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__pt")).over(wKey))
+      .drop("__pt")
     // 0-based rank interval [__lo, __hi) covered by each distinct value
     val ranked = local
       .join(broadcast(offs), keys :+ "__pid")
-      .join(broadcast(nPerKey), keys)
       .withColumn("__hi", col("__off") + col("__lc"))
       .withColumn("__lo", col("__hi") - col("__c"))
     // Each prob j wants order statistics at floor(r) and ceil(r),

@@ -116,16 +116,27 @@ class PercentilesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("percentile("),
       "must not fall back to the builtin percentile aggregate")
-    // every ObjectHashAggregate in the plan is the bounded final
-    // assembly over per-prob rows, never a value buffer
+    // every ObjectHashAggregate in the plan is memory-bounded: the
+    // final assembly folds |probs| rows, the slice-boundary sketch is
+    // a fixed-accuracy percentile_approx — never an exact value buffer
     plan.linesIterator.filter(_.contains("ObjectHashAggregate"))
-      .foreach(l => assert(l.contains("collect_list(struct(__j"),
+      .foreach(l => assert(l.contains("collect_list(struct(__j")
+        || l.contains("percentile_approx(__v"),
         s"unexpected object aggregate: $l"))
     assert(plan.contains("Window"), "local cumulative counts ride a window")
     assert(!plan.contains("Exchange SinglePartition"),
       s"no stage may funnel the value frame through one partition:\n$plan")
-    assert(plan.contains("REPARTITION_BY_NUM") ||
-      plan.contains("RangePartitioning") || plan.contains("rangepartitioning"),
-      s"ranks come from a range-partitioned prefix sum:\n$plan")
+  }
+
+  test("the histogram shuffle is computed once and REUSED by every " +
+      "consumer (deterministic slices keep the plan canonical)") {
+    val df = (1 to 5000).map(i => (i % 700) * 0.5).toDF("v").repartition(6)
+    val q = Percentiles.exactQuantiles(df, col("v"), Seq(0.25, 0.9), "q")
+    q.collect() // materialize so AQE finalizes the reused stages
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("StageMaterialization") || plan.contains("ReusedQueryStage")
+      || plan.contains("TableCacheQueryStage"),
+      s"histogram consumers must share one exchange:\n$plan")
   }
 }
