@@ -310,6 +310,38 @@ class AnnSpec extends SparkSpec {
     assert(joined == loop)
   }
 
+  test("topKJoin output composes with Hybrid.rrfPerQuery (the batched " +
+      "hybrid-retrieval production path)") {
+    import graft.operators.Hybrid
+    val dir = Files.createTempDirectory("annrrf").toString
+    buildIndex(dir)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding"))
+    // ranking A: the batch ANN operator's (query_id, id, dist, rank)
+    // frame, fed to the fuser verbatim
+    val annLists = AnnIndex.topKJoin(queries, "vec_id", "embedding", dir,
+      k = 10, ef = 600)
+    // ranking B: an independent signal over the same candidates — the
+    // parity of id stands in for any second scorer; what matters is
+    // the (query_id, id, order) shape
+    val second = annLists
+      .select(col("query_id"), col("id"), (col("id") % 7).as("alt"))
+    val fused = Hybrid.rrfPerQuery("query_id", "id", Seq(
+        Hybrid.Ranked(annLists, Seq(col("dist").asc, col("id").asc)),
+        Hybrid.Ranked(second, Seq(col("alt").asc, col("id").asc))), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fused.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(fused.groupBy(_._1).forall(_._2.length == 5))
+    // per-query equality with the single-probe fuser over the slices
+    val q0 = Hybrid.rrf("id", Seq(
+        Hybrid.Ranked(annLists.filter(col("query_id") === 0),
+          Seq(col("dist").asc, col("id").asc)),
+        Hybrid.Ranked(second.filter(col("query_id") === 0),
+          Seq(col("alt").asc, col("id").asc))), k = 5)
+      .collect().map(r => (0L, r.getLong(0), r.getDouble(1))).toSet
+    assert(fused.filter(_._1 == 0L).toSet == q0)
+  }
+
   test("streamAppend drains a parquet feed into the index via foreachBatch") {
     val work = Files.createTempDirectory("annstream").toString
     import spark.implicits._
