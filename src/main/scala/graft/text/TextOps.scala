@@ -262,6 +262,10 @@ object TextOps {
       substring(md5(concat(idCol.cast("string"), lit(":" + salt))
         .cast("binary")), 1, 15), 16, 10).cast("long") % 10000
     docs
+      // unlisted sources would drop via copies = 0 anyway, but the
+      // explicit isin PUSHES to the scan (PushedFilters: In(source)) —
+      // listing 4 of 20 sources then reads a fifth of the corpus
+      .filter(sourceCol.isin(epochs.keys.toSeq: _*))
       .withColumn("__copies", whole + when(bucket < thr, 1L).otherwise(0L))
       .filter(col("__copies") >= 1)
       .withColumn("epoch", explode(sequence(lit(1L), col("__copies"))))
