@@ -27,6 +27,18 @@ import org.apache.spark.sql.functions._
   *      action (results stay in-plan as a 1-row / per-key frame for
   *      the broadcast-threshold discipline used by the quality gate).
   *
+  * Dispatch is ADAPTIVE: a one-row probe routes bounded inputs
+  * (every group's distinct count ≤
+  * `graft.percentile.maxBuiltinDistinct`, default 100k — memory —
+  * AND total rows ≤ `graft.percentile.maxBuiltinRows`, default 1M —
+  * time: the builtin's non-codegen per-row map updates lose to the
+  * prefix sum past a few million rows even over a tiny distinct
+  * domain) through the builtin `percentile` aggregate —
+  * bit-identical and several stages cheaper at small scale — keeping
+  * the prefix sum for the unbounded case it exists for.
+  * `maxBuiltinDistinct <= 0` forces the prefix sum (and skips the
+  * probe's extra input scan).
+  *
   * At 100 TB nothing here concentrates: even an all-distinct
   * continuous score column flows through balanced range slices — no
   * single-reducer sort, no unspillable map, no `WindowExec` moving
@@ -79,15 +91,61 @@ object Percentiles {
     // specs below, turning the bounded slice-totals windows into
     // unpartitioned ones (WindowExec warning + SinglePartition
     // exchange). Also gives uniform empty-input semantics (empty
-    // frame, never a null row).
+    // frame, never a null row). nanvl keeps ±Infinity values (which
+    // pass the isnan filter but make `v * 0` NaN) in the ONE group —
+    // the builtin treats infinities as ordinary ordered values.
     val keys = if (keys0.nonEmpty) keys0 else Seq("__g")
     val keyCols = keys.map(col)
     val vCast = valueCol.cast("double")
     val keySrc: Seq[Column] =
-      if (keys0.nonEmpty) keyCols else Seq((vCast * lit(0.0)).as("__g"))
-    val hist = df
+      if (keys0.nonEmpty) keyCols
+      else Seq(nanvl(vCast * lit(0.0), lit(0.0)).as("__g"))
+    val filtered = df
       .select(keySrc :+ vCast.as("__v"): _*)
       .filter(col("__v").isNotNull && !isnan(col("__v")))
+    // Adaptive dispatch: the prefix sum exists for the UNBOUNDED case
+    // (a continuous all-distinct score column — the builtin's
+    // per-task OpenHashMap of every distinct value is the one
+    // unspillable buffer in the engine). When a cheap approximate
+    // probe bounds BOTH axes of the builtin's cost — every group's
+    // distinct-value count fits one aggregation buffer (memory), and
+    // the total row count is small enough that the non-codegen
+    // ObjectHashAggregate's per-row generic-map updates beat the
+    // prefix sum's ~fixed multi-stage overhead (time: measured
+    // crossover near a few million rows — at sf10 the builtin gate
+    // ran 10.09 s vs the prefix sum's 1.43 s even with a SMALL
+    // distinct domain, so distinct count alone is the wrong
+    // criterion) — the builtin `percentile` is bit-identical (same
+    // Hive interpolation, both branches) and several stages cheaper:
+    // route there. The probe is one map-side-combined aggregate
+    // collecting ONE row (audited bounded collect);
+    // `graft.percentile.maxBuiltinDistinct` <= 0 skips it and forces
+    // the prefix sum (how the specs pin the arm, and the escape
+    // hatch for callers whose input lineage is too expensive to scan
+    // twice).
+    val maxBuiltin = graft.GraftConf
+      .percentileMaxBuiltinDistinct(df.sparkSession)
+    val maxBuiltinRows = graft.GraftConf
+      .percentileMaxBuiltinRows(df.sparkSession)
+    val probsArr = array(probs.map(lit): _*)
+    if (maxBuiltin > 0) {
+      val probeRow = filtered
+        .groupBy(keyCols: _*)
+        .agg(count(lit(1)).as("__n"),
+          approx_count_distinct(col("__v")).as("__d"))
+        .agg(sum(col("__n")).as("__rows"), max(col("__d")).as("__m"))
+        .collect()
+      val (totalRows, maxDistinct) =
+        if (probeRow.isEmpty || probeRow(0).isNullAt(0)) (0L, 0L)
+        else (probeRow(0).getLong(0), probeRow(0).getLong(1))
+      if (maxDistinct <= maxBuiltin && totalRows <= maxBuiltinRows) {
+        val out = filtered
+          .groupBy(keyCols: _*)
+          .agg(percentile(col("__v"), probsArr).as(outCol))
+        return if (keys0.nonEmpty) out else out.drop("__g")
+      }
+    }
+    val hist = filtered
       .groupBy(keyCols :+ col("__v"): _*)
       .agg(count(lit(1)).as("__c"))
     // Distributed prefix sum over the distinct-value frame — the
@@ -143,7 +201,6 @@ object Percentiles {
     // r = p * (n-1); a distinct value covers rank q iff lo <= q < hi.
     // The covering rows are the same row or adjacent ones, so one
     // filtered explode + a tiny re-aggregate recovers both.
-    val probsArr = array(probs.map(lit): _*)
     val contrib = ranked
       .select(keyCols ++ Seq(col("__v"), col("__lo"), col("__hi"),
         col("__n"), posexplode(probsArr).as(Seq("__j", "__p"))): _*)
@@ -158,10 +215,14 @@ object Percentiles {
       .agg(first(col("__r")).as("__r"),
         max(when(col("__isLo"), col("__v"))).as("__lov"),
         max(when(col("__isHi"), col("__v"))).as("__upv"))
-      // the Hive/Spark `percentile` interpolation, branch included, so
-      // the result is bit-identical to the builtin on any doubles
-      .withColumn("__q", when(ceil(col("__r")) === floor(col("__r")),
-          col("__lov"))
+      // the Hive/Spark `percentile` interpolation, BOTH branches: the
+      // builtin also returns lowerKey directly when the floor/ceil
+      // order statistics are the SAME value (a tie spanning the
+      // fractional position) — computing (c-r)*v + (r-f)*v there can
+      // drift from v by 1 ulp, and keepTopFraction's strict >
+      // threshold would flip the kept set on tie-heavy data
+      .withColumn("__q", when(ceil(col("__r")) === floor(col("__r"))
+          || col("__lov") === col("__upv"), col("__lov"))
         .otherwise((ceil(col("__r")) - col("__r")) * col("__lov")
           + (col("__r") - floor(col("__r"))) * col("__upv")))
     val out = perProb

@@ -189,9 +189,12 @@ object VectorQueries {
           Seq(col("dl").asc, col("vec_id").asc)),
         Hybrid.Ranked(lists(Knn.Cos, "dc"),
           Seq(col("dc").asc, col("vec_id").asc))), 10)
+      // order on the UNROUNDED score (the oracle's ORDER BY f DESC) —
+      // two scores that only round equal must still order identically
+      // across engines; the projection below preserves the sort
+      .orderBy(col("qid").asc, col("rrf_score").desc, col("vec_id").asc)
       .select(col("qid"), col("vec_id"),
         round(col("rrf_score"), 6).as("rrf_score"))
-      .orderBy(col("qid").asc, col("rrf_score").desc, col("vec_id").asc)
   }
 
   /** ANN top-k through the sharded HNSW index. With ef >= shard size the

@@ -248,9 +248,13 @@ object TextOps {
   def mixEpochs(docs: DataFrame, idCol: Column, sourceCol: Column,
       epochs: Map[String, Double], salt: String = "graft"): DataFrame = {
     require(epochs.values.forall(f => f >= 0), "epoch factors must be >= 0")
-    require(epochs.values.forall(f =>
-      ((f - math.floor(f)) * 10000).isWhole),
-      "fractional epoch parts must be exact multiples of 1/10000")
+    // tolerance-validated: exact float arithmetic would falsely reject
+    // on-grid factors like 1.1 ((1.1-1.0)*10000 = 1000.0000000000009);
+    // thr below uses the same math.round this check guards
+    require(epochs.values.forall { f =>
+      val frac = (f - math.floor(f)) * 10000
+      math.abs(frac - math.round(frac)) < 1e-6
+    }, "fractional epoch parts must be exact multiples of 1/10000")
     val whole = epochs.foldLeft(lit(0L)) { case (acc, (s, f)) =>
       when(sourceCol === s, lit(math.floor(f).toLong)).otherwise(acc)
     }

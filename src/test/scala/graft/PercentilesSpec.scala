@@ -5,26 +5,40 @@ import graft.operators.Percentiles
 
 /** The distributed exact-percentile histogram must agree with Spark's
   * builtin `percentile` aggregate BIT-FOR-BIT — same interpolation rule
-  * (r = p * (n-1), Hive branch form), same null handling, same grouped
-  * row set — while executing through spillable shapes (hash aggregate +
-  * window sort) instead of one non-spillable ObjectHashAggregate map. */
+  * (r = p * (n-1), Hive branch form INCLUDING the equal-order-statistics
+  * short-circuit), same null handling, same grouped row set — while
+  * executing through spillable shapes (hash aggregate + window sort)
+  * instead of one non-spillable ObjectHashAggregate map. Dispatch is
+  * adaptive (builtin under a distinct-count probe bound, prefix sum
+  * above it / when forced); BOTH arms are pinned here: the prefix-sum
+  * tests force `graft.percentile.maxBuiltinDistinct = 0` so they never
+  * silently degrade into builtin-vs-builtin comparisons. */
 class PercentilesSpec extends SparkSpec {
 
   import spark.implicits._
 
   private val probsAll = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
 
+  private def withThreshold[T](n: Long)(body: => T): T = {
+    spark.conf.set(GraftConf.PercentileMaxBuiltinDistinct, n.toString)
+    try body
+    finally spark.conf.unset(GraftConf.PercentileMaxBuiltinDistinct)
+  }
+  private def forcePrefixSum[T](body: => T): T = withThreshold(0L)(body)
+
   private def builtin(values: Seq[Double], p: Double): Double = {
     val df = values.toDF("v")
     df.agg(percentile(col("v"), lit(p))).collect()(0).getDouble(0)
   }
 
-  private def ours(values: Seq[Double], probs: Seq[Double]): Seq[Double] = {
-    val df = values.toDF("v").repartition(7)
-    val rows = Percentiles.exactQuantiles(df, col("v"), probs, "q").collect()
-    assert(rows.length == 1, "exactly one global row")
-    rows(0).getSeq[Double](0)
-  }
+  /** The PREFIX-SUM arm, forced. */
+  private def ours(values: Seq[Double], probs: Seq[Double]): Seq[Double] =
+    forcePrefixSum {
+      val df = values.toDF("v").repartition(7)
+      val rows = Percentiles.exactQuantiles(df, col("v"), probs, "q").collect()
+      assert(rows.length == 1, "exactly one global row")
+      rows(0).getSeq[Double](0)
+    }
 
   test("bit-parity with the builtin on random doubles with ties") {
     val rnd = new scala.util.Random(42)
@@ -38,6 +52,37 @@ class PercentilesSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(want),
         s"p=$p: got $q want $want (bit-exact)")
     }
+  }
+
+  test("tie spanning a fractional position returns the tied value " +
+      "EXACTLY (the builtin's equal-order-statistics branch, not the " +
+      "1-ulp-drifting interpolation)") {
+    // all values 0.1: interpolating (0.7)*0.1 + (0.3)*0.1 in double is
+    // 0.09999999999999999 — one ulp OFF the builtin's short-circuit
+    val values = Seq.fill(11)(0.1) // n=11, p=0.33 -> r=3.3, lov == upv
+    val got = ours(values, Seq(0.33))
+    val want = builtin(values, 0.33)
+    assert(java.lang.Double.doubleToLongBits(got.head) ==
+      java.lang.Double.doubleToLongBits(want),
+      s"got ${got.head} want $want (bit-exact)")
+    assert(got.head == 0.1)
+    // and a tie BLOCK inside mixed data whose boundary spans r
+    val mixed = Seq(0.0, 0.0, 0.0) ++ Seq.fill(5)(0.1) ++ Seq(7.0, 9.0)
+    val p = 0.45 // n=10, r=4.05 — both order stats inside the 0.1 block
+    assert(java.lang.Double.doubleToLongBits(ours(mixed, Seq(p)).head) ==
+      java.lang.Double.doubleToLongBits(builtin(mixed, p)))
+  }
+
+  test("±Infinity values stay in the ONE global group (NaN-safe key)") {
+    val values = Seq(1.0, 2.0, Double.PositiveInfinity,
+      Double.NegativeInfinity)
+    // `ours` asserts exactly one global row — the old v*0 key sent
+    // infinite rows (v*0 = NaN) to a second group
+    val got = ours(values, Seq(0.0, 0.5, 1.0))
+    assert(got(0) == Double.NegativeInfinity)
+    assert(got(2) == Double.PositiveInfinity)
+    assert(java.lang.Double.doubleToLongBits(got(1)) ==
+      java.lang.Double.doubleToLongBits(builtin(values, 0.5)))
   }
 
   test("integer scores at quarter probs are exact (the contract claim)") {
@@ -57,17 +102,21 @@ class PercentilesSpec extends SparkSpec {
     assert(ours(vs, Seq(1.0)) == Seq(9.0))
   }
 
-  test("nulls are dropped; all-null input yields an empty frame") {
+  test("nulls are dropped; all-null input yields an empty frame " +
+      "(both arms)") {
     val df = Seq[(Long, Option[Double])](
       (1L, Some(2.0)), (2L, None), (3L, Some(4.0)), (4L, None))
       .toDF("id", "v")
-    val got = Percentiles.exactQuantiles(df, col("v"), Seq(0.5), "q")
-      .collect()(0).getSeq[Double](0)
-    assert(got == Seq(3.0))
-    val empty = Percentiles.exactQuantiles(
-      df.filter(col("v").isNull).select(col("id"), col("v")),
-      col("v"), Seq(0.5), "q")
-    assert(empty.count() == 0, "empty frame, not a null row")
+    for (thr <- Seq(0L, 1000000L)) withThreshold(thr) {
+      val got = Percentiles.exactQuantiles(df, col("v"), Seq(0.5), "q")
+        .collect()(0).getSeq[Double](0)
+      assert(got == Seq(3.0), s"threshold $thr")
+      val empty = Percentiles.exactQuantiles(
+        df.filter(col("v").isNull).select(col("id"), col("v")),
+        col("v"), Seq(0.5), "q")
+      assert(empty.count() == 0,
+        s"empty frame, not a null row (threshold $thr)")
+    }
   }
 
   test("grouped variant matches groupBy(percentile) row-for-row") {
@@ -81,17 +130,45 @@ class PercentilesSpec extends SparkSpec {
         percentile(col("v"), lit(0.9)).as("b"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
       .toMap
-    val got = Percentiles
-      .exactQuantilesBy(df, Seq("k"), col("v"), Seq(0.25, 0.9), "q")
-      .collect().map { r =>
-        val q = r.getSeq[Double](1); r.getString(0) -> (q(0), q(1))
-      }.toMap
+    val got = forcePrefixSum {
+      Percentiles
+        .exactQuantilesBy(df, Seq("k"), col("v"), Seq(0.25, 0.9), "q")
+        .collect().map { r =>
+          val q = r.getSeq[Double](1); r.getString(0) -> (q(0), q(1))
+        }.toMap
+    }
     assert(got.keySet == want.keySet)
     got.foreach { case (k, (a, b)) =>
       assert(java.lang.Double.doubleToLongBits(a) ==
         java.lang.Double.doubleToLongBits(want(k)._1), s"$k p=0.25")
       assert(java.lang.Double.doubleToLongBits(b) ==
         java.lang.Double.doubleToLongBits(want(k)._2), s"$k p=0.9")
+    }
+  }
+
+  test("both dispatch arms are bit-equal on the same frame " +
+      "(global and grouped)") {
+    val rnd = new scala.util.Random(23)
+    val df = Seq.tabulate(700) { i =>
+      (s"g${i % 3}",
+        if (i % 4 == 0) 0.1 else rnd.nextInt(50) * 0.7 + rnd.nextDouble())
+    }.toDF("k", "v").repartition(5)
+    def run(thr: Long): (Seq[Double], Map[String, Seq[Double]]) =
+      withThreshold(thr) {
+        val g = Percentiles.exactQuantiles(df, col("v"), probsAll, "q")
+          .collect()(0).getSeq[Double](0)
+        val by = Percentiles
+          .exactQuantilesBy(df, Seq("k"), col("v"), probsAll, "q")
+          .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+        (g, by)
+      }
+    val (gPrefix, byPrefix) = run(0L)          // forced prefix sum
+    val (gBuiltin, byBuiltin) = run(10000000L) // probe routes to builtin
+    def bits(xs: Seq[Double]) = xs.map(java.lang.Double.doubleToLongBits)
+    assert(bits(gPrefix) == bits(gBuiltin), "global arms bit-equal")
+    assert(byPrefix.keySet == byBuiltin.keySet)
+    byPrefix.foreach { case (k, v) =>
+      assert(bits(v) == bits(byBuiltin(k)), s"group $k arms bit-equal")
     }
   }
 
@@ -104,39 +181,63 @@ class PercentilesSpec extends SparkSpec {
     val vs = Seq.tabulate(300)(i => (i % 23) * 1.5)
     val a = ours(vs, probsAll)
     val df1 = vs.toDF("v").repartition(1)
-    val b = Percentiles.exactQuantiles(df1, col("v"), probsAll, "q")
-      .collect()(0).getSeq[Double](0)
+    val b = forcePrefixSum {
+      Percentiles.exactQuantiles(df1, col("v"), probsAll, "q")
+        .collect()(0).getSeq[Double](0)
+    }
     assert(a == b)
   }
 
-  test("the plan buffers values in NO object aggregate — histogram + " +
-      "window only (the final collect_list folds |probs| rows)") {
+  test("adaptive dispatch: bounded input routes to the builtin " +
+      "aggregate; forced threshold 0 runs the prefix sum, probe-free") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
-    val plan = Percentiles.exactQuantiles(df, col("v"), Seq(0.5), "q")
+    // default threshold (100k) — 100 distinct values probe under it
+    val builtinPlan = Percentiles.exactQuantiles(df, col("v"), Seq(0.5), "q")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("percentile("),
-      "must not fall back to the builtin percentile aggregate")
-    // every ObjectHashAggregate in the plan is memory-bounded: the
-    // final assembly folds |probs| rows, the slice-boundary sketch is
-    // a fixed-accuracy percentile_approx — never an exact value buffer
-    plan.linesIterator.filter(_.contains("ObjectHashAggregate"))
-      .foreach(l => assert(l.contains("collect_list(struct(__j")
-        || l.contains("percentile_approx(__v"),
-        s"unexpected object aggregate: $l"))
-    assert(plan.contains("Window"), "local cumulative counts ride a window")
-    assert(!plan.contains("Exchange SinglePartition"),
-      s"no stage may funnel the value frame through one partition:\n$plan")
+    assert(builtinPlan.contains("percentile("),
+      s"bounded input must take the builtin arm:\n$builtinPlan")
+    assert(!builtinPlan.contains("Window"),
+      "the builtin arm has no window stage")
+    forcePrefixSum {
+      val p = Percentiles.exactQuantiles(df, col("v"), Seq(0.5), "q")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("percentile("), "threshold 0 forces the prefix sum")
+    }
+  }
+
+  test("the prefix-sum plan buffers values in NO object aggregate — " +
+      "histogram + window only (the final collect_list folds |probs| " +
+      "rows)") {
+    forcePrefixSum {
+      val df = (1 to 100).map(_.toDouble).toDF("v")
+      val plan = Percentiles.exactQuantiles(df, col("v"), Seq(0.5), "q")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("percentile("),
+        "must not fall back to the builtin percentile aggregate")
+      // every ObjectHashAggregate in the plan is memory-bounded: the
+      // final assembly folds |probs| rows, the slice-boundary sketch is
+      // a fixed-accuracy percentile_approx — never an exact value buffer
+      plan.linesIterator.filter(_.contains("ObjectHashAggregate"))
+        .foreach(l => assert(l.contains("collect_list(struct(__j")
+          || l.contains("percentile_approx(__v"),
+          s"unexpected object aggregate: $l"))
+      assert(plan.contains("Window"), "local cumulative counts ride a window")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"no stage may funnel the value frame through one partition:\n$plan")
+    }
   }
 
   test("the histogram shuffle is computed once and REUSED by every " +
       "consumer (deterministic slices keep the plan canonical)") {
-    val df = (1 to 5000).map(i => (i % 700) * 0.5).toDF("v").repartition(6)
-    val q = Percentiles.exactQuantiles(df, col("v"), Seq(0.25, 0.9), "q")
-    q.collect() // materialize so AQE finalizes the reused stages
-    val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange") ||
-      plan.contains("StageMaterialization") || plan.contains("ReusedQueryStage")
-      || plan.contains("TableCacheQueryStage"),
-      s"histogram consumers must share one exchange:\n$plan")
+    forcePrefixSum {
+      val df = (1 to 5000).map(i => (i % 700) * 0.5).toDF("v").repartition(6)
+      val q = Percentiles.exactQuantiles(df, col("v"), Seq(0.25, 0.9), "q")
+      q.collect() // materialize so AQE finalizes the reused stages
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange") ||
+        plan.contains("StageMaterialization") || plan.contains("ReusedQueryStage")
+        || plan.contains("TableCacheQueryStage"),
+        s"histogram consumers must share one exchange:\n$plan")
+    }
   }
 }

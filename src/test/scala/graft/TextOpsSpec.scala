@@ -103,6 +103,13 @@ class TextOpsSpec extends SparkSpec {
       TextOps.mixEpochs(docs, col("doc_id"), col("source"),
         Map("s0" -> 1.00001))
     }
+    // ... but the check is TOLERANT of float representation: 1.1 and
+    // 2.3 are on-grid even though (1.1-1.0)*10000 = 1000.0000000000009
+    for (f <- Seq(1.1, 2.3)) {
+      val n = TextOps.mixEpochs(docs, col("doc_id"), col("source"),
+        Map("s0" -> f)).count()
+      assert(n >= 100 * math.floor(f).toLong, s"on-grid factor $f rejected")
+    }
     // the plan is a single narrow scan: no shuffle, no join, no window
     val plan = TextOps.mixEpochs(docs, col("doc_id"), col("source"), factors)
       .queryExecution.executedPlan.toString
