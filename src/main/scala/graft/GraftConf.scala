@@ -36,18 +36,20 @@ object GraftConf {
     * otherwise exceed the broadcast limit outright). */
   val IvfBroadcastQueryLimit = "graft.ivf.broadcastQueryLimit"
   /** Adaptive exact-percentile dispatch ([[graft.operators.Percentiles]]):
-    * when an approximate probe bounds every group's distinct-value
-    * count at or under this, the builtin `percentile` aggregate runs
-    * (bit-identical, several stages cheaper); above it the
-    * distributed spillable prefix sum runs. <= 0 skips the probe and
-    * forces the prefix sum (default 100000 — ~a few MB of aggregation
-    * buffer per task, far inside executor memory). */
+    * MEMORY cap — max total distinct (keys, value) pairs the builtin
+    * `percentile` aggregate may buffer (its one unspillable
+    * structure; the pair domain is the whole buffer across final-agg
+    * tasks, ~48 MB at the default 1,000,000). Above it the
+    * distributed spillable prefix sum always runs. <= 0 skips the
+    * probe and forces the prefix sum. */
   val PercentileMaxBuiltinDistinct = "graft.percentile.maxBuiltinDistinct"
-  /** Second dispatch axis: max TOTAL row count routed to the builtin —
-    * its ObjectHashAggregate updates a generic map per ROW (no
-    * codegen), so past a few million rows the prefix sum wins on time
-    * even when the distinct domain is tiny (measured 10.09 s vs
-    * 1.43 s at the sf10 century). Default 1,000,000. */
+  /** TIME floor — row count under which the builtin always wins (the
+    * prefix sum's ~1.5 s of extra stages dominate; default 100,000).
+    * Above the floor the builtin is kept only while rows <= floor +
+    * 1.5 × distinct: its per-ROW object-agg updates lose to the
+    * prefix sum's per-DISTINCT cost on narrow domains (measured
+    * 10.09 s vs 1.43 s at the sf10 century gate) but win on
+    * all-distinct columns (measured 8 s vs 10 s at the sf10 prune). */
   val PercentileMaxBuiltinRows = "graft.percentile.maxBuiltinRows"
 
   def ivfBroadcastQueryLimit(spark: SparkSession): Long =
@@ -55,12 +57,17 @@ object GraftConf {
       .getOrElse(100000L)
 
   def percentileMaxBuiltinDistinct(spark: SparkSession): Long =
-    spark.conf.getOption(PercentileMaxBuiltinDistinct).map(_.toLong)
-      .getOrElse(100000L)
+    longConf(spark, PercentileMaxBuiltinDistinct, 1000000L)
 
   def percentileMaxBuiltinRows(spark: SparkSession): Long =
-    spark.conf.getOption(PercentileMaxBuiltinRows).map(_.toLong)
-      .getOrElse(1000000L)
+    longConf(spark, PercentileMaxBuiltinRows, 100000L)
+
+  /** Session conf first, then a JVM system property of the same name
+    * (lets the fork-run tools — BenchOne, ScaleGate, the probes —
+    * pin a dispatch arm without a code change), then the default. */
+  private def longConf(spark: SparkSession, key: String, dflt: Long): Long =
+    spark.conf.getOption(key).orElse(sys.props.get(key))
+      .map(_.toLong).getOrElse(dflt)
 
   def initK(spark: SparkSession): Int = intConf(spark, InitK, 10)
   def maxK(spark: SparkSession): Int = intConf(spark, MaxK, 1000)

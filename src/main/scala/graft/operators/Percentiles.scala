@@ -27,17 +27,13 @@ import org.apache.spark.sql.functions._
   *      action (results stay in-plan as a 1-row / per-key frame for
   *      the broadcast-threshold discipline used by the quality gate).
   *
-  * Dispatch is ADAPTIVE: a one-row probe routes bounded inputs
-  * (every group's distinct count ≤
-  * `graft.percentile.maxBuiltinDistinct`, default 100k — memory —
-  * AND total rows ≤ `graft.percentile.maxBuiltinRows`, default 1M —
-  * time: the builtin's non-codegen per-row map updates lose to the
-  * prefix sum past a few million rows even over a tiny distinct
-  * domain) through the builtin `percentile` aggregate —
-  * bit-identical and several stages cheaper at small scale — keeping
-  * the prefix sum for the unbounded case it exists for.
-  * `maxBuiltinDistinct <= 0` forces the prefix sum (and skips the
-  * probe's extra input scan).
+  * Dispatch is ADAPTIVE: plan statistics or a one-row probe route
+  * bounded inputs through the builtin `percentile` aggregate —
+  * bit-identical and several stages cheaper — keeping the prefix sum
+  * for the unbounded case it exists for. The rule and its measured
+  * cost model live at the dispatch site below;
+  * `graft.percentile.maxBuiltinDistinct <= 0` forces the prefix sum
+  * (and skips the probe's extra input scan).
   *
   * At 100 TB nothing here concentrates: even an all-distinct
   * continuous score column flows through balanced range slices — no
@@ -103,42 +99,61 @@ object Percentiles {
     val filtered = df
       .select(keySrc :+ vCast.as("__v"): _*)
       .filter(col("__v").isNotNull && !isnan(col("__v")))
-    // Adaptive dispatch: the prefix sum exists for the UNBOUNDED case
-    // (a continuous all-distinct score column — the builtin's
-    // per-task OpenHashMap of every distinct value is the one
-    // unspillable buffer in the engine). When a cheap approximate
-    // probe bounds BOTH axes of the builtin's cost — every group's
-    // distinct-value count fits one aggregation buffer (memory), and
-    // the total row count is small enough that the non-codegen
-    // ObjectHashAggregate's per-row generic-map updates beat the
-    // prefix sum's ~fixed multi-stage overhead (time: measured
-    // crossover near a few million rows — at sf10 the builtin gate
-    // ran 10.09 s vs the prefix sum's 1.43 s even with a SMALL
-    // distinct domain, so distinct count alone is the wrong
-    // criterion) — the builtin `percentile` is bit-identical (same
-    // Hive interpolation, both branches) and several stages cheaper:
-    // route there. The probe is one map-side-combined aggregate
-    // collecting ONE row (audited bounded collect);
-    // `graft.percentile.maxBuiltinDistinct` <= 0 skips it and forces
-    // the prefix sum (how the specs pin the arm, and the escape
-    // hatch for callers whose input lineage is too expensive to scan
-    // twice).
+    // Adaptive dispatch. The two arms' costs are measured and
+    // different in kind: the builtin's non-codegen ObjectHashAggregate
+    // pays a generic-map update per ROW (~25 µs/row at the sf10
+    // century), the prefix sum pays per DISTINCT VALUE (histogram +
+    // window sorts, ~35 µs/distinct) plus ~1.5 s of fixed multi-stage
+    // overhead — so on an all-distinct continuous column the builtin
+    // wins until its buffer hits memory (measured: prune@200k-distinct
+    // builtin 8 s vs prefix 10 s), while on a narrow integer domain
+    // the prefix sum wins as soon as rows outgrow the overhead
+    // (measured: gate@sf10 builtin 10.09 s vs prefix 1.43 s over ~300
+    // distinct scores). Hence: builtin iff the TOTAL distinct-pair
+    // count D fits the memory cap (`maxBuiltinDistinct`, default 1M —
+    // the builtin's buffer across all final-agg tasks is exactly the
+    // pair domain, ~48 MB at the cap) AND rows R sit inside the
+    // overhead-or-ratio regime (R <= `maxBuiltinRows` floor, default
+    // 100k, OR R <= floor + 1.5·D — the measured cost crossover).
+    // `maxBuiltinDistinct <= 0` forces the prefix sum probe-free (how
+    // the specs pin the arm, and the escape hatch for callers whose
+    // lineage is too expensive to scan twice).
     val maxBuiltin = graft.GraftConf
       .percentileMaxBuiltinDistinct(df.sparkSession)
     val maxBuiltinRows = graft.GraftConf
       .percentileMaxBuiltinRows(df.sparkSession)
     val probsArr = array(probs.map(lit): _*)
     if (maxBuiltin > 0) {
-      val probeRow = filtered
-        .groupBy(keyCols: _*)
-        .agg(count(lit(1)).as("__n"),
-          approx_count_distinct(col("__v")).as("__d"))
-        .agg(sum(col("__n")).as("__rows"), max(col("__d")).as("__m"))
-        .collect()
-      val (totalRows, maxDistinct) =
-        if (probeRow.isEmpty || probeRow(0).isNullAt(0)) (0L, 0L)
-        else (probeRow(0).getLong(0), probeRow(0).getLong(1))
-      if (maxDistinct <= maxBuiltin && totalRows <= maxBuiltinRows) {
+      // Free pre-check: when Catalyst's own statistics already bound
+      // the input under the row floor (exact rowCount from CBO/AQE,
+      // or sizeInBytes at a conservative 16 bytes/row — the
+      // narrowest possible key+double frame, so the implied row
+      // bound only ever OVERestimates), the probe job is skipped
+      // outright and the builtin arm costs ONE pass of the lineage
+      // (R <= floor also bounds D <= R — inside any buffer). Leaves
+      // without real stats (LogicalRDD boundaries report
+      // defaultSizeInBytes = huge) fall through to the probe — which
+      // is cheap exactly there, because a materialized boundary
+      // re-reads without recomputing its lineage.
+      val stats = filtered.queryExecution.optimizedPlan.stats
+      val boundedByStats = stats.rowCount.exists(_ <= maxBuiltinRows) ||
+        stats.sizeInBytes <= BigInt(maxBuiltinRows) * 16
+      lazy val boundedByProbe = {
+        // one map-side-combined global aggregate, ONE row collected
+        // (audited bounded collect): total rows R, plus the HLL
+        // distinct D of (keys, value) pairs — the pair total is both
+        // the builtin's whole buffer domain (memory axis) and the
+        // prefix sum's histogram size (time axis)
+        val r = filtered
+          .agg(count(lit(1)).as("__rows"),
+            approx_count_distinct(struct(keyCols :+ col("__v"): _*))
+              .as("__d"))
+          .collect()(0)
+        val (rows, distinct) = (r.getLong(0), r.getLong(1))
+        distinct <= maxBuiltin &&
+          rows <= maxBuiltinRows + (3L * distinct) / 2
+      }
+      if (boundedByStats || boundedByProbe) {
         val out = filtered
           .groupBy(keyCols: _*)
           .agg(percentile(col("__v"), probsArr).as(outCol))
