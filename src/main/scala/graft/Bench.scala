@@ -43,7 +43,20 @@ object Bench {
     val failures = results.count(_._3 != "ok")
     val total = results.map(_._2).sum
     val buildTotal = builds.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$st,"build":$bd,"build_secs":$buildTotal,"failures":$failures,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$st,"build":$bd,"build_secs":$buildTotal,"failures":$failures,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the full line: the driver's BENCH_r*.json keeps only
+    // the tail of stdout, which truncates away the per-query times —
+    // the committed artifact is the durable per-round evidence
+    try {
+      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      val out = java.nio.file.Paths.get("target", s"bench_$sfName.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+      System.err.println(s"[bench] full line written to $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

@@ -1022,6 +1022,47 @@ object TextQueries {
         col("tok_prefix"), col("mix_rank"))
       .orderBy(col("source").asc, col("mix_rank").asc).limit(500)
 
+  /** TWO refresh generations composed (the operational loop's next
+    * turn): the even half-drop curates against the frozen corpus and
+    * is absorbed; the odd half-drop curates against the REFRESHED
+    * artifacts — catching the cross-drop duplicates the frozen corpus
+    * could not see — and is absorbed in turn. Cached per dir: the
+    * half-drop survivor frames are DISK_ONLY lineage cuts (they carry
+    * full text and feed three artifact extensions + the mix), the
+    * Refreshed value memoizes the absorb chain. */
+  private def refresh2(s: SparkSession, dir: String)
+      : graft.operators.CorpusRefresh.Refreshed =
+    graft.SharedState.cachedValue(s"absorb:refresh2:$dir") {
+      val corpus0 = pipeStreamCorpus(s, dir)
+      val arrivals = pipeArrivals(s, dir)
+      def door(half: DataFrame,
+          c: graft.streaming.IngestPipeline.PreparedCorpus,
+          key: String): DataFrame =
+        graft.SharedState.checkpointedDisk(s"absorb:$key:$dir")(
+          graft.streaming.IngestPipeline.curateBatchKept(half,
+            col("doc_id"), col("source"), col("text"), c))
+      val kept1 = door(arrivals.filter(col("doc_id") % 2 === 0), corpus0,
+        "keptg1")
+      val r1 = graft.operators.CorpusRefresh.absorb(corpus0,
+        ndkScored(s, dir), kept1)
+      val kept2 = door(arrivals.filter(col("doc_id") % 2 === 1), r1.corpus,
+        "keptg2")
+      graft.operators.CorpusRefresh.absorb(r1.corpus, r1.kept, kept2)
+    }
+
+  /** The gen-2 refresh contract row: the selection over the
+    * twice-refreshed kept set (frozen corpus ∪ drop-1 survivors ∪
+    * drop-2 survivors curated against the refreshed corpus) — the
+    * q_pipeline_absorb shape one loop turn later. The oracle replays
+    * both half-drops through the parameterized door chain, extending
+    * the corpus-side hash/signature/shingle CTEs between them. */
+  private def pipelineRefresh(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusRefresh.refreshMix(refresh2(s, dir),
+        pipelineBudgets)
+      .select(col("doc_id"), col("source"), col("w_fp"), col("n_tokens"),
+        col("tok_prefix"), col("mix_rank"))
+      .orderBy(col("source").asc, col("mix_rank").asc).limit(500)
+
   /** The door-side mega-bucket guard's no-fire invariant as an
     * oracle-checked row (the q_classify_recall self-check discipline,
     * hardened: the bucket POPULATION is replayed in DuckDB, not just
@@ -1206,42 +1247,57 @@ object TextQueries {
          |WHERE tok_prefix < budget
          |ORDER BY cwin.source ASC, mix_rank ASC LIMIT 500""".stripMargin
 
-  /** The streaming door's oracle chain — the arrival drop replayed
-    * through clean → gate → intra-batch keeper → exact-vs-corpus →
-    * banded near-dup-vs-corpus (verify on 60-bit hashed shingles) →
-    * the inline DSIR fold; ends at surv2 (the door's survivors) and
-    * dsc2 (their DSIR scores). Shared by q_pipeline_stream,
-    * q_pipeline_absorb and q_door_guard (whose bucket counts ride
-    * bandedk). */
-  private lazy val doorChainCtes: String =
-    s"""arre AS (
+  /** The door's CORPUS-side artifact CTEs: the kept set's content
+    * hashes (the exact check's table), its minhash signatures in
+    * banded form (the near-dup candidate join's side) and its 60-bit
+    * hashed shingles (the verify join's side) — exactly the three
+    * tables [[graft.operators.CorpusRefresh.absorb]] extends. */
+  private lazy val doorCorpusCtes: String =
+    s"""ndkh AS (SELECT DISTINCT md5(text_c4) AS h FROM ndk),
+         |sigk AS (SELECT g.* FROM sig g JOIN ndk USING (doc_id)),
+         |hshk AS MATERIALIZED (SELECT g.* FROM hsh g JOIN ndk USING (doc_id)),
+         |bandedk AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
+         |  FROM sigk, (SELECT unnest(range(0, 4)) AS b))""".stripMargin
+
+  /** One ingest drop replayed through the door — clean → gate →
+    * intra-batch keeper → exact-vs-corpus → banded near-dup-vs-corpus
+    * (verify on 60-bit hashed shingles) → the inline DSIR fold —
+    * PARAMETERIZED by the drop slice (`pred` over the arrival's
+    * original doc_id) and by the corpus artifacts it curates against
+    * (`hashCte` with column h, `bandedCte`/`hshCte` in the
+    * doorCorpusCtes shapes): the gen-2 refresh row replays the SAME
+    * chain against the extended artifacts. Ends at surv$$sfx (the
+    * door's survivors) and dsc$$sfx (their DSIR scores). */
+  private def doorDropCtes(sfx: String, pred: String, hashCte: String,
+      bandedCte: String, hshCte: String): String =
+    s"""arre$sfx AS (
          |  SELECT doc_id, source,
          |    CASE WHEN doc_id % 5 = 0 THEN doc_id + 7 ELSE doc_id END AS eid
-         |  FROM documents WHERE doc_id % 7 = 2),
-         |arr AS (
+         |  FROM documents WHERE doc_id % 7 = 2$pred),
+         |arr$sfx AS (
          |  SELECT a.doc_id + 1000000000 AS doc_id, a.source,
          |    p.t || CASE WHEN a.eid % 4 = 1 THEN chr(10) || '$pipeExtra2'
          |           ELSE '' END AS t
-         |  FROM arre a JOIN paug p ON p.doc_id = a.eid),
-         |c4ln2 AS (SELECT doc_id, source, t,
+         |  FROM arre$sfx a JOIN paug p ON p.doc_id = a.eid),
+         |c4ln$sfx AS (SELECT doc_id, source, t,
          |  list_filter(string_split(t, chr(10)), l -> l <> '') AS lines
-         |  FROM arr),
-         |c4kp2 AS (SELECT doc_id, source, t,
+         |  FROM arr$sfx),
+         |c4kp$sfx AS (SELECT doc_id, source, t,
          |  coalesce(array_to_string(
          |    list_filter(lines, l -> regexp_matches(trim(l), '[.!?]["'']?$$')
          |      AND len(list_filter(string_split_regex(trim(l), '[ \\t]+'), w -> w <> '')) >= 3
          |      AND NOT contains(lower(l), 'javascript')), chr(10)), '') AS text_c4
-         |  FROM c4ln2),
-         |c42 AS MATERIALIZED (
+         |  FROM c4ln$sfx),
+         |c4$sfx AS MATERIALIZED (
          |  SELECT doc_id, source, text_c4
-         |  FROM c4kp2
+         |  FROM c4kp$sfx
          |  WHERE NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum')
          |    AND len(regexp_extract_all(text_c4, '[.!?]')) >= 5),
-         |gtok2 AS (SELECT doc_id, source, text_c4,
+         |gtok$sfx AS (SELECT doc_id, source, text_c4,
          |  list_filter(string_split_regex(lower(text_c4), '[^a-z0-9]+'), x -> x <> '') AS w,
          |  list_filter(string_split(text_c4, chr(10)), l -> l <> '') AS ls
-         |  FROM c42),
-         |gm2 AS (SELECT doc_id, source, text_c4, w,
+         |  FROM c4$sfx),
+         |gm$sfx AS (SELECT doc_id, source, text_c4, w,
          |  CAST(len(w) AS BIGINT) AS n_words,
          |  CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE) / greatest(len(w), 1) AS mean_len,
          |  CAST(len(regexp_extract_all(text_c4, '#')) + len(regexp_extract_all(text_c4, '\\.\\.\\.')) + len(regexp_extract_all(text_c4, '…')) AS DOUBLE) / greatest(len(w), 1) AS sym,
@@ -1249,56 +1305,80 @@ object TextQueries {
          |  CAST(len(list_filter(list_distinct(w), x -> x IN ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS INT) AS stop_hits,
          |  CAST(len(list_filter(ls, l -> regexp_matches(l, '^[ \\t]*[-*] '))) AS DOUBLE) / greatest(len(ls), 1) AS bullet,
          |  CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$$'))) AS DOUBLE) / greatest(len(ls), 1) AS ellipsis
-         |  FROM gtok2),
-         |gok2 AS MATERIALIZED (
-         |  SELECT doc_id, source, text_c4, w FROM gm2
+         |  FROM gtok$sfx),
+         |gok$sfx AS MATERIALIZED (
+         |  SELECT doc_id, source, text_c4, w FROM gm$sfx
          |  WHERE n_words >= 50 AND n_words <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
          |    AND sym <= 0.1 AND alpha >= 0.8 AND stop_hits >= 2 AND bullet <= 0.9 AND ellipsis <= 0.3),
-         |exd2 AS MATERIALIZED (
+         |exd$sfx AS MATERIALIZED (
          |  SELECT doc_id, source, text_c4, w FROM (
          |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text_c4)) AS __keep
-         |    FROM gok2)
+         |    FROM gok$sfx)
          |  WHERE doc_id = __keep),
-         |ndkh AS (SELECT DISTINCT md5(text_c4) AS h FROM ndk),
-         |incx AS MATERIALIZED (
-         |  SELECT e.* FROM exd2 e
-         |  WHERE md5(e.text_c4) NOT IN (SELECT h FROM ndkh)),
-         |sh2 AS MATERIALIZED (
+         |incx$sfx AS MATERIALIZED (
+         |  SELECT e.* FROM exd$sfx e
+         |  WHERE md5(e.text_c4) NOT IN (SELECT h FROM $hashCte)),
+         |sh$sfx AS MATERIALIZED (
          |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
          |    j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) AS s
-         |  FROM incx WHERE len(w) >= 3),
-         |hs2 AS (SELECT doc_id, list_transform(s, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs FROM sh2),
-         |hsh2 AS MATERIALIZED (
+         |  FROM incx$sfx WHERE len(w) >= 3),
+         |hs$sfx AS (SELECT doc_id, list_transform(s, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs FROM sh$sfx),
+         |hsh$sfx AS MATERIALIZED (
          |  SELECT doc_id,
          |    list_distinct(list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS h
-         |  FROM sh2),
-         |sig2 AS (SELECT doc_id, ${sigSql(8)} AS sig FROM hs2),
-         |sigk AS (SELECT g.* FROM sig g JOIN ndk USING (doc_id)),
-         |hshk AS MATERIALIZED (SELECT g.* FROM hsh g JOIN ndk USING (doc_id)),
-         |banded2 AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
-         |  FROM sig2, (SELECT unnest(range(0, 4)) AS b)),
-         |bandedk AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
-         |  FROM sigk, (SELECT unnest(range(0, 4)) AS b)),
-         |cand2 AS (
+         |  FROM sh$sfx),
+         |sig$sfx AS (SELECT doc_id, ${sigSql(8)} AS sig FROM hs$sfx),
+         |banded$sfx AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
+         |  FROM sig$sfx, (SELECT unnest(range(0, 4)) AS b)),
+         |cand$sfx AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded2 a JOIN bandedk b
+         |  FROM banded$sfx a JOIN $bandedCte b
          |    ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2),
-         |flag2 AS (
-         |  SELECT DISTINCT doc_a AS doc_id FROM cand2
-         |  JOIN hsh2 sa ON sa.doc_id = cand2.doc_a
-         |  JOIN hshk sb ON sb.doc_id = cand2.doc_b
+         |flag$sfx AS (
+         |  SELECT DISTINCT doc_a AS doc_id FROM cand$sfx
+         |  JOIN hsh$sfx sa ON sa.doc_id = cand$sfx.doc_a
+         |  JOIN $hshCte sb ON sb.doc_id = cand$sfx.doc_b
          |  WHERE round(CAST(len(list_intersect(sa.h, sb.h)) AS DOUBLE)
          |    / CAST(len(list_distinct(list_concat(sa.h, sb.h))) AS DOUBLE), 6) >= 0.6),
-         |surv2 AS MATERIALIZED (
-         |  SELECT i.* FROM incx i
-         |  WHERE i.doc_id NOT IN (SELECT doc_id FROM flag2)),
-         |cfeat2 AS (
+         |surv$sfx AS MATERIALIZED (
+         |  SELECT i.* FROM incx$sfx i
+         |  WHERE i.doc_id NOT IN (SELECT doc_id FROM flag$sfx)),
+         |cfeat$sfx AS (
          |  SELECT doc_id, unnest(w || list_transform(
          |    range(greatest(len(w) - 1, 0)), i -> w[i + 1] || ' ' || w[i + 2])) AS f
-         |  FROM surv2),
-         |cfb2 AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket FROM cfeat2),
-         |dsc2 AS (SELECT cfb2.doc_id, CAST(sum(lr_fp) AS BIGINT) AS w_fp
-         |  FROM cfb2 JOIN wt USING (bucket) GROUP BY 1)""".stripMargin
+         |  FROM surv$sfx),
+         |cfb$sfx AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS bucket FROM cfeat$sfx),
+         |dsc$sfx AS (SELECT cfb$sfx.doc_id, CAST(sum(lr_fp) AS BIGINT) AS w_fp
+         |  FROM cfb$sfx JOIN wt USING (bucket) GROUP BY 1)""".stripMargin
+
+  /** The streaming door's oracle chain — the full arrival drop
+    * against the frozen corpus (gen-1). Shared by q_pipeline_stream,
+    * q_pipeline_absorb and q_door_guard (whose bucket counts ride
+    * bandedk). */
+  private lazy val doorChainCtes: String =
+    doorCorpusCtes + ",\n" + doorDropCtes("2", "", "ndkh", "bandedk", "hshk")
+
+  /** The TWO-GENERATION refresh chain (q_pipeline_refresh): the even
+    * half-drop curates against the frozen corpus, its survivors
+    * extend the corpus artifacts exactly as
+    * [[graft.operators.CorpusRefresh.absorb]] does (hash union,
+    * banded-signature union, hashed-shingle union), and the odd
+    * half-drop curates against the EXTENDED artifacts — so a gen-2
+    * arrival duplicating a gen-1 survivor is caught where the frozen
+    * corpus could not catch it (pipeArrivals' d / d+7 exact plants
+    * split across the parity halves by construction). */
+  private lazy val refreshChainCtes: String =
+    doorCorpusCtes + ",\n" +
+    doorDropCtes("d1", " AND doc_id % 2 = 0", "ndkh", "bandedk", "hshk") +
+    ",\n" +
+    s"""hashg2 AS (SELECT h FROM ndkh
+         |  UNION SELECT DISTINCT md5(text_c4) AS h FROM survd1),
+         |bandedg2 AS (SELECT * FROM bandedk UNION ALL
+         |  SELECT b.* FROM bandedd1 b JOIN survd1 s ON s.doc_id = b.doc_id),
+         |hshg2 AS (SELECT * FROM hshk UNION ALL
+         |  SELECT h.* FROM hshd1 h JOIN survd1 s ON s.doc_id = h.doc_id)""".stripMargin +
+    ",\n" +
+    doorDropCtes("d2", " AND doc_id % 2 = 1", "hashg2", "bandedg2", "hshg2")
 
   private def pipelineE2e(s: SparkSession, dir: String): DataFrame =
     // the selection is itself a materialized stage boundary
@@ -2144,6 +2224,7 @@ object TextQueries {
     "q_pipeline_boundaries" -> ((s, d) => pipelineBoundariesQ(s, d)),
     "q_pipeline_stream" -> ((s, d) => pipelineStream(s, d)),
     "q_pipeline_absorb" -> ((s, d) => pipelineAbsorb(s, d)),
+    "q_pipeline_refresh" -> ((s, d) => pipelineRefresh(s, d)),
     "q_door_guard" -> ((s, d) => doorGuard(s, d)),
     "q_domain_stats" -> ((s, d) => domainStats(s, d)),
     "q_stem_array" -> ((s, d) => stemArray(s, d)),
@@ -3132,6 +3213,37 @@ object TextQueries {
          |FROM cwina JOIN bgta ON cwina.source = bgta.source
          |WHERE tok_prefix < budget
          |ORDER BY cwina.source ASC, mix_rank ASC LIMIT 500""".stripMargin),
+    // two refresh generations composed: even half-drop vs the frozen
+    // corpus, artifacts extended with its survivors, odd half-drop vs
+    // the EXTENDED artifacts (cross-drop dups caught there), then the
+    // same importance-ranked token-budget window over all three kept
+    // sets — absorb∘absorb must equal the mix over the union
+    "q_pipeline_refresh" ->
+      (s"WITH RECURSIVE $dsirCtes,\n$pipelineChainCtes,\n$ndkScoreCtes,\n$refreshChainCtes,\n" +
+      s"""uall2 AS (
+         |  SELECT doc_id, source, w_fp, n_tokens FROM dall
+         |  UNION ALL
+         |  SELECT s.doc_id, s.source, coalesce(d.w_fp, 0) AS w_fp,
+         |    CAST(len(s.w) AS BIGINT) AS n_tokens
+         |  FROM survd1 s LEFT JOIN dscd1 d USING (doc_id)
+         |  UNION ALL
+         |  SELECT s.doc_id, s.source, coalesce(d.w_fp, 0) AS w_fp,
+         |    CAST(len(s.w) AS BIGINT) AS n_tokens
+         |  FROM survd2 s LEFT JOIN dscd2 d USING (doc_id)),
+         |prr AS (SELECT *, md5(CAST(doc_id AS VARCHAR) || ':graft') AS rk FROM uall2),
+         |cwinr AS (SELECT doc_id, source, w_fp, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY w_fp DESC, rk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_prefix,
+         |    row_number() OVER (PARTITION BY source ORDER BY w_fp DESC, rk, doc_id) AS mr
+         |  FROM prr),
+         |bgtr(source, budget) AS (VALUES ('src5', 800), ('src6', 400),
+         |  ('src7', 200), ('src8', 0))
+         |SELECT doc_id, cwinr.source AS source, w_fp, n_tokens,
+         |  tok_prefix, CAST(mr AS BIGINT) AS mix_rank
+         |FROM cwinr JOIN bgtr ON cwinr.source = bgtr.source
+         |WHERE tok_prefix < budget
+         |ORDER BY cwinr.source ASC, mix_rank ASC LIMIT 500""".stripMargin),
     // the door-side mega-bucket guard's NO-FIRE invariant under the
     // oracle gate: the bucket population and max size are replayed
     // from the prepared corpus' band buckets (bandedk — exactly the
