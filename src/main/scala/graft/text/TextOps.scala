@@ -225,7 +225,13 @@ object TextOps {
     val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
       when(strataCol === s, lit(r)).otherwise(acc)
     }
-    docs.filter(bucket < (rateCol * 10000).cast("long"))
+    // unlisted/zero-rate strata would drop via rate 0 anyway, but the
+    // explicit isin PUSHES to the scan (PushedFilters: In(stratum)) —
+    // the mixEpochs lesson: sampling 4 of 20 languages then reads a
+    // fifth of the corpus
+    val keep = rates.collect { case (s, r) if r > 0 => s }.toSeq
+    docs.filter(strataCol.isin(keep: _*))
+      .filter(bucket < (rateCol * 10000).cast("long"))
   }
 
   /** Epoch-factor mixing — source-weighted data REPETITION (the
@@ -317,7 +323,13 @@ object TextOps {
     val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (s, n)) =>
       when(sourceCol === s, lit(n)).otherwise(acc)
     }
+    // unlisted/zero-budget sources would drop via budget 0 anyway, but
+    // the explicit isin PUSHES to the scan (PushedFilters: In(source))
+    // — without it their rows flow through the block aggregate and the
+    // prefix join before dropping (the mixEpochs lesson)
+    val keepSrcs = budgets.collect { case (s, n) if n > 0 => s }.toSeq
     val base = docs
+      .filter(sourceCol.isin(keepSrcs: _*))
       .withColumn("__src", sourceCol)
       .withColumn("__budget", budgetCol)
       .withColumn("__rk", rankKey)
@@ -454,7 +466,10 @@ object TextOps {
       raise_error(concat(lit("mixToTokenBudget: null or negative token "
         + "count for id "), idCol.cast("string"))))
       .otherwise(tokCol.cast("long"))
+    // scan-pushed source subset (the mixEpochs lesson; see mixToBudget)
+    val keepSrcs = budgets.collect { case (s, n) if n > 0 => s }.toSeq
     val base = docs
+      .filter(sourceCol.isin(keepSrcs: _*))
       .withColumn("__src", sourceCol)
       .withColumn("__budget", budgetCol)
       .withColumn("__rk", rankKey)
@@ -536,15 +551,18 @@ object TextOps {
       raise_error(concat(lit("mixToTokenBudgetByScore: null score for id "),
         idCol.cast("string"))))
       .otherwise(scoreCol.cast("long"))
+    // sources with no budget never reach the threshold aggregate or
+    // the windows (budget 0 drops everything downstream anyway); the
+    // isin form PUSHES to a file scan when the input is one (a CASE-
+    // derived `__budget > 0` cannot reach PushedFilters)
+    val keepSrcs = budgets.collect { case (s, n) if n > 0 => s }.toSeq
     val base = docs
+      .filter(sourceCol.isin(keepSrcs: _*))
       .withColumn("__src", sourceCol)
       .withColumn("__budget", budgetCol)
       .withColumn("__sc", guardedScore)
       .withColumn("__rk", rankKey)
       .withColumn("__tok", guardedTok)
-      // sources with no budget never reach the threshold aggregate or
-      // the windows (budget 0 drops everything downstream anyway)
-      .filter(col("__budget") > 0)
     // per-source score block boundaries: one bounded aggregate
     // (#sources rows × nBlocks-1 thresholds), broadcast back. The
     // boundaries only BALANCE the blocks — output is exact wherever

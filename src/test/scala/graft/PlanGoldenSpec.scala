@@ -467,6 +467,32 @@ class PlanGoldenSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("PushedFilters sweep: every contract row that subsets sources " +
+      "or strata pushes the subset INTO the parquet scan (the " +
+      "mixEpochs lesson: a semantically-correct post-scan drop that " +
+      "reads the whole corpus)") {
+    // query -> pushed-filter fragment that must appear in a scan's
+    // PushedFilters (formatted explain). q_dsir_mix and the pipeline
+    // rows read lineage-cut boundary leaves (no file scan by design —
+    // their own tests pin that); q_ivf_join's cell pruning is dynamic
+    // (DPP, pinned in its test) — this sweep covers the STATIC
+    // source/stratum subsets.
+    val cases = Seq(
+      "q_mix_epochs" -> "In(source",
+      "q_mix_budget" -> "In(source",
+      "q_mix_tokens" -> "In(source",
+      "q_sample_stratified" -> "In(lang",
+      "q_source_temperature" -> "In(lang")
+    for ((q, frag) <- cases) {
+      val (plan, _) = snapshot(q)
+      assert(plan.contains("PushedFilters"),
+        s"$q: no scan with pushed filters in the plan:\n$plan")
+      assert(plan.contains(frag),
+        s"$q: the source/stratum subset never reached the scan " +
+          s"(expected pushed fragment '$frag'):\n$plan")
+    }
+  }
+
   test("q_prototype_prune: broadcast per-cluster threshold, no rank window") {
     val (plan, skel) = snapshot("q_prototype_prune")
     // assignment + distance ride the scan as codegen expressions
