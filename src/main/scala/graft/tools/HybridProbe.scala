@@ -51,8 +51,8 @@ object HybridProbe {
     def queries(n: Int): DataFrame = spark.range(n)
       .select(col("id").as("qid"),
         transform(sequence(lit(0), lit(dim - 1)),
-          i => (((i * 37 + col("id") * 11) % 19 - 9).cast("float")
-            / lit(16.0f))).as("qv"))
+          i => ((i * 37 + col("id") * 11) % 19 - 9).cast("double") / 16.0)
+          .cast("array<float>").as("qv")) // 1/16 grid: exact in float
 
     def fused(n: Int): DataFrame = {
       val q = queries(n)
