@@ -192,6 +192,7 @@ object TextQueries {
       // kept) and extends the artifacts — the absorbed version builds
       // once per dir here, the contract row reads the refreshed mix
       timed("pipeline_absorb") { pipelineAbsorb(s, dir).count() },
+      timed("pipeline_refresh") { pipelineRefresh(s, dir).count() },
       timed("bm25_postings") { postCached(s, dir).count() },
       timed("bm25_postings_stemmed") { postStemmedCached(s, dir).count() },
       timed("bm25_approx_table") { bm25ApproxTableCached(s, dir).count() },
