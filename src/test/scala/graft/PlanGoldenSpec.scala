@@ -467,6 +467,33 @@ class PlanGoldenSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_pipeline_refresh: steady state reads only materialized leaves across BOTH generations; block-keyed rank windows") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def fileScans(p: SparkPlan): Int = p match {
+      case _: InMemoryTableScanExec => 0
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case _: FileSourceScanExec => 1
+      case other => other.children.map(fileScans).sum
+    }
+    val (plan, _) = snapshot("q_pipeline_refresh")
+    // the twice-refreshed kept set is a union of THREE lineage-cut
+    // leaves (ndk-scored + gen-1 survivors + gen-2 survivors): the
+    // selection must never rescan the corpus or re-run either door
+    assert(fileScans(
+        SparkEntry.queries("q_pipeline_refresh")(spark, sf("sf0.01"))
+          .queryExecution.executedPlan) == 0,
+      "the refresh row re-scans files instead of riding the kept leaves")
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      "the kept boundaries are no longer lineage-cut leaves")
+    val rowNumSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(rowNumSpecs.nonEmpty && rowNumSpecs.forall(_.contains("__blk")),
+      s"a refresh rank window ranks without the block key: $rowNumSpecs")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("PushedFilters sweep: every contract row that subsets sources " +
       "or strata pushes the subset INTO the parquet scan (the " +
       "mixEpochs lesson: a semantically-correct post-scan drop that " +
