@@ -51,6 +51,15 @@ object GraftConf {
     * 10.09 s vs 1.43 s at the sf10 century gate) but win on
     * all-distinct columns (measured 8 s vs 10 s at the sf10 prune). */
   val PercentileMaxBuiltinRows = "graft.percentile.maxBuiltinRows"
+  /** Adaptive idf-join dispatch ([[graft.text.TextOps.tfidfKeywords]]):
+    * max DISTINCT terms the document-frequency frame may hold and
+    * still be broadcast (default 1,000,000 — tens of MB of term
+    * strings, inside driver/executor budgets; the broadcast removes
+    * the hot-term shuffle skew outright). Above it — a raw web
+    * corpus' typo/URL/number vocabulary — the idf join shuffles under
+    * AQE skew splitting instead. <= 0 forces the shuffled join
+    * probe-free. */
+  val TfidfMaxBroadcastTerms = "graft.tfidf.maxBroadcastTerms"
 
   def ivfBroadcastQueryLimit(spark: SparkSession): Long =
     spark.conf.getOption(IvfBroadcastQueryLimit).map(_.toLong)
@@ -61,6 +70,9 @@ object GraftConf {
 
   def percentileMaxBuiltinRows(spark: SparkSession): Long =
     longConf(spark, PercentileMaxBuiltinRows, 100000L)
+
+  def tfidfMaxBroadcastTerms(spark: SparkSession): Long =
+    longConf(spark, TfidfMaxBroadcastTerms, 1000000L)
 
   /** Session conf first, then a JVM system property of the same name
     * (lets the fork-run tools — BenchOne, ScaleGate, the probes —

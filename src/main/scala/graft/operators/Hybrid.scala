@@ -11,11 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * RRF needs only ranks, so it composes rankings whose scores live on
   * incomparable scales — exactly the BM25-then-vector shape of hybrid
-  * search over a training corpus. Inputs are expected to be bounded
-  * top-N hit lists (the rank window is unpartitioned; ranking a
-  * thousand-row hit list is trivial, ranking a corpus would not be —
-  * run the top-N operators first, which is the semantics of fusion
-  * anyway).
+  * search over a training corpus. Inputs are bounded top-N hit lists by
+  * the semantics of fusion (run the top-N operators first); the batched
+  * [[rrfPerQuery]] is the one implementation — every stage partitioned
+  * by the query key — and the single-probe [[rrf]] is that same code
+  * path under a constant key.
   */
 object Hybrid {
 
@@ -62,24 +62,20 @@ object Hybrid {
 
   /** Fuse the rankings into (idCol, rrf_score) descending, top k. Rows
     * absent from a ranking simply contribute nothing for it (full outer
-    * join over the hit lists). */
+    * join over the hit lists).
+    *
+    * This single-probe form IS [[rrfPerQuery]] under one constant query
+    * key — the partitioned code path, so the two forms cannot drift.
+    * Catalyst folds the constant key out of the window partition specs,
+    * leaving the one-partition plan a single probe's bounded top-N hit
+    * lists warrant (ranking a thousand-row list is trivial; a batch of
+    * probes should call [[rrfPerQuery]] directly, whose real query key
+    * keeps every stage partitioned). */
   def rrf(idCol: String, inputs: Seq[Ranked], k: Int,
       k0: Int = 60): DataFrame = {
-    require(inputs.nonEmpty, "rrf needs at least one ranking")
-    val scored = inputs.zipWithIndex.map { case (r, i) =>
-      r.df
-        .withColumn("__rank", row_number().over(Window.orderBy(r.order: _*)))
-        .select(col(idCol),
-          (lit(r.weight) / (lit(k0) + col("__rank"))).as(s"__rrf$i"))
-    }
-    val joined = scored.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
-    val total = inputs.indices
-      .map(i => coalesce(col(s"__rrf$i"), lit(0.0)))
-      .reduce(_ + _)
-    joined
-      .withColumn("rrf_score", total)
+    val tagged = inputs.map(r => r.copy(df = r.df.withColumn("__q", lit(0))))
+    rrfPerQuery("__q", idCol, tagged, k, k0)
+      .drop("__q")
       .orderBy(col("rrf_score").desc, col(idCol).asc)
-      .limit(k)
-      .select(col(idCol), col("rrf_score"))
   }
 }

@@ -65,10 +65,9 @@ object Percentiles {
   /** Per-group exact interpolated quantiles: one row per distinct key
     * combination with `keys :+ outCol` (array<double>, probs order).
     * Groups whose values are all null are absent, matching
-    * `groupBy(keys).agg(percentile(...))` row-wise. NULL key values
-    * are not supported (the offset joins are null-unsafe; a null-key
-    * group comes back absent, where the builtin would emit one) — the
-    * engine's key domains (cluster ids, sources) are non-null. */
+    * `groupBy(keys).agg(percentile(...))` row-wise. A NULL key value
+    * forms its own group, exactly as the builtin's groupBy does (the
+    * internal offset joins are null-safe `<=>` equalities). */
   def exactQuantilesBy(df: DataFrame, keys: Seq[String], valueCol: Column,
       probs: Seq[Double], outCol: String): DataFrame = {
     require(keys.nonEmpty, "use exactQuantiles for the global variant")
@@ -124,20 +123,48 @@ object Percentiles {
       .percentileMaxBuiltinRows(df.sparkSession)
     val probsArr = array(probs.map(lit): _*)
     if (maxBuiltin > 0) {
-      // Free pre-check: when Catalyst's own statistics already bound
-      // the input under the row floor (exact rowCount from CBO/AQE,
-      // or sizeInBytes at a conservative 16 bytes/row — the
-      // narrowest possible key+double frame, so the implied row
-      // bound only ever OVERestimates), the probe job is skipped
-      // outright and the builtin arm costs ONE pass of the lineage
-      // (R <= floor also bounds D <= R — inside any buffer). Leaves
+      val optimized = filtered.queryExecution.optimizedPlan
+      val stats = optimized.stats
+      // NEGATIVE short-circuit: past floor + 1.5·maxBuiltinDistinct
+      // rows, the row condition below fails for EVERY distinct count
+      // the memory cap admits — the probe's outcome is a foregone
+      // "unbounded", and its cost is a full pass of the input lineage
+      // (the expensive part of the dispatch at the 100 TB design
+      // point). Skip it when stats already put the input past that
+      // cap: rowCount directly, or sizeInBytes at a generous
+      // 1 KiB/row (a wrong skip only ever lands on the always-correct
+      // spillable prefix sum — the benign direction — so the margin
+      // can be loose where the positive check below must be stingy).
+      val hardRowCap =
+        BigInt(maxBuiltinRows) + BigInt(3) * BigInt(maxBuiltin) / 2
+      val overByStats = stats.rowCount.exists(_ > hardRowCap) ||
+        stats.sizeInBytes > hardRowCap * 1024
+      // POSITIVE pre-check: when Catalyst's statistics already bound
+      // the input under the row floor, the probe job is skipped and
+      // the builtin arm costs ONE pass of the lineage (R <= floor
+      // also bounds D <= R — inside any buffer). Only an exact
+      // rowCount (CBO/AQE) is trusted outright. sizeInBytes is a
+      // HINT, honored only for in-memory leaves (LocalRelation
+      // estimates >= 8 bytes/row by construction): a file scan's
+      // sizeInBytes is the COMPRESSED on-disk size — an
+      // RLE/dictionary column can sit far under a byte per row, and
+      // the non-CBO visitor passes Filter stats through unchanged —
+      // so a many-row low-cardinality parquet frame would be
+      // misrouted into the builtin's unspillable buffer, the exact
+      // narrow-domain-at-scale case the cost model measures at ~7x
+      // slower. Misrouting HERE is the dangerous direction; leaves
       // without real stats (LogicalRDD boundaries report
       // defaultSizeInBytes = huge) fall through to the probe — which
       // is cheap exactly there, because a materialized boundary
       // re-reads without recomputing its lineage.
-      val stats = filtered.queryExecution.optimizedPlan.stats
-      val boundedByStats = stats.rowCount.exists(_ <= maxBuiltinRows) ||
-        stats.sizeInBytes <= BigInt(maxBuiltinRows) * 16
+      val inMemoryLeavesOnly = optimized.collectLeaves().forall { l =>
+        val n = l.getClass.getSimpleName
+        n == "LocalRelation" || n == "OneRowRelation"
+      }
+      val boundedByStats =
+        stats.rowCount.exists(_ <= BigInt(maxBuiltinRows)) ||
+        (inMemoryLeavesOnly &&
+          stats.sizeInBytes <= BigInt(maxBuiltinRows) * 8)
       lazy val boundedByProbe = {
         // one map-side-combined global aggregate, ONE row collected
         // (audited bounded collect): total rows R, plus the HLL
@@ -153,7 +180,7 @@ object Percentiles {
         distinct <= maxBuiltin &&
           rows <= maxBuiltinRows + (3L * distinct) / 2
       }
-      if (boundedByStats || boundedByProbe) {
+      if (boundedByStats || (!overByStats && boundedByProbe)) {
         val out = filtered
           .groupBy(keyCols: _*)
           .agg(percentile(col("__v"), probsArr).as(outCol))
@@ -186,7 +213,7 @@ object Percentiles {
       .agg(percentile_approx(col("__v"),
         array((1 until nP).map(i => lit(i.toDouble / nP)): _*),
         lit(1000)).as("__bnd"))
-    val sliced = hist.join(broadcast(bounds), keys)
+    val sliced = joinNullSafe(hist, broadcast(bounds), keys)
       .withColumn("__pid", aggregate(col("__bnd"), lit(0),
         (acc, b) => acc + when(col("__v") > b, 1).otherwise(0)))
       .drop("__bnd")
@@ -208,8 +235,7 @@ object Percentiles {
       .withColumn("__n", sum(col("__pt")).over(wKey))
       .drop("__pt")
     // 0-based rank interval [__lo, __hi) covered by each distinct value
-    val ranked = local
-      .join(broadcast(offs), keys :+ "__pid")
+    val ranked = joinNullSafe(local, broadcast(offs), keys :+ "__pid")
       .withColumn("__hi", col("__off") + col("__lc"))
       .withColumn("__lo", col("__hi") - col("__c"))
     // Each prob j wants order statistics at floor(r) and ceil(r),
@@ -248,5 +274,20 @@ object Percentiles {
         array_sort(collect_list(struct(col("__j"), col("__q")))),
         x => x("__q")).as(outCol))
     if (keys0.nonEmpty) out else out.drop("__g")
+  }
+
+  /** Inner join on `on` with NULL-SAFE key equality (`<=>`), keeping
+    * the left side's key columns — the `join(df, usingColumns)` shape
+    * a null-key group needs (plain equality silently drops it, where
+    * the builtin's groupBy emits one). The right side's keys are
+    * renamed before the condition so the self-derived frames here
+    * (bounds/offs both descend from the histogram) resolve without
+    * ambiguity. */
+  private def joinNullSafe(left: DataFrame, right: DataFrame,
+      on: Seq[String]): DataFrame = {
+    val renamed = on.foldLeft(right)((d, k) =>
+      d.withColumnRenamed(k, s"__r_$k"))
+    val cond = on.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+    left.join(renamed, cond).drop(on.map(k => s"__r_$k"): _*)
   }
 }

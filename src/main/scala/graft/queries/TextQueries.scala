@@ -950,17 +950,32 @@ object TextQueries {
       sigs, dsirWeightsArr(s, dir))
   }
 
+  /** The ingest drop materialized ONCE per dir as a parquet leaf —
+    * the stream job's source directory AND the frame every other
+    * door consumer (the gen-2 refresh's half-drops) reads, so the
+    * arrival-derivation lineage (a docs-filter × pipeAug join) runs
+    * exactly once across the stream/absorb/refresh prepare chain. */
+  private val pipeArrivalsDirs =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def pipeArrivalsPath(s: SparkSession, dir: String): String =
+    pipeArrivalsDirs.getOrElseUpdate(dir, {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_pipe_arrivals").toString
+      // ONE file -> one AvailableNow micro-batch: an ingest drop is one
+      // batch by contract (the intra-batch keeper's unit)
+      pipeArrivals(s, dir).coalesce(1).write.parquet(s"$work/src")
+      s"$work/src"
+    })
+
   private val pipelineStreamRuns =
     new scala.collection.concurrent.TrieMap[String, String]()
   private[graft] def pipelineStreamPath(s: SparkSession, dir: String): String =
     pipelineStreamRuns.getOrElseUpdate(dir, {
       val work = java.nio.file.Files
         .createTempDirectory("graft_pipe_stream").toString
-      // ONE file -> one AvailableNow micro-batch: an ingest drop is one
-      // batch by contract (the intra-batch keeper's unit)
-      pipeArrivals(s, dir).coalesce(1).write.parquet(s"$work/src")
-      val schema = s.read.parquet(s"$work/src").schema
-      graft.streaming.IngestPipeline.run(s, s"$work/src", schema,
+      val src = pipeArrivalsPath(s, dir)
+      val schema = s.read.parquet(src).schema
+      graft.streaming.IngestPipeline.run(s, src, schema,
         "doc_id", "source", "text", pipeStreamCorpus(s, dir),
         s"$work/dst", s"$work/ckpt")
       s"$work/dst"
@@ -988,16 +1003,18 @@ object TextQueries {
           col("w_fp")))
 
   /** The ingest drop's door survivors WITH cleaned text (the absorb
-    * step extends the corpus artifacts from it) — the same door run
-    * as the stream row, in backfill form (IngestPipelineSpec pins
-    * stream == batch row-for-row); persisted once per dir, DISK_ONLY
-    * lineage-cut (it carries full text and feeds the mix's two
-    * passes plus three artifact extensions). */
+    * step extends the corpus artifacts from it) — read straight off
+    * the streaming door's SINK (which keeps the cleaned text exactly
+    * so the refresh can absorb it): the stream run already curated
+    * this drop against the same frozen corpus, and stream == batch
+    * row-for-row is IngestPipelineSpec-pinned, so re-running the
+    * whole door in backfill form here would recompute an identical
+    * frame. The sink is already a parquet leaf — no extra
+    * checkpoint needed. */
   private def absorbDropKept(s: SparkSession, dir: String): DataFrame =
-    graft.SharedState.checkpointedDisk(s"absorb:dropkept:$dir")(
-      graft.streaming.IngestPipeline.curateBatchKept(pipeArrivals(s, dir),
-        col("doc_id"), col("source"), col("text"),
-        pipeStreamCorpus(s, dir)))
+    graft.streaming.IngestPipeline.readSink(s, pipelineStreamPath(s, dir))
+      .select(col("doc_id"), col("source"), col("text_c4"),
+        col("n_tokens"), col("w_fp"))
 
   /** One absorbed corpus version per dir: the drop's survivors merged
     * into the kept set and the door artifacts extended append-only
@@ -1035,7 +1052,9 @@ object TextQueries {
       : graft.operators.CorpusRefresh.Refreshed =
     graft.SharedState.cachedValue(s"absorb:refresh2:$dir") {
       val corpus0 = pipeStreamCorpus(s, dir)
-      val arrivals = pipeArrivals(s, dir)
+      // the materialized arrivals leaf, not the derivation lineage —
+      // the stream build already wrote it
+      val arrivals = s.read.parquet(pipeArrivalsPath(s, dir))
       def door(half: DataFrame,
           c: graft.streaming.IngestPipeline.PreparedCorpus,
           key: String): DataFrame =

@@ -119,11 +119,16 @@ object IngestPipeline {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("w_fp"))
 
   /** Run the door as a stream: parquet ingest directory →
-    * [[curateBatch]] per micro-batch (foreachBatch — the stages
+    * [[curateBatchKept]] per micro-batch (foreachBatch — the stages
     * compose joins and aggregations no single streaming plan allows)
     * → parquet sink, Trigger.AvailableNow (one run per ingest drop,
     * the daemon job discipline shared with the embed/completion
-    * streams).
+    * streams). The sink keeps the CLEANED text: a drop's sink IS its
+    * survivor set in the exact shape the corpus refresh absorbs
+    * ([[graft.operators.CorpusRefresh.absorb]]'s `dropKept`), so the
+    * refresh never re-runs the door over rows the stream already
+    * curated; narrow consumers project (doc_id, source, n_tokens,
+    * w_fp) off [[readSink]].
     *
     * Exactly-once sink: each micro-batch overwrites its own
     * batchId-scoped subdirectory (`batch-<id>/`), so a crash between
@@ -139,7 +144,7 @@ object IngestPipeline {
     val q = spark.readStream.schema(schema).parquet(srcPath)
       .writeStream
       .foreachBatch { (b: Dataset[Row], batchId: Long) =>
-        curateBatch(b, col(idColName), col(sourceColName),
+        curateBatchKept(b, col(idColName), col(sourceColName),
           col(textColName), corpus, jaccardThreshold)
           .write.mode("overwrite").parquet(s"$outPath/batch-$batchId")
         ()

@@ -272,10 +272,13 @@ object TextOps {
       substring(md5(concat(idCol.cast("string"), lit(":" + salt))
         .cast("binary")), 1, 15), 16, 10).cast("long") % 10000
     docs
-      // unlisted sources would drop via copies = 0 anyway, but the
-      // explicit isin PUSHES to the scan (PushedFilters: In(source)) —
-      // listing 4 of 20 sources then reads a fifth of the corpus
-      .filter(sourceCol.isin(epochs.keys.toSeq: _*))
+      // unlisted (and factor-0) sources would drop via copies = 0
+      // anyway, but the explicit isin PUSHES to the scan
+      // (PushedFilters: In(source)) — listing 4 of 20 sources then
+      // reads a fifth of the corpus; a factor-0.0 entry contributes
+      // nothing, so it must not widen the scan either
+      .filter(sourceCol.isin(
+        epochs.collect { case (s, f) if f > 0 => s }.toSeq: _*))
       .withColumn("__copies", whole + when(bucket < thr, 1L).otherwise(0L))
       .filter(col("__copies") >= 1)
       .withColumn("epoch", explode(sequence(lit(1L), col("__copies"))))
@@ -654,18 +657,28 @@ object TextOps {
     *
     * Scale shape: tf is one combiner-friendly groupBy on (doc, term);
     * document frequency reuses that frame with a groupBy on term; the
-    * idf join BROADCASTS dfreq by default (vocabulary-sized — and the
-    * term key is skewed by construction: a shuffled join would pour
-    * ~nDocs "the" rows through one reducer, so the broadcast removes
-    * the hot-term hazard outright, not just AQE-mitigates it). The
-    * broadcast is bounded by the DISTINCT-TERM count, not the corpus:
-    * on a web-scale corpus whose raw vocabulary (typos, URLs,
-    * numbers) exceeds Spark's broadcast limits, pass
-    * `broadcastDfreq = false` to fall back to the shuffled join under
-    * AQE skew splitting — or prune low-df terms first, which shrinks
-    * the vocabulary by orders of magnitude and keeps the broadcast.
-    * The top-k rank windows on doc_id. `docCount < 0` counts the
-    * corpus (one scan) — pass the known count to skip it.
+    * idf join dispatch is ADAPTIVE (the
+    * [[graft.operators.Percentiles]] discipline): a one-row probe —
+    * exact doc count + HLL distinct-term count in a single pass over
+    * the tokenize lineage, folding the old separate `docs.count()`
+    * pass in — BROADCASTS dfreq while the vocabulary fits
+    * `graft.tfidf.maxBroadcastTerms` (default 1M; the term key is
+    * skewed by construction — a shuffled join pours ~nDocs "the" rows
+    * through one reducer, so the broadcast removes the hot-term
+    * hazard outright, not just AQE-mitigates it), and falls back to
+    * the shuffled join under AQE skew splitting on a raw web corpus
+    * whose typo/URL/number vocabulary outgrows the broadcast (prune
+    * low-df terms first to shrink it back by orders of magnitude).
+    * Catalyst sizeInBytes is NOT consulted: Generate and Aggregate
+    * pass child sizes through in the non-CBO visitor, so the
+    * dfreq frame's estimate bounds nothing in either direction —
+    * only an exact rowCount (CBO) skips the probe. Pass
+    * `broadcastDfreq = Some(b)` to pin the arm probe-free (with
+    * `docCount >= 0`, no extra pass runs at all). The top-k rank
+    * windows on doc_id. The probe's folded doc count is
+    * count(DISTINCT id) — the id is the document key by contract;
+    * an input carrying duplicate id rows should pass `docCount`
+    * explicitly.
     *
     * Determinism note: the 6dp pre-round absorbs last-ulp ln()
     * differences except when the true score sits within ~1 ulp of a
@@ -677,18 +690,50 @@ object TextOps {
     * Returns (doc_id, rank, term, score). */
   def tfidfKeywords(docs: DataFrame, idCol: Column, textCol: Column,
       k: Int = 3, docCount: Long = -1L,
-      broadcastDfreq: Boolean = true): DataFrame = {
+      broadcastDfreq: Option[Boolean] = None): DataFrame = {
     require(k > 0, "k must be positive")
-    val n = if (docCount >= 0) docCount else docs.count()
     val tf = docs
       .select(idCol.as("doc_id"), explode(tokenize(textCol)).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val maxTerms =
+      graft.GraftConf.tfidfMaxBroadcastTerms(docs.sparkSession)
+    // resolve (docCount, arm) with at most ONE pass over the tokenize
+    // lineage: a pinned arm + known count costs nothing; a pinned arm
+    // alone counts docs (metadata-cheap on a file scan); the adaptive
+    // probe is one map-side-combined aggregate, ONE row collected
+    // (audited bounded collect) — explode_outer keeps zero-token docs
+    // in the exact doc count
+    val (n, useBroadcast): (Long, Boolean) = broadcastDfreq match {
+      case Some(b) =>
+        (if (docCount >= 0) docCount else docs.count(), b)
+      case None if maxTerms <= 0 =>
+        (if (docCount >= 0) docCount else docs.count(), false)
+      case None
+          if dfreq.queryExecution.optimizedPlan.stats.rowCount
+            .exists(_ <= maxTerms) && docCount >= 0 =>
+        (docCount, true)
+      case None =>
+        val probeSrc = docs.select(idCol.as("doc_id"),
+          explode_outer(tokenize(textCol)).as("term"))
+        if (docCount >= 0) {
+          val r = probeSrc
+            .agg(approx_count_distinct(col("term")).as("__v"))
+            .collect()(0)
+          (docCount, r.getLong(0) <= maxTerms)
+        } else {
+          val r = probeSrc
+            .agg(count_distinct(col("doc_id")).as("__n"),
+              approx_count_distinct(col("term")).as("__v"))
+            .collect()(0)
+          (r.getLong(0), r.getLong(1) <= maxTerms)
+        }
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(if (broadcastDfreq) broadcast(dfreq) else dfreq, "term")
+    tf.join(if (useBroadcast) broadcast(dfreq) else dfreq, "term")
       .withColumn("score",
         round(col("tf") * graft.bm25.Bm25.idf(lit(n.toDouble), col("df")), 6))
       .withColumn("rank", row_number().over(w))

@@ -53,6 +53,25 @@ class HybridSpec extends SparkSpec {
     assert(out.count(_._1 == 0) == 2 && out.count(_._1 == 1) == 2)
   }
 
+  test("rrf IS rrfPerQuery under a constant key: schema, rows, and " +
+      "the descending output order of the single-probe contract") {
+    val out = Hybrid.rrf("id", Seq(
+        Hybrid.Ranked(listA.filter(col("qid") === 0),
+          Seq(col("da").asc, col("id").asc)),
+        Hybrid.Ranked(listB.filter(col("qid") === 0),
+          Seq(col("db").asc, col("id").asc), weight = 2.0)), k = 3)
+    assert(out.columns.toSeq == Seq("id", "rrf_score"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 3)
+    // descending by score, id-ascending tiebreak — the contract the
+    // old standalone implementation returned
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
+    // exact fused scores: 103 ranks 3rd in A (w=1) and 1st in B (w=2)
+    // — the B weight lifts it just past 101 (1st in A, 2nd in B)
+    assert(rows.head._1 == 103L)
+    assert(math.abs(rows.head._2 - (1.0 / 63 + 2.0 / 61)) < 1e-12)
+  }
+
   test("the batched plan has no single-partition stage") {
     val plan = Hybrid.rrfPerQuery("qid", "id", ranked, k = 5)
       .queryExecution.executedPlan.toString

@@ -16,6 +16,10 @@ class IngestPipelineSpec extends SparkSpec {
       val dir = sf(scale)
       val streamed = IngestPipeline.readSink(spark,
           graft.queries.TextQueries.pipelineStreamPath(spark, dir))
+        // the sink keeps the cleaned text for the refresh absorb;
+        // project the narrow door shape for the parity compare
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("w_fp"))
         .orderBy(col("doc_id")).collect().toSeq
       val batch = IngestPipeline.curateBatch(
           graft.queries.TextQueries.pipeArrivals(spark, dir),

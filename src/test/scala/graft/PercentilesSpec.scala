@@ -25,6 +25,11 @@ class PercentilesSpec extends SparkSpec {
     finally spark.conf.unset(GraftConf.PercentileMaxBuiltinDistinct)
   }
   private def forcePrefixSum[T](body: => T): T = withThreshold(0L)(body)
+  private def withRowsFloor[T](n: Long)(body: => T): T = {
+    spark.conf.set(GraftConf.PercentileMaxBuiltinRows, n.toString)
+    try body
+    finally spark.conf.unset(GraftConf.PercentileMaxBuiltinRows)
+  }
 
   private def builtin(values: Seq[Double], p: Double): Double = {
     val df = values.toDF("v")
@@ -170,6 +175,75 @@ class PercentilesSpec extends SparkSpec {
     byPrefix.foreach { case (k, v) =>
       assert(bits(v) == bits(byBuiltin(k)), s"group $k arms bit-equal")
     }
+  }
+
+  test("null keys form their own group, matching the builtin " +
+      "(both arms — the offset joins are null-safe)") {
+    val df = Seq(
+      (Option("a"), 1.0), (Option.empty[String], 2.0),
+      (Option.empty[String], 4.0), (Option("a"), 3.0),
+      (Option("b"), 5.0), (Option.empty[String], 8.0))
+      .toDF("k", "v").repartition(3)
+    val want = df.groupBy("k")
+      .agg(percentile(col("v"), lit(0.5)).as("q"))
+      .collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(want.contains(None), "fixture must exercise a null key")
+    for (thr <- Seq(0L, 1000000L)) withThreshold(thr) {
+      val got = Percentiles
+        .exactQuantilesBy(df, Seq("k"), col("v"), Seq(0.5), "q")
+        .collect()
+        .map(r => Option(r.getString(0)) -> r.getSeq[Double](1).head)
+        .toMap
+      assert(got.keySet == want.keySet, s"threshold $thr: row set")
+      got.foreach { case (k, q) =>
+        assert(java.lang.Double.doubleToLongBits(q) ==
+          java.lang.Double.doubleToLongBits(want(k)),
+          s"threshold $thr, key $k")
+      }
+    }
+  }
+
+  test("a compressed file scan's sizeInBytes must NOT route a " +
+      "many-row narrow-domain frame into the builtin (its buffer is " +
+      "unspillable; parquet RLE sits far under any bytes/row floor)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pctl_rle").toString
+    // 50k rows of ONE value: dictionary+RLE packs the column into a
+    // few hundred bytes on disk — the old 16-bytes/row stats hint
+    // read that as "under 1000 rows" and misrouted
+    Seq.fill(50000)(3.0).toDF("v").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    withRowsFloor(1000L) {
+      val q = Percentiles.exactQuantiles(df, col("v"), Seq(0.5), "q")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("percentile("),
+        s"50k rows over a 1000-row floor took the builtin arm:\n$plan")
+      assert(plan.contains("Window"), "expected the prefix-sum arm")
+      assert(q.collect()(0).getSeq[Double](0) == Seq(3.0))
+    }
+  }
+
+  test("stats negative short-circuit: when the input is provably past " +
+      "every builtin bound, the probe pass never runs (dispatch " +
+      "executes NOTHING at plan-construction time)") {
+    // an expression that throws on ANY row evaluation: if the dispatch
+    // ran its probe aggregate here, construction itself would raise
+    val boom = col("v") +
+      expr("raise_error('probe must not run')").cast("double")
+    // a Range leaf, NOT a LocalRelation: ConvertToLocalRelation would
+    // evaluate the projection EAGERLY in the optimizer and fire the
+    // raise_error before any dispatch decision is made. Range reports
+    // an exact rowCount stat (5000 > rows floor + 1.5 * distinct cap),
+    // so this exercises the rowCount negative short-circuit directly
+    val df = spark.range(5000).select(col("id").cast("double").as("v"))
+    withRowsFloor(10L) { withThreshold(10L) {
+      val q = Percentiles.exactQuantiles(df, boom, Seq(0.5), "q")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("percentile("), "must take the prefix sum")
+      assert(plan.contains("Window"))
+    } }
   }
 
   test("probs order is preserved in the output array") {

@@ -102,6 +102,29 @@ class PlanGoldenSpec extends SparkSpec {
     assert(plan.contains("row_number"))
     assert(!plan.contains("CartesianProduct"))
     checkGolden("q_tfidf_keywords", skel)
+    // the OTHER dispatch arm, pinned: a web-scale vocabulary (forced
+    // via the conf, probe-free) SHUFFLES the idf join under AQE skew
+    // splitting instead of broadcasting — and returns the same rows.
+    // auto-broadcast is disabled so the arm is observable at sf0.01
+    // (AQE would otherwise re-broadcast the small dfreq at runtime).
+    val dir = sf("sf0.01")
+    val want = SparkEntry.queries("q_tfidf_keywords")(spark, dir)
+      .orderBy("doc_id", "rank").collect().toSeq
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(GraftConf.TfidfMaxBroadcastTerms, "0")
+    try {
+      val forced = SparkEntry.queries("q_tfidf_keywords")(spark, dir)
+      val p = formatted(forced)
+      assert(!p.contains("BroadcastHashJoin"),
+        "the forced-large arm must not broadcast the idf join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled idf join:\n$p")
+      assert(forced.orderBy("doc_id", "rank").collect().toSeq == want,
+        "dispatch arms must be row-identical on the contract row")
+    } finally {
+      spark.conf.unset(GraftConf.TfidfMaxBroadcastTerms)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("q_mix_budget: blocked two-phase rank, no per-source corpus window") {
@@ -443,20 +466,27 @@ class PlanGoldenSpec extends SparkSpec {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def fileScans(p: SparkPlan): Int = p match {
-      case _: InMemoryTableScanExec => 0
-      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
-      case _: FileSourceScanExec => 1
-      case other => other.children.map(fileScans).sum
+    def fileScanPaths(p: SparkPlan): Seq[String] = p match {
+      case _: InMemoryTableScanExec => Nil
+      case a: AdaptiveSparkPlanExec => fileScanPaths(a.executedPlan)
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+      case other => other.children.flatMap(fileScanPaths)
     }
     val (plan, _) = snapshot("q_pipeline_absorb")
-    // the merged kept set is a union of two checkpointed leaves
-    // (ndk-scored + drop survivors): the refreshed mix's two passes
-    // must never rescan the corpus or re-run the door
-    assert(fileScans(
-        SparkEntry.queries("q_pipeline_absorb")(spark, sf("sf0.01"))
-          .queryExecution.executedPlan) == 0,
-      "the absorb row re-scans files instead of riding the kept leaves")
+    // the merged kept set is a union of the ndk-scored checkpoint and
+    // the drop survivors read straight off the STREAMING DOOR'S SINK
+    // (the door runs once — in the stream — and the absorb rides its
+    // parquet): the only file scans allowed are that sink; the corpus
+    // is never rescanned and the door never re-runs in batch form
+    val dir01 = sf("sf0.01")
+    val sink = graft.queries.TextQueries.pipelineStreamPath(spark, dir01)
+    val scans = fileScanPaths(
+      SparkEntry.queries("q_pipeline_absorb")(spark, dir01)
+        .queryExecution.executedPlan)
+    assert(scans.nonEmpty && scans.forall(_.contains(sink)),
+      s"absorb must read the drop survivors from the stream sink " +
+        s"($sink) and nothing else from files: $scans")
     assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
       "the kept boundaries are no longer lineage-cut leaves")
     // the mix discipline: every rank window carries the block key

@@ -115,6 +115,18 @@ class TextOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join") &&
       !plan.contains("Window"), s"mixEpochs must stay narrow:\n$plan")
+    // a factor-0.0 source contributes nothing, so it must not widen
+    // the pushed scan subset either (same as an unlisted source)
+    val zeroed = TextOps.mixEpochs(docs, col("doc_id"), col("source"),
+      Map("s0" -> 2.5, "s1" -> 0.0))
+    assert(zeroed.filter(col("source") === "s1").count() == 0)
+    // the analyzed plan shows the isin list before ConvertToLocal
+    // folds the tiny fixture away; at corpus scale this is the
+    // In(source) subset that reaches the parquet scan
+    val zPlan = zeroed.queryExecution.analyzed.toString
+    val isin = "IN \\(([^)]*)\\)".r.findFirstMatchIn(zPlan).map(_.group(1))
+    assert(isin.exists(l => l.contains("s0") && !l.contains("s1")),
+      s"factor-0 source must be pruned from the isin subset:\n$zPlan")
   }
 
   test("repetition matches hand-computed gram fractions") {
@@ -551,6 +563,66 @@ class TextOpsSpec extends SparkSpec {
     val byDoc = TextOps.tfidfKeywords(docs, col("doc_id"), col("text"), k = 3)
       .collect().map(r => (r.getString(2), r.getDouble(3))).toMap
     assert(byDoc("zebra") > byDoc("common"))
+  }
+
+  test("tfidfKeywords adaptive idf-join dispatch: both arms are " +
+      "row-identical; the probe routes by vocabulary; zero-token docs " +
+      "still count toward n") {
+    val docs = Seq.tabulate(40) { i =>
+      (i.toLong, s"shared words here w${i} w${i % 7} extra${i % 11}")
+    }.toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getDouble(3))).toSeq
+    val viaBroadcast = rows(TextOps.tfidfKeywords(docs, col("doc_id"),
+      col("text"), k = 2, broadcastDfreq = Some(true)))
+    val viaShuffle = rows(TextOps.tfidfKeywords(docs, col("doc_id"),
+      col("text"), k = 2, broadcastDfreq = Some(false)))
+    assert(viaBroadcast == viaShuffle, "arms must be row-identical")
+    // arm pinning below: with auto-broadcast OFF, a BroadcastHashJoin
+    // can only come from the operator's own hint — the observable that
+    // separates the arms at unit scale (AQE would otherwise broadcast
+    // the tiny dfreq regardless)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // adaptive default: small vocab routes to the broadcast arm
+      val qa = TextOps.tfidfKeywords(docs, col("doc_id"), col("text"), k = 2)
+      assert(rows(qa) == viaBroadcast)
+      assert(qa.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "a bounded vocabulary must take the broadcast arm")
+      // conf <= 0 forces the shuffled join probe-free
+      spark.conf.set(GraftConf.TfidfMaxBroadcastTerms, "0")
+      try {
+        val qs =
+          TextOps.tfidfKeywords(docs, col("doc_id"), col("text"), k = 2)
+        val plan = qs.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"forced-shuffle arm still broadcasts:\n$plan")
+        assert(rows(qs) == viaBroadcast)
+      } finally spark.conf.unset(GraftConf.TfidfMaxBroadcastTerms)
+      // a vocabulary over the cap routes to the shuffled arm via probe
+      spark.conf.set(GraftConf.TfidfMaxBroadcastTerms, "3")
+      try {
+        val q3 =
+          TextOps.tfidfKeywords(docs, col("doc_id"), col("text"), k = 2)
+        assert(!q3.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "an over-cap vocabulary must not broadcast")
+        assert(rows(q3) == viaBroadcast)
+      } finally spark.conf.unset(GraftConf.TfidfMaxBroadcastTerms)
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // zero-token docs count toward n in the folded probe: a doc whose
+    // text cleans to no tokens must change idf exactly as docCount does
+    val withEmpty = docs.unionByName(
+      Seq((999L, "")).toDF("doc_id", "text"))
+    val adaptive = rows(TextOps.tfidfKeywords(withEmpty, col("doc_id"),
+      col("text"), k = 2))
+    val pinnedN = rows(TextOps.tfidfKeywords(withEmpty, col("doc_id"),
+      col("text"), k = 2, docCount = 41L, broadcastDfreq = Some(true)))
+    assert(adaptive == pinnedN, "explode_outer must keep empty docs in n")
   }
 
   test("temperatureQuotas: largest-remainder apportionment, exact totals") {
