@@ -658,10 +658,10 @@ object TextOps {
     * Scale shape: tf is one combiner-friendly groupBy on (doc, term);
     * document frequency reuses that frame with a groupBy on term; the
     * idf join dispatch is ADAPTIVE (the
-    * [[graft.operators.Percentiles]] discipline): a one-row probe —
-    * exact doc count + HLL distinct-term count in a single pass over
-    * the tokenize lineage, folding the old separate `docs.count()`
-    * pass in — BROADCASTS dfreq while the vocabulary fits
+    * [[graft.operators.Percentiles]] discipline): a one-row HLL
+    * distinct-term probe over the tokenize lineage — one
+    * map-side-combined pass, no exact distinct — BROADCASTS dfreq
+    * while the vocabulary fits
     * `graft.tfidf.maxBroadcastTerms` (default 1M; the term key is
     * skewed by construction — a shuffled join pours ~nDocs "the" rows
     * through one reducer, so the broadcast removes the hot-term
@@ -673,12 +673,10 @@ object TextOps {
     * pass child sizes through in the non-CBO visitor, so the
     * dfreq frame's estimate bounds nothing in either direction —
     * only an exact rowCount (CBO) skips the probe. Pass
-    * `broadcastDfreq = Some(b)` to pin the arm probe-free (with
-    * `docCount >= 0`, no extra pass runs at all). The top-k rank
-    * windows on doc_id. The probe's folded doc count is
-    * count(DISTINCT id) — the id is the document key by contract;
-    * an input carrying duplicate id rows should pass `docCount`
-    * explicitly.
+    * `broadcastDfreq = Some(b)` to pin the arm probe-free. The
+    * top-k rank windows on doc_id. `docCount < 0` counts the corpus
+    * (metadata-only on a file scan) — pass the known count to skip
+    * it.
     *
     * Determinism note: the 6dp pre-round absorbs last-ulp ln()
     * differences except when the true score sits within ~1 ulp of a
@@ -699,36 +697,25 @@ object TextOps {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val maxTerms =
       graft.GraftConf.tfidfMaxBroadcastTerms(docs.sparkSession)
-    // resolve (docCount, arm) with at most ONE pass over the tokenize
-    // lineage: a pinned arm + known count costs nothing; a pinned arm
-    // alone counts docs (metadata-cheap on a file scan); the adaptive
-    // probe is one map-side-combined aggregate, ONE row collected
-    // (audited bounded collect) — explode_outer keeps zero-token docs
-    // in the exact doc count
-    val (n, useBroadcast): (Long, Boolean) = broadcastDfreq match {
-      case Some(b) =>
-        (if (docCount >= 0) docCount else docs.count(), b)
-      case None if maxTerms <= 0 =>
-        (if (docCount >= 0) docCount else docs.count(), false)
-      case None
-          if dfreq.queryExecution.optimizedPlan.stats.rowCount
-            .exists(_ <= maxTerms) && docCount >= 0 =>
-        (docCount, true)
+    // resolve (docCount, arm) cheaply: a pinned arm costs no probe;
+    // the adaptive probe is ONE map-side-combined HLL aggregate over
+    // the exploded terms, ONE row collected (audited bounded
+    // collect). The doc count stays a separate docs.count() —
+    // metadata-only on a parquet scan, and MEASURED cheaper than
+    // folding an exact count_distinct(id) into the probe (the
+    // combined aggregate plans an Expand ×2 over the exploded frame
+    // plus an id-keyed shuffle: +3.5 s at sf10 against a ~0 s
+    // metadata count; the fold was the wrong economy).
+    val n = if (docCount >= 0) docCount else docs.count()
+    val useBroadcast: Boolean = broadcastDfreq match {
+      case Some(b) => b
+      case None if maxTerms <= 0 => false
+      case None if dfreq.queryExecution.optimizedPlan.stats.rowCount
+          .exists(_ <= maxTerms) => true
       case None =>
-        val probeSrc = docs.select(idCol.as("doc_id"),
-          explode_outer(tokenize(textCol)).as("term"))
-        if (docCount >= 0) {
-          val r = probeSrc
-            .agg(approx_count_distinct(col("term")).as("__v"))
-            .collect()(0)
-          (docCount, r.getLong(0) <= maxTerms)
-        } else {
-          val r = probeSrc
-            .agg(count_distinct(col("doc_id")).as("__n"),
-              approx_count_distinct(col("term")).as("__v"))
-            .collect()(0)
-          (r.getLong(0), r.getLong(1) <= maxTerms)
-        }
+        docs.select(explode(tokenize(textCol)).as("term"))
+          .agg(approx_count_distinct(col("term")).as("__v"))
+          .collect()(0).getLong(0) <= maxTerms
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))

@@ -614,15 +614,15 @@ class TextOpsSpec extends SparkSpec {
       } finally spark.conf.unset(GraftConf.TfidfMaxBroadcastTerms)
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    // zero-token docs count toward n in the folded probe: a doc whose
-    // text cleans to no tokens must change idf exactly as docCount does
+    // zero-token docs count toward n: a doc whose text cleans to no
+    // tokens must change idf exactly as an explicit docCount does
     val withEmpty = docs.unionByName(
       Seq((999L, "")).toDF("doc_id", "text"))
     val adaptive = rows(TextOps.tfidfKeywords(withEmpty, col("doc_id"),
       col("text"), k = 2))
     val pinnedN = rows(TextOps.tfidfKeywords(withEmpty, col("doc_id"),
       col("text"), k = 2, docCount = 41L, broadcastDfreq = Some(true)))
-    assert(adaptive == pinnedN, "explode_outer must keep empty docs in n")
+    assert(adaptive == pinnedN, "empty docs must stay in the doc count")
   }
 
   test("temperatureQuotas: largest-remainder apportionment, exact totals") {
