@@ -59,23 +59,37 @@ object Percentiles {
     * threshold see zero rows, exactly as a null-threshold filter would
     * produce). */
   def exactQuantiles(df: DataFrame, valueCol: Column, probs: Seq[Double],
-      outCol: String): DataFrame =
-    quantilesBy(df, Nil, valueCol, probs, outCol)
+      outCol: String, knownRows: Long = -1L): DataFrame =
+    quantilesBy(df, Nil, valueCol, probs, outCol, knownRows)
 
   /** Per-group exact interpolated quantiles: one row per distinct key
     * combination with `keys :+ outCol` (array<double>, probs order).
     * Groups whose values are all null are absent, matching
     * `groupBy(keys).agg(percentile(...))` row-wise. A NULL key value
     * forms its own group, exactly as the builtin's groupBy does (the
-    * internal offset joins are null-safe `<=>` equalities). */
+    * internal offset joins are null-safe `<=>` equalities).
+    *
+    * `knownRows`: the caller's exact row count for the value frame,
+    * when it has one cheaply (a metadata count of the source scan —
+    * [[graft.operators.Clustering.pruneWithCentroids]] passes its
+    * corpus count). It replaces the dispatch probe at both extremes:
+    * under the row floor the builtin runs directly; past the hard cap
+    * the prefix sum runs directly (measured: the probe re-derives the
+    * whole scoring lineage — 27 s of the prune row at sf100 — where
+    * the caller's count is a row-group metadata read). Null values
+    * among the counted rows only ever shrink the frame, so the
+    * builtin routing stays safe; a count mostly made of nulls at
+    * worst lands on the always-correct prefix sum. */
   def exactQuantilesBy(df: DataFrame, keys: Seq[String], valueCol: Column,
-      probs: Seq[Double], outCol: String): DataFrame = {
+      probs: Seq[Double], outCol: String,
+      knownRows: Long = -1L): DataFrame = {
     require(keys.nonEmpty, "use exactQuantiles for the global variant")
-    quantilesBy(df, keys, valueCol, probs, outCol)
+    quantilesBy(df, keys, valueCol, probs, outCol, knownRows)
   }
 
   private def quantilesBy(df: DataFrame, keys0: Seq[String],
-      valueCol: Column, probs: Seq[Double], outCol: String): DataFrame = {
+      valueCol: Column, probs: Seq[Double], outCol: String,
+      knownRows: Long = -1L): DataFrame = {
     require(probs.nonEmpty, "need at least one probability")
     require(probs.forall(p => p >= 0.0 && p <= 1.0),
       s"probabilities must be in [0, 1], got $probs")
@@ -137,7 +151,9 @@ object Percentiles {
       // can be loose where the positive check below must be stingy).
       val hardRowCap =
         BigInt(maxBuiltinRows) + BigInt(3) * BigInt(maxBuiltin) / 2
-      val overByStats = stats.rowCount.exists(_ > hardRowCap) ||
+      val overByStats =
+        (knownRows >= 0 && BigInt(knownRows) > hardRowCap) ||
+        stats.rowCount.exists(_ > hardRowCap) ||
         stats.sizeInBytes > hardRowCap * 1024
       // POSITIVE pre-check: when Catalyst's statistics already bound
       // the input under the row floor, the probe job is skipped and
@@ -162,6 +178,7 @@ object Percentiles {
         n == "LocalRelation" || n == "OneRowRelation"
       }
       val boundedByStats =
+        (knownRows >= 0 && knownRows <= maxBuiltinRows) ||
         stats.rowCount.exists(_ <= BigInt(maxBuiltinRows)) ||
         (inMemoryLeavesOnly &&
           stats.sizeInBytes <= BigInt(maxBuiltinRows) * 8)

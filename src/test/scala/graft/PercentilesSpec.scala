@@ -246,6 +246,36 @@ class PercentilesSpec extends SparkSpec {
     } }
   }
 
+  test("knownRows replaces the probe at both extremes (no execution " +
+      "at dispatch time; caller counts are authoritative)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pctl_kr").toString
+    (1 to 50).map(_.toDouble).toDF("v")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir) // file leaf: no rowCount stats
+    val boom = col("v") +
+      expr("raise_error('probe must not run')").cast("double")
+    // under the floor -> builtin directly, probe skipped
+    val q = Percentiles.exactQuantiles(df, boom, Seq(0.5), "q",
+      knownRows = 50L)
+    assert(q.queryExecution.executedPlan.toString.contains("percentile("),
+      "a caller-bounded input must take the builtin arm probe-free")
+    // past the hard cap -> prefix sum directly, probe skipped
+    withRowsFloor(10L) { withThreshold(10L) {
+      val q2 = Percentiles.exactQuantiles(df, boom, Seq(0.5), "q",
+        knownRows = 50L)
+      val p2 = q2.queryExecution.executedPlan.toString
+      assert(!p2.contains("percentile(") && p2.contains("Window"),
+        "a caller-overflowing count must take the prefix sum probe-free")
+    } }
+    // and the knownRows route returns the builtin's exact value
+    val got = Percentiles.exactQuantiles(df, col("v"), Seq(0.5), "q",
+      knownRows = 50L).collect()(0).getSeq[Double](0).head
+    assert(java.lang.Double.doubleToLongBits(got) ==
+      java.lang.Double.doubleToLongBits(
+        builtin((1 to 50).map(_.toDouble), 0.5)))
+  }
+
   test("probs order is preserved in the output array") {
     val vs = (1 to 9).map(_.toDouble)
     assert(ours(vs, Seq(0.9, 0.1, 0.5)) == Seq(8.2, 1.8, 5.0))
