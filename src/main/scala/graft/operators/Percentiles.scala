@@ -151,14 +151,29 @@ object Percentiles {
       // can be loose where the positive check below must be stingy).
       val hardRowCap =
         BigInt(maxBuiltinRows) + BigInt(3) * BigInt(maxBuiltin) / 2
+      // sizeInBytes is only meaningful when every leaf reported a real
+      // size: a leaf WITHOUT stats (e.g. an RDD-backed LogicalRDD
+      // boundary) reports the session's placeholder defaultSizeInBytes
+      // (Long.MaxValue by default), which propagates upward and would
+      // trip the short-circuit — permanently skipping the probe and the
+      // builtin arm exactly where the probe is cheapest (a materialized
+      // boundary re-reads without recomputing its lineage). Such plans
+      // fall through to the probe instead.
+      val placeholderSize =
+        BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
       val overByStats =
         (knownRows >= 0 && BigInt(knownRows) > hardRowCap) ||
         stats.rowCount.exists(_ > hardRowCap) ||
-        stats.sizeInBytes > hardRowCap * 1024
+        (stats.sizeInBytes > hardRowCap * 1024 &&
+          stats.sizeInBytes < placeholderSize)
       // POSITIVE pre-check: when Catalyst's statistics already bound
       // the input under the row floor, the probe job is skipped and
-      // the builtin arm costs ONE pass of the lineage (R <= floor
-      // also bounds D <= R — inside any buffer). Only an exact
+      // the builtin arm costs ONE pass of the lineage. R <= floor
+      // bounds D <= R, but "inside the buffer" additionally needs
+      // D <= maxBuiltinDistinct — a config raising the row floor past
+      // the distinct cap must not route an over-cap all-distinct frame
+      // into the unspillable buffer, so the floor used here is clamped
+      // to min(maxBuiltinRows, maxBuiltinDistinct). Only an exact
       // rowCount (CBO/AQE) is trusted outright. sizeInBytes is a
       // HINT, honored only for in-memory leaves (LocalRelation
       // estimates >= 8 bytes/row by construction): a file scan's
@@ -177,11 +192,12 @@ object Percentiles {
         val n = l.getClass.getSimpleName
         n == "LocalRelation" || n == "OneRowRelation"
       }
+      val rowFloor = math.min(maxBuiltinRows, maxBuiltin)
       val boundedByStats =
-        (knownRows >= 0 && knownRows <= maxBuiltinRows) ||
-        stats.rowCount.exists(_ <= BigInt(maxBuiltinRows)) ||
+        (knownRows >= 0 && knownRows <= rowFloor) ||
+        stats.rowCount.exists(_ <= BigInt(rowFloor)) ||
         (inMemoryLeavesOnly &&
-          stats.sizeInBytes <= BigInt(maxBuiltinRows) * 8)
+          stats.sizeInBytes <= BigInt(rowFloor) * 8)
       lazy val boundedByProbe = {
         // one map-side-combined global aggregate, ONE row collected
         // (audited bounded collect): total rows R, plus the HLL

@@ -795,6 +795,16 @@ object TextQueries {
     processBoundaryRoots.clear()
   }
 
+  /** Register a temp work dir for deletion at JVM exit AND at
+    * [[resetEphemeralState]]. Touching [[processToken]] forces the
+    * shutdown hook even when the boundary runner (which otherwise
+    * installs it) never runs in this JVM. */
+  private def registerEphemeralRoot(path: String): Unit = {
+    processToken
+    processBoundaryRoots.putIfAbsent(path, ())
+    ()
+  }
+
   private[graft] def pipelineBoundariesRoot(dir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -806,12 +816,15 @@ object TextQueries {
   }
 
   /** Reset every piece of memoized one-shot state the contract rows
-    * ride (the streaming door's completed-run paths and the
-    * per-process boundary artifact roots) — so a two-scale gate can
+    * ride (the streaming door's completed-run paths, the materialized
+    * arrivals drop dirs, and the per-process boundary artifact roots —
+    * the work dirs themselves are deleted, not just forgotten) — so a
+    * two-scale gate can
     * measure BOTH sides cold-symmetrically instead of comparing a
     * cached small side against a cold large side (ADVICE r14). */
   private[graft] def resetEphemeralState(): Unit = {
     pipelineStreamRuns.clear()
+    pipeArrivalsDirs.clear()
     deleteProcessBoundaryRoots()
   }
 
@@ -961,6 +974,12 @@ object TextQueries {
     pipeArrivalsDirs.getOrElseUpdate(dir, {
       val work = java.nio.file.Files
         .createTempDirectory("graft_pipe_arrivals").toString
+      // the drop dir lives exactly as long as the memoized path: the
+      // shutdown hook deletes it at JVM exit, resetEphemeralState
+      // deletes it (and clears this cache) mid-process — a long-lived
+      // session neither leaks orphaned parquet dirs nor serves a leaf
+      // that outlived a state reset
+      registerEphemeralRoot(work)
       // ONE file -> one AvailableNow micro-batch: an ingest drop is one
       // batch by contract (the intra-batch keeper's unit)
       pipeArrivals(s, dir).coalesce(1).write.parquet(s"$work/src")
@@ -973,6 +992,7 @@ object TextQueries {
     pipelineStreamRuns.getOrElseUpdate(dir, {
       val work = java.nio.file.Files
         .createTempDirectory("graft_pipe_stream").toString
+      registerEphemeralRoot(work)
       val src = pipeArrivalsPath(s, dir)
       val schema = s.read.parquet(src).schema
       graft.streaming.IngestPipeline.run(s, src, schema,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -683,9 +684,14 @@ object VectorQueries {
   private def fvecsFilePath(s: SparkSession, dir: String): String =
     fvecsFiles.getOrElseUpdate(dir, {
       val f = java.nio.file.Files.createTempFile("graft_emb", ".fvecs").toString
-      val vecs = emb(s, dir).orderBy("vec_id").collect()
-        .map(_.getAs[Seq[Float]]("embedding").toArray)
-      graft.sources.Dotvecs.writeFvecs(s, f, vecs.iterator)
+      // toLocalIterator, not collect: the writer streams one partition
+      // at a time to the driver (one POSIX file is inherently a
+      // driver-side sink), so driver memory stays bounded by a single
+      // partition even if the fixture ever rides a bigger corpus
+      val vecs = emb(s, dir).orderBy("vec_id")
+        .select(col("embedding")).toLocalIterator()
+      graft.sources.Dotvecs.writeFvecs(s, f,
+        vecs.asScala.map(_.getAs[Seq[Float]]("embedding").toArray))
       f
     })
 

@@ -678,6 +678,21 @@ object TextOps {
     * (metadata-only on a file scan) — pass the known count to skip
     * it.
     *
+    * `knownTerms`: the caller's distinct-term count for the corpus,
+    * when it maintains one (the [[graft.operators.Percentiles]]
+    * `knownRows` discipline, extended to this dispatch's sibling
+    * probe): a standing BM25 postings table IS a vocabulary count —
+    * one row per term (reference: lantern_extras/src/bm25_api.sql:
+    * 33-45 materializes exactly that table), and its row count is a
+    * metadata read where the probe is a full re-tokenize of the
+    * corpus lineage. A non-negative `knownTerms` routes probe-free at
+    * BOTH extremes: `<= maxBroadcastTerms` broadcasts, above it
+    * shuffles. Exact counts get no HLL headroom deflation — only the
+    * ~5%-rsd probe estimate is compared against a 10%-deflated cap,
+    * because the probe's error in the optimistic direction would buy
+    * an oversized broadcast (the dangerous arm) where an
+    * overestimate merely lands on the always-safe shuffled join.
+    *
     * Determinism note: the 6dp pre-round absorbs last-ulp ln()
     * differences except when the true score sits within ~1 ulp of a
     * 0.5e-6 rounding boundary — the guarantee is probabilistic (and
@@ -688,7 +703,8 @@ object TextOps {
     * Returns (doc_id, rank, term, score). */
   def tfidfKeywords(docs: DataFrame, idCol: Column, textCol: Column,
       k: Int = 3, docCount: Long = -1L,
-      broadcastDfreq: Option[Boolean] = None): DataFrame = {
+      broadcastDfreq: Option[Boolean] = None,
+      knownTerms: Long = -1L): DataFrame = {
     require(k > 0, "k must be positive")
     val tf = docs
       .select(idCol.as("doc_id"), explode(tokenize(textCol)).as("term"))
@@ -710,12 +726,19 @@ object TextOps {
     val useBroadcast: Boolean = broadcastDfreq match {
       case Some(b) => b
       case None if maxTerms <= 0 => false
+      // caller-supplied vocabulary count: exact, so compared against
+      // the full cap, and probe-free in BOTH directions
+      case None if knownTerms >= 0 => knownTerms <= maxTerms
       case None if dfreq.queryExecution.optimizedPlan.stats.rowCount
           .exists(_ <= maxTerms) => true
       case None =>
+        // HLL estimate (default ~5% rsd) vs a 10%-DEFLATED cap: an
+        // optimistic estimate must not buy the oversized broadcast —
+        // a vocabulary modestly above the cap lands on the shuffled
+        // join, whose only cost is the AQE-mitigated skew, not memory
         docs.select(explode(tokenize(textCol)).as("term"))
           .agg(approx_count_distinct(col("term")).as("__v"))
-          .collect()(0).getLong(0) <= maxTerms
+          .collect()(0).getLong(0) <= maxTerms - maxTerms / 10
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))

@@ -276,6 +276,56 @@ class PercentilesSpec extends SparkSpec {
         builtin((1 to 50).map(_.toDouble), 0.5)))
   }
 
+  test("a stats-less leaf (placeholder sizeInBytes) falls through to " +
+      "the probe instead of tripping the negative short-circuit") {
+    // an RDD-backed LogicalRDD without origin stats reports the
+    // session's placeholder defaultSizeInBytes (Long.MaxValue); the
+    // short-circuit must IGNORE that value — otherwise it would
+    // permanently route every such plan into the prefix sum, skipping
+    // the probe and the builtin arm exactly where the probe is
+    // cheapest (a materialized boundary re-reads without recomputing
+    // its lineage)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((1 to 20).map(i =>
+        org.apache.spark.sql.Row(i.toDouble)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+    withRowsFloor(10L) { withThreshold(1000L) {
+      // 20 rows, 20 distinct: inside the probe bound (10 + 1.5*20),
+      // outside every stats bound -> only the probe can route this to
+      // the builtin arm
+      val q = Percentiles.exactQuantiles(df, col("v"), Seq(0.5), "q")
+      assert(q.queryExecution.executedPlan.toString.contains("percentile("),
+        "a stats-less bounded input must reach the builtin via the probe")
+      assert(q.collect()(0).getSeq[Double](0) ==
+        Seq(builtin((1 to 20).map(_.toDouble), 0.5)))
+    } }
+  }
+
+  test("the positive row-floor routes are clamped to the distinct cap " +
+      "(a floor raised past maxBuiltinDistinct must not route an " +
+      "all-distinct frame into the unspillable buffer)") {
+    val df = spark.range(50).select(col("id").cast("double").as("v"))
+    // floor 1000 > distinct cap 10: both positive routes (knownRows
+    // and the Range leaf's exact rowCount = 50, each under the raw
+    // floor) must be clamped to min(floor, cap) = 10 and fall through
+    // to the probe, which sees 50 distinct > 10 -> prefix sum
+    withRowsFloor(1000L) { withThreshold(10L) {
+      val viaKnown = Percentiles.exactQuantiles(df, col("v"), Seq(0.5),
+        "q", knownRows = 50L)
+      val pk = viaKnown.queryExecution.executedPlan.toString
+      assert(!pk.contains("percentile(") && pk.contains("Window"),
+        s"knownRows route ignored the distinct cap:\n$pk")
+      val viaStats = Percentiles.exactQuantiles(df, col("v"), Seq(0.5), "q")
+      val ps = viaStats.queryExecution.executedPlan.toString
+      assert(!ps.contains("percentile(") && ps.contains("Window"),
+        s"rowCount route ignored the distinct cap:\n$ps")
+      assert(viaKnown.collect()(0).getSeq[Double](0) ==
+        Seq(builtin((0 until 50).map(_.toDouble), 0.5)))
+    } }
+  }
+
   test("probs order is preserved in the output array") {
     val vs = (1 to 9).map(_.toDouble)
     assert(ours(vs, Seq(0.9, 0.1, 0.5)) == Seq(8.2, 1.8, 5.0))

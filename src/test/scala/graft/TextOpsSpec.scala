@@ -625,6 +625,56 @@ class TextOpsSpec extends SparkSpec {
     assert(adaptive == pinnedN, "empty docs must stay in the doc count")
   }
 
+  test("tfidfKeywords knownTerms replaces the probe at both extremes " +
+      "(no execution at dispatch time; caller vocabulary counts are " +
+      "authoritative)") {
+    // a Range-backed frame (not a LocalRelation: ConvertToLocalRelation
+    // would evaluate projections eagerly in the optimizer), with a text
+    // expression that throws on ANY row evaluation: if the dispatch ran
+    // its HLL probe — or an implicit docs.count() over the projection —
+    // plan construction itself would raise
+    val docs = spark.range(8).select(col("id").as("doc_id"),
+      concat(lit("alpha beta w"), col("id").cast("string")).as("text"))
+    val boom = concat(col("text"),
+      expr("raise_error('probe must not run')"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // under the cap -> broadcast arm, probe-free
+      val qb = TextOps.tfidfKeywords(docs, col("doc_id"), boom, k = 2,
+        docCount = 8L, knownTerms = 10L)
+      assert(qb.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "a caller-bounded vocabulary must take the broadcast arm probe-free")
+      // over the cap -> shuffled arm, probe-free (exact counts get no
+      // HLL headroom: knownTerms = cap itself still broadcasts)
+      spark.conf.set(GraftConf.TfidfMaxBroadcastTerms, "10")
+      try {
+        val qEdge = TextOps.tfidfKeywords(docs, col("doc_id"), boom,
+          k = 2, docCount = 8L, knownTerms = 10L)
+        assert(qEdge.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "an exact count AT the cap must still broadcast (no deflation)")
+        val qs = TextOps.tfidfKeywords(docs, col("doc_id"), boom, k = 2,
+          docCount = 8L, knownTerms = 11L)
+        assert(!qs.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "a caller-overflowing vocabulary must shuffle probe-free")
+      } finally spark.conf.unset(GraftConf.TfidfMaxBroadcastTerms)
+      // and the knownTerms routes are row-identical to the pinned arms
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("doc_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+            r.getDouble(3))).toSeq
+      val pinned = rows(TextOps.tfidfKeywords(docs, col("doc_id"),
+        col("text"), k = 2, broadcastDfreq = Some(true)))
+      assert(rows(TextOps.tfidfKeywords(docs, col("doc_id"), col("text"),
+        k = 2, knownTerms = 10L)) == pinned)
+      assert(rows(TextOps.tfidfKeywords(docs, col("doc_id"), col("text"),
+        k = 2, knownTerms = 2000000L)) == pinned)
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("temperatureQuotas: largest-remainder apportionment, exact totals") {
     val docs = ((1 to 80).map(i => (i.toLong, "big")) ++
       (81 to 100).map(i => (i.toLong, "mid")) ++
