@@ -147,4 +147,76 @@ class AbsorbSpec extends SparkSpec {
     merged.unpersist(); kept1.unpersist(); kept2.unpersist()
     ()
   }
+
+  test("oracle discrimination: the gen-2 selection CHANGES under a " +
+      "swapped half-drop parity and under a frozen-corpus gen-2 door " +
+      "(the mis-compositions the refresh oracle must catch)") {
+    // The reference keeps known-broken queries failing ON PURPOSE to
+    // pin its harness' discriminating power
+    // (lantern_hnsw/test/sql/hnsw_todo.sql); this is that discipline
+    // for the contract's most composition-heavy oracle
+    // (q_pipeline_refresh: doorDropCtes × artifact extension × parity
+    // halves). Canonical Spark == oracle is pinned by the driver gate
+    // at every sweep, so "perturbed != canonical" here IS "the oracle
+    // would flag a builder who swapped the halves or forgot to curate
+    // gen-2 against the EXTENDED artifacts" — if either perturbation
+    // reproduced the selection, the oracle would be vacuous on that
+    // axis and this test fails. Scale matters: at sf0.001 the
+    // budget-capped selection is ~11 rows and contains NO planted
+    // twin — the parity swap is UNDETECTABLE there (measured; the
+    // reason this runs at the gate's own scale, sf0.01).
+    val dir = sf("sf0.01")
+    val budgets =
+      Map("src5" -> 800L, "src6" -> 400L, "src7" -> 200L, "src8" -> 0L)
+    val TQ = graft.queries.TextQueries
+    val corpus0 = TQ.pipeStreamCorpus(spark, dir)
+    val ndk = TQ.pipelineStages(spark, dir).toMap.apply("ndk")
+    val ndkS = scored(ndk, corpus0.dsirWeights)
+    val arrivals = TQ.pipeArrivals(spark, dir).persist()
+    val even = arrivals.filter(col("doc_id") % 2 === 0)
+    val odd = arrivals.filter(col("doc_id") % 2 === 1)
+    // each door output is a LINEAGE CUT, as in the contract path
+    // (SharedState.checkpointedDisk): without it the three chained
+    // gen-2 compositions stack door-over-door lineage until plan
+    // stringification alone OOMs the test JVM
+    def door(batch: DataFrame,
+        c: IngestPipeline.PreparedCorpus): DataFrame =
+      IngestPipeline.curateBatchKept(batch, col("doc_id"), col("source"),
+        col("text"), c).localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    def gen2(first: DataFrame, second: DataFrame,
+        secondCorpusOf: CorpusRefresh.Refreshed
+          => IngestPipeline.PreparedCorpus) = {
+      val r1 = CorpusRefresh.absorb(corpus0, ndkS, door(first, corpus0))
+      CorpusRefresh.absorb(r1.corpus, r1.kept,
+        door(second, secondCorpusOf(r1)))
+    }
+    // the CONTRACT projection — what the oracle hash-compares
+    def selection(r: CorpusRefresh.Refreshed): Seq[String] =
+      CorpusRefresh.refreshMix(r, budgets)
+        .select(col("doc_id"), col("source"), col("w_fp"),
+          col("n_tokens"), col("tok_prefix"), col("mix_rank"))
+        .orderBy(col("source").asc, col("mix_rank").asc).limit(500)
+        .collect().map(_.toString).toSeq
+    val canonical = selection(gen2(even, odd, _.corpus))
+    assert(canonical.nonEmpty)
+    // perturbation 1: halves swapped — which twin of each cross-drop
+    // exact plant (d, d+7 straddle the parity split by construction)
+    // survives flips, so the selected doc_ids must move
+    val swapped = selection(gen2(odd, even, _.corpus))
+    assert(canonical != swapped,
+      "swapping the half-drop parity left the gen-2 selection " +
+        "unchanged — the refresh oracle could not catch a swapped " +
+        "composition")
+    // perturbation 2: gen-2 curated against the FROZEN corpus (the
+    // artifact extension between generations dropped) — cross-drop
+    // duplicates leak through the door and must surface in the mix
+    val frozenGen2 = selection(gen2(even, odd, _ => corpus0))
+    assert(canonical != frozenGen2,
+      "skipping the inter-generation artifact extension left the " +
+        "selection unchanged — the refresh oracle could not catch a " +
+        "frozen-corpus gen-2 door")
+    arrivals.unpersist()
+    ()
+  }
 }
