@@ -1033,6 +1033,19 @@ object Dedup {
     * equi-joins only, never all-pairs — the same scale discipline as
     * the MinHash LSH path.
     *
+    * `comboBlocks > 0` switches candidate keys to BLOCK COMBINATIONS
+    * (Manku et al., WWW 2007): r = comboBlocks - maxHamming blocks
+    * concatenated per key, C(comboBlocks, r) keys per doc — same
+    * pigeonhole completeness, but a bucket space ~2^(r·64/comboBlocks)
+    * wide instead of 2^(64/bands). This is the decade-survival knob:
+    * single-band 16-bit keys keep candidates ≈ true near-dups only
+    * while the corpus stays well under 2^16 docs per band value;
+    * past that, random collisions grow as n²/2^16 (measured: fine
+    * through sf30, ~1.5e9 random candidates and a filled disk at
+    * sf100). The contract row runs comboBlocks = 6 (20 keys of 32-33
+    * bits). The verified pair OUTPUT is banding-independent either
+    * way — both modes are complete and exact-verified.
+    *
     * Skew guard (`maxBucket`, default 10000, 0 disables): a
     * pathologically common band value — billions of near-identical
     * boilerplate docs, which exact dedup does NOT collapse because
@@ -1066,14 +1079,54 @@ object Dedup {
     * exactly this). Returns (doc_a, doc_b, hamming). */
   def simhashPairs(sig: DataFrame, maxHamming: Int = 6,
       bands: Int = 8, maxBucket: Int = 10000,
-      skewMult: Double = 16.0): DataFrame = {
-    require(64 % bands == 0, s"bands must divide 64, got $bands")
-    require(maxHamming < bands,
-      s"maxHamming $maxHamming needs > $maxHamming bands to be complete")
-    val width = 64 / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        substring(col("simhash"), b * width + 1, width).as("key"))
+      skewMult: Double = 16.0, comboBlocks: Int = 0): DataFrame = {
+    val bandCols: Seq[Column] = if (comboBlocks > 0) {
+      // Block-combination banding (Manku et al., WWW 2007 §3): split
+      // the signature into `comboBlocks` near-equal blocks and key
+      // each candidate bucket on a COMBINATION of
+      // r = comboBlocks - maxHamming blocks — a pair within
+      // `maxHamming` differs in at most `maxHamming` blocks, so at
+      // least r blocks agree and some r-combination key matches
+      // (pigeonhole, same completeness as single-band keys). The
+      // point is BUCKET-SPACE WIDTH: single-band keys have a fixed
+      // 2^(64/bands) bucket space (65536 at the 4-band hamming<=3
+      // config), so once the corpus outgrows it, RANDOM pairs
+      // collide at n²/2^16 per band — measured at sf100 (5M docs):
+      // ~76 docs per band bucket, ~1.5e9 random candidate pairs,
+      // >55 GB of candidate shuffle (two runs filled the disk where
+      // sf30 ran in 92 s). r-block keys are ~r·64/comboBlocks bits
+      // wide (32+ bits at the 6-choose-3 default the contract uses),
+      // pushing random collisions out by another ~2^16 — candidate
+      // volume tracks TRUE near-dups again, at the price of
+      // C(comboBlocks, r) key rows per doc (20 vs 4). The key is
+      // folded to a LONG via conv(bits, 2, 10) so the banded frame
+      // shuffles 8-byte keys, not 33-char strings.
+      require(comboBlocks > maxHamming && comboBlocks <= 64,
+        s"comboBlocks $comboBlocks must exceed maxHamming $maxHamming")
+      val base = 64 / comboBlocks
+      val rem = 64 % comboBlocks
+      val widths = Seq.tabulate(comboBlocks)(i =>
+        if (i < rem) base + 1 else base)
+      val starts = widths.scanLeft(0)(_ + _)
+      val r = comboBlocks - maxHamming
+      require(widths.sorted.reverse.take(r).sum <= 63,
+        s"combination keys of $r blocks exceed 63 bits — use more blocks")
+      (0 until comboBlocks).combinations(r).zipWithIndex.map {
+        case (combo, ci) =>
+          val bits = concat(combo.map(i =>
+            substring(col("simhash"), starts(i) + 1, widths(i))): _*)
+          struct(lit(ci).as("band"),
+            conv(bits, 2, 10).cast("long").as("key"))
+      }.toSeq
+    } else {
+      require(64 % bands == 0, s"bands must divide 64, got $bands")
+      require(maxHamming < bands,
+        s"maxHamming $maxHamming needs > $maxHamming bands to be complete")
+      val width = 64 / bands
+      (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          substring(col("simhash"), b * width + 1, width).as("key"))
+      }
     }
     // candidate generation carries BARE id pairs (no signatures): the
     // distinct runs on 16 bytes/row, and — decisively — the exact

@@ -1818,17 +1818,22 @@ object TextQueries {
     * candidates verified by exact distance (reuses the bucketed
     * shingle frame). */
   /** SimHash near-dup pairs in the SCALE-SANE banding config (Manku et
-    * al., WWW 2007): hamming <= 3 via 4 bands of 16-bit keys. Bucket
-    * count then scales with signature diversity (65536 per band), so
-    * candidate volume tracks true near-dups as the corpus grows. The
-    * previous ham<=6 / 8-band-of-8-bit config has only 2048 buckets
-    * TOTAL — bucket size grows linearly with ANY corpus and candidate
-    * verification quadratically (measured: 2s at sf0.1 -> 47-66s warm
-    * at sf1, ~33x for 10x docs); it remains available as explicit
-    * `simhashPairs` parameters, but a fixed-bucket-count banding is
-    * not a 100 TB contract default. */
+    * al., WWW 2007): hamming <= 3 via 6-choose-3 BLOCK-COMBINATION
+    * keys (20 keys of 32-33 bits per doc). The ladder history is the
+    * whole argument: the ham<=6 / 8-band-of-8-bit config collapsed at
+    * sf1 (2048 buckets total, ~33x time for 10x docs); its 4x16-bit
+    * successor held through sf30 but at sf100 (5M docs) the fixed
+    * 65536-bucket band space put ~76 docs in every band value —
+    * ~1.5e9 RANDOM candidate pairs and >55 GB of candidate shuffle
+    * (two disk-filled runs). Combination keys widen the bucket space
+    * to ~2^32 per combo, so candidate volume tracks true near-dups
+    * for another ~2^16x of corpus growth; the verified pair output is
+    * banding-independent (both modes pigeonhole-complete, both
+    * exact-verified), so the oracle's own 4x16 replay still matches
+    * row for row. */
   private def simhashPairsQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(simhash64Cached(s, dir), maxHamming = 3, bands = 4)
+    Dedup.simhashPairs(simhash64Cached(s, dir), maxHamming = 3,
+        comboBlocks = 6)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   private def simhash(s: SparkSession, dir: String): DataFrame =

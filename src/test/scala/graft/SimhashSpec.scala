@@ -133,6 +133,45 @@ class SimhashSpec extends SparkSpec {
     assert(guarded == (1 until 24).map(i => (0L, i.toLong)).toSet)
   }
 
+  test("comboBlocks block-combination banding emits the same verified " +
+      "pair set as single-band banding (both pigeonhole-complete)") {
+    import spark.implicits._
+    // deterministic pseudo-random base signatures (pairwise far apart
+    // with overwhelming probability) + planted neighbors at hamming
+    // 1, 3 (kept) and 4 (excluded at maxHamming = 3)
+    val rnd = new scala.util.Random(7)
+    def randSig() =
+      Seq.fill(64)(if (rnd.nextBoolean()) '1' else '0').mkString
+    def flip(s: String, bits: Seq[Int]) = bits.foldLeft(s)((t, b) =>
+      t.substring(0, b) + (if (t(b) == '1') '0' else '1') +
+        t.substring(b + 1))
+    val base = Seq.tabulate(40)(i => (i.toLong, randSig()))
+    val plants = Seq(
+      (100L, flip(base(0)._2, Seq(3))),
+      (101L, flip(base(1)._2, Seq(5, 9, 60))),
+      (102L, flip(base(2)._2, Seq(1, 17, 33, 49))))
+    val sig = (base ++ plants).toDF("doc_id", "simhash")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("hamming").intValue())).toSet
+    val legacy = pairs(Dedup.simhashPairs(sig, maxHamming = 3, bands = 4))
+    val combo = pairs(Dedup.simhashPairs(sig, maxHamming = 3,
+      comboBlocks = 6))
+    assert(combo == legacy,
+      s"combination-key candidates missed or invented pairs:\n" +
+        s"legacy $legacy\ncombo $combo")
+    assert(legacy.contains((0L, 100L, 1)) && legacy.contains((1L, 101L, 3)))
+    assert(!legacy.exists(p => p._2 == 102L), "hamming-4 plant leaked in")
+    // the guard rides combination buckets unchanged: a 24-doc
+    // identical-signature cluster star-caps to 23 center edges
+    val cluster = (0 until 24).map(i => (i.toLong, "0" * 64))
+    val csig = cluster.toDF("doc_id", "simhash")
+    val guarded = Dedup.simhashPairs(csig, maxHamming = 3,
+        comboBlocks = 6, maxBucket = 5, skewMult = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == (1 until 24).map(i => (0L, i.toLong)).toSet)
+  }
+
   test("a null shingle element votes -1 everywhere, matching the SQL form") {
     import spark.implicits._
     val df = Seq(
