@@ -60,6 +60,18 @@ object GraftConf {
     * AQE skew splitting instead. <= 0 forces the shuffled join
     * probe-free. */
   val TfidfMaxBroadcastTerms = "graft.tfidf.maxBroadcastTerms"
+  /** Adaptive simhash banding dispatch ([[graft.dedup.Dedup.simhashPairs]]
+    * with `comboBlocks = -1`): corpus size at which candidate keys
+    * switch from single-band bit slices to Manku block-combination
+    * keys (default 1,000,000). Single-band keys are ~5× cheaper per
+    * doc but their fixed 2^(64/bands) bucket space floods with random
+    * collisions (~bands·n²/2^17 candidate rows at the 4×16 geometry)
+    * once the corpus approaches ~2^20 docs; combination keys widen
+    * the bucket space to ~2^32 at 5× the key rows. The default is the
+    * analytic crossover of those two costs, bracketed by the ladder
+    * measurements (4×16 fine at sf10 ≈ 500k docs; disk-filling at
+    * sf100 = 5M). */
+  val SimhashComboMinDocs = "graft.simhash.comboMinDocs"
 
   def ivfBroadcastQueryLimit(spark: SparkSession): Long =
     spark.conf.getOption(IvfBroadcastQueryLimit).map(_.toLong)
@@ -73,6 +85,9 @@ object GraftConf {
 
   def tfidfMaxBroadcastTerms(spark: SparkSession): Long =
     longConf(spark, TfidfMaxBroadcastTerms, 1000000L)
+
+  def simhashComboMinDocs(spark: SparkSession): Long =
+    longConf(spark, SimhashComboMinDocs, 1000000L)
 
   /** Session conf first, then a JVM system property of the same name
     * (lets the fork-run tools — BenchOne, ScaleGate, the probes —

@@ -1042,9 +1042,20 @@ object Dedup {
     * while the corpus stays well under 2^16 docs per band value;
     * past that, random collisions grow as n²/2^16 (measured: fine
     * through sf30, ~1.5e9 random candidates and a filled disk at
-    * sf100). The contract row runs comboBlocks = 6 (20 keys of 32-33
-    * bits). The verified pair OUTPUT is banding-independent either
+    * sf100). The verified pair OUTPUT is banding-independent either
     * way — both modes are complete and exact-verified.
+    *
+    * `comboBlocks = -1` picks the arm ADAPTIVELY by corpus size
+    * (threshold `graft.simhash.comboMinDocs`, default 1M): combo keys
+    * cost C(comboBlocks, r) key rows per doc (20 vs 4 at the ham≤3
+    * geometry — measured 2.7× the contract row's wall at sf0.1, pure
+    * overhead on a corpus whose band space is nowhere near flooding),
+    * so small corpora keep the caller's single-band config and large
+    * ones switch to 2·maxHamming blocks. The corpus size resolves
+    * job-free from `knownDocs` or an exact plan rowCount (materialized
+    * cache / analyzed table) and falls back to one count() probe —
+    * the percentile/tfidf dispatch discipline. This is the contract
+    * row's mode.
     *
     * Skew guard (`maxBucket`, default 10000, 0 disables): a
     * pathologically common band value — billions of near-identical
@@ -1079,8 +1090,39 @@ object Dedup {
     * exactly this). Returns (doc_a, doc_b, hamming). */
   def simhashPairs(sig: DataFrame, maxHamming: Int = 6,
       bands: Int = 8, maxBucket: Int = 10000,
-      skewMult: Double = 16.0, comboBlocks: Int = 0): DataFrame = {
-    val bandCols: Seq[Column] = if (comboBlocks > 0) {
+      skewMult: Double = 16.0, comboBlocks: Int = 0,
+      knownDocs: Long = -1L): DataFrame = {
+    // comboBlocks = -1: ADAPTIVE banding (the percentile/tfidf dispatch
+    // discipline). Single-band keys are strictly cheaper per doc
+    // (`bands` key rows vs C(comboBlocks, r)) and their fixed
+    // 2^(64/bands) bucket space only floods once the corpus carries
+    // ~2^(64/bands) docs per band value — so route on the corpus size:
+    // below graft.simhash.comboMinDocs (default 1M — the analytic
+    // crossover where single-band random collisions, ~bands·n²/2^17
+    // candidate rows at the 4×16 geometry, outweigh combo's 5× key
+    // rows) keep the caller's single-band config; above it switch to
+    // 2·maxHamming combination blocks (r = maxHamming blocks of
+    // ~32 bits — the Manku et al. geometry the fifth-decade ladder
+    // validated). Corpus size resolves WITHOUT a job when the caller
+    // passes `knownDocs` or the plan carries an exact rowCount (a
+    // materialized cache / CBO-analyzed table); only then does a
+    // count() probe run — and the VERIFIED PAIR OUTPUT is identical
+    // on both arms (both pigeonhole-complete, both exact-verified),
+    // so the dispatch can never change results, only the plan.
+    val effCombo =
+      if (comboBlocks >= 0) comboBlocks
+      else {
+        val spark = sig.sparkSession
+        val nDocs =
+          if (knownDocs >= 0) knownDocs
+          else sig.queryExecution.optimizedPlan.stats.rowCount
+            .map(_.toLong).getOrElse(sig.count())
+        if (nDocs >= graft.GraftConf.simhashComboMinDocs(spark))
+          2 * maxHamming
+        else 0
+      }
+    val bandCols: Seq[Column] = if (effCombo > 0) {
+      val cb = effCombo
       // Block-combination banding (Manku et al., WWW 2007 §3): split
       // the signature into `comboBlocks` near-equal blocks and key
       // each candidate bucket on a COMBINATION of
@@ -1101,17 +1143,17 @@ object Dedup {
       // C(comboBlocks, r) key rows per doc (20 vs 4). The key is
       // folded to a LONG via conv(bits, 2, 10) so the banded frame
       // shuffles 8-byte keys, not 33-char strings.
-      require(comboBlocks > maxHamming && comboBlocks <= 64,
-        s"comboBlocks $comboBlocks must exceed maxHamming $maxHamming")
-      val base = 64 / comboBlocks
-      val rem = 64 % comboBlocks
-      val widths = Seq.tabulate(comboBlocks)(i =>
+      require(cb > maxHamming && cb <= 64,
+        s"comboBlocks $cb must exceed maxHamming $maxHamming")
+      val base = 64 / cb
+      val rem = 64 % cb
+      val widths = Seq.tabulate(cb)(i =>
         if (i < rem) base + 1 else base)
       val starts = widths.scanLeft(0)(_ + _)
-      val r = comboBlocks - maxHamming
+      val r = cb - maxHamming
       require(widths.sorted.reverse.take(r).sum <= 63,
         s"combination keys of $r blocks exceed 63 bits — use more blocks")
-      (0 until comboBlocks).combinations(r).zipWithIndex.map {
+      (0 until cb).combinations(r).zipWithIndex.map {
         case (combo, ci) =>
           val bits = concat(combo.map(i =>
             substring(col("simhash"), starts(i) + 1, widths(i))): _*)

@@ -1817,23 +1817,26 @@ object TextQueries {
   /** 64-bit shingle-SimHash near-dup pairs: banded hamming-ball
     * candidates verified by exact distance (reuses the bucketed
     * shingle frame). */
-  /** SimHash near-dup pairs in the SCALE-SANE banding config (Manku et
-    * al., WWW 2007): hamming <= 3 via 6-choose-3 BLOCK-COMBINATION
-    * keys (20 keys of 32-33 bits per doc). The ladder history is the
-    * whole argument: the ham<=6 / 8-band-of-8-bit config collapsed at
-    * sf1 (2048 buckets total, ~33x time for 10x docs); its 4x16-bit
-    * successor held through sf30 but at sf100 (5M docs) the fixed
-    * 65536-bucket band space put ~76 docs in every band value —
-    * ~1.5e9 RANDOM candidate pairs and >55 GB of candidate shuffle
-    * (two disk-filled runs). Combination keys widen the bucket space
-    * to ~2^32 per combo, so candidate volume tracks true near-dups
-    * for another ~2^16x of corpus growth; the verified pair output is
-    * banding-independent (both modes pigeonhole-complete, both
-    * exact-verified), so the oracle's own 4x16 replay still matches
-    * row for row. */
+  /** SimHash near-dup pairs in the SCALE-ADAPTIVE banding config
+    * (comboBlocks = -1): single-band 4×16-bit keys below
+    * graft.simhash.comboMinDocs (default 1M), Manku 6-choose-3
+    * BLOCK-COMBINATION keys (20 keys of 32-33 bits per doc) above.
+    * The ladder history is the whole argument for BOTH arms: the
+    * ham<=6 / 8-band-of-8-bit config collapsed at sf1 (2048 buckets
+    * total, ~33x time for 10x docs); its 4x16-bit successor held
+    * through sf30 but at sf100 (5M docs) the fixed 65536-bucket band
+    * space put ~76 docs in every band value — ~1.5e9 RANDOM candidate
+    * pairs and >55 GB of candidate shuffle (two disk-filled runs) —
+    * while an UNCONDITIONAL combo config tripled the small-corpus
+    * wall (r18: 1.6 → 4.3 s at sf0.1, 5× the key rows for buckets
+    * nowhere near flooding). The doc count resolves job-free from the
+    * persisted signature cache's rowCount stats; the verified pair
+    * output is banding-independent (both modes pigeonhole-complete,
+    * both exact-verified), so the oracle's own 4x16 replay matches
+    * row for row on either arm. */
   private def simhashPairsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(simhash64Cached(s, dir), maxHamming = 3,
-        comboBlocks = 6)
+        bands = 4, comboBlocks = -1)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   private def simhash(s: SparkSession, dir: String): DataFrame =

@@ -172,6 +172,55 @@ class SimhashSpec extends SparkSpec {
     assert(guarded == (1 until 24).map(i => (0L, i.toLong)).toSet)
   }
 
+  test("comboBlocks = -1 routes single-band under comboMinDocs, combo above, " +
+      "same rows on both arms (the dispatch discipline)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def randSig() =
+      Seq.fill(64)(if (rnd.nextBoolean()) '1' else '0').mkString
+    def flip(s: String, bits: Seq[Int]) = bits.foldLeft(s)((t, b) =>
+      t.substring(0, b) + (if (t(b) == '1') '0' else '1') +
+        t.substring(b + 1))
+    val base = Seq.tabulate(30)(i => (i.toLong, randSig()))
+    val plants = Seq((200L, flip(base(4)._2, Seq(2))),
+      (201L, flip(base(5)._2, Seq(8, 21, 55))))
+    val sig = (base ++ plants).toDF("doc_id", "simhash")
+    // arm detection: combo keys fold bit-strings to longs via
+    // conv(bits, 2, 10); the single-band arm keys on raw substrings
+    // and never plans a conv
+    def usesCombo(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("conv(")
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("hamming").intValue())).toSet
+
+    // 32 docs, default threshold 1M: the adaptive arm is single-band
+    val auto = Dedup.simhashPairs(sig, maxHamming = 3, bands = 4,
+      comboBlocks = -1)
+    assert(!usesCombo(auto), "small corpus must take the single-band arm")
+    val want = run(Dedup.simhashPairs(sig, maxHamming = 3, bands = 4))
+    assert(run(auto) == want)
+
+    // threshold forced to 0 via the conf: the adaptive arm is combo —
+    // rows STILL identical (the output is banding-independent)
+    spark.conf.set(GraftConf.SimhashComboMinDocs, "0")
+    try {
+      val combo = Dedup.simhashPairs(sig, maxHamming = 3, bands = 4,
+        comboBlocks = -1)
+      assert(usesCombo(combo), "large corpus must take the combo arm")
+      assert(run(combo) == want,
+        "dispatch arms must emit identical verified pairs")
+    } finally spark.conf.unset(GraftConf.SimhashComboMinDocs)
+
+    // knownDocs is trusted in both directions: a huge claim flips a
+    // tiny frame to combo with no count job; absent it, the 32-row
+    // frame above resolved small through stats/count
+    val byKnown = Dedup.simhashPairs(sig, maxHamming = 3, bands = 4,
+      comboBlocks = -1, knownDocs = 5000000L)
+    assert(usesCombo(byKnown), "knownDocs >= threshold must route combo")
+    assert(run(byKnown) == want)
+  }
+
   test("a null shingle element votes -1 everywhere, matching the SQL form") {
     import spark.implicits._
     val df = Seq(
