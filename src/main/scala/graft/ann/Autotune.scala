@@ -71,28 +71,48 @@ object Autotune {
       val qdf = st.queries.zipWithIndex
         .map { case (q, i) => (i.toLong, q.toSeq) }.toSeq
         .toDF("qid", "qv")
-      val results = variants.zipWithIndex.flatMap { case (v, i) =>
-        val dir = s"$workDir/variant_$i"
-        val t0 = System.nanoTime()
-        AnnIndex.build(st.sample, idCol, vecCol, dir,
-          AnnIndex.Params(metric, v.m, v.efConstruction, numShards = 4))
-        val builtMs = (System.nanoTime() - t0) / 1000000
-        (efSweep :+ v.ef).distinct.sorted.map { ef =>
-          val t1 = System.nanoTime()
-          val byQuery: Map[Long, Set[Long]] =
-            AnnIndex.topKJoin(qdf, "qid", "qv", dir, k, ef)
-              .select(col("query_id"), col("id")).collect()
-              .groupBy(_.getLong(0))
-              .map { case (qid, rows) =>
-                qid -> rows.map(r => idOf(r, 1)).toSet }
-          val hits = st.truth.zipWithIndex.map { case (exact, qi) =>
-            exact.intersect(byQuery.getOrElse(qi.toLong, Set.empty)).size
-          }.sum
-          val searchMs = (System.nanoTime() - t1) / 1000000
-          Result(Variant(v.m, v.efConstruction, ef),
-            hits.toDouble / st.denom, builtMs, searchMs)
-        }
-      }
+      // grid points are INDEPENDENT jobs (each variant builds into its
+      // own dir and probes only its own graph), so a small driver pool
+      // overlaps one variant's straggler tail with the next variant's
+      // build (guide §2.6): the sweep was a strictly sequential chain
+      // of ~6 builds + ~40 probe collects. Futures preserve variant
+      // order, so `best` (first qualifying, build-major/ef-ascending)
+      // and the exported grid are bit-identical to the sequential run.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(3, math.max(variants.size, 1)))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val results =
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            variants.zipWithIndex.map { case (v, i) =>
+              scala.concurrent.Future {
+                spark.sparkContext.setJobDescription(
+                  s"autotune hnsw variant $i (m=${v.m}, efc=${v.efConstruction})")
+                val dir = s"$workDir/variant_$i"
+                val t0 = System.nanoTime()
+                AnnIndex.build(st.sample, idCol, vecCol, dir,
+                  AnnIndex.Params(metric, v.m, v.efConstruction, numShards = 4))
+                val builtMs = (System.nanoTime() - t0) / 1000000
+                (efSweep :+ v.ef).distinct.sorted.map { ef =>
+                  val t1 = System.nanoTime()
+                  val byQuery: Map[Long, Set[Long]] =
+                    AnnIndex.topKJoin(qdf, "qid", "qv", dir, k, ef)
+                      .select(col("query_id"), col("id")).collect()
+                      .groupBy(_.getLong(0))
+                      .map { case (qid, rows) =>
+                        qid -> rows.map(r => idOf(r, 1)).toSet }
+                  val hits = st.truth.zipWithIndex.map { case (exact, qi) =>
+                    exact.intersect(byQuery.getOrElse(qi.toLong, Set.empty)).size
+                  }.sum
+                  val searchMs = (System.nanoTime() - t1) / 1000000
+                  Result(Variant(v.m, v.efConstruction, ef),
+                    hits.toDouble / st.denom, builtMs, searchMs)
+                }
+              }
+            }),
+          scala.concurrent.duration.Duration.Inf).flatten
+        finally pool.shutdown()
       // cheapest (build-major, ef-ascending) result meeting the target
       val best = results.find(_.recall >= targetRecall).map(_.variant)
       Report(best, results)
@@ -165,50 +185,82 @@ object Autotune {
     try {
       val total = st.local.length.toDouble
 
+      // distinct-nCells builds are independent (own dirs) — overlap
+      // them on a small driver pool (guide §2.6), same discipline as
+      // the HNSW grid above
       val byCells = variants.map(_.nCells).distinct
+      val buildPool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(3, math.max(byCells.size, 1)))
+      implicit val buildEc: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(buildPool)
       val built: Map[Int, (String, Long, Array[Array[Float]], Map[Int, Long])] =
-        byCells.map { nc =>
-          val dir = s"$workDir/ivf_$nc"
-          val t0 = System.nanoTime()
-          val cents = IvfIndex.build(st.sample, idCol, vecCol, dir,
-            IvfIndex.Params(nCells = nc, metric = metric))
-          val buildMs = (System.nanoTime() - t0) / 1000000
-          val sizes: Map[Int, Long] = spark.read
-            .parquet(s"$dir/cells").groupBy(col("cell_id"))
-            .count().collect()
-            .map(r => r.getInt(0) -> r.getLong(1)).toMap
-          nc -> (dir, buildMs, cents, sizes)
-        }.toMap
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(byCells.map { nc =>
+            scala.concurrent.Future {
+              spark.sparkContext.setJobDescription(
+                s"autotune ivf build (nCells=$nc)")
+              val dir = s"$workDir/ivf_$nc"
+              val t0 = System.nanoTime()
+              val cents = IvfIndex.build(st.sample, idCol, vecCol, dir,
+                IvfIndex.Params(nCells = nc, metric = metric))
+              val buildMs = (System.nanoTime() - t0) / 1000000
+              val sizes: Map[Int, Long] = spark.read
+                .parquet(s"$dir/cells").groupBy(col("cell_id"))
+                .count().collect()
+                .map(r => r.getInt(0) -> r.getLong(1)).toMap
+              nc -> (dir, buildMs, cents, sizes)
+            }(buildEc)
+          }),
+          scala.concurrent.duration.Duration.Inf).toMap
+        finally buildPool.shutdown()
 
       // one routed topKJoin job per variant (the same batching as the
-      // HNSW sweep — per-probe topK jobs were pure launch overhead)
+      // HNSW sweep — per-probe topK jobs were pure launch overhead),
+      // probed concurrently: each variant reads only its own built
+      // index, and Future.sequence preserves variant order so `best`
+      // (first qualifying, cheapest-first) is unchanged
       import spark.implicits._
       val qdf = st.queries.zipWithIndex
         .map { case (q, i) => (i.toLong, q.toSeq) }.toSeq
         .toDF("qid", "qv")
-      val results = variants.map { v =>
-        val (dir, buildMs, cents, sizes) = built(v.nCells)
-        val t1 = System.nanoTime()
-        val byQuery: Map[Long, Set[Long]] =
-          IvfIndex.topKJoin(qdf, "qid", "qv", dir, k, v.nprobe)
-            .select(col("query_id"), col("id")).collect()
-            .groupBy(_.getLong(0))
-            .map { case (qid, rows) =>
-              qid -> rows.map(r => idOf(r, 1)).toSet }
-        val hits = st.truth.zipWithIndex.map { case (exact, qi) =>
-          exact.intersect(byQuery.getOrElse(qi.toLong, Set.empty)).size
-        }.sum
-        val searchMs = (System.nanoTime() - t1) / 1000000
-        // measured scan fraction: rows in each query's nprobe nearest
-        // cells (ties broken by cell id, matching the probe path)
-        val frac = st.queries.map { q =>
-          val probed = cents.zipWithIndex
-            .map { case (c, i) => (metric.dist(q, c), i) }
-            .sortBy(identity).take(v.nprobe).map(_._2)
-          probed.map(i => sizes.getOrElse(i, 0L)).sum.toDouble / total
-        }.sum / st.queries.length
-        IvfResult(v, hits.toDouble / st.denom, frac, buildMs, searchMs)
-      }
+      val probePool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(3, math.max(variants.size, 1)))
+      val probeEc: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(probePool)
+      val results =
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(variants.map { v =>
+            scala.concurrent.Future {
+              spark.sparkContext.setJobDescription(
+                s"autotune ivf probe (nCells=${v.nCells}, nprobe=${v.nprobe})")
+              val (dir, buildMs, cents, sizes) = built(v.nCells)
+              val t1 = System.nanoTime()
+              val byQuery: Map[Long, Set[Long]] =
+                IvfIndex.topKJoin(qdf, "qid", "qv", dir, k, v.nprobe)
+                  .select(col("query_id"), col("id")).collect()
+                  .groupBy(_.getLong(0))
+                  .map { case (qid, rows) =>
+                    qid -> rows.map(r => idOf(r, 1)).toSet }
+              val hits = st.truth.zipWithIndex.map { case (exact, qi) =>
+                exact.intersect(byQuery.getOrElse(qi.toLong, Set.empty)).size
+              }.sum
+              val searchMs = (System.nanoTime() - t1) / 1000000
+              // measured scan fraction: rows in each query's nprobe
+              // nearest cells (ties broken by cell id, matching the
+              // probe path)
+              val frac = st.queries.map { q =>
+                val probed = cents.zipWithIndex
+                  .map { case (c, i) => (metric.dist(q, c), i) }
+                  .sortBy(identity).take(v.nprobe).map(_._2)
+                probed.map(i => sizes.getOrElse(i, 0L)).sum.toDouble / total
+              }.sum / st.queries.length
+              IvfResult(v, hits.toDouble / st.denom, frac, buildMs, searchMs)
+            }(probeEc)
+          })(
+            implicitly[scala.collection.BuildFrom[Seq[scala.concurrent.Future[IvfResult]], IvfResult, Seq[IvfResult]]],
+            probeEc),
+          scala.concurrent.duration.Duration.Inf)
+        finally probePool.shutdown()
       val best = results.find(_.recall >= targetRecall).map(_.variant)
       IvfReport(best, results)
     } finally st.sample.unpersist()

@@ -38,6 +38,54 @@ object IvfIndex {
       sampleLimit: Int = 10000, seed: Long = 42L,
       pq: Option[graft.pq.Codebook] = None)
 
+  // ---- per-JVM, stamp-keyed sidecar caches -------------------------
+  //
+  // Every probe used to re-run spark.read.parquet over the tiny
+  // immutable sidecars (centroids, codebook) and re-infer the cells
+  // schema — each a 1-task driver job plus a planning gap, ~0.1-0.15 s
+  // of pure fixed cost per probe (measured: q_ivf_target_recall spent
+  // 10 of its 15 jobs on sidecar reads). The caches are keyed on the
+  // directory's listing stamp (the Autotune.artifactFingerprint
+  // discipline): centroids/codebook are FROZEN after build and only a
+  // rebuild rewrites their directories (Overwrite = fresh part-file
+  // names, so the stamp moves); the cells SCHEMA is append-invariant
+  // (appends add files of the same shape; a consolidation targets a
+  // new generation dir, a rebuild overwrites this one), so serving a
+  // schema from a stale stamp can never serve stale COLUMNS. The cell
+  // FILE LISTING itself is never cached — every probe lists fresh, so
+  // appended rows are always visible.
+  private val sidecarFrames =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, Long), DataFrame]()
+  private val sidecarCentArrays =
+    scala.collection.concurrent.TrieMap[(String, Long), Array[(Int, Array[Float])]]()
+  private val cellsSchemas =
+    scala.collection.concurrent.TrieMap[(String, Long), org.apache.spark.sql.types.StructType]()
+
+  private def sidecarStamp(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    Autotune.listingStamp(fs, p)
+  }
+
+  /** The sidecar parquet as a (plan-cached) frame — one footer/schema
+    * inference per (dir, content stamp) instead of per probe. */
+  private def sidecarParquet(spark: SparkSession, dir: String): DataFrame =
+    sidecarFrames.getOrElseUpdate((spark, dir, sidecarStamp(spark, dir)),
+      spark.read.parquet(dir))
+
+  /** The centroid table collected once per (index, content stamp),
+    * sorted by cell id — shared by every driver-side routing /
+    * assignment consumer. */
+  private def centroidsOf(spark: SparkSession,
+      indexPath: String): Array[(Int, Array[Float])] = {
+    val dir = s"$indexPath/centroids"
+    sidecarCentArrays.getOrElseUpdate((dir, sidecarStamp(spark, dir)),
+      sidecarParquet(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1))
+  }
+  // ------------------------------------------------------------------
+
   /** `cellsDir` is the CURRENT cells generation (the consolidation
     * commit point): readers follow it, so swapping the manifest
     * atomically retargets every search at a consolidated generation. */
@@ -114,8 +162,7 @@ object IvfIndex {
   private def assignCells(df: DataFrame, man: Manifest,
       indexPath: String): DataFrame = {
     val spark = df.sparkSession
-    val cents = spark.read.parquet(s"$indexPath/centroids").collect()
-      .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
+    val cents = centroidsOf(spark, indexPath).map(_._2)
     require(df.columns.contains(man.idCol) && df.columns.contains(man.vecCol),
       s"append frame lacks manifest columns (${man.idCol}, ${man.vecCol})")
     val base = df.select(col(man.idCol), col(man.vecCol))
@@ -124,7 +171,7 @@ object IvfIndex {
     if (!man.pq) base
     else {
       val cb = graft.pq.Pq.codebookFromDf(
-        spark.read.parquet(s"$indexPath/codebook"))
+        sidecarParquet(spark, s"$indexPath/codebook"))
       base.withColumn("pq_code",
         graft.functions.pq_quantize(col(man.vecCol), cb))
     }
@@ -266,7 +313,14 @@ object IvfIndex {
     * base schema, so no per-dir footer inference runs. */
   private[graft] def cellsBranches(spark: SparkSession, indexPath: String,
       cellsDir: String): Seq[DataFrame] = {
-    val base = spark.read.parquet(s"$indexPath/$cellsDir")
+    // schema via the stamp-keyed cache (appends cannot change it; a
+    // rebuild moves the stamp); the file listing itself stays fresh —
+    // spark.read with an explicit schema skips only footer inference
+    val baseDir = s"$indexPath/$cellsDir"
+    val schema = cellsSchemas.getOrElseUpdate(
+      (baseDir, sidecarStamp(spark, baseDir)),
+      spark.read.parquet(baseDir).schema)
+    val base = spark.read.schema(schema).parquet(baseDir)
     val batchesDir = new Path(indexPath, batchesDirName(cellsDir))
     val fs = batchesDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(batchesDir)) Seq(base)
@@ -517,7 +571,7 @@ object IvfIndex {
     val man = readManifest(indexPath)
     require(man.pq, s"index at $indexPath was not built with a PQ codebook")
     val cb = graft.pq.Pq.codebookFromDf(
-      spark.read.parquet(s"$indexPath/codebook"))
+      sidecarParquet(spark, s"$indexPath/codebook"))
     val effNprobe = Autotune.probeNprobe(spark, indexPath, nprobe,
       targetRecall)
     val cells = probedCells(spark, indexPath, man, query, effNprobe)
@@ -578,7 +632,7 @@ object IvfIndex {
       case other =>
         throw new IllegalArgumentException(s"IVF does not support ${other.name}")
     }
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val cents = sidecarParquet(spark, s"$indexPath/centroids")
     // one vector per query id, chosen DETERMINISTICALLY (min by vector
     // hash) — dropDuplicates keeps whichever row a partition sees
     // first, so duplicate ids carrying different vectors would make
@@ -650,8 +704,7 @@ object IvfIndex {
   /** The nprobe nearest partitions as a pruned scan. */
   private def probedCells(spark: SparkSession, indexPath: String,
       man: Manifest, query: Array[Float], nprobe: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$indexPath/centroids")
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val cents = centroidsOf(spark, indexPath)
     val probes = cents
       .map { case (id, c) => (id, man.metric.dist(query, c)) }
       .sortBy(x => (x._2, x._1)).take(math.max(nprobe, 1)).map(_._1)

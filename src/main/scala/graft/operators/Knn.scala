@@ -53,13 +53,16 @@ object Knn {
     *
     * Unlike the reference (which re-runs the whole search with the
     * doubled k, repeating the prefix every escalation), each refill
-    * fetches ONLY the delta: a seek filter `dist > lastDist` prunes
-    * the already-returned rows before the per-partition top-delta, and
-    * the equal-distance boundary block is completed by a filtered
-    * `dist == lastDist` re-fetch (its first rows reproduce the
-    * already-returned ties — the order is total — and are dropped).
-    * Escalating to k therefore costs O(k) rows fetched overall instead
-    * of the reference's O(k log k) (KnnCursorSpec pins both the exact
+    * fetches ONLY the delta: ONE seek fetch `dist >= lastDist` of
+    * `seenTies + delta` rows re-enters at the boundary distance — its
+    * first rows reproduce the already-returned boundary ties (the
+    * order is total) and are dropped, and the remainder covers both
+    * the tie block's tail and the strictly-greater rows. (Until r18
+    * this was two jobs per refill — a `== lastDist` tie fetch then a
+    * `> lastDist` fetch; `>=` enumerates the same rows in the same
+    * (dist, tiebreak) order in half the jobs.) Escalating to k
+    * therefore costs O(k) rows fetched overall instead of the
+    * reference's O(k log k) (KnnCursorSpec pins both the exact
     * sequence and the fetched-row accounting).
     *
     * Tie-heavy accounting: a refill whose boundary sits inside a big
@@ -122,43 +125,44 @@ object Knn {
 
     /** Fetch the next `delta` rows past the current batch end in the
       * (dist, tb) total order. A tb literal is not constructible for an
-      * arbitrary row, so the seek is two-part: complete the boundary
-      * tie-block (== lastDist; its first `seenTies` rows are exactly
-      * the already-returned ones and are dropped), then strictly
-      * greater distances. The recomputed dist is the SAME deterministic
-      * expression, so the float comparisons are exact. */
+      * arbitrary row, so the seek re-enters at the boundary DISTANCE:
+      * one `dist >= lastDist` fetch of `seenTies + delta` rows — its
+      * first `seenTies` rows are exactly the already-returned boundary
+      * ties (the order is total), dropped — covers the tie block's
+      * remainder AND the strictly-greater rows in a single job (they
+      * were two separate fetches before r18; the fold halves the
+      * cursor's job count per escalation with an identical row
+      * sequence, since `>= lastDist` enumerates `== lastDist` then
+      * `> lastDist` under the same (dist, tb) order — and Spark SQL
+      * orders NaN after every real value, so a NaN tail is included
+      * exactly as the old strictly-greater fetch included it). The
+      * recomputed dist is the SAME deterministic expression, so the
+      * float comparisons are exact. */
     private def refill(delta: Int): Array[org.apache.spark.sql.Row] = {
       val di = batch.last.fieldIndex("dist")
       // degenerate boundaries take the reference's full re-fetch (the
       // prefix is identical under the total order, so dropping it
       // yields exactly the delta): a NULL dist (null-vector rows, now
       // sorted LAST) would NPE out of getDouble, and a NaN boundary
-      // (cos_dist of a zero-norm vector) splits rows differently
-      // between Scala == (NaN != NaN) and Spark SQL's EqualTo
-      // (NaN = NaN), dropping and duplicating rows
+      // splits rows differently between Scala == (NaN != NaN) and
+      // Spark SQL's comparators (NaN = NaN), dropping/duplicating rows
       if (batch.last.isNullAt(di) || batch.last.getDouble(di).isNaN)
         return fetch(df, batch.length + delta).drop(batch.length)
       val lastDist = batch.last.getDouble(di)
       val seenTies = batch.reverseIterator
         .takeWhile(r => !r.isNullAt(di) && r.getDouble(di) == lastDist)
         .length
-      val tieBlock =
-        fetch(df.filter(distExpr === lit(lastDist)), seenTies + delta)
-      val tieExtra = tieBlock.drop(seenTies)
-      val need = delta - tieExtra.length
-      val more =
-        if (need <= 0) Array.empty[org.apache.spark.sql.Row]
-        else fetch(df.filter(distExpr > lit(lastDist)), need)
+      val head = fetch(df.filter(distExpr >= lit(lastDist)),
+        seenTies + delta).drop(seenTies)
       // null-dist rows sort AFTER every finite/NaN distance but are
-      // excluded by both seek filters (comparisons with null are
-      // null): when the strictly-greater fetch runs dry, the cursor's
-      // tail is the null block, ordered by the tiebreak alone
-      val head = tieExtra.take(delta) ++ more
+      // excluded by the seek filter (comparisons with null are null):
+      // when the >= fetch runs dry, the cursor's tail is the null
+      // block, ordered by the tiebreak alone
       val nullNeed = delta - head.length
       val nulls =
         if (nullNeed <= 0) Array.empty[org.apache.spark.sql.Row]
         else fetch(df.filter(distExpr.isNull), nullNeed)
-      head ++ nulls
+      head.take(delta) ++ nulls
     }
 
     override def hasNext: Boolean = {

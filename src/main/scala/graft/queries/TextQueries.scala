@@ -356,7 +356,8 @@ object TextQueries {
     graft.SharedState.cached(s"qweights:$dir") {
       val isPos = col("source").isin("src0", "src1", "src2", "src3", "src4")
       graft.text.QualityClassifier.fixedPointWeights(
-        graft.text.QualityClassifier.trainCounts(docs(s, dir),
+        graft.text.QualityClassifier.trainCounts(
+          spreadForBuild(s, dir, docs(s, dir)),
           col("text"), isPos))
     }
 
@@ -369,7 +370,8 @@ object TextQueries {
     * which the gate and the curriculum binning then read. */
   private def qualityScored(s: SparkSession, dir: String): DataFrame =
     graft.SharedState.checkpointedDisk(s"qscored:$dir")(
-      graft.text.QualityClassifier.scoreFixedPoint(docs(s, dir),
+      graft.text.QualityClassifier.scoreFixedPoint(
+        spreadForBuild(s, dir, docs(s, dir)),
         col("doc_id"), col("text"), qualityWeights(s, dir)))
 
   private def qualityClassifier(s: SparkSession, dir: String): DataFrame =
@@ -546,7 +548,8 @@ object TextQueries {
     graft.SharedState.cached(s"dsirw:$dir") {
       // one-pass split trainer: the corpus is tokenized ONCE for both
       // slices (bit-identical to the two-frame path, spec-pinned)
-      graft.text.Dsir.importanceWeightsSplit(docs(s, dir), col("text"),
+      graft.text.Dsir.importanceWeightsSplit(
+        spreadForBuild(s, dir, docs(s, dir)), col("text"),
         dsirTargetPred)
     }
 
@@ -725,9 +728,29 @@ object TextQueries {
       cache: (String, () => DataFrame) => DataFrame)
       : Seq[(String, DataFrame)] =
     graft.operators.CurationPipeline.stages(
-      pipeAug(s, dir), col("doc_id"), col("source"), col("text"),
+      spreadForBuild(s, dir, pipeAug(s, dir)), col("doc_id"),
+      col("source"), col("text"),
       qualityWeights(s, dir), dsirWeightsArr(s, dir), pipelineBudgets,
       cache = cache)
+
+  /** Spread a CPU-heavy build source across the session's cores when
+    * the corpus scan yields fewer partitions (guide §2.5: one big
+    * unsplittable input file → repartition immediately after the
+    * read). pipeAug's self-join BROADCASTS (the corpus side is small
+    * relative to the join threshold), so the whole downstream stage
+    * chain — regex cleaning, Gopher gates, classifier scoring,
+    * shingling — inherited the SCAN's partition count: one task on a
+    * single-row-group corpus file (measured: 2.2 s and 1.8 s
+    * single-task jobs inside the pipeline build at sf0.1). The probe
+    * reads the raw docs scan's partitioning (driver-only, no job); at
+    * real scale the scan already carries ≥ cores partitions and this
+    * is a no-op, so nothing here is tuned to local mode. */
+  private def spreadForBuild(s: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    if (docs(s, dir).rdd.getNumPartitions >= cores) df
+    else df.repartition(cores)
+  }
 
   /** The contract pipeline's stage frames (shared with
     * [[graft.tools.PipelineProbe]] for century per-stage
@@ -1479,7 +1502,8 @@ object TextQueries {
     * steady-state query cost). */
   private def winnowCached(s: SparkSession, dir: String): DataFrame =
     graft.SharedState.cached(s"winnow:$dir")(
-      TextOps.winnow(docs(s, dir), col("doc_id"), winnowAug, k = 5, w = 4))
+      TextOps.winnow(spreadForBuild(s, dir, docs(s, dir)), col("doc_id"),
+        winnowAug, k = 5, w = 4))
 
   /** Winnowing fingerprints (MOSS): 5-gram hashes, window 4, rightmost
     * min per window, consecutive picks collapsed. */
@@ -1684,7 +1708,8 @@ object TextQueries {
 
   private def shingledCached(s: SparkSession, dir: String): DataFrame =
     bucketedCached(s, dir, "shingled")(
-      Dedup.shingled(docs(s, dir), col("doc_id"), col("text")))
+      Dedup.shingled(spreadForBuild(s, dir, docs(s, dir)),
+        col("doc_id"), col("text")))
 
   private def sigCached(s: SparkSession, dir: String): DataFrame =
     bucketedCached(s, dir, "minhash8")(

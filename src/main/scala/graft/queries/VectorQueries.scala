@@ -287,11 +287,19 @@ object VectorQueries {
     val exact = graft.operators.Classify.classifyExact(
       queries, col("vec_id"), col("embedding"),
       refs, col("vec_id"), col("embedding"), col("label"), k = 5)
-    val n = queries.count().toDouble
-    val agree = prod.select(col("query_id"), col("label"))
-      .join(exact.select(col("query_id"), col("label").as("__lx")),
-        "query_id")
-      .filter(col("label") === col("__lx")).count() / n
+    // ONE action for numerator and denominator (was three sequential
+    // jobs: queries.count, then a join + count — each a full driver
+    // round-trip over the same lineage). classifyExact emits exactly
+    // one row per query (rank window over every query row), so the
+    // left join's row count IS the query count, and a left join keeps
+    // the denominator honest even if the ANN side ever dropped a query.
+    val a = exact.select(col("query_id"), col("label").as("__lx"))
+      .join(prod.select(col("query_id"), col("label")), Seq("query_id"),
+        "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === col("__lx"), 1L).otherwise(0L)).as("m"))
+      .head()
+    val agree = a.getLong(1).toDouble / a.getLong(0)
     Seq(Tuple1(agree >= 0.75)).toDF("ok")
   }
 
@@ -785,9 +793,18 @@ object VectorQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
       .select(col("probe_id"), col("vec_id").as("id"))
-    val hits = approx.join(exact, Seq("probe_id", "id")).count()
-    val effK = math.min(10L, emb(s, dir).count()).toDouble
-    val recall = hits / (effK * 10)
+    // ONE action for numerator and denominator (was a join-count plus a
+    // corpus count() job whose only purpose was effK = min(10, n)): the
+    // exact frame holds min(10, n) rows per probe, so its left-join row
+    // count IS effK × nProbes — identical arithmetic at every corpus
+    // with ≥ 10 rows (all contract scales), one driver round-trip.
+    val a = exact
+      .join(approx.withColumn("__hit", lit(1)), Seq("probe_id", "id"),
+        "left")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__hit")), lit(0L)).as("hits"))
+      .head()
+    val recall = a.getLong(1).toDouble / a.getLong(0)
     Seq(Tuple1(recall >= 0.9)).toDF("ok")
   }
 
