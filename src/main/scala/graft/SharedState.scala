@@ -18,6 +18,37 @@ object SharedState {
   def cached(key: String)(f: => DataFrame): DataFrame =
     cache.getOrElseUpdate(key, f.persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** [[cached]] + SIZE-AWARE COMPACTION: after materializing, if the
+    * cached bytes ask for fewer partitions than the frame carries
+    * (target = ceil(bytes / 64 MB), the shuffle-partition sizing rule
+    * of guide §2.2), re-persist a repartitioned copy and drop the
+    * original. Shuffle-built caches inherit spark.sql.shuffle.partitions
+    * — at contract scale that is 32 near-empty partitions, and EVERY
+    * steady query over the cache paid a 32-task dispatch per stage
+    * (measured 0.1–0.4 s/stage of pure task overhead on the BM25
+    * postings cache). The target derives from MEASURED bytes, so a
+    * decade-scale postings frame keeps its width — nothing here is
+    * tuned to local mode. Eager by necessity (sizing needs the
+    * materialized stats); callers are prepare-warmed caches, so the
+    * extra pass lands in build time, not in any steady row. */
+  def cachedCompact(key: String)(f: => DataFrame): DataFrame =
+    cache.getOrElseUpdate(key, {
+      val raw = f.persist(StorageLevel.MEMORY_AND_DISK)
+      raw.count()
+      val bytes = raw.queryExecution.optimizedPlan.stats.sizeInBytes
+      val parts = raw.rdd.getNumPartitions
+      val target = ((bytes + (64L << 20) - 1) / (64L << 20))
+        .max(1).min(parts).toInt
+      if (target >= parts) raw
+      else {
+        val compact = raw.repartition(target)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        compact.count()
+        raw.unpersist()
+        compact
+      }
+    })
+
   /** [[cached]] at DISK_ONLY — for WIDE boundary frames (full cleaned
     * document text per pipeline stage) whose MEMORY_AND_DISK unroll
     * buffers, stacked on the corpus caches already resident, OOM'd a

@@ -85,7 +85,7 @@ object TextQueries {
     * each need the same explode+groupBy; at cluster scale this is the
     * persisted postings table bucketed by term). */
   private def postCached(s: SparkSession, dir: String): DataFrame =
-    graft.SharedState.cached(s"bm25post:$dir")(
+    graft.SharedState.cachedCompact(s"bm25post:$dir")(
       Bm25.postingsOf(tokCached(s, dir)))
 
   /** The reference-shaped side table end-to-end (bm25_api.sql:33-56):
@@ -109,7 +109,7 @@ object TextQueries {
       .select(col("doc_id"), round(col("score"), 6).as("score"))
 
   private def postStemmedCached(s: SparkSession, dir: String): DataFrame =
-    graft.SharedState.cached(s"bm25poststem:$dir")(
+    graft.SharedState.cachedCompact(s"bm25poststem:$dir")(
       Bm25.postingsOf(tokStemmedCached(s, dir)))
 
   /** Reference-shaped table for the APPROXIMATE search row, built at a
