@@ -34,16 +34,21 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, status)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 3-dp floats: millisecond resolution, far below the bench's noise
+    // floor, and it halves the line so more of it survives a bounded
+    // stdout-tail capture
+    def dp3(v: Double): String = // Locale.ROOT: '.' even under comma locales
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + dp3(v) }
       .mkString("{", ",", "}")
     val st = results.map { case (k, _, s) => "\"" + k + "\":\"" + s + "\"" }
       .mkString("{", ",", "}")
-    val bd = builds.map { case (k, v) => "\"" + k + "\":" + v }
+    val bd = builds.map { case (k, v) => "\"" + k + "\":" + dp3(v) }
       .mkString("{", ",", "}")
     val failures = results.count(_._3 != "ok")
     val total = results.map(_._2).sum
     val buildTotal = builds.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$st,"build":$bd,"build_secs":$buildTotal,"failures":$failures,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"status":$st,"build":$bd,"build_secs":${dp3(buildTotal)},"failures":$failures,"sf":"$sfDir"}"""
     println(line)
     // also persist the full line: the driver's BENCH_r*.json keeps only
     // the tail of stdout, which truncates away the per-query times —
@@ -57,6 +62,11 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
     }
+    // a SECOND, final, compact summary line (<300 bytes): the full line
+    // above is ~6 KB and a bounded stdout-tail capture truncates its
+    // FRONT, losing the totals — this one is guaranteed inside any tail.
+    // Per-query times live in the full line and in the target/ artifact.
+    println(s"""{"metric":"total","value":${dp3(total)},"unit":"sec","build_secs":${dp3(buildTotal)},"failures":$failures,"n_queries":${results.length},"sf":"$sfDir","full_line":"target/bench_${java.nio.file.Paths.get(sfDir).getFileName}.json"}""")
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

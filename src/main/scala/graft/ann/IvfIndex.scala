@@ -54,12 +54,40 @@ object IvfIndex {
   // schema from a stale stamp can never serve stale COLUMNS. The cell
   // FILE LISTING itself is never cached — every probe lists fresh, so
   // appended rows are always visible.
+  // The maps hold ONE entry per key (the dir, plus a session tag for
+  // frames): the stamp lives in the VALUE, so a rebuild's new stamp
+  // REPLACES the superseded entry instead of accumulating beside it —
+  // a long-lived service looping build/append/rebuild keeps a bounded
+  // cache. Frames are tagged by appId + session identity hash (public
+  // API, no strong SparkSession reference in the KEY; the cached frame
+  // itself necessarily references its session, so eviction is what
+  // bounds session lifetime here).
   private val sidecarFrames =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, Long), DataFrame]()
+    scala.collection.concurrent.TrieMap[(String, String), (Long, DataFrame)]()
   private val sidecarCentArrays =
-    scala.collection.concurrent.TrieMap[(String, Long), Array[(Int, Array[Float])]]()
+    scala.collection.concurrent.TrieMap[String, (Long, Array[(Int, Array[Float])])]()
   private val cellsSchemas =
-    scala.collection.concurrent.TrieMap[(String, Long), org.apache.spark.sql.types.StructType]()
+    scala.collection.concurrent.TrieMap[String, (Long, org.apache.spark.sql.types.StructType)]()
+
+  /** Current cache population, for bounded-growth tests. */
+  private[graft] def sidecarCacheSizes: (Int, Int, Int) =
+    (sidecarFrames.size, sidecarCentArrays.size, cellsSchemas.size)
+
+  /** Serve `f`'s result for as long as `stamp` holds; a moved stamp
+    * recomputes AND evicts the superseded entry (same key slot). */
+  private def stamped[K, V](m: scala.collection.concurrent.TrieMap[K, (Long, V)],
+      key: K, stamp: Long)(f: => V): V =
+    m.get(key) match {
+      case Some((s, v)) if s == stamp => v
+      case _ =>
+        val v = f
+        m.put(key, (stamp, v))
+        v
+    }
+
+  private def sessionTag(spark: SparkSession): String =
+    spark.sparkContext.applicationId + "#" +
+      java.lang.Integer.toHexString(System.identityHashCode(spark))
 
   private def sidecarStamp(spark: SparkSession, dir: String): Long = {
     val p = new Path(dir)
@@ -70,7 +98,8 @@ object IvfIndex {
   /** The sidecar parquet as a (plan-cached) frame — one footer/schema
     * inference per (dir, content stamp) instead of per probe. */
   private def sidecarParquet(spark: SparkSession, dir: String): DataFrame =
-    sidecarFrames.getOrElseUpdate((spark, dir, sidecarStamp(spark, dir)),
+    stamped(sidecarFrames, (sessionTag(spark), dir),
+        sidecarStamp(spark, dir))(
       spark.read.parquet(dir))
 
   /** The centroid table collected once per (index, content stamp),
@@ -79,7 +108,7 @@ object IvfIndex {
   private def centroidsOf(spark: SparkSession,
       indexPath: String): Array[(Int, Array[Float])] = {
     val dir = s"$indexPath/centroids"
-    sidecarCentArrays.getOrElseUpdate((dir, sidecarStamp(spark, dir)),
+    stamped(sidecarCentArrays, dir, sidecarStamp(spark, dir))(
       sidecarParquet(spark, dir).collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1))
@@ -317,8 +346,8 @@ object IvfIndex {
     // rebuild moves the stamp); the file listing itself stays fresh —
     // spark.read with an explicit schema skips only footer inference
     val baseDir = s"$indexPath/$cellsDir"
-    val schema = cellsSchemas.getOrElseUpdate(
-      (baseDir, sidecarStamp(spark, baseDir)),
+    val schema = stamped(cellsSchemas, baseDir,
+      sidecarStamp(spark, baseDir))(
       spark.read.parquet(baseDir).schema)
     val base = spark.read.schema(schema).parquet(baseDir)
     val batchesDir = new Path(indexPath, batchesDirName(cellsDir))

@@ -126,7 +126,14 @@ object Bm25 {
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("srt"))
     val outSchema = StructType(Seq(
-      StructField("term", in.schema("term").dataType),
+      // propagate the input's term nullability: tokenized terms are
+      // non-nullable (ArrayType(..., containsNull=false)), and declaring
+      // that here lets Catalyst FOLD `term IS NULL` / `IS NOT NULL`
+      // filters over the term rows — consolidateBm25Table's stats branch
+      // then prunes the whole duplicated posting assembly instead of
+      // computing it and discarding every row
+      StructField("term", in.schema("term").dataType,
+        nullable = in.schema("term").nullable),
       StructField("term_freq", LongType, nullable = false),
       StructField("post",
         ArrayType(in.schema("srt").dataType, containsNull = false))))

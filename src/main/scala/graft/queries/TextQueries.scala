@@ -1501,7 +1501,12 @@ object TextQueries {
     * pass over every gram is a one-time artifact cost, never a
     * steady-state query cost). */
   private def winnowCached(s: SparkSession, dir: String): DataFrame =
-    graft.SharedState.cached(s"winnow:$dir")(
+    // cachedCompact, not cached: spreadForBuild widens the BUILD to the
+    // session's cores (the one-time md5 pass wants them), but the cache
+    // must not inherit that width — q_winnow's steady probes paid a
+    // 32-task dispatch per stage over near-empty partitions (the exact
+    // leak measured and reverted on the BM25 tokenized caches in r18)
+    graft.SharedState.cachedCompact(s"winnow:$dir")(
       TextOps.winnow(spreadForBuild(s, dir, docs(s, dir)), col("doc_id"),
         winnowAug, k = 5, w = 4))
 
@@ -2219,8 +2224,16 @@ object TextQueries {
     * consolidated must equal the full-corpus table. */
   private def bm25Consolidate(s: SparkSession, dir: String): DataFrame = {
     val tok = tokCached(s, dir)
-    val even = Bm25.createBm25TableOf(tok.filter(col("doc_id") % 2 === 0))
-    val odd = Bm25.createBm25TableOf(tok.filter(col("doc_id") % 2 =!= 0))
+    // feed both halves from the shared compacted postings cache:
+    // postingsOf(tok.filter(p)) == postingsOf(tok).filter(p) exactly,
+    // because doc_id is a postings group key (each output row carries
+    // one doc_id, so the filter commutes with the groupBy) — this
+    // spares each half its own explode+groupBy shuffle over the corpus
+    val post = postCached(s, dir)
+    val even = Bm25.createBm25TableOf(tok.filter(col("doc_id") % 2 === 0),
+      postings = Some(post.filter(col("doc_id") % 2 === 0)))
+    val odd = Bm25.createBm25TableOf(tok.filter(col("doc_id") % 2 =!= 0),
+      postings = Some(post.filter(col("doc_id") % 2 =!= 0)))
     Bm25.consolidateBm25Table(even.unionByName(odd))
       .select(col("term"), col("term_freq"), col("doc_ids_len"),
         element_at(col("doc_ids"), 1).as("first_doc"),

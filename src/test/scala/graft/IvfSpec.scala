@@ -980,4 +980,26 @@ class IvfSpec extends SparkSpec {
     assert(names.contains("cells"), "serving generation was deleted")
     assert(!names.contains("cells_g000001"), "crash debris was retained")
   }
+
+  test("sidecar caches stay bounded across a rebuild loop") {
+    import spark.implicits._
+    val rnd = new java.util.Random(31)
+    val pts = (0L until 80L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
+    val df = pts.toDF("id", "v")
+    val dir = Files.createTempDirectory("ivfloop").toString
+    val q = pts.head._2.toArray
+    def cycle(seed: Long): Unit = {
+      IvfIndex.build(df, "id", "v", dir,
+        IvfIndex.Params(nCells = 4, sampleLimit = pts.length, seed = seed))
+      IvfIndex.topK(spark, dir, q, 5, nprobe = 4).collect()
+    }
+    cycle(1L)
+    val (f0, c0, s0) = IvfIndex.sidecarCacheSizes
+    // a service looping rebuild+probe must REPLACE superseded stamps,
+    // not accumulate one frame/array/schema per rebuild
+    (2L to 5L).foreach(cycle)
+    val (f1, c1, s1) = IvfIndex.sidecarCacheSizes
+    assert(f1 == f0 && c1 == c0 && s1 == s0,
+      s"sidecar caches grew across rebuilds: ($f0,$c0,$s0) -> ($f1,$c1,$s1)")
+  }
 }
