@@ -18,12 +18,17 @@ object Bench {
     // one-time artifact builds (HNSW/IVF/fvecs) run OUTSIDE the timed
     // region and are reported separately: a per-query number must mean
     // the steady-state probe, not probe+build
+    // prepare_wall = what the driver actually waits for: since r19 the
+    // pipeline builds overlap on a pool, so the per-build seconds (each
+    // future's own wall, kept for round-over-round comparability) sum
+    // to MORE than the elapsed prepare time
+    val prepT0 = System.nanoTime()
     val builds =
-      try SparkEntry.prepare(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] prepare FAILED: ${e.getMessage}")
-        Seq.empty[(String, Double)]
-      }
+      (try SparkEntry.prepare(spark, sfDir)
+       catch { case e: Throwable =>
+         System.err.println(s"[bench] prepare FAILED: ${e.getMessage}")
+         Seq.empty[(String, Double)]
+       }) :+ ("prepare_wall", (System.nanoTime() - prepT0) / 1e9)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val status =
@@ -47,7 +52,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failures = results.count(_._3 != "ok")
     val total = results.map(_._2).sum
-    val buildTotal = builds.map(_._2).sum
+    // build_secs = the prepare WALL time (the r18 semantics: with
+    // sequential builds the per-build sum equaled the wall; with the
+    // r19 overlapped builds the sum double-counts concurrent work, so
+    // the wall is the comparable number). Per-build walls stay in
+    // the `build` object for row-level round-over-round comparison.
+    val buildTotal = builds.collectFirst { case ("prepare_wall", v) => v }
+      .getOrElse(builds.map(_._2).sum)
     val line = s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"status":$st,"build":$bd,"build_secs":${dp3(buildTotal)},"failures":$failures,"sf":"$sfDir"}"""
     println(line)
     // also persist the full line: the driver's BENCH_r*.json keeps only

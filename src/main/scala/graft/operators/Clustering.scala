@@ -131,10 +131,14 @@ object Clustering {
       .select(col("id"), col("cid"), col("dist"))
   }
 
-  /** [[prototypePrune]] against precomputed centroids. */
+  /** [[prototypePrune]] against precomputed centroids. `knownRows`:
+    * the caller's exact row count for `docs` when it holds one (a
+    * persisted per-corpus stat — the contract row caches it per data
+    * dir, the [[graft.text.TextOps.temperatureQuotas]] bounded-stat
+    * discipline); -1 counts here. */
   def pruneWithCentroids(docs: DataFrame, idCol: Column, vecCol: Column,
       cents: Array[Array[Double]], keepFrac: Double,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false, knownRows: Long = -1L): DataFrame = {
     require(keepFrac > 0 && keepFrac <= 1,
       s"keepFrac must be in (0, 1], got $keepFrac")
     val scored = assignWithDist(docs, idCol, vecCol, cents)
@@ -147,7 +151,8 @@ object Clustering {
         // 27 s at sf100, where the probe's only possible answer was
         // already "past the builtin's memory cap")
         .exactQuantilesBy(scored, Seq("cid"), col("dist"),
-          Seq(1.0 - keepFrac), "__thrs", knownRows = docs.count())
+          Seq(1.0 - keepFrac), "__thrs",
+          knownRows = if (knownRows >= 0) knownRows else docs.count())
         .select(col("cid"), element_at(col("__thrs"), 1).as("__thr"))
       else scored.groupBy(col("cid")).agg(
         percentile_approx(col("dist"), lit(1.0 - keepFrac), lit(10000))
@@ -178,7 +183,15 @@ object Clustering {
     balanceWithCentroids(docs, idCol, vecCol,
       kmeans(docs, idCol, vecCol, k, iters, salt)._2, alpha, total, salt)
 
-  /** [[clusterBalance]] against precomputed centroids. */
+  /** [[clusterBalance]] against precomputed centroids.
+    *
+    * Action fold (§5): the quota derivation and the mix's per-block
+    * prefix totals both aggregate the SAME assignment frame — one
+    * collect of the per-(cluster, block) counts feeds both, so each
+    * call runs the argmin scan twice (decide, then rank+keep) instead
+    * of three times. The collected frame is bounded by
+    * k·16^blockHexChars rows (k is small by construction), and the
+    * driver-side prefix arithmetic is the window's exactly. */
   def balanceWithCentroids(docs: DataFrame, idCol: Column, vecCol: Column,
       cents: Array[Array[Double]], alpha: Double, total: Long,
       salt: String = "kmeans"): DataFrame = {
@@ -187,10 +200,18 @@ object Clustering {
       .filter(col("v").isNotNull)
       .select(col("id"), nearest_centroid_d(col("v"), cents).as("cid"))
     val byCid = assign.withColumn("__cids", col("cid").cast("string"))
-    val quotas = graft.text.TextOps.temperatureQuotas(
-      byCid, col("__cids"), alpha, total).toMap
+    val blkCounts = byCid
+      .groupBy(col("__cids").as("__src"),
+        graft.text.TextOps.mixBlockCol(col("id"), salt).as("__blk"))
+      .agg(count(lit(1)).as("__tot"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val srcCounts = blkCounts.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toSeq
+    val quotas = graft.text.TextOps.temperatureQuotasFromCounts(
+      srcCounts, alpha, total).toMap
     graft.text.TextOps.mixToBudget(byCid, col("id"), col("__cids"),
-        quotas, salt)
+        quotas, salt, knownBlockCounts = Some(blkCounts))
       .select(col("id"), col("cid"), col("mix_rank"))
   }
 }

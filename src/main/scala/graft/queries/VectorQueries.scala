@@ -178,13 +178,30 @@ object VectorQueries {
     * top-20 SELECTION stays unrounded — the q_hybrid_rrf discipline. */
   private def hybridRrfBatch(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Hybrid
-    def lists(metric: Knn.Metric, dcol: String): DataFrame =
-      batchQVecs.map { case (q, v) =>
-        Knn.knn(emb(s, dir), col("embedding"), vecLit(v), 20, metric,
-            Some(col("vec_id")))
-          .select(lit(q).as("qid"), col("vec_id"),
-            round(col("dist"), 6).as(dcol))
-      }.reduce(_ unionByName _)
+    import org.apache.spark.sql.expressions.Window
+    // ONE corpus pass per metric for all four hit lists (was: one
+    // TakeOrdered scan per (query, metric) — 8 corpus scans per call):
+    // the query batch rides the scan as an exploded 4-struct literal
+    // array, and the per-query top-20 is a row_number window that
+    // Catalyst plans as a map-side partial WindowGroupLimit, so the
+    // qid exchange carries <= 20 rows per (query, input partition) —
+    // never the corpus. Selection order matches Knn.knn exactly
+    // (unrounded dist asc NULLS LAST, vec_id asc); rounding stays
+    // post-selection, the q_hybrid_rrf discipline.
+    def lists(metric: Knn.Metric, dcol: String): DataFrame = {
+      val qarr = array(batchQVecs.map { case (q, v) =>
+        struct(lit(q).as("qid"), vecLit(v).as("qv")) }: _*)
+      emb(s, dir)
+        .select(col("vec_id"), col("embedding"), explode(qarr).as("__q"))
+        .select(col("__q").getField("qid").as("qid"), col("vec_id"),
+          metric.dist(col("embedding"), col("__q").getField("qv"))
+            .as("__d"))
+        .withColumn("__r", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("__d").asc_nulls_last, col("vec_id").asc)))
+        .filter(col("__r") <= 20)
+        .select(col("qid"), col("vec_id"), round(col("__d"), 6).as(dcol))
+    }
     Hybrid.rrfPerQuery("qid", "vec_id", Seq(
         Hybrid.Ranked(lists(Knn.L2Sq, "dl"),
           Seq(col("dl").asc, col("vec_id").asc)),
@@ -960,7 +977,7 @@ object VectorQueries {
       // (SharedState-cached centroids): warm it here so whichever of
       // the three rows benches first measures its own plan, not the
       // shared train (the ann_hamming warm-probe precedent above)
-      timed("kmeans_cents") { centsCached(s, dir); () })
+      timed("kmeans_cents") { centsCached(s, dir); embCountCached(s, dir); () })
   }
 
   // ---- DuckDB oracle fragments ----
@@ -1061,6 +1078,13 @@ object VectorQueries {
     * q_prototype_prune / q_cluster_balance family — at cluster scale
     * these are the persisted k·dim-double centroid table a scoring
     * pass reads, not a re-train per query. */
+  /** The frozen embeddings table's exact row count, cached per data
+    * dir (the persisted tiny-stat discipline, like [[centsCached]]):
+    * hands the percentile dispatch its `knownRows` without a count job
+    * per probe. Warmed alongside the centroids in [[prepare]]. */
+  private def embCountCached(s: SparkSession, dir: String): Long =
+    graft.SharedState.cachedValue(s"embcount:$dir")(emb(s, dir).count())
+
   private def centsCached(s: SparkSession, dir: String): Array[Array[Double]] =
     graft.SharedState.cachedValue(s"kmeanscents:$dir") {
       val g = emb(s, dir).select(col("vec_id"), gridVec.as("v"))
@@ -1098,7 +1122,7 @@ object VectorQueries {
     val g = emb(s, dir).select(col("vec_id"), gridVec.as("v"))
     graft.operators.Clustering.pruneWithCentroids(
         g, col("vec_id"), col("v"), centsCached(s, dir), keepFrac = 0.5,
-        exact = true)
+        exact = true, knownRows = embCountCached(s, dir))
       .select(col("id").as("vec_id"), col("cid"),
         round(col("dist"), 6).as("dist"))
       .orderBy(col("vec_id").asc).limit(300)

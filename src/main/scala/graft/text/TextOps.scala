@@ -314,15 +314,27 @@ object TextOps {
     * absent from `budgets` are dropped (budget 0).
     *
     * Returns the kept rows with their (source, rank). */
+  /** The deterministic per-row rank key the budget mix sorts by — ONE
+    * definition, shared with callers that pre-aggregate block counts
+    * ([[mixToBudget]]'s `knownBlockCounts`) so the fold and the
+    * in-plan key can never drift. */
+  def mixRankKey(idCol: Column, salt: String): Column =
+    md5(concat(idCol.cast("string"), lit(":" + salt)).cast("binary"))
+
+  /** The block key (a PREFIX of [[mixRankKey]]) for the same callers. */
+  def mixBlockCol(idCol: Column, salt: String, blockHexChars: Int = 3): Column =
+    substring(mixRankKey(idCol, salt), 1, blockHexChars)
+
   def mixToBudget(docs: DataFrame, idCol: Column, sourceCol: Column,
       budgets: Map[String, Long], salt: String = "graft",
-      blockHexChars: Int = 3): DataFrame = {
+      blockHexChars: Int = 3,
+      knownBlockCounts: Option[Seq[(String, String, Long)]] = None)
+      : DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     require(blockHexChars >= 1 && blockHexChars <= 8,
       "blockHexChars must be in [1, 8]")
     import org.apache.spark.sql.expressions.Window
-    val rankKey = md5(concat(idCol.cast("string"), lit(":" + salt))
-      .cast("binary"))
+    val rankKey = mixRankKey(idCol, salt)
     val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (s, n)) =>
       when(sourceCol === s, lit(n)).otherwise(acc)
     }
@@ -339,13 +351,33 @@ object TextOps {
       .withColumn("__blk", substring(col("__rk"), 1, blockHexChars))
     // exclusive prefix over per-(source, block) totals: the one
     // per-source-partitioned window, on a frame of at most
-    // #sources·16^blockHexChars rows — never corpus-sized
-    val wPrefix = Window.partitionBy(col("__src")).orderBy(col("__blk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val prefixes = base.groupBy(col("__src"), col("__blk"))
-      .agg(count(lit(1)).as("__tot"))
-      .withColumn("__prefix", coalesce(sum(col("__tot")).over(wPrefix), lit(0L)))
-      .select(col("__src"), col("__blk"), col("__prefix"))
+    // #sources·16^blockHexChars rows — never corpus-sized. A caller
+    // that already collected the per-(source, block) counts (e.g. a
+    // quota derivation over the same frame — clusterBalance) hands
+    // them in and the prefix becomes a driver-built local relation:
+    // one pass over `docs` instead of two (§5 action-fold). The
+    // driver arithmetic is the window's, exactly: long totals, blocks
+    // in ascending string order (hex chars sort identically in
+    // java.lang.String and UTF8String), exclusive running sum.
+    val prefixes = knownBlockCounts match {
+      case Some(counts) =>
+        val rows = counts.groupBy(_._1).toSeq.flatMap { case (src, blks) =>
+          var run = 0L
+          blks.sortBy(_._2).map { case (_, blk, tot) =>
+            val p = (src, blk, run); run += tot; p
+          }
+        }
+        import docs.sparkSession.implicits._
+        rows.toDF("__src", "__blk", "__prefix")
+      case None =>
+        val wPrefix = Window.partitionBy(col("__src")).orderBy(col("__blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        base.groupBy(col("__src"), col("__blk"))
+          .agg(count(lit(1)).as("__tot"))
+          .withColumn("__prefix",
+            coalesce(sum(col("__tot")).over(wPrefix), lit(0L)))
+          .select(col("__src"), col("__blk"), col("__prefix"))
+    }
     // local rank within (source, block): block is a prefix of the md5
     // sort key, so prefix + local rank IS the global per-source rank
     val wLocal = Window.partitionBy(col("__src"), col("__blk"))
@@ -398,9 +430,23 @@ object TextOps {
       .agg(count(lit(1)).as("__n"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
+      .toSeq
+    temperatureQuotasFromCounts(counts, alpha, total)
+  }
+
+  /** The pure apportionment arithmetic of [[temperatureQuotas]], for
+    * callers that already hold the per-source counts (a fold over a
+    * shared aggregate — [[graft.operators.Clustering.balanceWithCentroids]]
+    * collects per-(cluster, block) counts ONCE and derives quotas and
+    * the mix's block prefixes from the same rows). Integer arithmetic
+    * identical to the frame path for any count order. */
+  def temperatureQuotasFromCounts(counts0: Seq[(String, Long)],
+      alpha: Double, total: Long): Seq[(String, Long)] = {
+    require(alpha >= 0, "alpha must be non-negative")
+    require(total >= 0, "total must be non-negative")
+    val counts = counts0.sortBy(_._1)
     if (counts.isEmpty || total == 0)
-      return counts.map { case (s, _) => (s, 0L) }.toSeq
+      return counts.map { case (s, _) => (s, 0L) }
     val wq = counts.map { case (s, n) =>
       val w = if (alpha == 0.5) math.sqrt(n.toDouble)
               else math.pow(n.toDouble, alpha)
@@ -413,7 +459,7 @@ object TextOps {
     val leftover = total - base.map(_._2).sum
     val bump = base.sortBy { case (s, _, rem) => (-rem, s) }
       .take(leftover.toInt).map(_._1).toSet
-    base.map { case (s, b, _) => (s, b + (if (bump(s)) 1L else 0L)) }.toSeq
+    base.map { case (s, b, _) => (s, b + (if (bump(s)) 1L else 0L)) }
   }
 
   /** Temperature-based budget mixing end to end: derive

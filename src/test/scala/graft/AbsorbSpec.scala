@@ -23,7 +23,7 @@ class AbsorbSpec extends SparkSpec {
           .as("n_tokens"),
         col("w_fp"))
 
-  test("absorb-extended artifacts == rebuilt-from-scratch; refreshed mix parity (two scales)") {
+  test("absorb-extended artifacts == rebuilt-from-scratch; refreshed mix parity (two scales)", SlowTest) {
     val budgets =
       Map("src5" -> 800L, "src6" -> 400L, "src7" -> 200L, "src8" -> 0L)
     for (scale <- Seq("sf0.001", "sf0.01")) {
@@ -81,7 +81,7 @@ class AbsorbSpec extends SparkSpec {
     }
   }
 
-  test("the refresh cycle COMPOSES: two drops absorbed sequentially == rebuild over all survivors, and gen-2 curation runs against the refreshed corpus") {
+  test("the refresh cycle COMPOSES: two drops absorbed sequentially == rebuild over all survivors, and gen-2 curation runs against the refreshed corpus", SlowTest) {
     val dir = sf("sf0.01")
     val budgets =
       Map("src5" -> 800L, "src6" -> 400L, "src7" -> 200L, "src8" -> 0L)

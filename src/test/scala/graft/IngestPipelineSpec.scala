@@ -47,7 +47,7 @@ class IngestPipelineSpec extends SparkSpec {
       s"door funnel inactive: $nArr arrivals -> $nOut survivors")
   }
 
-  test("door artifacts: artifact-served corpus == derived corpus, door parity at two scales") {
+  test("door artifacts: artifact-served corpus == derived corpus, door parity at two scales", SlowTest) {
     for (scale <- Seq("sf0.001", "sf0.01")) {
       val dir = sf(scale)
       val arrivals = graft.queries.TextQueries.pipeArrivals(spark, dir)

@@ -17,7 +17,7 @@ class SynthDataSpec extends SparkSpec {
       b.sortBy(_.head.asInstanceOf[Long].toString))
   }
 
-  test("documents inject exact-duplicate groups and near-duplicate pairs") {
+  test("documents inject exact-duplicate groups and near-duplicate pairs", SlowTest) {
     import spark.implicits._
     val docs = SynthData.documents(spark, 5000).cache()
     // exact duplicates: distinct texts < docs
