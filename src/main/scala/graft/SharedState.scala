@@ -83,6 +83,10 @@ object SharedState {
   def cachedValue[T](key: String)(f: => T): T =
     values.getOrElseUpdate(key, f).asInstanceOf[T]
 
+  /** Read-only view of the cached frames, for diagnostics
+    * ([[graft.tools.CacheAudit]]): key -> frame. */
+  def entries: Seq[(String, DataFrame)] = cache.toSeq.sortBy(_._1)
+
   /** Drop and unpersist everything (test isolation). */
   def clear(): Unit = {
     cache.values.foreach(_.unpersist())

@@ -1091,6 +1091,22 @@ object Dedup {
   def simhashPairs(sig: DataFrame, maxHamming: Int = 6,
       bands: Int = 8, maxBucket: Int = 10000,
       skewMult: Double = 16.0, comboBlocks: Int = 0,
+      knownDocs: Long = -1L): DataFrame =
+    simhashVerify(sig,
+      simhashCandidates(sig, maxHamming, bands, maxBucket, skewMult,
+        comboBlocks, knownDocs),
+      maxHamming)
+
+  /** The candidate-generation half of [[simhashPairs]] — banded (or
+    * block-combination) bucket equi-joins emitting bare (doc_a, doc_b)
+    * id pairs, exposed separately so a pipeline can PERSIST the
+    * candidate table once and verify it many ways (the
+    * lshCandidatePairs discipline; [[simhashVerify]] is the other
+    * half, and `simhashPairs == simhashVerify(sig, simhashCandidates(
+    * sig, ...))` by construction). */
+  def simhashCandidates(sig: DataFrame, maxHamming: Int = 6,
+      bands: Int = 8, maxBucket: Int = 10000,
+      skewMult: Double = 16.0, comboBlocks: Int = 0,
       knownDocs: Long = -1L): DataFrame = {
     // comboBlocks = -1: ADAPTIVE banding (the percentile/tfidf dispatch
     // discipline). Single-band keys are strictly cheaper per doc
@@ -1180,11 +1196,17 @@ object Dedup {
     // tiny for narrow band keys: at the default 8 bands x 8-bit keys
     // the stats table holds <= 2048 rows, so AQE broadcasts the join).
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("__bk"))
-    val cand = pairsFromBuckets(banded, Seq("__bk"), maxBucket, skewMult)
-    // exact verification: join the signatures back (bounded top-N-free
-    // equi-joins on doc id) and compare with the single-pass codegen
-    // bit_hamming kernel — not the split/zip_with SQL form, which
-    // materializes two 64-element arrays per evaluation
+    pairsFromBuckets(banded, Seq("__bk"), maxBucket, skewMult)
+  }
+
+  /** The verification half of [[simhashPairs]]: join the signatures
+    * back onto a candidate id-pair frame (bounded top-N-free
+    * equi-joins on doc id) and keep pairs within `maxHamming` by the
+    * single-pass codegen bit_hamming kernel — not the split/zip_with
+    * SQL form, which materializes two 64-element arrays per
+    * evaluation. Returns (doc_a, doc_b, hamming). */
+  def simhashVerify(sig: DataFrame, cand: DataFrame,
+      maxHamming: Int): DataFrame =
     cand
       .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("__sa")),
         "doc_a")
@@ -1194,7 +1216,6 @@ object Dedup {
         graft.functions.bit_hamming(col("__sa"), col("__sb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-  }
 
   def simhash16(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val sim = bindOnce(transform(tokenize(textCol), x => md5(x.cast("binary")))) {

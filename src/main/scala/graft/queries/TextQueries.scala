@@ -121,7 +121,7 @@ object TextQueries {
     * is what makes the approximation's three regimes all fire (see
     * [[bm25SearchApprox]]). */
   private def bm25ApproxTableCached(s: SparkSession, dir: String): DataFrame =
-    graft.SharedState.cached(s"bm25approxtbl:$dir")(
+    graft.SharedState.cachedCompact(s"bm25approxtbl:$dir")(
       Bm25.createBm25TableOf(tokCached(s, dir),
         bloomThreshold = (docs(s, dir).count() / 2).toInt,
         postings = Some(postCached(s, dir))))
@@ -257,11 +257,17 @@ object TextQueries {
       timed("winnow_fingerprints") { winnowCached(s, dir).count() },
       timed("winnow_pairs") { winnowPairsCached(s, dir).count() },
       timed("dedup_simhash64") { simhash64Cached(s, dir).count() },
+      timed("dedup_simhash_candidates") {
+        simhashCandsCached(s, dir).count() },
       timed("mock_embeddings") { mockEmbCached(s, dir).count() },
       timed("quality_scored") { qualityScored(s, dir).count() },
       timed("dsir_mix_scored") { dsirMixScored(s, dir).count() },
       timed("dsir_stream") { dsirStreamPath(s, dir) },
-      timed("imgsem_table") { imgSemTablePath(s, dir) })
+      timed("imgsem_table") { imgSemTablePath(s, dir) },
+      timed("imgsem_embeddings") { imgEmbCached(s, dir).count() },
+      timed("imgsem_candidates") { imgCandsCached(s, dir).count() },
+      timed("tfidf_vocab") {
+        vocabCountCached(s, dir); docCountCached(s, dir); () })
   }
 
   /** Hybrid retrieval: BM25 top-20 and mock-embedding KNN top-20 fused
@@ -405,7 +411,7 @@ object TextQueries {
     * weights; at cluster scale this is the persisted weights table a
     * scoring pass reads, not a retrain per query). ≤ 4096 rows. */
   private def qualityWeights(s: SparkSession, dir: String): DataFrame =
-    graft.SharedState.cached(s"qweights:$dir") {
+    graft.SharedState.cachedCompact(s"qweights:$dir") {
       val isPos = col("source").isin("src0", "src1", "src2", "src3", "src4")
       graft.text.QualityClassifier.fixedPointWeights(
         graft.text.QualityClassifier.trainCounts(
@@ -597,7 +603,7 @@ object TextQueries {
   private def dsirTargetPred = col("source")
     .isin("src0", "src1", "src2", "src3", "src4")
   private def dsirWeightsCached(s: SparkSession, dir: String): DataFrame =
-    graft.SharedState.cached(s"dsirw:$dir") {
+    graft.SharedState.cachedCompact(s"dsirw:$dir") {
       // one-pass split trainer: the corpus is tokenized ONCE for both
       // slices (bit-identical to the two-frame path, spec-pinned)
       graft.text.Dsir.importanceWeightsSplit(
@@ -1596,7 +1602,7 @@ object TextQueries {
   /** Verified winnow pairs, persisted once per dir (the pairs table a
     * dedup pipeline materializes from the fingerprint table). */
   private def winnowPairsCached(s: SparkSession, dir: String): DataFrame =
-    graft.SharedState.cached(s"winnowpairs:$dir")(
+    graft.SharedState.cachedCompact(s"winnowpairs:$dir")(
       Dedup.winnowPairs(winnowCached(s, dir), minShared = 2))
 
   /** The shared winnow-oracle CTE chain (augmentation → tokens →
@@ -1685,10 +1691,31 @@ object TextQueries {
       .orderBy(col("doc_id").asc).limit(400)
   }
 
+  /** The corpus' exact distinct-term count, derived ONCE per dir from
+    * the materialized postings cache (one row per (term, doc) — its
+    * distinct terms ARE the vocabulary) and reused by every adaptive
+    * dispatch that needs it: the tfidf HLL probe re-tokenized the
+    * whole corpus per PROBE where this is a one-time aggregate over
+    * the already-cached postings (the Percentiles knownRows
+    * discipline). Warmed in [[prepare]]. */
+  private def vocabCountCached(s: SparkSession, dir: String): Long =
+    graft.SharedState.cachedValue(s"vocab:$dir")(
+      postCached(s, dir).select(col("term")).distinct().count())
+
+  /** The corpus' exact doc count, cached per dir (metadata-cheap, but
+    * a job per probe is still a job — the embCountCached twin). */
+  private def docCountCached(s: SparkSession, dir: String): Long =
+    graft.SharedState.cachedValue(s"doccount:$dir")(docs(s, dir).count())
+
   /** Top-3 TF-IDF keywords per document (BM25 idf, 6dp-rounded score
-    * ranked with term tie-break). */
+    * ranked with term tie-break). Doc and vocabulary counts ride the
+    * per-dir cached stats, so the steady probe runs NO dispatch jobs
+    * (knownTerms routes the broadcast arm probe-free; both arms are
+    * row-identical, so the routing can never change results). */
   private def tfidfKeywords(s: SparkSession, dir: String): DataFrame =
-    TextOps.tfidfKeywords(docs(s, dir), col("doc_id"), col("text"), k = 3)
+    TextOps.tfidfKeywords(docs(s, dir), col("doc_id"), col("text"), k = 3,
+        docCount = docCountCached(s, dir),
+        knownTerms = vocabCountCached(s, dir))
       .orderBy(col("doc_id").asc, col("rank").asc).limit(600)
 
   private def textClean(s: SparkSession, dir: String): DataFrame = {
@@ -1784,7 +1811,7 @@ object TextQueries {
     * — at cluster scale the stored candidate table a dedup pipeline
     * writes once and verifies many ways. */
   private def lshCandidatesCached(s: SparkSession, dir: String): DataFrame =
-    graft.SharedState.cached(s"lshcands:$dir")(
+    graft.SharedState.cachedCompact(s"lshcands:$dir")(
       Dedup.lshCandidatePairs(sigCached(s, dir), 8, 4))
 
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
@@ -1794,7 +1821,7 @@ object TextQueries {
   /** Jaccard-verified LSH candidate pairs, persisted once per dir and
     * shared by q_jaccard_pairs and q_neardup_groups. */
   private def jaccardPairsCached(s: SparkSession, dir: String): DataFrame =
-    graft.SharedState.cached(s"jacpairs:$dir")(
+    graft.SharedState.cachedCompact(s"jacpairs:$dir")(
       Dedup.jaccardVerify(shingledCached(s, dir),
         lshCandidatesCached(s, dir)))
 
@@ -1829,8 +1856,11 @@ object TextQueries {
   private def dedupBest(s: SparkSession, dir: String): DataFrame =
     Dedup.bestPerGroup(
         jaccardPairsCached(s, dir).filter(col("jaccard") >= 0.6),
-        graft.text.QualityClassifier.scoreFixedPoint(docs(s, dir),
-          col("doc_id"), col("text"), qualityWeights(s, dir)),
+        // the shared per-dir scored boundary — the SAME scoreFixedPoint
+        // frame (same weights, same integer expression; the inline call
+        // re-tokenized and re-scored the whole corpus per probe where
+        // the quality family reads the checkpointed boundary)
+        qualityScored(s, dir),
         col("doc_id"), col("score_fp"))
       .select(col("doc_id"), col("component"),
         col("score").cast("long").as("score_fp"), col("keeper"))
@@ -1916,9 +1946,21 @@ object TextQueries {
     * output is banding-independent (both modes pigeonhole-complete,
     * both exact-verified), so the oracle's own 4x16 replay matches
     * row for row on either arm. */
+  /** SimHash banded candidate pairs, persisted once per dir — the
+    * SimHash twin of lshCandidatesCached (the minhash family already
+    * stored ITS candidate table; per-probe recompute here was the
+    * banded explode + skew-guard stats + self-join + distinct chain
+    * every call). The adaptive-arm choice (comboBlocks = -1) is keyed
+    * on the corpus size, which is fixed per dir, so the cached
+    * candidate set is exactly what the uncached call computed. */
+  private def simhashCandsCached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cachedCompact(s"simhashcands:$dir")(
+      Dedup.simhashCandidates(simhash64Cached(s, dir), maxHamming = 3,
+        bands = 4, comboBlocks = -1))
+
   private def simhashPairsQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(simhash64Cached(s, dir), maxHamming = 3,
-        bands = 4, comboBlocks = -1)
+    Dedup.simhashVerify(simhash64Cached(s, dir),
+        simhashCandsCached(s, dir), maxHamming = 3)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   private def simhash(s: SparkSession, dir: String): DataFrame =
@@ -2088,13 +2130,32 @@ object TextQueries {
     * (d, d+100) group; unrelated pseudo-random images verify apart.
     * The oracle replays the whole path from the closed-form pixel
     * formula — embedding, band keys, candidates, verify. */
+  /** Decoded image embeddings, persisted once per dir: the un-cached
+    * row re-ran the PNG decode + 8x8 pooled embed over the whole image
+    * table THREE times per probe (candidate pass + both verify joins)
+    * — at cluster scale embeddings are a stored table a dedup pass
+    * reads, not a per-query re-embed (the mockEmbCached discipline). */
+  private def imgEmbCached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cachedCompact(s"imgemb:$dir")(
+      s.read.parquet(imgSemTablePath(s, dir))
+        .select(col("doc_id"),
+          graft.functions.image_embed(col("img"), 8, 8).as("embedding")))
+
+  /** Image-embedding LSH candidate pairs, persisted once per dir —
+    * the image-side twin of the embedding family's candidate caches
+    * (per-probe recompute was a ~20-stage AQE chain of 1-task jobs:
+    * signature + banding + skew-guard stats + self-join + distinct,
+    * pure stage-dispatch latency on the contract corpus and redundant
+    * work at any scale once the candidate table is stored). */
+  private def imgCandsCached(s: SparkSession, dir: String): DataFrame =
+    graft.SharedState.cachedCompact(s"imgcands:$dir")(
+      graft.dedup.Dedup.hyperplanePairs(imgEmbCached(s, dir),
+        col("doc_id"), col("embedding"), VectorQueries.hyperplanes,
+        bands = 4, bitsPerBand = 16))
+
   private def imageSemDedup(s: SparkSession, dir: String): DataFrame = {
-    val embDf = s.read.parquet(imgSemTablePath(s, dir))
-      .select(col("doc_id"),
-        graft.functions.image_embed(col("img"), 8, 8).as("embedding"))
-    val cand = graft.dedup.Dedup.hyperplanePairs(embDf,
-      col("doc_id"), col("embedding"), VectorQueries.hyperplanes,
-      bands = 4, bitsPerBand = 16)
+    val embDf = imgEmbCached(s, dir)
+    val cand = imgCandsCached(s, dir)
     cand
       .join(embDf.select(col("doc_id").as("doc_a"),
         col("embedding").as("ea")), "doc_a")

@@ -468,10 +468,28 @@ object TextOps {
     * step of a multilingual/multi-source pretraining mix as one call. */
   def mixByTemperature(docs: DataFrame, idCol: Column, sourceCol: Column,
       alpha: Double, total: Long, salt: String = "graft",
-      blockHexChars: Int = 3): DataFrame =
+      blockHexChars: Int = 3): DataFrame = {
+    // action fold (§5, the balanceWithCentroids discipline): ONE
+    // collect of the per-(source, block) counts feeds both the quota
+    // apportionment and the mix's block prefixes, so the call scans
+    // `docs` twice (decide, then rank+keep) instead of three times.
+    // Bounded by #sources·16^blockHexChars rows; the driver-side
+    // arithmetic is the in-plan window's exactly (both code paths are
+    // shared with the frame path via temperatureQuotasFromCounts /
+    // knownBlockCounts).
+    val blkCounts = docs
+      .select(sourceCol.as("__src"),
+        mixBlockCol(idCol, salt, blockHexChars).as("__blk"))
+      .groupBy(col("__src"), col("__blk"))
+      .agg(count(lit(1)).as("__tot"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val srcCounts = blkCounts.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toSeq
     mixToBudget(docs, idCol, sourceCol,
-      temperatureQuotas(docs, sourceCol, alpha, total).toMap, salt,
-      blockHexChars)
+      temperatureQuotasFromCounts(srcCounts, alpha, total).toMap, salt,
+      blockHexChars, knownBlockCounts = Some(blkCounts))
+  }
 
   /** Token-budget mixing — [[mixToBudget]] generalized from document
     * counts to token (or any non-negative integer weight) budgets: a
@@ -756,7 +774,19 @@ object TextOps {
       .select(idCol.as("doc_id"), explode(tokenize(textCol)).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency re-aggregates the tf frame — THROUGH a no-op
+    // tf >= 1 predicate (count(1) of a group is always >= 1). The
+    // filter is load-bearing for plan REUSE, not semantics: without a
+    // reference to the count, ColumnPruning drops tf's aggregate from
+    // this branch and collapses it to distinct(doc, term) — a
+    // canonically DIFFERENT exchange subtree, so ReuseExchange misses
+    // and the corpus is tokenized twice per query (measured: the two
+    // Generate+partial-aggregate passes were the row's dominant cost).
+    // Referencing tf keeps both branches' inner exchanges canonically
+    // equal and the whole tokenize+partial-agg pipeline runs ONCE
+    // (guide §2.1 exchange reuse).
+    val dfreq = tf.filter(col("tf") >= 1)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val maxTerms =
       graft.GraftConf.tfidfMaxBroadcastTerms(docs.sparkSession)
     // resolve (docCount, arm) cheaply: a pinned arm costs no probe;

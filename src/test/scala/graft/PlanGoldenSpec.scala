@@ -149,14 +149,15 @@ class PlanGoldenSpec extends SparkSpec {
     checkGolden("q_mix_budget", skel)
   }
 
-  test("q_simhash_pairs: codegen verify kernel, broadcast median, no cartesian") {
+  test("q_simhash_pairs: codegen verify kernel, cached candidate reuse, no cartesian") {
     val (plan, skel) = snapshot("q_simhash_pairs")
     // exact verification runs through the single-pass codegen kernel
     assert(plan.contains("bit_hamming"),
       "simhash verification no longer uses the codegen bit_hamming kernel")
-    // the skew-floor median attaches via a broadcast nested-loop of a
-    // 1-row aggregate — never a real cartesian of corpus-sized frames
-    assert(plan.contains("BroadcastNestedLoopJoin Cross"))
+    // the banded candidate table is persisted per dir (the
+    // lshCandidatesCached discipline); the steady row verifies it —
+    // banding + skew-guard median run once, in the candidate build
+    assert(plan.contains("InMemoryTableScan"))
     assert(!plan.contains("CartesianProduct"))
     checkGolden("q_simhash_pairs", skel)
   }
