@@ -75,6 +75,35 @@ object SharedState {
     cache.getOrElseUpdate(key,
       f.localCheckpoint(true, StorageLevel.DISK_ONLY))
 
+  /** [[cachedCompact]] + LINEAGE CUT: size-aware repartition, then an
+    * eager LOCAL CHECKPOINT instead of a persist. For caches whose
+    * BUILD lineage is huge (candidate tables: banding + skew-guard +
+    * self-join + distinct; ground-truth tables: cross-join + rank):
+    * a persisted frame keeps its full logical plan, and that costs
+    * twice per steady query — the consumer re-analyzes the tree, and
+    * EVERY OTHER query's CacheManager lookup canonical-compares its
+    * plan nodes against the giant cached tree. Measured: registering
+    * 8 such caches inflated UNTOUCHED bench rows 30–100 % (q_hybrid_rrf
+    * 0.72 → 1.1–1.7 s) — scale-independent driver planning cost. The
+    * checkpoint turns the cache into a LogicalRDD leaf: nothing to
+    * re-analyze, nothing for other queries to compare against.
+    * MEMORY_AND_DISK blocks (these frames are small by construction —
+    * compaction just measured their bytes); same recompute-on-loss
+    * caveat as [[checkpointedDisk]]. */
+  def checkpointedCompact(key: String)(f: => DataFrame): DataFrame =
+    cache.getOrElseUpdate(key, {
+      val raw = f.persist(StorageLevel.MEMORY_AND_DISK)
+      raw.count()
+      val bytes = raw.queryExecution.optimizedPlan.stats.sizeInBytes
+      val parts = raw.rdd.getNumPartitions
+      val target = ((bytes + (64L << 20) - 1) / (64L << 20))
+        .max(1).min(parts).toInt
+      val sized = if (target >= parts) raw else raw.repartition(target)
+      val cp = sized.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+      raw.unpersist()
+      cp
+    })
+
   /** Small driver-side artifacts shared between queries (e.g. the
     * contract kmeans centroids — k·dim doubles): the value-level twin
     * of [[cached]], for results of driver-iterative builds that a

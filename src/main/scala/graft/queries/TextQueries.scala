@@ -1954,7 +1954,7 @@ object TextQueries {
     * on the corpus size, which is fixed per dir, so the cached
     * candidate set is exactly what the uncached call computed. */
   private def simhashCandsCached(s: SparkSession, dir: String): DataFrame =
-    graft.SharedState.cachedCompact(s"simhashcands:$dir")(
+    graft.SharedState.checkpointedCompact(s"simhashcands:$dir")(
       Dedup.simhashCandidates(simhash64Cached(s, dir), maxHamming = 3,
         bands = 4, comboBlocks = -1))
 
@@ -2136,7 +2136,7 @@ object TextQueries {
     * — at cluster scale embeddings are a stored table a dedup pass
     * reads, not a per-query re-embed (the mockEmbCached discipline). */
   private def imgEmbCached(s: SparkSession, dir: String): DataFrame =
-    graft.SharedState.cachedCompact(s"imgemb:$dir")(
+    graft.SharedState.checkpointedCompact(s"imgemb:$dir")(
       s.read.parquet(imgSemTablePath(s, dir))
         .select(col("doc_id"),
           graft.functions.image_embed(col("img"), 8, 8).as("embedding")))
@@ -2148,7 +2148,7 @@ object TextQueries {
     * pure stage-dispatch latency on the contract corpus and redundant
     * work at any scale once the candidate table is stored). */
   private def imgCandsCached(s: SparkSession, dir: String): DataFrame =
-    graft.SharedState.cachedCompact(s"imgcands:$dir")(
+    graft.SharedState.checkpointedCompact(s"imgcands:$dir")(
       graft.dedup.Dedup.hyperplanePairs(imgEmbCached(s, dir),
         col("doc_id"), col("embedding"), VectorQueries.hyperplanes,
         bands = 4, bitsPerBand = 16))

@@ -155,9 +155,11 @@ class PlanGoldenSpec extends SparkSpec {
     assert(plan.contains("bit_hamming"),
       "simhash verification no longer uses the codegen bit_hamming kernel")
     // the banded candidate table is persisted per dir (the
-    // lshCandidatesCached discipline); the steady row verifies it —
-    // banding + skew-guard median run once, in the candidate build
-    assert(plan.contains("InMemoryTableScan"))
+    // lshCandidatesCached discipline) as a lineage-cut checkpoint
+    // (LogicalRDD leaf); the steady row verifies it — banding +
+    // skew-guard median run once, in the candidate build
+    assert(plan.contains("Scan ExistingRDD") ||
+      plan.contains("LogicalRDD"))
     assert(!plan.contains("CartesianProduct"))
     checkGolden("q_simhash_pairs", skel)
   }
